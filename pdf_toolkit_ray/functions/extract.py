@@ -1,0 +1,79 @@
+"""Batch-level extraction: the single shared implementation applied by
+BOTH the single-process oracle and the distributed Ray actor stage.
+
+One Arrow table in → same table + (kind, extracted_text, spans, notes,
+used_fallback) out. Plain payloads are normalized fully vectorized with
+Arrow kernels; HTML/PDF payloads (genuinely per-document parsing work —
+the analog of the reference's per-page render at
+``src/pdf-toolkit/render.py:140-142``) run through the warmed per-payload
+extractors for just the masked rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import ExtractConfig
+from ..schema import SPAN_TYPE
+from .htmlx import extract_html
+from .pdfx import extract_pdf
+from .sniff import KIND_HTML, KIND_PDF, KIND_PLAIN, sniff_kind_arrow
+from .textnorm import norm_inline_arrow
+
+
+def extract_batch(tbl: pa.Table, cfg: ExtractConfig) -> pa.Table:
+    """Append extraction columns to a transcripts batch (pure, deterministic)."""
+    n = tbl.num_rows
+    texts = tbl.column("text")
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+
+    kinds = sniff_kind_arrow(texts)
+    kinds_np = np.asarray(kinds.to_numpy(zero_copy_only=False), dtype=object)
+
+    extracted = np.empty(n, dtype=object)
+    used_fallback = np.zeros(n, dtype=bool)
+    notes_cells: list[list[str]] = [[]] * n  # shared empty; replaced when non-empty
+    spans_cells: list[list[dict] | None] = [None] * n
+
+    # --- plain rows: fully vectorized normalize ---
+    plain_idx = np.flatnonzero(kinds_np == KIND_PLAIN)
+    if len(plain_idx):
+        idx_arr = pa.array(plain_idx, type=pa.int64())
+        norm = norm_inline_arrow(texts.take(idx_arr))
+        norm_np = np.asarray(norm.to_numpy(zero_copy_only=False), dtype=object)
+        lens = pc.utf8_length(norm).to_numpy(zero_copy_only=False)
+        extracted[plain_idx] = norm_np
+        for i, row in enumerate(plain_idx):
+            length = int(lens[i])
+            spans_cells[row] = (
+                [{"start": 0, "end": length, "kind": "text", "score": 1.0}]
+                if length
+                else []
+            )
+
+    # --- html / pdf rows: per-document extractors ---
+    doc_idx = np.flatnonzero(kinds_np != KIND_PLAIN)
+    if len(doc_idx):
+        doc_texts = texts.take(pa.array(doc_idx, type=pa.int64())).to_pylist()
+        doc_kinds = kinds_np[doc_idx]
+        for row, kind, text in zip(doc_idx, doc_kinds, doc_texts):
+            result = (
+                extract_html(text, cfg) if kind == KIND_HTML else extract_pdf(text, cfg)
+            )
+            extracted[row] = result.extracted_text
+            used_fallback[row] = result.used_fallback
+            if result.notes:
+                notes_cells[row] = result.notes
+            spans_cells[row] = [s.as_dict() for s in result.spans]
+
+    out = tbl.append_column("kind", kinds)
+    out = out.append_column(
+        "extracted_text", pa.array(extracted, type=pa.large_string())
+    )
+    out = out.append_column("spans", pa.array(spans_cells, type=pa.list_(SPAN_TYPE)))
+    out = out.append_column("notes", pa.array(notes_cells, type=pa.list_(pa.string())))
+    out = out.append_column("used_fallback", pa.array(used_fallback))
+    return out

@@ -1,0 +1,342 @@
+"""HTML main-content extraction via text-density DOM scoring.
+
+From-scratch Arc90/jusText-style extractor over a lightweight DOM built
+with stdlib ``html.parser`` (no bs4/lxml in this environment). The
+control flow deliberately mirrors the reference's crop pipeline:
+
+* per-node density score        ↔ grayscale threshold mask
+  (``src/pdf-toolkit/page_images.py:345-347``)
+* contiguous dense node region  ↔ ``mask.getbbox()``
+* ``min_area_frac`` fallback    ↔ "Detected page area too small"
+  (``page_images.py:352-355``)
+* ``pad_nodes`` / ``edge_inset_nodes`` ↔ ``pad_px`` / ``edge_inset_px``
+  (``page_images.py:357-373``)
+* boilerplate-run clamp with hysteresis ↔ ``detect_outer_black_bar_px``
+  (``page_images.py:205-261``) + ``_resolve_outer_clamp_px``
+  (``page_images.py:264-317``)
+
+All four fallback notes keep the reference's phrasing shape so parity is
+auditable. Pure functions only — shared verbatim by the oracle and the
+Ray actor stage.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from html.parser import HTMLParser
+
+from ..config import ExtractConfig
+from .result import ExtractResult, Span
+from .textnorm import norm_inline
+
+# Block-level elements: each becomes (at most) one scored node.
+BLOCK_TAGS = frozenset(
+    {
+        "html", "body", "main", "div", "p", "article", "section", "nav",
+        "footer", "header", "aside", "ul", "ol", "li", "table", "tr", "td",
+        "th", "form", "blockquote", "pre", "h1", "h2", "h3", "h4", "h5", "h6",
+        "figure", "figcaption", "dl", "dt", "dd",
+    }
+)
+# Subtrees with no visible text at all.
+IGNORE_TAGS = frozenset({"head", "style", "script", "title", "noscript", "template"})
+# Tags that are boilerplate by construction (jusText-style prior).
+BP_TAGS = frozenset({"nav", "footer", "header", "aside", "form"})
+# Arc90-style negative class/id patterns.
+NEG_PAT = re.compile(
+    r"nav|footer|header|aside|\bads?\b|banner|menu|comment|copyright|sidebar|promo",
+    re.IGNORECASE,
+)
+VOID_TAGS = frozenset({"br", "hr", "img", "meta", "link", "input", "source", "wbr"})
+
+
+@dataclasses.dataclass
+class HtmlNode:
+    """One leaf-ish block element: its own (direct) text and inline markup stats."""
+
+    order: int
+    tag: str
+    text: str = ""            # normalized direct text
+    chars: int = 0            # len(text)
+    link_chars: int = 0       # normalized chars inside <a> descendants
+    tag_count: int = 1        # own tag + inline tags directly under it
+    flagged: bool = False     # boilerplate prior (own tag/class/id or inherited)
+
+
+class _Collector(HTMLParser):
+    """Builds the flat node list in document order.
+
+    Text is attributed to the innermost open block element; inline tags
+    increment that block's ``tag_count``; text under an ``<a>`` also
+    accumulates into ``link_chars``.
+    """
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._order = 0
+        self._ignore_depth = 0
+        self._a_depth = 0
+        # each stack entry: [tag, flagged, text_parts, link_parts, tag_count, order]
+        self._stack: list[list] = []
+        self.nodes: list[HtmlNode] = []
+        self._push("#root", False)
+
+    def _push(self, tag: str, flagged: bool) -> None:
+        self._stack.append([tag, flagged, [], [], 1, self._order])
+        self._order += 1
+
+    def _pop_emit(self) -> None:
+        tag, flagged, text_parts, link_parts, tag_count, order = self._stack.pop()
+        text = norm_inline("".join(text_parts))
+        if not text:
+            return
+        self.nodes.append(
+            HtmlNode(
+                order=order,
+                tag=tag,
+                text=text,
+                chars=len(text),
+                link_chars=len(norm_inline("".join(link_parts))),
+                tag_count=tag_count,
+                flagged=flagged,
+            )
+        )
+
+    @staticmethod
+    def _is_negative(tag: str, attrs: list[tuple[str, str | None]]) -> bool:
+        if tag in BP_TAGS:
+            return True
+        for name, value in attrs:
+            if name in ("class", "id") and value and NEG_PAT.search(value):
+                return True
+        return False
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in IGNORE_TAGS:
+            self._ignore_depth += 1
+            return
+        if self._ignore_depth:
+            return
+        if tag in VOID_TAGS:
+            if self._stack:
+                self._stack[-1][2].append(" ")
+                self._stack[-1][4] += 1
+            return
+        if tag in BLOCK_TAGS:
+            inherited = self._stack[-1][1] if self._stack else False
+            self._push(tag, inherited or self._is_negative(tag, attrs))
+        else:
+            # inline element
+            if tag == "a":
+                self._a_depth += 1
+            if self._stack:
+                self._stack[-1][4] += 1
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        self.handle_starttag(tag, attrs)
+        if tag not in BLOCK_TAGS and tag not in IGNORE_TAGS and tag not in VOID_TAGS:
+            self.handle_endtag(tag)
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in IGNORE_TAGS:
+            self._ignore_depth = max(0, self._ignore_depth - 1)
+            return
+        if self._ignore_depth:
+            return
+        if tag == "a":
+            self._a_depth = max(0, self._a_depth - 1)
+            return
+        if tag in BLOCK_TAGS:
+            # pop until the matching open block (tolerates unbalanced markup)
+            open_tags = [entry[0] for entry in self._stack]
+            if tag in open_tags[1:]:  # never pop the synthetic root
+                while len(self._stack) > 1 and self._stack[-1][0] != tag:
+                    self._pop_emit()
+                if len(self._stack) > 1:
+                    self._pop_emit()
+
+    def handle_data(self, data: str) -> None:
+        if self._ignore_depth or not self._stack:
+            return
+        self._stack[-1][2].append(data)
+        if self._a_depth:
+            self._stack[-1][3].append(data)
+
+    def finish(self) -> list[HtmlNode]:
+        while len(self._stack) > 1:
+            self._pop_emit()
+        if self._stack:
+            self._pop_emit()
+        return sorted(self.nodes, key=lambda n: n.order)
+
+
+def parse_html(text: str) -> list[HtmlNode]:
+    """Parse HTML into the flat, document-ordered block-node list."""
+    collector = _Collector()
+    collector.feed(text)
+    collector.close()
+    return collector.finish()
+
+
+def score_node(node: HtmlNode, cfg: ExtractConfig) -> float:
+    """Text-density score in [0, 1] — the brightness analog of the crop mask."""
+    if node.chars <= 0:
+        return 0.0
+    density = node.chars / (node.chars + cfg.tag_cost * max(1, node.tag_count))
+    link_density = min(1.0, node.link_chars / node.chars)
+    score = density * (1.0 - link_density)
+    if node.flagged:
+        score *= cfg.bp_penalty
+    return score
+
+
+def detect_boilerplate_run(
+    scores: list[float],
+    *,
+    side: str,
+    search_frac: float,
+    enter_cutoff: float,
+    release_frac: float,
+    min_run: int,
+) -> int:
+    """Length of the boilerplate "bar" at one end of the node sequence.
+
+    Line-for-line analog of ``detect_outer_black_bar_px``
+    (``src/pdf-toolkit/page_images.py:205-261``): darkness ↔
+    boilerplate-ness (1 - score); hysteresis enters a bar at
+    ``enter_cutoff`` and releases only after ``min_run`` consecutive
+    nodes at or below ``release_frac``. Returns 0 when no stable bar.
+    """
+    if side not in ("left", "right"):
+        raise ValueError("side must be 'left' or 'right'")
+    n = len(scores)
+    if n <= 0:
+        return 0
+    search_width = max(1, min(n, int(n * search_frac)))
+    saw_bar = False
+    consecutive_release = 0
+    for idx in range(search_width):
+        pos = idx if side == "left" else (n - 1 - idx)
+        darkness = 1.0 - scores[pos]
+        if darkness >= enter_cutoff:
+            saw_bar = True
+            consecutive_release = 0
+            continue
+        if saw_bar and darkness <= release_frac:
+            consecutive_release += 1
+            if consecutive_release >= min_run:
+                return max(0, idx - consecutive_release + 1)
+        elif saw_bar:
+            consecutive_release = 0
+    if saw_bar:
+        return search_width
+    return 0
+
+
+def resolve_outer_clamp(
+    scores: list[float], *, side: str, cfg: ExtractConfig
+) -> tuple[int, int]:
+    """(detected, applied) clamp node counts for one side.
+
+    Mirrors ``_resolve_outer_clamp_px`` (``page_images.py:264-317``):
+    ``off`` → (0, 0); ``fixed`` → (0, fixed_nodes); ``auto`` → detected
+    run + pad, capped by ``auto_max_frac`` of the sequence, with the
+    search window widened to at least the cap and clamped to [0.01, 1].
+    """
+    n = len(scores)
+    if cfg.outer_margin_mode == "off" or n == 0:
+        return 0, 0
+    if cfg.outer_margin_mode == "fixed":
+        return 0, max(0, min(n, cfg.outer_margin_fixed_nodes))
+    effective_search = max(cfg.outer_margin_auto_search_frac, cfg.outer_margin_auto_max_frac)
+    effective_search = min(1.0, max(effective_search, 0.01))
+    detected = detect_boilerplate_run(
+        scores,
+        side=side,
+        search_frac=effective_search,
+        enter_cutoff=cfg.bp_enter_cutoff,
+        release_frac=cfg.bp_release_frac,
+        min_run=cfg.bp_min_run,
+    )
+    if detected <= 0:
+        return 0, 0
+    max_clamp = max(0, int(n * cfg.outer_margin_auto_max_frac))
+    applied = min(detected + cfg.outer_margin_pad_nodes, max_clamp)
+    return detected, max(0, applied)
+
+
+def _fallback(nodes: list[HtmlNode], scores: list[float], note: str) -> ExtractResult:
+    """Whole-document visible text — the "used full image" analog."""
+    parts: list[str] = []
+    spans: list[Span] = []
+    offset = 0
+    for node, score in zip(nodes, scores):
+        if not parts:
+            start = 0
+        else:
+            start = offset + 1  # +1 for the joining newline
+        spans.append(Span(start, start + node.chars, "node", score))
+        parts.append(node.text)
+        offset = start + node.chars
+    return ExtractResult("\n".join(parts), spans, [note], True)
+
+
+def extract_html(text: str, cfg: ExtractConfig) -> ExtractResult:
+    """Extract main content from an HTML payload (find_crop_bbox analog)."""
+    nodes = parse_html(text)
+    scores = [score_node(n, cfg) for n in nodes]
+    if not nodes:
+        return ExtractResult("", [], ["No visible text found; used full document text."], True)
+
+    n = len(nodes)
+    mask = [s >= cfg.density_threshold for s in scores]
+    if not any(mask):
+        return _fallback(nodes, scores, "No dense content region found; used full document text.")
+
+    first = mask.index(True)
+    last = n - 1 - mask[::-1].index(True)
+
+    # min-area fallback BEFORE padding, like the reference (page_images.py:351-355)
+    region_chars = sum(node.chars for node in nodes[first : last + 1])
+    total_chars = sum(node.chars for node in nodes)
+    if region_chars < cfg.min_area_frac * total_chars:
+        return _fallback(
+            nodes, scores, "Detected content region too small; used full document text."
+        )
+
+    first = max(0, first - cfg.pad_nodes)
+    last = min(n - 1, last + cfg.pad_nodes)
+
+    inset = max(0, cfg.edge_inset_nodes)
+    if inset > 0:
+        first = min(last, first + inset)
+        last = max(first, last - inset)
+    if last < first:
+        return _fallback(
+            nodes, scores, "Invalid content bounds after edge inset; used full document text."
+        )
+
+    detected_left, clamp_left = resolve_outer_clamp(scores, side="left", cfg=cfg)
+    detected_right, clamp_right = resolve_outer_clamp(scores, side="right", cfg=cfg)
+    if clamp_left > 0:
+        first = max(first, clamp_left)
+    if clamp_right > 0:
+        last = min(last, n - 1 - clamp_right)
+    if last < first:
+        return _fallback(
+            nodes,
+            scores,
+            "Invalid content bounds after boilerplate clamp; used full document text.",
+        )
+
+    parts: list[str] = []
+    spans: list[Span] = []
+    offset = 0
+    for i in range(first, last + 1):
+        node = nodes[i]
+        start = 0 if not parts else offset + 1
+        spans.append(Span(start, start + node.chars, node.tag, scores[i]))
+        parts.append(node.text)
+        offset = start + node.chars
+    return ExtractResult("\n".join(parts), spans, [], False)

@@ -1,0 +1,57 @@
+"""Text normalization — the "pixel-level cleanup" analog of the reference's
+image rotate/crop raster ops (``src/pdf-toolkit/rotate.py:273-281``).
+
+Whitespace semantics are pinned to ASCII whitespace only, because the
+vectorized Arrow path (RE2 ``\\s`` = ASCII) and the Python path
+(``re`` ``\\s`` = Unicode) would otherwise diverge — both implementations
+here use the same explicit character class, and a unit test asserts they
+agree on a grid of adversarial strings.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ASCII whitespace only — identical meaning under Python `re` and RE2.
+WS_CHARS = " \t\r\n\f\v"
+_WS_CLASS = r"[ \t\r\n\f\v]+"
+_WS_RE = re.compile(_WS_CLASS)
+
+
+def norm_inline(s: str) -> str:
+    """NFC + collapse ASCII-whitespace runs to single spaces + strip ends.
+
+    Used for plain payloads and for text inside one HTML node / PDF block.
+    """
+    s = unicodedata.normalize("NFC", s)
+    return _WS_RE.sub(" ", s).strip(WS_CHARS)
+
+
+def norm_inline_arrow(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Vectorized twin of :func:`norm_inline`.
+
+    ASCII rows (the hot path) run entirely through Arrow kernels — NFC is
+    the identity on ASCII. Non-ASCII rows fall back to the Python
+    implementation per row, because pyarrow 16.1's ``utf8_normalize``
+    emits decomposed output for *every* form (observed: NFC of "café"
+    returns e + U+0301), which would diverge from ``unicodedata``.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    out = pc.replace_substring_regex(arr, pattern=_WS_CLASS, replacement=" ")
+    out = pc.utf8_trim(out, characters=WS_CHARS)
+    non_ascii = pc.invert(pc.string_is_ascii(arr))
+    if pc.any(non_ascii).as_py():
+        import numpy as np
+
+        vals = np.asarray(out.to_numpy(zero_copy_only=False), dtype=object)
+        mask = non_ascii.to_numpy(zero_copy_only=False)
+        originals = arr.to_pylist()
+        for i in np.flatnonzero(mask):
+            vals[i] = norm_inline(originals[i])
+        return pa.array(vals, type=arr.type)
+    return out

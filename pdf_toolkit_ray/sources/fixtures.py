@@ -1,0 +1,340 @@
+"""Deterministic synthetic transcripts generator (FIXTURES.md §1).
+
+Mirrors the reference's test-fixture style — synthetic inputs built
+in-memory with exact expected outputs
+(``/root/reference/tests/test_page_images.py:42-89``) — generalized to
+the transcripts table of BASELINE.json's ``input_hint``.
+
+Every value derives from per-``(seed, conv)`` / per-``(seed, conv, turn)``
+PRNGs, so generation is order-independent and can run embarrassingly
+parallel as a Ray pipeline (bench scale) while staying bit-identical to
+the single-process path.
+
+Payload grammar:
+* ``plain`` — GOLD with whitespace mutations (leading/trailing junk,
+  internal ``\\r\\n``/``\\n``/tab runs); extraction must recover the
+  normalized GOLD exactly.
+* ``html``  — boilerplate nav/ads/footer around ``<article><p>GOLD…``;
+  ~10% are mostly-boilerplate → whole-doc fallback expected.
+* ``pdf``   — mini-PDF serialization with scrambled block order, page
+  rotation ∈ {0,90,180,270}, ~20% spreads (wide pages split at the
+  gutter).
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .. import FIXTURE_VERSION
+
+# 64-word fixed vocabulary (same style as the driver's documents.text).
+WORDS = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima "
+    "mike november oscar papa quebec romeo sierra tango uniform victor whiskey "
+    "xray yankee zulu amber basil cedar dahlia elder fennel ginger hazel iris "
+    "jasper kelp laurel maple nettle olive pepper quince rowan sage thyme "
+    "umber violet willow yarrow zinnia anchor beacon copper dynamo ember "
+    "fathom garnet harbor ingot jetty keel lantern meadow"
+).split()
+
+SIZES = {
+    # name -> (n_convs, n_heavy)
+    "smoke": (50, 0),
+    "correctness": (500, 10),
+    "bench": (50_000, 1_000),
+}
+
+_TS_BASE_US = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z in microseconds
+_ROT_CHOICES = [0, 0, 0, 0, 0, 90, 180, 270]
+
+
+def _rot_forward(x: int, y: int, w: int, h: int, rotate: int) -> tuple[int, int, int, int]:
+    """Rotate a true-space point into emitted space; returns (x', y', w', h')."""
+    if rotate == 0:
+        return x, y, w, h
+    if rotate == 90:
+        return h - 1 - y, x, h, w
+    if rotate == 180:
+        return w - 1 - x, h - 1 - y, w, h
+    if rotate == 270:
+        return y, w - 1 - x, h, w
+    raise ValueError(f"bad rotation {rotate}")
+
+
+def gold_text(seed: int, conv_id: str, turn_idx: int) -> str:
+    rng = random.Random(f"{seed}:gold:{conv_id}:{turn_idx}")
+    n = rng.randint(5, 40)
+    return " ".join(rng.choice(WORDS) for _ in range(n))
+
+
+def _gen_plain(rng: random.Random, gold: str) -> str:
+    words = gold.split(" ")
+    seps = []
+    for _ in range(len(words) - 1):
+        if rng.random() < 0.15:
+            seps.append(rng.choice(["\n", "\r\n", " \t ", "  "]))
+        else:
+            seps.append(" ")
+    body = words[0] + "".join(s + w for s, w in zip(seps, words[1:]))
+    lead = rng.choice(["", " ", "\n", "\r\n", "\t ", "  \r\n "])
+    trail = rng.choice(["", " ", "\n", "\r\n", " \t"])
+    return lead + body + trail
+
+
+def _salad(rng: random.Random, n: int) -> str:
+    return " ".join(rng.choice(WORDS) for _ in range(n))
+
+
+def _gen_html(rng: random.Random, gold: str) -> str:
+    words = gold.split(" ")
+    mostly_boilerplate = rng.random() < 0.10
+    m = rng.randint(1, max(1, min(4, len(words) // 3)))
+    bounds = sorted(rng.sample(range(1, len(words)), m - 1)) if m > 1 else []
+    paras = []
+    prev = 0
+    for b in bounds + [len(words)]:
+        paras.append(" ".join(words[prev:b]))
+        prev = b
+    article = "<article>" + "".join(f"<p>{p}</p>" for p in paras) + "</article>"
+    gold_chars = len(gold)
+
+    if mostly_boilerplate:
+        # boilerplate must dominate: B > 3A triggers the min-area fallback
+        target = 4 * gold_chars + 120
+    else:
+        # keep boilerplate well under 3A so the dense region passes min_area_frac
+        target = max(40, min(2 * gold_chars - 20, 160))
+    third = max(2, target // 18)  # ≈ words per boilerplate slot (6 chars/word)
+    nav = (
+        f"<nav>{_salad(rng, third)} "
+        f'<a href="#">{rng.choice(WORDS)}</a> <a href="#">{rng.choice(WORDS)}</a></nav>'
+    )
+    ads = (
+        f'<div class="ads">{_salad(rng, third)} '
+        f"<a>{rng.choice(WORDS)}</a> <a>{rng.choice(WORDS)}</a></div>"
+    )
+    footer = f"<footer>copyright {_salad(rng, third)}</footer>"
+    return (
+        f"<html><head><title>{rng.choice(WORDS)}</title>"
+        f"<style>.x{{color:#000}}</style></head><body>"
+        f"{nav}{ads}{article}{footer}</body></html>"
+    )
+
+
+def _chunk_words(rng: random.Random, words: list[str], lo: int, hi: int) -> list[str]:
+    m = rng.randint(lo, max(lo, min(hi, len(words))))
+    bounds = sorted(rng.sample(range(1, len(words)), m - 1)) if m > 1 else []
+    chunks, prev = [], 0
+    for b in bounds + [len(words)]:
+        chunks.append(" ".join(words[prev:b]))
+        prev = b
+    return chunks
+
+
+def _gen_pdf(rng: random.Random, gold: str) -> str:
+    words = gold.split(" ")
+    spread = rng.random() < 0.20
+    lines = ["%MINIPDF 1.0"]
+
+    if spread:
+        w, h = 1200, 800
+        k_l = rng.randint(1, min(3, max(1, len(words) - 1)))
+        chunks = _chunk_words(rng, words, 2, 5)
+        k_l = min(k_l, len(chunks) - 1)
+        left, right = chunks[:k_l], chunks[k_l:]
+        blocks = []  # (x, y, text) in true space
+        for i, chunk in enumerate(left):
+            x = rng.randint(300, 440) if i == 0 else rng.randint(60, 440)
+            y = 40 + 150 * i + rng.randint(0, 80)
+            blocks.append((x, y, chunk))
+        for i, chunk in enumerate(right):
+            x = rng.randint(720, 900) if i == 0 else rng.randint(720, 1140)
+            y = 40 + 150 * i + rng.randint(0, 80)
+            blocks.append((x, y, chunk))
+        rotate = rng.choice(_ROT_CHOICES)
+        block_lines = []
+        ew = eh = None
+        for x, y, text in blocks:
+            ex, ey, ew, eh = _rot_forward(x, y, w, h, rotate)
+            block_lines.append(f"block x={ex} y={ey} | {text}")
+        rng.shuffle(block_lines)
+        lines.append(f"obj page 1 w={ew} h={eh} rotate={rotate}")
+        lines.extend(block_lines)
+        lines.append("endobj")
+        return "\n".join(lines)
+
+    n_pages = 2 if (rng.random() < 0.20 and len(words) >= 4) else 1
+    chunks = _chunk_words(rng, words, min(2, len(words)), 5)
+    per_page = [chunks] if n_pages == 1 else [chunks[: len(chunks) // 2] or chunks[:1], chunks[len(chunks) // 2 :] or chunks[-1:]]
+    w, h = 600, 800
+    for page_num, page_chunks in enumerate(per_page, start=1):
+        rotate = rng.choice(_ROT_CHOICES)
+        blocks = []
+        row = 0
+        for chunk in page_chunks:
+            y = 40 + 120 * row + rng.randint(0, 60)
+            cwords = chunk.split(" ")
+            if len(cwords) >= 2 and rng.random() < 0.3:
+                cut = rng.randint(1, len(cwords) - 1)
+                blocks.append((50, y, " ".join(cwords[:cut])))
+                blocks.append((320, y, " ".join(cwords[cut:])))
+            else:
+                blocks.append((rng.randint(40, 250), y, chunk))
+            row += 1
+        block_lines = []
+        ew = eh = None
+        for x, y, text in blocks:
+            ex, ey, ew, eh = _rot_forward(x, y, w, h, rotate)
+            block_lines.append(f"block x={ex} y={ey} | {text}")
+        rng.shuffle(block_lines)
+        lines.append(f"obj page {page_num} w={ew} h={eh} rotate={rotate}")
+        lines.extend(block_lines)
+        lines.append("endobj")
+    return "\n".join(lines)
+
+
+def conv_turn_count(seed: int, k: int, n_convs: int, n_heavy: int) -> int:
+    rng = random.Random(f"{seed}:count:{k}")
+    if k >= n_convs - n_heavy:
+        return rng.randint(200, 1000)
+    return rng.randint(2, 12)
+
+
+def turn_prefix_counts(seed: int, n_convs: int, n_heavy: int) -> np.ndarray:
+    """prefix[k] = total turns of convs 0..k-1 (drives the monotone ts column)."""
+    counts = np.fromiter(
+        (conv_turn_count(seed, k, n_convs, n_heavy) for k in range(n_convs)),
+        dtype=np.int64,
+        count=n_convs,
+    )
+    prefix = np.zeros(n_convs + 1, dtype=np.int64)
+    np.cumsum(counts, out=prefix[1:])
+    return prefix
+
+
+def conv_rows(
+    seed: int, k: int, n_convs: int, n_heavy: int, prefix: np.ndarray
+) -> dict[str, list]:
+    """All rows for conversation k, duplicates included, conv-locally shuffled."""
+    conv_id = f"conv{k:06d}"
+    n_turns = conv_turn_count(seed, k, n_convs, n_heavy)
+    rng = random.Random(f"{seed}:conv:{k}")
+    rows: list[tuple] = []
+    for turn_idx in range(n_turns):
+        trng = random.Random(f"{seed}:turn:{conv_id}:{turn_idx}")
+        gold = gold_text(seed, conv_id, turn_idx)
+        roll = trng.random()
+        if roll < 0.5:
+            text = _gen_plain(trng, gold)
+        elif roll < 0.8:
+            text = _gen_html(trng, gold)
+        else:
+            text = _gen_pdf(trng, gold)
+        if trng.random() < 0.15:
+            role, tool = "tool", trng.choice(["search", "browser", "python"])
+        else:
+            role, tool = ("user", "") if turn_idx % 2 == 0 else ("assistant", "")
+        ts = _TS_BASE_US + 60_000_000 * int(prefix[k] + turn_idx)
+        rows.append((conv_id, turn_idx, role, text, tool, ts))
+    # 1% exact duplicates of an earlier row (FIXTURES.md §1.1)
+    dups = [row for row in rows if rng.random() < 0.01]
+    rows.extend(dups)
+    rng.shuffle(rows)
+    return {
+        "conv_id": [r[0] for r in rows],
+        "turn_idx": [r[1] for r in rows],
+        "role": [r[2] for r in rows],
+        "text": [r[3] for r in rows],
+        "tool": [r[4] for r in rows],
+        "ts": [r[5] for r in rows],
+    }
+
+
+def _rows_to_table(cols: dict[str, list]) -> pa.Table:
+    return pa.table(
+        {
+            "conv_id": pa.array(cols["conv_id"], type=pa.string()),
+            "turn_idx": pa.array(cols["turn_idx"], type=pa.int32()),
+            "role": pa.array(cols["role"], type=pa.string()),
+            "text": pa.array(cols["text"], type=pa.string()),
+            "tool": pa.array(cols["tool"], type=pa.string()),
+            "ts": pa.array(cols["ts"], type=pa.timestamp("us")),
+        }
+    )
+
+
+def generate_transcripts_table(size: str = "correctness", seed: int = 42) -> pa.Table:
+    """Single-process generation with a global PRNG permutation shuffle."""
+    n_convs, n_heavy = SIZES[size]
+    prefix = turn_prefix_counts(seed, n_convs, n_heavy)
+    merged: dict[str, list] = {c: [] for c in ("conv_id", "turn_idx", "role", "text", "tool", "ts")}
+    for k in range(n_convs):
+        cols = conv_rows(seed, k, n_convs, n_heavy, prefix)
+        for c in merged:
+            merged[c].extend(cols[c])
+    tbl = _rows_to_table(merged)
+    perm = np.random.RandomState(seed).permutation(tbl.num_rows)
+    return tbl.take(pa.array(perm))
+
+
+def generate_transcripts_parquet(
+    out_path: str, size: str = "correctness", seed: int = 42, use_ray: bool = False
+) -> str:
+    """Write transcripts to Parquet; Ray-parallel at bench scale.
+
+    The Ray path fans conversation ids out over ``map_batches`` (per-conv
+    PRNGs make it deterministic regardless of scheduling) and applies a
+    seeded ``random_shuffle`` so stable turn ordering is genuinely
+    re-established by the engine, not inherited from file order.
+    """
+    if not use_ray:
+        tbl = generate_transcripts_table(size, seed)
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        pq.write_table(tbl, out_path)
+        return out_path
+
+    import ray.data
+
+    n_convs, n_heavy = SIZES[size]
+    prefix = turn_prefix_counts(seed, n_convs, n_heavy)
+
+    def gen_batch(batch: pa.Table) -> pa.Table:
+        merged: dict[str, list] = {
+            c: [] for c in ("conv_id", "turn_idx", "role", "text", "tool", "ts")
+        }
+        for k in batch.column("id").to_pylist():
+            cols = conv_rows(seed, int(k), n_convs, n_heavy, prefix)
+            for c in merged:
+                merged[c].extend(cols[c])
+        return _rows_to_table(merged)
+
+    os.makedirs(out_path, exist_ok=True)
+    (
+        ray.data.range(n_convs)
+        .map_batches(gen_batch, batch_format="pyarrow", batch_size=64)
+        .random_shuffle(seed=seed)
+        .write_parquet(out_path)
+    )
+    return out_path
+
+
+def transcripts_path_for(
+    size: str, base_dir: str = "/tmp/graft_fixtures", seed: int = 42, use_ray: bool | None = None
+) -> str:
+    """Cached fixture location; generates on first use."""
+    if use_ray is None:
+        use_ray = size == "bench"
+    suffix = "" if use_ray else ".parquet"
+    path = os.path.join(base_dir, f"transcripts-{size}-s{seed}-v{FIXTURE_VERSION}{suffix}")
+    done_marker = path + ".done"
+    if os.path.exists(done_marker):
+        return path
+    generate_transcripts_parquet(path, size=size, seed=seed, use_ray=use_ray)
+    with open(done_marker, "w") as fh:
+        fh.write("ok\n")
+    return path
