@@ -1,0 +1,115 @@
+"""Per-partition checkpoint manifests + atomic partition commit.
+
+Generalizes the reference's audit manifest (``src/pdf-toolkit/manifest.py:
+27-122``) and its atomic temp-file + ``os.replace`` in-place write
+(``src/pdf-toolkit/rotate.py:131-148``):
+
+* each output partition is ``out/part-{pid:05d}-s{salt:05d}/`` holding
+  ``data.parquet`` (written to a tmp name, then renamed) and
+  ``manifest.json`` written **last** — the manifest is the commit marker;
+* a partition with a parseable manifest is *done* and a rerun skips its
+  input rows entirely (the distributed analog of skip-if-exists reruns,
+  ``page_images.py:740-752``);
+* the manifest records lineage (input, config hash, engine version) and
+  metrics (row/kind/fallback counts), like the reference's per-command
+  summary (``page_images.py:1058-1067``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime, timezone
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .. import __version__
+
+MANIFEST_NAME = "manifest.json"
+JOB_MANIFEST_NAME = "_job_manifest.json"
+
+
+def partition_dir(out_dir: str, part_id: int, salt: int) -> str:
+    return os.path.join(out_dir, f"part-{part_id:05d}-s{salt:05d}")
+
+
+def _utcnow() -> str:
+    return datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+def write_partition(
+    out_dir: str,
+    part_id: int,
+    salt: int,
+    tbl: pa.Table,
+    *,
+    lineage: dict[str, Any],
+    metrics: dict[str, Any],
+) -> None:
+    """Atomically commit one partition: tmp data file → rename → manifest last."""
+    pdir = partition_dir(out_dir, part_id, salt)
+    os.makedirs(pdir, exist_ok=True)
+    data_path = os.path.join(pdir, "data.parquet")
+    tmp_path = data_path + f".tmp.{os.getpid()}"
+    try:
+        pq.write_table(tbl, tmp_path)
+        os.replace(tmp_path, data_path)
+    except BaseException:
+        if os.path.exists(tmp_path):
+            try:
+                os.remove(tmp_path)  # cleanup like rotate.py:156-157
+            except OSError:
+                pass
+        raise
+    manifest = {
+        "engine": "pdf_toolkit_ray",
+        "version": __version__,
+        "part_id": part_id,
+        "salt": salt,
+        "written_at": _utcnow(),
+        "lineage": lineage,
+        "metrics": metrics,
+    }
+    mtmp = os.path.join(pdir, MANIFEST_NAME + f".tmp.{os.getpid()}")
+    with open(mtmp, "w") as fh:
+        json.dump(manifest, fh, sort_keys=True)
+    os.replace(mtmp, os.path.join(pdir, MANIFEST_NAME))
+
+
+def load_manifest(pdir: str) -> dict[str, Any] | None:
+    path = os.path.join(pdir, MANIFEST_NAME)
+    try:
+        with open(path) as fh:
+            return json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
+def completed_partitions(out_dir: str, config_hash: str | None = None) -> set[tuple[int, int]]:
+    """(part_id, salt) pairs with a valid manifest (and matching config)."""
+    done: set[tuple[int, int]] = set()
+    if not os.path.isdir(out_dir):
+        return done
+    for name in os.listdir(out_dir):
+        pdir = os.path.join(out_dir, name)
+        if not name.startswith("part-") or not os.path.isdir(pdir):
+            continue
+        manifest = load_manifest(pdir)
+        if manifest is None:
+            continue
+        if config_hash is not None and manifest.get("lineage", {}).get("config_hash") != config_hash:
+            continue
+        done.add((int(manifest["part_id"]), int(manifest["salt"])))
+    return done
+
+
+def write_job_manifest(out_dir: str, payload: dict[str, Any]) -> str:
+    path = os.path.join(out_dir, JOB_MANIFEST_NAME)
+    tmp = path + ".tmp"
+    payload = {"engine": "pdf_toolkit_ray", "version": __version__, "written_at": _utcnow(), **payload}
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh, sort_keys=True, indent=1)
+    os.replace(tmp, path)
+    return path

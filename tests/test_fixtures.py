@@ -1,0 +1,70 @@
+import collections
+
+import pyarrow as pa
+
+from pdf_toolkit_ray.config import ExtractConfig
+from pdf_toolkit_ray.oracle import extract_table
+from pdf_toolkit_ray.sources.fixtures import (
+    SIZES,
+    conv_rows,
+    generate_transcripts_table,
+    gold_text,
+    turn_prefix_counts,
+)
+
+
+def test_generation_deterministic(smoke_table):
+    again = generate_transcripts_table("smoke")
+    assert smoke_table.equals(again)
+
+
+def test_schema(smoke_table):
+    assert smoke_table.schema.names == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    assert smoke_table.column("turn_idx").type == pa.int32()
+    assert smoke_table.column("ts").type == pa.timestamp("us")
+
+
+def test_duplicates_exist_and_are_exact(smoke_table):
+    keys = list(zip(smoke_table.column("conv_id").to_pylist(), smoke_table.column("turn_idx").to_pylist()))
+    counts = collections.Counter(keys)
+    dups = {k for k, c in counts.items() if c > 1}
+    assert dups  # ~1% duplicate rate
+    texts = {}
+    for k, t in zip(keys, smoke_table.column("text").to_pylist()):
+        if k in dups:
+            assert texts.setdefault(k, t) == t  # exact copies
+
+
+def test_conv_rows_order_independent():
+    """Per-conv generation is seeded independently -> parallel == sequential."""
+    n, h = SIZES["smoke"]
+    prefix = turn_prefix_counts(42, n, h)
+    a = conv_rows(42, 7, n, h, prefix)
+    b = conv_rows(42, 7, n, h, prefix)
+    assert a == b
+
+
+def test_gold_recovery_property(smoke_table):
+    """Every non-fallback extraction whitespace-normalizes to GOLD exactly."""
+    out = extract_table(smoke_table, ExtractConfig())
+    checked = 0
+    for conv, turn, text, fb in zip(
+        out.column("conv_id").to_pylist(),
+        out.column("turn_idx").to_pylist(),
+        out.column("extracted_text").to_pylist(),
+        out.column("used_fallback").to_pylist(),
+    ):
+        if fb:
+            continue
+        assert " ".join(text.split()) == gold_text(42, conv, turn), (conv, turn)
+        checked += 1
+    assert checked > 250
+
+
+def test_kind_mix(smoke_table):
+    out = extract_table(smoke_table, ExtractConfig())
+    kinds = collections.Counter(out.column("kind").to_pylist())
+    total = sum(kinds.values())
+    assert 0.4 < kinds["plain"] / total < 0.6
+    assert 0.2 < kinds["html"] / total < 0.4
+    assert 0.1 < kinds["pdf"] / total < 0.3

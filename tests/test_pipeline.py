@@ -1,0 +1,105 @@
+"""Ray pipeline vs single-process oracle: per-turn equality, resume,
+determinism (SURVEY.md §5 layers 2/4/5)."""
+
+import glob
+import os
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from pdf_toolkit_ray.config import ExtractConfig
+from pdf_toolkit_ray.oracle import extract_table
+from pdf_toolkit_ray.pipelines.extract import (
+    extract_dataset,
+    read_extracted,
+    run_extract_job,
+)
+
+# low salt threshold so smoke convs (2-12 turns) exercise the salted path
+CFG = ExtractConfig(n_parts=8, salt_threshold=8, salt_width=4)
+
+KEY = ["conv_id", "turn_idx"]
+SIMPLE_COLS = [
+    "conv_id", "turn_idx", "role", "text", "tool", "ts", "kind",
+    "extracted_text", "used_fallback", "conv_n_turns", "is_final_turn",
+    "prev_role", "part_id", "salt",
+]
+
+
+def _sorted(df: pd.DataFrame) -> pd.DataFrame:
+    return df.sort_values(KEY).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def oracle_df(smoke_parquet):
+    return _sorted(extract_table(pq.read_table(smoke_parquet), CFG).to_pandas())
+
+
+def assert_matches_oracle(df: pd.DataFrame, oracle_df: pd.DataFrame):
+    df = _sorted(df)
+    assert len(df) == len(oracle_df)
+    for col in SIMPLE_COLS:
+        assert (df[col] == oracle_df[col]).all(), f"column {col} diverges"
+    for col in ("notes", "spans"):
+        assert all(list(a) == list(b) for a, b in zip(df[col], oracle_df[col])), col
+
+
+def test_pipeline_equals_oracle(ray_session, smoke_parquet, oracle_df):
+    got = extract_dataset(smoke_parquet, CFG).to_pandas()
+    assert_matches_oracle(got, oracle_df)
+
+
+def test_job_write_resume_determinism(ray_session, smoke_parquet, oracle_df, tmp_path):
+    out = str(tmp_path / "job")
+    summary = run_extract_job(smoke_parquet, out, CFG)
+    assert summary["rows_written"] == len(oracle_df)
+    assert summary["written_partitions"] > 1
+
+    back = read_extracted(out).to_pandas()
+    assert_matches_oracle(back, oracle_df)
+
+    # resume is a no-op when everything is committed
+    summary2 = run_extract_job(smoke_parquet, out, CFG)
+    assert summary2["rows_written"] == 0
+    assert len(summary2["resumed_partitions"]) == summary["written_partitions"]
+
+    # knock out two partitions -> only they are reprocessed, output identical
+    parts = sorted(glob.glob(out + "/part-*"))
+    for p in parts[:2]:
+        os.remove(os.path.join(p, "manifest.json"))
+    summary3 = run_extract_job(smoke_parquet, out, CFG)
+    assert summary3["written_partitions"] == 2
+    assert_matches_oracle(read_extracted(out).to_pandas(), oracle_df)
+
+
+def test_two_runs_identical(ray_session, smoke_parquet, tmp_path):
+    """Determinism: two full runs produce byte-identical partition content."""
+    out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
+    run_extract_job(smoke_parquet, out_a, CFG)
+    run_extract_job(smoke_parquet, out_b, CFG)
+    files_a = sorted(glob.glob(out_a + "/part-*/data.parquet"))
+    files_b = sorted(glob.glob(out_b + "/part-*/data.parquet"))
+    assert [os.path.relpath(f, out_a) for f in files_a] == [
+        os.path.relpath(f, out_b) for f in files_b
+    ]
+    for fa, fb in zip(files_a, files_b):
+        assert pq.read_table(fa).equals(pq.read_table(fb)), fa
+
+
+def test_salting_applied(ray_session, smoke_parquet):
+    ds = extract_dataset(smoke_parquet, CFG)
+    df = ds.to_pandas()
+    assert (df["salt"] > 0).any()  # heavy (here: >8-turn) convs were salted
+    # salt chunks align to contiguous turn ranges
+    heavy = df[df["salt"] > 0]
+    assert ((heavy["turn_idx"] // CFG.salt_width) == heavy["salt"]).all()
+
+
+def test_schema_validation_rejects_wrong_table(ray_session):
+    import ray.data
+    from pdf_toolkit_ray import UserError
+    from pdf_toolkit_ray.pipelines.extract import read_transcripts
+
+    with pytest.raises((UserError, Exception)):
+        read_transcripts("/root/testdata/sf0.001/lineitem.parquet")
