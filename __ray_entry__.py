@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver initialises Ray BEFORE importing this module; nothing here
+(or in `pdf_toolkit_ray`) calls ``ray.init`` / ``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+* ``entry()``      — flagship per-turn extraction pipeline on sf0.001-scale
+                     synthetic transcripts (BASELINE.json input_hint).
+* ``queries()``    — one callable per implemented operator (SURVEY.md §2 +
+                     training-data ops); each takes ``sf_dir``.
+* ``oracle_sql()`` — DuckDB twins for the SQL-expressible subset; column
+                     names match the Ray outputs exactly.
 """
 
 from __future__ import annotations
@@ -18,27 +16,22 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from pdf_toolkit_ray.queries import REGISTRY
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at smoke scale; returns the finalized Dataset."""
+    from pdf_toolkit_ray.config import ExtractConfig
+    from pdf_toolkit_ray.pipelines.extract import extract_dataset
+    from pdf_toolkit_ray.sources.fixtures import transcripts_path_for
+
+    path = transcripts_path_for("smoke")
+    return extract_dataset(path, ExtractConfig())
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}

@@ -1,0 +1,678 @@
+"""Driver-contract query registry: every operator from SURVEY.md §2 plus
+the training-data ops (dedup / ANN / text analysis), each as
+
+    name -> (ray_callable(sf_dir) -> Dataset|DataFrame|Table,  oracle_sql | None)
+
+Numeric-equality policy (the driver hashes values): money-like columns
+(2-decimal doubles) are summed EXACTLY via integer cents on BOTH sides
+(``sum(CAST(round(x*100) AS BIGINT))/100.0`` ≡ int64 cents in Ray), so
+distributed summation order cannot flip a hash; genuinely-continuous
+doubles are rounded to 4 decimals on both sides (absolute summation skew
+~1e-9 ≪ grid). Every computed column carries the same name in Ray and
+SQL. Ops with no SQL expression (extraction, sketches, LSH) return
+deterministic rows and omit the oracle (driver rows-only check).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from . import relops
+from .config import ExtractConfig
+from .functions.rounding import round_away_arrow
+from .functions.textstats import lang_id_batch, quality_stats
+from .relops import scan
+from .stages import ann as ann_mod
+from .stages import dedup as dedup_mod
+
+# --------------------------------------------------------------------------
+# helpers
+
+
+def _cents(tbl_col, scale: int) -> pa.Array:
+    """Exact integer representation of a fixed-decimal double column."""
+    scaled = pc.multiply(pc.cast(tbl_col, pa.float64()), float(scale))
+    return pc.cast(pc.round(scaled, ndigits=0), pa.int64())
+
+
+def _sf_to_fixture_size(sf_dir: str) -> str:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    return {"sf0.001": "smoke", "sf0.01": "correctness", "sf0.1": "bench"}.get(
+        name, "correctness"
+    )
+
+
+def _transcripts_path(sf_dir: str) -> str:
+    from .sources.fixtures import transcripts_path_for
+
+    return transcripts_path_for(_sf_to_fixture_size(sf_dir))
+
+
+# --------------------------------------------------------------------------
+# TPC-H-ish relational operators (M1/A1/O1/O3/§2.4/§2.8 coverage)
+
+
+def q1_pricing_summary(sf_dir: str):
+    ds = scan(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount", "l_tax", "l_shipdate",
+        ],
+    )
+    cutoff = pa.scalar(np.datetime64("1998-09-02", "us"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less_equal(batch.column("l_shipdate"), cutoff))
+        qty = pc.cast(batch.column("l_quantity"), pa.float64())
+        ep = pc.cast(batch.column("l_extendedprice"), pa.float64())
+        disc = pc.cast(batch.column("l_discount"), pa.float64())
+        tax = pc.cast(batch.column("l_tax"), pa.float64())
+        one_m_disc = pc.subtract(1.0, disc)
+        t = pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "qty": pc.cast(qty, pa.int64()),  # integral quantities
+                "base_c": _cents(ep, 100),
+                "disc_c": _cents(pc.multiply(ep, one_m_disc), 10_000),
+                "charge_c": _cents(
+                    pc.multiply(pc.multiply(ep, one_m_disc), pc.add(1.0, tax)), 1_000_000
+                ),
+                "disc_pts": _cents(disc, 100),
+            }
+        )
+        return t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("base_c", "sum"), ("disc_c", "sum"),
+             ("charge_c", "sum"), ("disc_pts", "sum"), ("qty", "count")]
+        )
+
+    agg = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby(["l_returnflag", "l_linestatus"]) \
+        .aggregate(
+            Sum("qty_sum", alias_name="qty"),
+            Sum("base_c_sum", alias_name="base_c"),
+            Sum("disc_c_sum", alias_name="disc_c"),
+            Sum("charge_c_sum", alias_name="charge_c"),
+            Sum("disc_pts_sum", alias_name="disc_pts"),
+            Sum("qty_count", alias_name="count_order"),
+        )
+    tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    n = pc.cast(tbl.column("count_order"), pa.float64())
+    out = pa.table(
+        {
+            "l_returnflag": tbl.column("l_returnflag"),
+            "l_linestatus": tbl.column("l_linestatus"),
+            "sum_qty": pc.cast(tbl.column("qty"), pa.int64()),
+            "sum_base_price": pc.divide(pc.cast(tbl.column("base_c"), pa.float64()), 100.0),
+            "sum_disc_price": pc.divide(pc.cast(tbl.column("disc_c"), pa.float64()), 10_000.0),
+            "sum_charge": pc.divide(pc.cast(tbl.column("charge_c"), pa.float64()), 1_000_000.0),
+            "avg_qty": round_away_arrow(pc.divide(pc.cast(tbl.column("qty"), pa.float64()), n)),
+            "avg_price": round_away_arrow(
+                pc.divide(pc.divide(pc.cast(tbl.column("base_c"), pa.float64()), 100.0), n)
+            ),
+            "avg_disc": round_away_arrow(
+                pc.divide(pc.divide(pc.cast(tbl.column("disc_pts"), pa.float64()), 100.0), n)
+            ),
+            "count_order": pc.cast(tbl.column("count_order"), pa.int64()),
+        }
+    )
+    return out
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_base_price,
+  CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS DOUBLE)/10000.0 AS sum_disc_price,
+  CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*(1+l_tax)*1000000) AS BIGINT)) AS DOUBLE)/1000000.0 AS sum_charge,
+  round(CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)/count(*), 4) AS avg_qty,
+  round(CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0/count(*), 4) AS avg_price,
+  round(CAST(sum(CAST(round(l_discount*100) AS BIGINT)) AS DOUBLE)/100.0/count(*), 4) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q6_revenue(sf_dir: str):
+    ds = scan(sf_dir, "lineitem",
+              columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1997-01-01", "us"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(
+                pc.greater_equal(batch.column("l_shipdate"), lo),
+                pc.less(batch.column("l_shipdate"), hi),
+            ),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(batch.column("l_discount"), 0.05),
+                    pc.less_equal(batch.column("l_discount"), 0.07),
+                ),
+                pc.less(batch.column("l_quantity"), 24.0),
+            ),
+        )
+        batch = batch.filter(m)
+        rev = pc.multiply(
+            pc.cast(batch.column("l_extendedprice"), pa.float64()),
+            pc.cast(batch.column("l_discount"), pa.float64()),
+        )
+        total = pc.sum(_cents(rev, 10_000)).as_py() or 0
+        return pa.table({"rev_c": pa.array([total], pa.int64())})
+
+    total = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .sum("rev_c")
+    )
+    return pa.table({"revenue": pa.array([float(total) / 10_000.0], pa.float64())})
+
+
+Q6_SQL = """
+SELECT CAST(coalesce(sum(CAST(round(l_extendedprice*l_discount*10000) AS BIGINT)), 0) AS DOUBLE)/10000.0 AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+def filter_project_revenue(sf_dir: str):
+    ds = scan(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_linenumber", "l_returnflag",
+                       "l_extendedprice", "l_discount"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch.column("l_returnflag"), "R"))
+        rev = pc.multiply(
+            pc.cast(batch.column("l_extendedprice"), pa.float64()),
+            pc.subtract(1.0, pc.cast(batch.column("l_discount"), pa.float64())),
+        )
+        return pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "l_linenumber": batch.column("l_linenumber"),
+                "revenue": round_away_arrow(rev),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+FILTER_PROJECT_SQL = """
+SELECT l_orderkey, l_linenumber, round(l_extendedprice*(1-l_discount), 4) AS revenue
+FROM lineitem WHERE l_returnflag = 'R'
+"""
+
+
+def sort_topk_orders(sf_dir: str):
+    ds = scan(sf_dir, "orders",
+              columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"])
+    out = relops.topk(
+        ds, [("o_totalprice", "descending"), ("o_orderkey", "ascending")], 15
+    )
+    tbl = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return relops.round_cols(tbl, ["o_totalprice"], 4)
+
+
+SORT_TOPK_SQL = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice, o_orderdate
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 15
+"""
+
+
+def groupby_events(sf_dir: str):
+    ds = scan(sf_dir, "events", columns=["event_type", "value"])
+    agg = ds.groupby("event_type").aggregate(
+        Count(alias_name="n"),
+        Sum("value", alias_name="sum_value"),
+        Mean("value", alias_name="avg_value"),
+        Min("value", alias_name="min_value"),
+        Max("value", alias_name="max_value"),
+    )
+    tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    return relops.round_cols(tbl, ["sum_value", "avg_value", "min_value", "max_value"], 4)
+
+
+GROUPBY_EVENTS_SQL = """
+SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value,
+  round(avg(value), 4) AS avg_value, round(min(value), 4) AS min_value,
+  round(max(value), 4) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
+def events_daily(sf_dir: str):
+    ds = scan(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "day": pc.floor_temporal(batch.column("ts"), unit="day"),
+                "event_type": batch.column("event_type"),
+                "value": pc.cast(batch.column("value"), pa.float64()),
+            }
+        )
+        return t.group_by(["day", "event_type"]).aggregate(
+            [("value", "sum"), ("value", "count")]
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["day", "event_type"])
+        .aggregate(Sum("value_sum", alias_name="sum_value"),
+                   Sum("value_count", alias_name="n"))
+    )
+    tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    tbl = relops.round_cols(tbl, ["sum_value"], 4)
+    idx = tbl.schema.get_field_index("n")
+    return tbl.set_column(idx, "n", pc.cast(tbl.column("n"), pa.int64()))
+
+
+EVENTS_DAILY_SQL = """
+SELECT date_trunc('day', ts) AS day, event_type,
+  round(sum(value), 4) AS sum_value, count(*) AS n
+FROM events GROUP BY date_trunc('day', ts), event_type
+"""
+
+
+def join_customer_nation_region(sf_dir: str):
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")[
+        ["n_nationkey", "r_name"]
+    ].rename(columns={"n_nationkey": "c_nationkey", "r_name": "region"})
+    ds = scan(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+    joined = relops.broadcast_join(ds, dim, on="c_nationkey")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.assign(bal_c=np.round(batch["c_acctbal"] * 100).astype(np.int64))
+        g = batch.groupby("region", as_index=False).agg(
+            bal_c=("bal_c", "sum"), n=("bal_c", "size")
+        )
+        return g
+
+    agg = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("region")
+        .aggregate(Sum("bal_c", alias_name="bal_c"), Sum("n", alias_name="n_customers"))
+    )
+    tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    n = pc.cast(tbl.column("n_customers"), pa.float64())
+    return pa.table(
+        {
+            "region": tbl.column("region"),
+            "n_customers": pc.cast(tbl.column("n_customers"), pa.int64()),
+            "avg_acctbal": round_away_arrow(
+                pc.divide(pc.divide(pc.cast(tbl.column("bal_c"), pa.float64()), 100.0), n)
+            ),
+        }
+    )
+
+
+JOIN_CNR_SQL = """
+SELECT r.r_name AS region, count(*) AS n_customers,
+  round(CAST(sum(CAST(round(c.c_acctbal*100) AS BIGINT)) AS DOUBLE)/100.0/count(*), 4) AS avg_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
+def join_orders_customer_top(sf_dir: str):
+    orders = scan(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "c_custkey": batch.column("o_custkey"),
+                "spend_c": _cents(batch.column("o_totalprice"), 100),
+            }
+        )
+        return t.group_by(["c_custkey"]).aggregate([("spend_c", "sum"), ("spend_c", "count")])
+
+    per_cust = (
+        orders.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("c_custkey")
+        .aggregate(Sum("spend_c_sum", alias_name="spend_c"),
+                   Sum("spend_c_count", alias_name="n_orders"))
+    )
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"]
+    ).to_pandas()
+    joined = relops.broadcast_join(per_cust, cust, on="c_custkey")
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.assign(total_spend=(batch["spend_c"].astype(np.float64) / 100.0))
+        return batch[["c_custkey", "c_name", "total_spend", "n_orders"]]
+
+    out = relops.topk(
+        joined.map_batches(finish, batch_format="pandas"),
+        [("total_spend", "descending"), ("c_custkey", "ascending")],
+        10,
+    )
+    tbl = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    idx = tbl.schema.get_field_index("n_orders")
+    return tbl.set_column(idx, "n_orders", pc.cast(tbl.column("n_orders"), pa.int64()))
+
+
+JOIN_TOP_CUSTOMERS_SQL = """
+SELECT o.o_custkey AS c_custkey, min(c.c_name) AS c_name,
+  CAST(sum(CAST(round(o.o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_spend,
+  count(*) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY o.o_custkey
+ORDER BY total_spend DESC, c_custkey ASC LIMIT 10
+"""
+
+
+def count_distinct_parts(sf_dir: str):
+    ds = scan(sf_dir, "lineitem", columns=["l_returnflag", "l_partkey"])
+    out = relops.distinct_count(ds, "l_returnflag", "l_partkey", "n_parts")
+    tbl = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    idx = tbl.schema.get_field_index("n_parts")
+    return tbl.set_column(idx, "n_parts", pc.cast(tbl.column("n_parts"), pa.int64()))
+
+
+COUNT_DISTINCT_SQL = """
+SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def string_fns_part(sf_dir: str):
+    ds = scan(sf_dir, "part", columns=["p_partkey", "p_name", "p_type"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        name = batch.column("p_name")
+        return pa.table(
+            {
+                "p_partkey": batch.column("p_partkey"),
+                "name_upper": pc.utf8_upper(name),
+                "type6": pc.utf8_slice_codeunits(batch.column("p_type"), 0, 6),
+                "has_green": pc.match_substring(name, "green"),
+                "name_len": pc.cast(pc.utf8_length(name), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+STRING_FNS_SQL = """
+SELECT p_partkey, upper(p_name) AS name_upper, substr(p_type, 1, 6) AS type6,
+  (p_name LIKE '%green%') AS has_green, CAST(length(p_name) AS BIGINT) AS name_len
+FROM part
+"""
+
+
+def sessionize_events(sf_dir: str):
+    ds = scan(sf_dir, "events", columns=["user_id", "ts"])
+    return relops.sessionize(ds, key="user_id", ts_col="ts", gap_minutes=30)
+
+
+SESSIONIZE_SQL = """
+SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions FROM (
+  SELECT user_id,
+    CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+  FROM (
+    SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+    FROM events
+  )
+) GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# training-data ops over documents / embeddings
+
+
+def dedup_exact_documents(sf_dir: str):
+    ds = scan(sf_dir, "documents", columns=["doc_id", "text"])
+    out = dedup_mod.exact_dedup_groups(ds, "doc_id", "text")
+    tbl = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    idx = tbl.schema.get_field_index("n")
+    return tbl.set_column(idx, "n", pc.cast(tbl.column("n"), pa.int64()))
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS digest, min(doc_id) AS doc_id, count(*) AS n
+FROM documents GROUP BY md5(text)
+"""
+
+
+def token_count_documents(sf_dir: str):
+    ds = scan(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), pattern=" ")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pc.cast(pc.list_value_length(toks), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+TOKEN_COUNT_SQL = """
+SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents
+"""
+
+
+def textnorm_documents(sf_dir: str):
+    from .functions.textnorm import norm_inline_arrow
+
+    ds = scan(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "norm_text": norm_inline_arrow(col)}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+TEXTNORM_SQL = r"""
+SELECT doc_id, trim(regexp_replace(text, '[ \t\r\n\f\v]+', ' ', 'g')) AS norm_text
+FROM documents
+"""
+
+
+def quality_documents(sf_dir: str):
+    ds = scan(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out = quality_stats(batch, "text")
+        return out.drop_columns(["text"])
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUALITY_SQL = """
+SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+  round((length(text) - (len(string_split(text, ' ')) - 1.0)) / len(string_split(text, ' ')), 4) AS mean_token_len,
+  round(len(list_distinct(string_split(text, ' '))) * 1.0 / len(string_split(text, ' ')), 4) AS distinct_ratio
+FROM documents
+"""
+
+
+def lang_id_documents(sf_dir: str):
+    ds = scan(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "pred_lang": pa.array(lang_id_batch(batch.column("text").to_pylist())),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def minhash_clusters_documents(sf_dir: str):
+    ds = scan(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup_mod.minhash_lsh_clusters(ds, "doc_id", "text", threshold=0.8)
+
+
+def simhash_documents(sf_dir: str):
+    ds = scan(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup_mod.add_simhash(ds, "doc_id", "text")
+
+
+def ngram_dup_pairs_documents(sf_dir: str):
+    ds = scan(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup_mod.ngram_jaccard_pairs(ds, "doc_id", "text", threshold=0.5)
+
+
+def _query_embeddings(sf_dir: str, n_queries: int = 5):
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ids = tbl.column("vec_id").to_numpy(zero_copy_only=False)
+    order = np.argsort(ids)[:n_queries]
+    qids = [int(ids[i]) for i in order]
+    qm = np.array(
+        [np.asarray(tbl.column("embedding")[int(i)].as_py(), dtype=np.float64) for i in order]
+    )
+    return qids, qm
+
+
+def embedding_topk(sf_dir: str):
+    qids, qm = _query_embeddings(sf_dir)
+    ds = scan(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ann_mod.brute_force_topk(ds, qids, qm, k=10)
+
+
+EMBEDDING_TOPK_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  ORDER BY vec_id ASC LIMIT 5
+)
+SELECT query_id, vec_id, sim FROM (
+  SELECT q.query_id, e.vec_id,
+    round(CAST(list_cosine_similarity(q.qe, e.embedding) AS DOUBLE), 3) AS sim,
+    row_number() OVER (
+      PARTITION BY q.query_id
+      ORDER BY round(CAST(list_cosine_similarity(q.qe, e.embedding) AS DOUBLE), 3) DESC, e.vec_id ASC
+    ) AS rnk
+  FROM q CROSS JOIN embeddings e
+) WHERE rnk <= 10
+"""
+
+
+def embedding_topk_lsh(sf_dir: str):
+    qids, qm = _query_embeddings(sf_dir)
+    ds = scan(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ann_mod.lsh_bucketed_topk(ds, qids, qm, k=10)
+
+
+def _near_dups_df(sf_dir: str, threshold: float) -> pd.DataFrame:
+    ds = scan(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    df = ann_mod.cosine_near_dup_pairs(ds, threshold=threshold).to_pandas()
+    if len(df.columns) == 0:  # empty Dataset loses its schema in to_pandas
+        df = pd.DataFrame(
+            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+             "sim": pd.Series(dtype="float64")}
+        )
+    return df
+
+
+def embedding_near_dups(sf_dir: str):
+    return _near_dups_df(sf_dir, 0.99)
+
+
+def embedding_near_dups_loose(sf_dir: str):
+    """Rows-only variant with a threshold that yields real pairs on the
+    synthetic embeddings (max pairwise cosine ≈ 0.51 at sf0.01)."""
+    return _near_dups_df(sf_dir, 0.45)
+
+
+EMBEDDING_NEAR_DUP_SQL = """
+SELECT a.vec_id AS a, b.vec_id AS b,
+  round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 3) AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
+"""
+
+
+# --------------------------------------------------------------------------
+# extraction pipeline queries (non-SQL: checked rows-only by the driver,
+# and per-turn against the oracle by tests/test_pipeline.py)
+
+
+def extract_transcripts(sf_dir: str):
+    from .pipelines.extract import extract_dataset
+
+    return extract_dataset(_transcripts_path(sf_dir), ExtractConfig())
+
+
+def extract_kind_stats(sf_dir: str):
+    from .pipelines.extract import extract_dataset
+
+    ds = extract_dataset(_transcripts_path(sf_dir), ExtractConfig())
+    agg = ds.groupby(["kind", "used_fallback"]).aggregate(Count(alias_name="n"))
+    tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    idx = tbl.schema.get_field_index("n")
+    return tbl.set_column(idx, "n", pc.cast(tbl.column("n"), pa.int64()))
+
+
+def transcripts_conv_stats(sf_dir: str):
+    from .pipelines.extract import extract_dataset
+
+    ds = extract_dataset(_transcripts_path(sf_dir), ExtractConfig())
+    return ds.groupby("conv_id").aggregate(
+        Count(alias_name="n_turns"), Max("turn_idx", alias_name="max_turn")
+    )
+
+
+# --------------------------------------------------------------------------
+# registry
+
+REGISTRY: dict[str, tuple] = {
+    # (callable, oracle_sql | None)
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q6_revenue": (q6_revenue, Q6_SQL),
+    "filter_project_revenue": (filter_project_revenue, FILTER_PROJECT_SQL),
+    "sort_topk_orders": (sort_topk_orders, SORT_TOPK_SQL),
+    "groupby_events": (groupby_events, GROUPBY_EVENTS_SQL),
+    "events_daily": (events_daily, EVENTS_DAILY_SQL),
+    "join_customer_nation_region": (join_customer_nation_region, JOIN_CNR_SQL),
+    "join_orders_customer_top": (join_orders_customer_top, JOIN_TOP_CUSTOMERS_SQL),
+    "count_distinct_parts": (count_distinct_parts, COUNT_DISTINCT_SQL),
+    "string_fns_part": (string_fns_part, STRING_FNS_SQL),
+    "sessionize_events": (sessionize_events, SESSIONIZE_SQL),
+    "dedup_exact_documents": (dedup_exact_documents, DEDUP_EXACT_SQL),
+    "token_count_documents": (token_count_documents, TOKEN_COUNT_SQL),
+    "textnorm_documents": (textnorm_documents, TEXTNORM_SQL),
+    "quality_documents": (quality_documents, QUALITY_SQL),
+    "lang_id_documents": (lang_id_documents, None),
+    "minhash_clusters_documents": (minhash_clusters_documents, None),
+    "simhash_documents": (simhash_documents, None),
+    "ngram_dup_pairs_documents": (ngram_dup_pairs_documents, None),
+    "embedding_topk": (embedding_topk, EMBEDDING_TOPK_SQL),
+    "embedding_topk_lsh": (embedding_topk_lsh, None),
+    "embedding_near_dups": (embedding_near_dups, EMBEDDING_NEAR_DUP_SQL),
+    "embedding_near_dups_loose": (embedding_near_dups_loose, None),
+    "extract_transcripts": (extract_transcripts, None),
+    "extract_kind_stats": (extract_kind_stats, None),
+    "transcripts_conv_stats": (transcripts_conv_stats, None),
+}

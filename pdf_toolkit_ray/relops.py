@@ -1,0 +1,160 @@
+"""Relational operator building blocks over Ray Data, used by the driver
+contract (`__ray_entry__.queries`) and reusable as library pieces.
+
+Scale rules encoded here (SURVEY.md §2.4-2.6, ray_guide patterns):
+
+* aggregations pre-combine inside ``map_batches`` (one partial row per
+  key per batch) before the small global ``groupby`` — the shuffle moves
+  partials, not rows;
+* dimension joins broadcast the small side via ``ray.put`` and merge
+  per batch — no shuffle;
+* top-k keeps per-batch heads before the global sort when a filter
+  can't, and otherwise uses ``sort().limit()`` on the reduced set;
+* distinct counts use two-level groupbys (exact), never driver sets.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Callable, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def scan(sf_dir: str, table: str, columns: list[str] | None = None, filter=None) -> ray.data.Dataset:
+    """Column-pruned, predicate-pushed parquet scan of one testdata table."""
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns, filter=filter
+    )
+
+
+def round_cols(tbl: pa.Table, cols: Sequence[str], ndigits: int = 4) -> pa.Table:
+    """Round float columns (DuckDB-identical half-away rounding) so neither
+    summation order nor rounding mode can flip the driver's value hash."""
+    from .functions.rounding import round_away_arrow
+
+    for col in cols:
+        idx = tbl.schema.get_field_index(col)
+        tbl = tbl.set_column(
+            idx, col, round_away_arrow(pc.cast(tbl.column(col), pa.float64()), ndigits)
+        )
+    return tbl
+
+
+def pre_agg_groupby(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    partial: Callable[[pa.Table], pa.Table],
+    final_aggs: list,
+) -> ray.data.Dataset:
+    """combiner-style aggregate: per-batch partial -> tiny global groupby."""
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby(keys).aggregate(*final_aggs)
+
+
+def broadcast_join(
+    ds: ray.data.Dataset,
+    small: pd.DataFrame,
+    on: str | list[str],
+    *,
+    how: str = "inner",
+) -> ray.data.Dataset:
+    """Broadcast-hash join: small side shipped once via ray.put, merged
+    per batch in pandas. Never shuffles the big side."""
+    ref = ray.put(small)
+
+    class _Join:
+        def __init__(self):
+            self.small = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.merge(self.small, on=on, how=how)
+
+    return ds.map_batches(_Join, batch_format="pandas", concurrency=(1, 8))
+
+
+def semi_join_filter(ds: ray.data.Dataset, key: str, keys: frozenset) -> ray.data.Dataset:
+    """Semi-join by broadcasting the key set and filtering per batch."""
+    ref = ray.put(keys)
+
+    class _Semi:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vals = batch.column(key).to_pylist()
+            return batch.filter(pa.array([v in self.keys for v in vals]))
+
+    return ds.map_batches(_Semi, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8))
+
+
+def topk(ds: ray.data.Dataset, sort_cols: list[tuple[str, str]], k: int) -> ray.data.Dataset:
+    """Global top-k: per-batch head(k) prune, then exact sort+limit on the
+    tiny survivor set (≤ k rows per batch reach the sort)."""
+
+    def _local_head(batch: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(batch, sort_keys=sort_cols)
+        return batch.take(idx[:k])
+
+    pruned = ds.map_batches(_local_head, batch_format="pyarrow", zero_copy_batch=True)
+    keys = [c for c, _ in sort_cols]
+    descending = [d == "descending" for _, d in sort_cols]
+    return pruned.sort(keys, descending=descending).limit(k)
+
+
+def distinct_count(
+    ds: ray.data.Dataset, group_key: str, distinct_col: str, alias: str
+) -> ray.data.Dataset:
+    """Exact count-distinct per group: two-level groupby (both shuffles move
+    at most one row per distinct pair / per group)."""
+
+    def _local_distinct(batch: pa.Table) -> pa.Table:
+        return batch.select([group_key, distinct_col]).group_by(
+            [group_key, distinct_col]
+        ).aggregate([])
+
+    pairs = ds.map_batches(_local_distinct, batch_format="pyarrow", zero_copy_batch=True)
+    level1 = pairs.groupby([group_key, distinct_col]).aggregate(Count(alias_name="_c"))
+    return level1.groupby(group_key).aggregate(Count(alias_name=alias))
+
+
+def sessionize(
+    ds: ray.data.Dataset,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> ray.data.Dataset:
+    """Per-key session count with a fixed inactivity gap — the stream-shaped
+    groupby(key).map_groups(sorted window logic) pattern."""
+    gap = np.timedelta64(gap_minutes * 60 * 1_000_000, "us")
+
+    def _sessions(group: pa.Table) -> pa.Table:
+        ts = np.sort(group.column(ts_col).to_numpy(zero_copy_only=False))
+        n_sessions = 0
+        if len(ts):
+            diffs = np.diff(ts)
+            n_sessions = 1 + int((diffs > gap).sum())
+        return pa.table(
+            {
+                key: pa.array([group.column(key)[0].as_py()], type=group.column(key).type),
+                "n_sessions": pa.array([n_sessions], type=pa.int64()),
+            }
+        )
+
+    return ds.select_columns([key, ts_col]).groupby(key).map_groups(
+        _sessions, batch_format="pyarrow"
+    )
+
+
+__all__ = [
+    "scan", "round_cols", "pre_agg_groupby", "broadcast_join", "semi_join_filter",
+    "topk", "distinct_count", "sessionize",
+    "Count", "Max", "Mean", "Min", "Sum",
+]

@@ -1,0 +1,208 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+* ``brute_force_topk`` — the exact baseline: the (small) query matrix is
+  broadcast once with ``ray.put``; every batch does one float64 matmul
+  against it and emits only its batch-local top-k per query, so the
+  final ``groupby(query_id)`` shuffles ≤ Q·k rows per batch, never the
+  corpus.
+* ``lsh_bucketed_topk`` — the scale path: L random-hyperplane hash
+  tables; only rows colliding with a query bucket in some table are
+  scored. Approximate by construction (rows-only check in the driver
+  contract).
+* ``cosine_near_dup_pairs`` — embedding near-duplicate detection: the
+  normalized corpus matrix is broadcast (fits for test scales; LSH-
+  prefilter at extreme scale) and each batch emits pairs ≥ threshold.
+
+All math in float64 with rounding to 4 decimals so results are stable
+against summation-order effects and comparable to DuckDB's
+``list_cosine_similarity`` oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..functions.rounding import round_away_scalar
+
+
+def _matrix(batch_col) -> np.ndarray:
+    """list<float> column → (n, d) float64 matrix."""
+    arr = batch_col.combine_chunks() if isinstance(batch_col, pa.ChunkedArray) else batch_col
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class _TopKStage:
+    """Batch-local exact top-k: one matmul per batch against the broadcast
+    query matrix (ray.put once, ray.get in __init__ — once per actor)."""
+
+    def __init__(self, queries_ref, k: int):
+        payload = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        self.query_ids, qm = payload
+        self.qn = _normalize(qm)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_matrix(batch.column("embedding")))
+        vec_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        if m.shape[0] == 0:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+                 "sim": pa.array([], pa.float64())}
+            )
+        sims = m @ self.qn.T  # (batch, Q)
+        k = min(self.k, sims.shape[0])
+        out_q, out_v, out_s = [], [], []
+        from ..functions.rounding import round_away
+
+        rounded = round_away(sims, 3)
+        for qi, qid in enumerate(self.query_ids):
+            col = rounded[:, qi]
+            order = np.lexsort((vec_ids, -col))[:k]  # rounded sim desc, vec_id asc
+            for row in order:
+                out_q.append(int(qid))
+                out_v.append(int(vec_ids[row]))
+                out_s.append(float(col[row]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def _final_topk(k: int):
+    def _inner(group: pa.Table) -> pa.Table:
+        idx = pa.compute.sort_indices(
+            group, sort_keys=[("sim", "descending"), ("vec_id", "ascending")]
+        )
+        return group.take(idx[:k])
+
+    return _inner
+
+
+def brute_force_topk(
+    ds: ray.data.Dataset, query_ids: list[int], query_matrix: np.ndarray, k: int = 10
+) -> ray.data.Dataset:
+    """Exact cosine top-k per query over the embedding column."""
+    ref = ray.put((list(query_ids), query_matrix.astype(np.float64)))
+    candidates = ds.select_columns(["vec_id", "embedding"]).map_batches(
+        _TopKStage,
+        fn_constructor_args=(ref, k),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+    return candidates.groupby("query_id").map_groups(_final_topk(k), batch_format="pyarrow")
+
+
+def _bucket_keys(m: np.ndarray, planes: np.ndarray) -> list[list[str]]:
+    """Per row: one bucket key per hash table; planes is (L, H, d)."""
+    keys: list[list[str]] = [[] for _ in range(m.shape[0])]
+    for table_idx in range(planes.shape[0]):
+        bits = (m @ planes[table_idx].T) > 0  # (n, H)
+        packed = np.packbits(bits, axis=1)
+        for row in range(m.shape[0]):
+            keys[row].append(f"{table_idx}:{packed[row].tobytes().hex()}")
+    return keys
+
+
+def lsh_bucketed_topk(
+    ds: ray.data.Dataset,
+    query_ids: list[int],
+    query_matrix: np.ndarray,
+    k: int = 10,
+    *,
+    n_tables: int = 8,
+    n_planes: int = 10,
+    seed: int = 7,
+) -> ray.data.Dataset:
+    """Approximate cosine top-k: score only rows sharing a random-hyperplane
+    bucket with the query in at least one of ``n_tables`` tables."""
+    dim = query_matrix.shape[1]
+    planes = np.random.RandomState(seed).normal(size=(n_tables, n_planes, dim))
+    qn = _normalize(query_matrix.astype(np.float64))
+    query_buckets = set()
+    for row_keys in _bucket_keys(qn, planes):
+        query_buckets.update(row_keys)
+    ref = ray.put((list(query_ids), query_matrix.astype(np.float64)))
+    planes_ref = ray.put(planes)
+    buckets_ref = ray.put(frozenset(query_buckets))
+
+    class _Filter:
+        def __init__(self):
+            self.planes = ray.get(planes_ref)
+            self.buckets = ray.get(buckets_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _normalize(_matrix(batch.column("embedding")))
+            if m.shape[0] == 0:
+                return batch
+            keys = _bucket_keys(m, self.planes)
+            mask = [any(k in self.buckets for k in row_keys) for row_keys in keys]
+            return batch.filter(pa.array(mask))
+
+    filtered = ds.select_columns(["vec_id", "embedding"]).map_batches(
+        _Filter, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+    )
+    candidates = filtered.map_batches(
+        _TopKStage,
+        fn_constructor_args=(ref, k),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+    return candidates.groupby("query_id").map_groups(_final_topk(k), batch_format="pyarrow")
+
+
+def cosine_near_dup_pairs(ds: ray.data.Dataset, threshold: float = 0.99) -> ray.data.Dataset:
+    """All pairs (a < b) with cosine ≥ threshold; corpus matrix broadcast."""
+    rows = ds.select_columns(["vec_id", "embedding"]).take_all()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    full = _normalize(
+        np.array([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    )
+    order = np.argsort(ids)
+    ids, full = ids[order], full[order]
+    ref = ray.put((ids, full))
+
+    class _Pairs:
+        def __init__(self):
+            self.ids, self.full = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _normalize(_matrix(batch.column("embedding")))
+            vec_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            a_out, b_out, sims_out = [], [], []
+            if m.shape[0]:
+                sims = m @ self.full.T  # (batch, N)
+                for i in range(m.shape[0]):
+                    hits = np.flatnonzero(sims[i] >= threshold)
+                    for j in hits:
+                        if self.ids[j] > vec_ids[i]:  # a < b, no self-pairs
+                            a_out.append(int(vec_ids[i]))
+                            b_out.append(int(self.ids[j]))
+                            sims_out.append(round_away_scalar(float(sims[i, j]), 3))
+            return pa.table(
+                {
+                    "a": pa.array(a_out, pa.int64()),
+                    "b": pa.array(b_out, pa.int64()),
+                    "sim": pa.array(sims_out, pa.float64()),
+                }
+            )
+
+    return ds.select_columns(["vec_id", "embedding"]).map_batches(
+        _Pairs, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+    )

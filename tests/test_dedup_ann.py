@@ -1,0 +1,157 @@
+"""Dedup / ANN / textstats operator tests on controlled synthetic inputs."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from pdf_toolkit_ray.functions.hashing import (
+    hamming64,
+    jaccard_ngrams,
+    minhash_signature,
+    rolling_fingerprint,
+    simhash64,
+)
+from pdf_toolkit_ray.functions.textstats import lang_id
+
+
+def _docs_table():
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    near = base.replace("today", "tonight")  # one-word change -> high jaccard
+    far = "completely different content about database engines and vectorized execution"
+    rows = [
+        (0, base),
+        (1, near),
+        (2, far),
+        (3, base),  # exact duplicate of 0
+        (4, "tiny"),
+    ]
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+        }
+    )
+
+
+def test_minhash_estimates_jaccard():
+    a = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    b = a.replace("today", "tonight")
+    sig_a = minhash_signature(a, num_perm=128)
+    sig_b = minhash_signature(b, num_perm=128)
+    est = float(np.mean(sig_a == sig_b))
+    true = jaccard_ngrams(a, b, 3)
+    assert abs(est - true) < 0.2
+    assert np.array_equal(minhash_signature(a, num_perm=128), sig_a)  # deterministic
+
+
+def test_simhash_properties():
+    a = "the quick brown fox jumps over the lazy dog near the river"
+    b = a + " bank"
+    c = "unrelated words entirely about parquet readers and shuffles"
+    assert simhash64(a) == simhash64(a)
+    assert hamming64(simhash64(a), simhash64(b)) < hamming64(simhash64(a), simhash64(c))
+
+
+def test_rolling_fingerprint_overlap():
+    a = "shared prefix of reasonable length for fingerprinting purposes " * 3
+    b = a + "with a different suffix attached here"
+    fa, fb = set(rolling_fingerprint(a)), set(rolling_fingerprint(b))
+    assert fa and fb and len(fa & fb) / len(fa) > 0.5
+
+
+def test_lang_id():
+    assert lang_id("the cat and the dog sat in a house") == "en"
+    assert lang_id("der hund und die katze ist nicht da") == "de"
+    assert lang_id("xyzzy plugh") == "und"
+
+
+def test_exact_dedup(ray_session):
+    import ray.data
+
+    from pdf_toolkit_ray.stages.dedup import exact_dedup, exact_dedup_groups
+
+    ds = ray.data.from_arrow(_docs_table())
+    groups = exact_dedup_groups(ds).to_pandas()
+    assert len(groups) == 4  # 5 rows, one exact dup
+    row = groups[groups["n"] == 2]
+    assert row["doc_id"].iloc[0] == 0  # keep-first = min doc_id
+    kept = exact_dedup(ray.data.from_arrow(_docs_table())).to_pandas()
+    assert sorted(kept["doc_id"]) == [0, 1, 2, 4]
+
+
+def test_minhash_lsh_clusters(ray_session):
+    import ray.data
+
+    from pdf_toolkit_ray.stages.dedup import minhash_lsh_clusters
+
+    ds = ray.data.from_arrow(_docs_table())
+    out = minhash_lsh_clusters(ds, threshold=0.5).to_pandas().set_index("doc_id")
+    # 0, 1 (near-dup) and 3 (exact dup) cluster together under representative 0
+    assert out.loc[0, "cluster_id"] == 0
+    assert out.loc[3, "cluster_id"] == 0
+    assert out.loc[1, "cluster_id"] == 0
+    assert out.loc[2, "cluster_id"] == 2
+    assert out.loc[4, "cluster_id"] == 4
+
+
+def test_ngram_pairs(ray_session):
+    import ray.data
+
+    from pdf_toolkit_ray.stages.dedup import ngram_jaccard_pairs
+
+    ds = ray.data.from_arrow(_docs_table())
+    pairs = ngram_jaccard_pairs(ds, threshold=0.5).to_pandas()
+    keys = set(zip(pairs["a"], pairs["b"]))
+    assert (0, 1) in keys and (0, 3) in keys and (1, 3) in keys
+    exact = pairs[(pairs["a"] == 0) & (pairs["b"] == 3)]
+    assert exact["jaccard"].iloc[0] == 1.0
+
+
+def test_brute_force_topk_matches_numpy(ray_session):
+    import ray.data
+
+    from pdf_toolkit_ray.stages.ann import brute_force_topk
+
+    rng = np.random.RandomState(3)
+    n, d = 200, 16
+    mat = rng.normal(size=(n, d)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array([list(map(float, row)) for row in mat],
+                                  type=pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    qids, qm = [0, 1], mat[:2].astype(np.float64)
+    got = brute_force_topk(ds, qids, qm, k=5).to_pandas()
+
+    m64 = mat.astype(np.float64)
+    m64 /= np.linalg.norm(m64, axis=1, keepdims=True)
+    for qi in (0, 1):
+        sims = m64 @ m64[qi]
+        want = set(np.argsort(-sims)[:5])
+        have = set(got[got["query_id"] == qi]["vec_id"])
+        assert have == want
+        assert got[got["query_id"] == qi]["sim"].max() == 1.0  # self-hit
+
+
+def test_lsh_topk_recalls_self(ray_session):
+    import ray.data
+
+    from pdf_toolkit_ray.stages.ann import lsh_bucketed_topk
+
+    rng = np.random.RandomState(4)
+    n, d = 300, 16
+    mat = rng.normal(size=(n, d)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array([list(map(float, row)) for row in mat],
+                                  type=pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    got = lsh_bucketed_topk(ds, [5], mat[5:6].astype(np.float64), k=3).to_pandas()
+    assert 5 in set(got["vec_id"])  # the query itself always shares its own bucket
+    assert got["sim"].max() == 1.0
