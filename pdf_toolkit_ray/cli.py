@@ -1,0 +1,124 @@
+"""CLI: ``python -m pdf_toolkit_ray <command>``.
+
+Mirrors the reference CLI's shape (``src/pdf-toolkit/cli.py``): subcommands,
+config precedence defaults < YAML < explicit flags, a
+``--dump-default-config`` short-circuit (``cli.py:571-573``), and exit
+code 2 on ``UserError`` (``cli.py:645-647``).
+
+The CLI owns its Ray session (guarded init + shutdown); library code
+never initializes Ray.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+from . import UserError
+from .config import ExtractConfig, load_config
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(prog="pdf_toolkit_ray")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    ext = sub.add_parser("extract", help="run the per-turn extraction job")
+    ext.add_argument("--input", required=False, help="transcripts parquet path")
+    ext.add_argument("--out", required=False, help="output directory")
+    ext.add_argument("--config", default=None, help="YAML config path")
+    ext.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
+                     help="config override (repeatable)")
+    ext.add_argument("--no-resume", action="store_true",
+                     help="reprocess all partitions even if committed")
+    ext.add_argument("--dump-default-config", action="store_true")
+    ext.add_argument("--num-cpus", type=int, default=None)
+
+    qry = sub.add_parser("query", help="run a registry query")
+    qry.add_argument("name", nargs="?", help="query name (omit to list)")
+    qry.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    qry.add_argument("--limit", type=int, default=20)
+    qry.add_argument("--num-cpus", type=int, default=None)
+    return parser
+
+
+def _parse_overrides(pairs: list[str]) -> dict:
+    out = {}
+    for pair in pairs:
+        if "=" not in pair:
+            raise UserError(f"--set expects KEY=VALUE, got {pair!r}")
+        key, _, value = pair.partition("=")
+        try:
+            out[key] = json.loads(value)
+        except json.JSONDecodeError:
+            out[key] = value
+    return out
+
+
+def _ray_session(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(address="local", include_dashboard=False, logging_level="ERROR")
+        if num_cpus is not None:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+    try:
+        if args.command == "extract":
+            if args.dump_default_config:
+                print(json.dumps(dataclasses.asdict(ExtractConfig()), indent=1, default=str))
+                return 0
+            if not args.input or not args.out:
+                raise UserError("extract requires --input and --out")
+            cfg = load_config(args.config, overrides=_parse_overrides(args.set))
+            ray = _ray_session(args.num_cpus)
+            from .pipelines.extract import run_extract_job
+
+            summary = run_extract_job(args.input, args.out, cfg, resume=not args.no_resume)
+            print(json.dumps(summary, indent=1))
+            ray.shutdown()
+            return 0
+        if args.command == "query":
+            from .queries import REGISTRY
+
+            if not args.name:
+                for name, (_fn, sql) in REGISTRY.items():
+                    print(f"{name}  [{'sql-oracle' if sql else 'rows-only'}]")
+                return 0
+            if args.name not in REGISTRY:
+                raise UserError(f"unknown query {args.name!r}; run with no name to list")
+            ray = _ray_session(args.num_cpus)
+            fn, _sql = REGISTRY[args.name]
+            result = fn(args.sf_dir)
+            import pandas as pd
+            import pyarrow as pa
+
+            if isinstance(result, pa.Table):
+                df = result.to_pandas()
+            elif isinstance(result, pd.DataFrame):
+                df = result
+            else:
+                df = result.limit(args.limit).to_pandas()
+            with pd.option_context("display.width", 200, "display.max_columns", 50):
+                print(df.head(args.limit).to_string(index=False))
+            ray.shutdown()
+            return 0
+        raise UserError(f"unknown command {args.command!r}")
+    except UserError as exc:
+        print(f"error: {exc}", file=sys.stderr)
+        return 2
+    except BrokenPipeError:
+        return 0  # output piped into head/less that closed early
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -55,9 +55,10 @@ class ExtractConfig:
 
     # --- distributed execution knobs ---
     n_parts: int = 64                  # output partitions (hash(conv_id) % n_parts)
+    exchange: str = "mr"               # mr (ray-core hash exchange) | sort (Dataset.groupby)
     salt_threshold: int = 100_000      # convs with more turns than this get salted splits
     salt_width: int = 50_000           # turns per salt chunk: salt = turn_idx // salt_width
-    batch_size: int = 512              # rows per extraction batch
+    batch_size: int = 32768            # rows per extraction batch/task
     extract_concurrency: Any = None    # actor pool size; None = let Ray autoscale
 
     def __post_init__(self) -> None:
@@ -100,6 +101,8 @@ class ExtractConfig:
             raise UserError("outer_margin_pad_nodes must be >= 0.")
         if self.n_parts <= 0:
             raise UserError("n_parts must be a positive integer.")
+        if self.exchange not in ("mr", "sort"):
+            raise UserError("exchange must be one of: mr, sort.")
         if self.salt_threshold <= 0:
             raise UserError("salt_threshold must be a positive integer.")
         if self.salt_width <= 0:

@@ -24,7 +24,7 @@ def part_of(conv_id: str, n_parts: int) -> int:
 
 
 def part_ids_np(conv_ids: np.ndarray, n_parts: int) -> np.ndarray:
-    """Vectorized-ish partition ids: one crc32 per *unique* conv in the batch."""
+    """Partition ids: one crc32 per *unique* conv in the batch."""
     uniques, inverse = np.unique(conv_ids.astype(object), return_inverse=True)
     upart = np.fromiter(
         (part_of(str(u), n_parts) for u in uniques), dtype=np.int32, count=len(uniques)
@@ -43,3 +43,35 @@ def salts_np(
         )
         out[heavy_mask] = (turn_idx[heavy_mask] // cfg.salt_width).astype(np.int32)
     return out
+
+
+def conv_keys_arrays(
+    conv_col, turn_idx: np.ndarray, heavy: dict[str, int], cfg: ExtractConfig
+) -> tuple[np.ndarray, np.ndarray]:
+    """(part_ids, salts) for a whole batch, via Arrow dictionary encoding.
+
+    ``dictionary_encode`` hashes the string column in C++ (no O(n log n)
+    object sort like np.unique), then crc32 / heavy-membership run once
+    per *unique* conversation and broadcast back through the indices —
+    ~10x faster than the per-row path on shuffled blocks where uniques
+    ≈ rows.
+    """
+    import pyarrow as pa
+
+    if isinstance(conv_col, pa.ChunkedArray):
+        conv_col = conv_col.combine_chunks()
+    dict_arr = conv_col.dictionary_encode()
+    indices = dict_arr.indices.to_numpy(zero_copy_only=False)
+    uniques = dict_arr.dictionary.to_pylist()
+    upart = np.fromiter(
+        (part_of(u, cfg.n_parts) for u in uniques), dtype=np.int32, count=len(uniques)
+    )
+    part = upart[indices]
+    if heavy:
+        uheavy = np.fromiter((u in heavy for u in uniques), dtype=bool, count=len(uniques))
+        salts = np.where(
+            uheavy[indices], (turn_idx // cfg.salt_width).astype(np.int32), np.int32(0)
+        )
+    else:
+        salts = np.zeros(len(indices), dtype=np.int32)
+    return part, salts

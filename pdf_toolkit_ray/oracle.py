@@ -57,6 +57,13 @@ def finalize_columns(
     part = part_ids_np(conv, cfg.n_parts)
     salt = salts_np(conv, turn, heavy, cfg)
 
+    if n == 0:
+        out = tbl.append_column("conv_n_turns", pa.array([], type=pa.int32()))
+        out = out.append_column("is_final_turn", pa.array([], type=pa.bool_()))
+        out = out.append_column("prev_role", pa.array([], type=pa.string()))
+        out = out.append_column("part_id", pa.array([], type=pa.int32()))
+        return out.append_column("salt", pa.array([], type=pa.int32()))
+
     conv_start = np.ones(n, dtype=bool)
     if n > 1:
         conv_start[1:] = conv[1:] != conv[:-1]

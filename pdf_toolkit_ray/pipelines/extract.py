@@ -40,12 +40,39 @@ from ray.data.aggregate import Max
 from ..config import ExtractConfig
 from ..schema import validate_transcripts_schema
 from ..state import manifest as manifest_mod
-from ..stages.extract_stage import AddKeys, ExtractBatcher, make_done_filter
+from ..functions.extract import extract_batch as extract_batch_fn
+from ..stages.extract_stage import ExtractBatcher, add_keys_batch, make_done_filter
 from ..stages.finalize import finalize_group, group_metrics
 
 
+def _input_bytes(input_path: str) -> int:
+    if os.path.isfile(input_path):
+        return os.path.getsize(input_path)
+    total = 0
+    for root, _dirs, files in os.walk(input_path):
+        total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    return total
+
+
+def _choose_num_blocks(input_path: str, target_block_bytes: int = 96 << 20) -> int:
+    """Block count for the scan: enough for 2 blocks per CPU, but never
+    smaller blocks than ~target_block_bytes once the input is large.
+
+    Tiny blocks are poison for the downstream all-to-all (a sort with B
+    input blocks schedules ~B² shuffle objects: 264 blocks → 70k objects
+    measured 2× slower than 64 blocks on the same input); huge blocks
+    starve parallelism. Scale-safe: at 100 TB this yields ~1M blocks of
+    ~96 MB, at bench scale it yields 2×CPU blocks.
+    """
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    by_size = max(1, _input_bytes(input_path) // target_block_bytes)
+    return int(max(2 * cpus, by_size))
+
+
 def read_transcripts(input_path: str, columns: list[str] | None = None) -> ray.data.Dataset:
-    ds = ray.data.read_parquet(input_path, columns=columns)
+    ds = ray.data.read_parquet(
+        input_path, columns=columns, override_num_blocks=_choose_num_blocks(input_path)
+    )
     validate_transcripts_schema(ds.schema().base_schema if hasattr(ds.schema(), "base_schema") else ds.schema())
     return ds
 
@@ -53,54 +80,104 @@ def read_transcripts(input_path: str, columns: list[str] | None = None) -> ray.d
 def compute_heavy(input_path: str, cfg: ExtractConfig) -> dict[str, int]:
     """{conv_id: n_turns} for convs above the salt threshold.
 
-    Column-pruned read + per-batch partial max (combiner) → small global
-    groupby → driver-side dict. At design scale the result is bounded by
-    the number of *heavy* keys (the skew tail), not the conv count.
+    Key insight: a conversation is heavy iff SOME row has
+    ``turn_idx >= salt_threshold`` (n_turns = max(turn_idx)+1), so the
+    scan pushes that predicate into the parquet read — row groups whose
+    ``turn_idx`` statistics fall below the threshold never leave storage,
+    and the groupby only ever sees the skew tail. (The naive per-batch
+    partial-max combiner is useless on shuffled data: with convs ≫
+    rows/block, partials ≈ the whole input — measured as a full-size
+    extra shuffle.)
     """
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
 
-    def partial_max(batch: pa.Table) -> pa.Table:
-        return batch.group_by("conv_id").aggregate([("turn_idx", "max")])
-
-    partials = (
-        ray.data.read_parquet(input_path, columns=["conv_id", "turn_idx"])
-        .map_batches(partial_max, batch_format="pyarrow", zero_copy_batch=True)
+    files = (
+        [input_path]
+        if os.path.isfile(input_path)
+        else sorted(
+            os.path.join(root, f)
+            for root, _d, fs in os.walk(input_path)
+            for f in fs
+            if f.endswith(".parquet")
+        )
     )
-    agg = partials.groupby("conv_id").aggregate(Max("turn_idx_max", alias_name="max_turn"))
+
+    # phase 1 (metadata only, driver-side): row groups whose turn_idx max
+    # statistic is below the threshold cannot contain a heavy row
+    candidates: list[tuple[str, int]] = []
+    for path in files:
+        meta = pq.ParquetFile(path).metadata
+        turn_col_idx = meta.schema.to_arrow_schema().get_field_index("turn_idx")
+        for rg in range(meta.num_row_groups):
+            stats = meta.row_group(rg).column(turn_col_idx).statistics
+            if stats is None or stats.max is None or stats.max >= cfg.salt_threshold:
+                candidates.append((path, rg))
+
+    if not candidates:
+        return {}
+
+    # phase 2: read only the qualifying row groups (two columns), in
+    # parallel Ray tasks when there are many
+    @ray.remote
+    def _rg_max(path: str, rg: int) -> dict[str, int]:
+        tbl = pq.ParquetFile(path).read_row_group(rg, columns=["conv_id", "turn_idx"])
+        tbl = tbl.filter(pc.greater_equal(tbl.column("turn_idx"), cfg.salt_threshold))
+        if tbl.num_rows == 0:
+            return {}
+        agg = tbl.group_by("conv_id").aggregate([("turn_idx", "max")])
+        return dict(
+            zip(agg.column("conv_id").to_pylist(), agg.column("turn_idx_max").to_pylist())
+        )
+
+    partials = ray.get([_rg_max.remote(p, rg) for p, rg in candidates])
     heavy: dict[str, int] = {}
-    for batch in agg.iter_batches(batch_format="pyarrow"):
-        conv = batch.column("conv_id").to_pylist()
-        mx = batch.column("max_turn").to_pylist()
-        for c, m in zip(conv, mx):
-            if m is not None and m + 1 > cfg.salt_threshold:
-                heavy[c] = int(m) + 1
+    for part in partials:
+        for conv, mx in part.items():
+            if mx + 1 > heavy.get(conv, 0):
+                heavy[conv] = int(mx) + 1
     return heavy
 
 
 def _extracted(ds: ray.data.Dataset, cfg: ExtractConfig, heavy: dict[str, int],
                done: set[tuple[int, int]] | None) -> ray.data.Dataset:
-    # `heavy` is bounded by the skew tail (only convs > salt_threshold), so it
-    # ships to actors directly in constructor args; genuinely large broadcast
-    # sides elsewhere use ray.put + lookup (see stages/ann.py).
-    ds = ds.map_batches(
-        AddKeys,
+    # Keys are computed inside the extraction pool (the scan stays a thin
+    # feeder). Only the resume path pre-computes them on the read tasks, so
+    # committed partitions are skipped before any extraction work.
+    if done:
+        def _add_keys(batch: pa.Table) -> pa.Table:
+            return add_keys_batch(batch, cfg, heavy)
+
+        ds = ds.map_batches(_add_keys, batch_format="pyarrow", zero_copy_batch=True)
+        ds = ds.map_batches(make_done_filter(done), batch_format="pyarrow", zero_copy_batch=True)
+    if cfg.extract_concurrency is None:
+        # Default: stateless TASKS with keys+extract fused. The extraction
+        # "state" (compiled regexes, tag tables, parser classes) is module
+        # scope, and Ray reuses worker processes, so tasks get warm parsers
+        # for free — while the actor-pool dispatch path measurably caps
+        # throughput (7.6M rows at 32 cpus: 49.8s pool vs 35.5s tasks) and
+        # a fixed pool partitions CPU slots away from the scan that feeds
+        # it. Set `extract_concurrency` explicitly to run the stage as an
+        # ExtractBatcher actor pool instead — the right shape when per-actor
+        # construction is genuinely expensive (models, large lookups).
+        def _keys_extract(batch: pa.Table) -> pa.Table:
+            if "part_id" not in batch.schema.names:
+                batch = add_keys_batch(batch, cfg, heavy)
+            return extract_batch_fn(batch, cfg)
+
+        return ds.map_batches(
+            _keys_extract,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=cfg.batch_size,
+        )
+    return ds.map_batches(
+        ExtractBatcher,
         fn_constructor_args=(cfg, heavy),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 8),
-    )
-    if done:
-        ds = ds.map_batches(make_done_filter(done), batch_format="pyarrow", zero_copy_batch=True)
-    concurrency = cfg.extract_concurrency
-    if concurrency is None:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-        concurrency = (1, max(2, cpus))
-    return ds.map_batches(
-        ExtractBatcher,
-        fn_constructor_args=(cfg,),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
         batch_size=cfg.batch_size,
-        concurrency=concurrency,
+        concurrency=cfg.extract_concurrency,
         num_cpus=1,
     )
 
@@ -108,7 +185,12 @@ def _extracted(ds: ray.data.Dataset, cfg: ExtractConfig, heavy: dict[str, int],
 def extract_dataset(
     input_path: str, cfg: ExtractConfig | None = None, heavy: dict[str, int] | None = None
 ) -> ray.data.Dataset:
-    """Lazy finalized Dataset (no write) — rows match the oracle per turn."""
+    """Finalized Dataset (no write) — rows match the oracle per turn.
+
+    ``cfg.exchange`` picks the all-to-all implementation: ``"mr"`` (the
+    ray-core hash exchange, default — see stages/exchange.py for the
+    measured rationale) or ``"sort"`` (pure Dataset.groupby.map_groups).
+    """
     cfg = cfg or ExtractConfig()
     if heavy is None:
         heavy = compute_heavy(input_path, cfg)
@@ -118,7 +200,12 @@ def extract_dataset(
     def _finalize(tbl: pa.Table) -> pa.Table:
         return finalize_group(tbl, heavy, cfg)
 
-    return ds.groupby(["part_id", "salt"]).map_groups(_finalize, batch_format="pyarrow")
+    if cfg.exchange == "sort":
+        return ds.groupby(["part_id", "salt"]).map_groups(_finalize, batch_format="pyarrow")
+    from ..stages.exchange import mr_exchange
+
+    refs = mr_exchange(ds, cfg, heavy, _finalize)
+    return ray.data.from_arrow_refs(refs)
 
 
 def run_extract_job(
@@ -146,31 +233,47 @@ def run_extract_job(
 
     lineage = {"input": str(input_path), "config_hash": config_hash}
 
-    def _finalize_and_write(tbl: pa.Table) -> pa.Table:
-        out = finalize_group(tbl, heavy, cfg)
+    def _commit(out: pa.Table) -> dict | None:
+        """Atomic partition write for one finalized (part, salt) group."""
         if out.num_rows == 0:
-            return pa.table({"part_id": pa.array([], pa.int32()),
-                             "salt": pa.array([], pa.int32()),
-                             "rows": pa.array([], pa.int64())})
+            return None
         part_id = out.column("part_id")[0].as_py()
         salt = out.column("salt")[0].as_py()
         metrics = group_metrics(out)
         manifest_mod.write_partition(
             out_dir, part_id, salt, out, lineage=lineage, metrics=metrics
         )
-        return pa.table(
-            {
-                "part_id": pa.array([part_id], pa.int32()),
-                "salt": pa.array([salt], pa.int32()),
-                "rows": pa.array([metrics["rows"]], pa.int64()),
-            }
-        )
+        return {"part_id": int(part_id), "salt": int(salt), "rows": int(metrics["rows"])}
 
-    stats = (
-        ds.groupby(["part_id", "salt"])
-        .map_groups(_finalize_and_write, batch_format="pyarrow")
-        .take_all()  # tiny: one row per partition
-    )
+    if cfg.exchange == "sort":
+
+        def _finalize_and_write(tbl: pa.Table) -> pa.Table:
+            row = _commit(finalize_group(tbl, heavy, cfg))
+            if row is None:
+                return pa.table({"part_id": pa.array([], pa.int32()),
+                                 "salt": pa.array([], pa.int32()),
+                                 "rows": pa.array([], pa.int64())})
+            return pa.table(
+                {
+                    "part_id": pa.array([row["part_id"]], pa.int32()),
+                    "salt": pa.array([row["salt"]], pa.int32()),
+                    "rows": pa.array([row["rows"]], pa.int64()),
+                }
+            )
+
+        stats = (
+            ds.groupby(["part_id", "salt"])
+            .map_groups(_finalize_and_write, batch_format="pyarrow")
+            .take_all()  # tiny: one row per partition
+        )
+    else:
+        from ..stages.exchange import mr_exchange
+
+        def _finalize_commit(tbl: pa.Table) -> dict | None:
+            return _commit(finalize_group(tbl, heavy, cfg))
+
+        stats = [r for r in ray.get(mr_exchange(ds, cfg, heavy, _finalize_commit)) if r]
+
     written = {(int(r["part_id"]), int(r["salt"])): int(r["rows"]) for r in stats}
     summary = {
         "input": str(input_path),

@@ -619,6 +619,25 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
 # and per-turn against the oracle by tests/test_pipeline.py)
 
 
+def multimodal_image_features(sf_dir: str):
+    """Rows-only: decode + feature-extract the deterministic fake media
+    table (PPM/WAV real decoders; other codecs stubbed — see
+    stages/multimodal.py)."""
+    import ray.data
+
+    from .stages.multimodal import image_features, synthesize_media_table
+
+    return image_features(ray.data.from_arrow(synthesize_media_table(64)))
+
+
+def multimodal_audio_features(sf_dir: str):
+    import ray.data
+
+    from .stages.multimodal import audio_features, synthesize_media_table
+
+    return audio_features(ray.data.from_arrow(synthesize_media_table(64)))
+
+
 def extract_transcripts(sf_dir: str):
     from .pipelines.extract import extract_dataset
 
@@ -672,6 +691,8 @@ REGISTRY: dict[str, tuple] = {
     "embedding_topk_lsh": (embedding_topk_lsh, None),
     "embedding_near_dups": (embedding_near_dups, EMBEDDING_NEAR_DUP_SQL),
     "embedding_near_dups_loose": (embedding_near_dups_loose, None),
+    "multimodal_image_features": (multimodal_image_features, None),
+    "multimodal_audio_features": (multimodal_audio_features, None),
     "extract_transcripts": (extract_transcripts, None),
     "extract_kind_stats": (extract_kind_stats, None),
     "transcripts_conv_stats": (transcripts_conv_stats, None),

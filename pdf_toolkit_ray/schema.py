@@ -47,6 +47,25 @@ EXTRACTED_COLUMNS = pa.schema(
 )
 
 
+EXTRACTED_WITH_KEYS_SCHEMA = pa.schema(
+    list(TRANSCRIPTS_SCHEMA)
+    + list(EXTRACTED_COLUMNS)
+    + [("part_id", pa.int32()), ("salt", pa.int32())]
+)
+
+FINALIZED_SCHEMA = pa.schema(
+    list(TRANSCRIPTS_SCHEMA)
+    + list(EXTRACTED_COLUMNS)
+    + [
+        ("conv_n_turns", pa.int32()),
+        ("is_final_turn", pa.bool_()),
+        ("prev_role", pa.string()),
+        ("part_id", pa.int32()),
+        ("salt", pa.int32()),
+    ]
+)
+
+
 def validate_transcripts_schema(schema: pa.Schema) -> None:
     """Fail fast when the input parquet does not look like a transcripts table."""
     names = set(schema.names)

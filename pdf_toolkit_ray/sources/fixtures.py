@@ -47,6 +47,10 @@ SIZES = {
     "smoke": (50, 0),
     "correctness": (500, 10),
     "bench": (50_000, 1_000),
+    # for the two-parallelism scaling criterion: big enough that fixed
+    # session/shuffle overhead and pool ramp-up amortize, approximating the
+    # 10^12-turn regime where compute dominates
+    "scaling": (400_000, 8_000),
 }
 
 _TS_BASE_US = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z in microseconds
@@ -295,7 +299,9 @@ def generate_transcripts_parquet(
     if not use_ray:
         tbl = generate_transcripts_table(size, seed)
         os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
-        pq.write_table(tbl, out_path)
+        # small row groups: parquet reads can only split at row-group
+        # boundaries, and a single giant group serializes the whole scan
+        pq.write_table(tbl, out_path, row_group_size=65536)
         return out_path
 
     import ray.data
@@ -314,12 +320,15 @@ def generate_transcripts_parquet(
         return _rows_to_table(merged)
 
     os.makedirs(out_path, exist_ok=True)
-    (
-        ray.data.range(n_convs)
-        .map_batches(gen_batch, batch_format="pyarrow", batch_size=64)
-        .random_shuffle(seed=seed)
-        .write_parquet(out_path)
+    generated = ray.data.range(n_convs).map_batches(
+        gen_batch, batch_format="pyarrow", batch_size=64
     )
+    # materialize() before random_shuffle: ray 2.49's shuffle upstream-fusion
+    # chokes on the ReadTask-producing input operator ("Not a block type:
+    # ReadTask"). The bench fixture fits comfortably in the object store and
+    # this runs once per cache fill.
+    generated = generated.materialize()
+    generated.random_shuffle(seed=seed).write_parquet(out_path)
     return out_path
 
 
@@ -328,7 +337,7 @@ def transcripts_path_for(
 ) -> str:
     """Cached fixture location; generates on first use."""
     if use_ray is None:
-        use_ray = size == "bench"
+        use_ray = size in ("bench", "scaling")
     suffix = "" if use_ray else ".parquet"
     path = os.path.join(base_dir, f"transcripts-{size}-s{seed}-v{FIXTURE_VERSION}{suffix}")
     done_marker = path + ".done"

@@ -20,7 +20,7 @@ import ray
 
 from ..config import ExtractConfig
 from ..functions.extract import extract_batch
-from ..functions.keys import part_ids_np, salts_np
+from ..functions.keys import conv_keys_arrays
 
 
 def _resolve(maybe_ref):
@@ -32,10 +32,10 @@ def _resolve(maybe_ref):
 def add_keys_batch(batch: pa.Table, cfg: ExtractConfig, heavy: dict[str, int]) -> pa.Table:
     """Append (part_id, salt) shuffle keys — crc32(conv_id) % n_parts with
     salted splits for heavy conversations (SURVEY.md §4.3.1-2)."""
-    conv = np.asarray(batch.column("conv_id").to_numpy(zero_copy_only=False), dtype=object)
     turn = batch.column("turn_idx").to_numpy(zero_copy_only=False).astype(np.int64)
-    batch = batch.append_column("part_id", pa.array(part_ids_np(conv, cfg.n_parts), type=pa.int32()))
-    return batch.append_column("salt", pa.array(salts_np(conv, turn, heavy, cfg), type=pa.int32()))
+    part, salts = conv_keys_arrays(batch.column("conv_id"), turn, heavy, cfg)
+    batch = batch.append_column("part_id", pa.array(part, type=pa.int32()))
+    return batch.append_column("salt", pa.array(salts, type=pa.int32()))
 
 
 class AddKeys:
@@ -72,10 +72,21 @@ def make_done_filter(done: set[tuple[int, int]]):
 
 
 class ExtractBatcher:
-    """Stateful extraction actor: one construction per actor, Arrow in/out."""
+    """Stateful extraction actor: one construction per actor, Arrow in/out.
 
-    def __init__(self, cfg: ExtractConfig) -> None:
+    Also appends the (part_id, salt) shuffle keys unless the batch already
+    carries them (the resume path adds keys earlier so the done-filter can
+    skip committed partitions before any extraction work). Key computation
+    lives in the pool rather than on the read tasks: the scan must stay a
+    thin feeder, or the actor pool starves (measured 55% actor utilization
+    with keys on the read path at 32 CPUs).
+    """
+
+    def __init__(self, cfg: ExtractConfig, heavy: dict[str, int] | None = None) -> None:
         self.cfg = cfg
+        self.heavy = _resolve(heavy) or {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if "part_id" not in batch.schema.names:
+            batch = add_keys_batch(batch, self.cfg, self.heavy)
         return extract_batch(batch, self.cfg)

@@ -1,0 +1,253 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` columns with
+typed metadata, processed by actor-pool ``map_batches`` stages.
+
+The Ray-side plumbing (schema, batch sizing, actor signature, output
+layout) is real and tested. Decoders:
+
+* **PPM (P6) images** — decoded for real (pure byte parsing + numpy);
+  nearest-neighbor resize implemented on the pixel array;
+* **WAV (PCM) audio** — decoded for real (stdlib ``wave`` + numpy);
+* **JPEG/PNG/MP3/video** — STUBBED: the container has no Pillow/ffmpeg,
+  so :func:`decode_image` / :func:`decode_audio` raise
+  ``NotImplementedError`` for those formats behind an import-try; the
+  deterministic fake generator below produces PPM/WAV so the pipelines
+  exercise the full path end-to-end.
+
+Large binary payloads → small ``batch_size`` (default 32) so
+batch × concurrency stays within worker heaps; blocks of binaries are
+never converted to pandas (Arrow binary stays zero-copy).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import struct
+import wave
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+IMAGE_META_TYPE = pa.struct(
+    [("width", pa.int32()), ("height", pa.int32()), ("format", pa.string())]
+)
+AUDIO_META_TYPE = pa.struct(
+    [("sample_rate", pa.int32()), ("n_channels", pa.int32()), ("format", pa.string())]
+)
+
+
+# --------------------------------------------------------------------------
+# decoders
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """bytes → (H, W, 3) uint8. Real for PPM P6; stub otherwise."""
+    if payload.startswith(b"P6"):
+        return _decode_ppm(payload)
+    if payload.startswith(b"\x89PNG") or payload.startswith(b"\xff\xd8"):
+        try:
+            from PIL import Image  # not present in this container
+
+            return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+        except ImportError as exc:
+            raise NotImplementedError(
+                "PNG/JPEG decode requires Pillow, which is not available in this "
+                "environment; the PPM path exercises the identical Ray plumbing"
+            ) from exc
+    raise NotImplementedError(f"unsupported image container: {payload[:4]!r}")
+
+
+def _decode_ppm(payload: bytes) -> np.ndarray:
+    import re
+
+    # header ends after exactly ONE whitespace char — pixel bytes may
+    # themselves be 0x0A/0x20, so naive split() would swallow them
+    match = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", payload)
+    if not match:
+        raise ValueError("malformed PPM header")
+    width, height, maxval = (int(g) for g in match.groups())
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    data = payload[match.end() :]
+    pixels = np.frombuffer(data[: width * height * 3], dtype=np.uint8)
+    return pixels.reshape(height, width, 3)
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    h, w, _ = img.shape
+    return b"P6 %d %d 255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize with pure numpy indexing (no image libs)."""
+    h, w, _ = img.shape
+    rows = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    cols = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[rows[:, None], cols[None, :], :]
+
+
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """bytes → (samples float64 in [-1, 1], sample_rate). Real for WAV PCM."""
+    if payload.startswith(b"RIFF"):
+        with wave.open(io.BytesIO(payload)) as wf:
+            rate = wf.getframerate()
+            n = wf.getnframes()
+            raw = wf.readframes(n)
+            width = wf.getsampwidth()
+        if width == 2:
+            samples = np.frombuffer(raw, dtype=np.int16).astype(np.float64) / 32768.0
+        elif width == 1:
+            samples = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+        else:
+            raise NotImplementedError(f"{width*8}-bit PCM unsupported")
+        return samples, rate
+    raise NotImplementedError(
+        "non-WAV audio (mp3/ogg/flac) requires codec libs not present here"
+    )
+
+
+def sample_video_frames(payload: bytes, every_n: int = 10) -> list[bytes]:
+    """STUB for video frame sampling: no ffmpeg in this container.
+
+    Our deterministic fake 'video' is a simple concatenation of length-
+    prefixed PPM frames, so the plumbing (split → per-frame decode) is
+    real; true containers raise NotImplementedError.
+    """
+    if not payload.startswith(b"FAKEVID1"):
+        raise NotImplementedError("real video containers require ffmpeg")
+    frames, off = [], 8
+    while off + 4 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, off)
+        off += 4
+        frames.append(payload[off : off + ln])
+        off += ln
+    return frames[::every_n]
+
+
+# --------------------------------------------------------------------------
+# deterministic fake media table
+
+
+def synthesize_media_table(n: int = 64, seed: int = 42) -> pa.Table:
+    """Deterministic media rows: PPM images and WAV clips with typed metadata."""
+    ids, kinds, payloads, img_meta, aud_meta = [], [], [], [], []
+    for i in range(n):
+        rng = np.random.RandomState(seed * 100_003 + i)
+        ids.append(i)
+        if i % 2 == 0:
+            w, h = int(rng.randint(16, 64)), int(rng.randint(16, 64))
+            img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payloads.append(encode_ppm(img))
+            kinds.append("image")
+            img_meta.append({"width": w, "height": h, "format": "ppm"})
+            aud_meta.append(None)
+        else:
+            rate = 8000
+            t = np.arange(rate // 4) / rate
+            freq = float(rng.randint(100, 2000))
+            samples = (np.sin(2 * np.pi * freq * t) * 20000).astype(np.int16)
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as wf:
+                wf.setnchannels(1)
+                wf.setsampwidth(2)
+                wf.setframerate(rate)
+                wf.writeframes(samples.tobytes())
+            payloads.append(buf.getvalue())
+            kinds.append("audio")
+            img_meta.append(None)
+            aud_meta.append({"sample_rate": rate, "n_channels": 1, "format": "wav"})
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(kinds),
+            "payload": pa.array(payloads, pa.binary()),
+            "image_meta": pa.array(img_meta, IMAGE_META_TYPE),
+            "audio_meta": pa.array(aud_meta, AUDIO_META_TYPE),
+        }
+    )
+
+
+# --------------------------------------------------------------------------
+# actor-pool stages
+
+
+class ImageFeatures:
+    """Actor stage: decode → per-channel means + thumbnail digest."""
+
+    def __init__(self, thumb: int = 8):
+        self.thumb = thumb
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, widths, heights, means, digests = [], [], [], [], []
+        for mid, kind, payload in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("kind").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            if kind != "image":
+                continue
+            img = decode_image(payload)
+            small = resize_nearest(img, self.thumb, self.thumb)
+            ids.append(mid)
+            heights.append(img.shape[0])
+            widths.append(img.shape[1])
+            means.append([float(img[..., c].mean()) for c in range(3)])
+            digests.append(hashlib.blake2b(small.tobytes(), digest_size=8).hexdigest())
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
+                "channel_means": pa.array(means, pa.list_(pa.float64())),
+                "thumb_digest": pa.array(digests),
+            }
+        )
+
+
+class AudioFeatures:
+    """Actor stage: decode → duration / rms / peak."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, durs, rms, peak = [], [], [], []
+        for mid, kind, payload in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("kind").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            if kind != "audio":
+                continue
+            samples, rate = decode_audio(payload)
+            ids.append(mid)
+            durs.append(round(len(samples) / rate, 6))
+            rms.append(round(float(np.sqrt(np.mean(samples**2))), 6))
+            peak.append(round(float(np.abs(samples).max()), 6))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "duration_sec": pa.array(durs, pa.float64()),
+                "rms": pa.array(rms, pa.float64()),
+                "peak": pa.array(peak, pa.float64()),
+            }
+        )
+
+
+def image_features(ds: ray.data.Dataset, concurrency=(1, 4)) -> ray.data.Dataset:
+    return ds.map_batches(
+        ImageFeatures,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=32,  # binary payloads: keep batch × concurrency in heap
+        concurrency=concurrency,
+    )
+
+
+def audio_features(ds: ray.data.Dataset, concurrency=(1, 4)) -> ray.data.Dataset:
+    return ds.map_batches(
+        AudioFeatures,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=32,
+        concurrency=concurrency,
+    )

@@ -13,6 +13,38 @@ from pdf_toolkit_ray.functions.htmlx import (
 
 CFG = ExtractConfig()
 
+HOSTILE = [
+    "<div><p>one two<nav>junk</body>",
+    "<script>if(a<b){x}</script><p>visible text</p>",
+    "<style>a>b{}</style><article><p>content here</p></article>",
+    "plain < less than & amp; text",
+    "<DIV CLASS='ADS'>caps <A>x</A></DIV><p>real stuff</p>",
+    "<!-- <p>commented</p> --><p>kept words</p>",
+    "<p>a &lt; b &amp; c</p>",
+    "<p>unterminated",
+    "",
+    "<br><hr><p>after voids</p>",
+    "<article><p>x</p><p></p><p>y</p></article>",
+    "<a href='#'>bare link outside blocks</a>",
+]
+
+
+def test_fast_parser_matches_stdlib():
+    """The fast scanner must produce the identical node list as the
+    html.parser reference on every fixture payload and hostile case."""
+    from pdf_toolkit_ray.functions.htmlx import parse_html_fast, parse_html_stdlib
+    from pdf_toolkit_ray.functions.sniff import sniff_kind
+    from pdf_toolkit_ray.sources.fixtures import generate_transcripts_table
+
+    docs = [
+        t
+        for t in generate_transcripts_table("smoke").column("text").to_pylist()
+        if sniff_kind(t) == "html"
+    ]
+    assert len(docs) > 50
+    for doc in docs + HOSTILE:
+        assert parse_html_fast(doc) == parse_html_stdlib(doc), doc[:200]
+
 DOC = (
     "<html><head><title>t</title><style>.x{}</style></head><body>"
     '<nav>home about <a href="#">login</a> <a href="#">signup</a></nav>'
