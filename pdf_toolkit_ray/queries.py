@@ -614,6 +614,223 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
 """
 
 
+
+
+def join_big_revenue_by_priority(sf_dir: str):
+    """Large-large join via Dataset.join (hash-partitioned), then a
+    pre-aggregated groupby — the non-broadcast join path (SURVEY.md §2.4)."""
+    li = scan(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(batch: pa.Table) -> pa.Table:
+        r = pc.multiply(
+            pc.cast(batch.column("l_extendedprice"), pa.float64()),
+            pc.subtract(1.0, pc.cast(batch.column("l_discount"), pa.float64())),
+        )
+        return pa.table(
+            {"l_orderkey": batch.column("l_orderkey"), "rev_c": _cents(r, 10_000)}
+        )
+
+    li = li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True)
+    orders = scan(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    joined = li.join(
+        orders, "inner", num_partitions=16, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.select(["o_orderpriority", "rev_c"]).group_by(
+            ["o_orderpriority"]
+        ).aggregate([("rev_c", "sum"), ("rev_c", "count")])
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_orderpriority")
+        .aggregate(Sum("rev_c_sum", alias_name="rev_c"),
+                   Sum("rev_c_count", alias_name="n_items"))
+    )
+    tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    return pa.table(
+        {
+            "o_orderpriority": tbl.column("o_orderpriority"),
+            "revenue": pc.divide(pc.cast(tbl.column("rev_c"), pa.float64()), 10_000.0),
+            "n_items": pc.cast(tbl.column("n_items"), pa.int64()),
+        }
+    )
+
+
+JOIN_BIG_SQL = """
+SELECT o.o_orderpriority,
+  CAST(sum(CAST(round(l.l_extendedprice*(1-l.l_discount)*10000) AS BIGINT)) AS DOUBLE)/10000.0 AS revenue,
+  count(*) AS n_items
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+def union_quantity_extremes(sf_dir: str):
+    """ds.union of two disjoint filtered scans (set-op coverage, §2.7)."""
+    cols = ["l_orderkey", "l_linenumber", "l_quantity"]
+    low = scan(sf_dir, "lineitem", columns=cols).map_batches(
+        lambda t: t.filter(pc.less(t.column("l_quantity"), 5.0)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    high = scan(sf_dir, "lineitem", columns=cols).map_batches(
+        lambda t: t.filter(pc.greater(t.column("l_quantity"), 45.0)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    u = low.union(high)
+
+    def cast_qty(t: pa.Table) -> pa.Table:
+        idx = t.schema.get_field_index("l_quantity")
+        return t.set_column(idx, "l_quantity", pc.cast(t.column("l_quantity"), pa.int64()))
+
+    return u.map_batches(cast_qty, batch_format="pyarrow", zero_copy_batch=True)
+
+
+UNION_SQL = """
+SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS l_quantity
+FROM lineitem WHERE l_quantity < 5
+UNION ALL
+SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS l_quantity
+FROM lineitem WHERE l_quantity > 45
+"""
+
+
+def running_spend_per_customer(sf_dir: str):
+    """Windowed running sum inside groupby(key).map_groups — the ordered
+    per-key window pattern (stream-shaped semantics, §2.9)."""
+    ds = scan(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def run(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group, sort_keys=[("o_orderdate", "ascending"), ("o_orderkey", "ascending")]
+        )
+        g = group.take(idx)
+        cents = _cents(g.column("o_totalprice"), 100).to_numpy(zero_copy_only=False)
+        running = np.cumsum(cents)
+        return pa.table(
+            {
+                "o_orderkey": g.column("o_orderkey"),
+                "o_custkey": g.column("o_custkey"),
+                "running_spend": pa.array(running.astype(np.float64) / 100.0, pa.float64()),
+            }
+        )
+
+    return ds.groupby("o_custkey").map_groups(run, batch_format="pyarrow")
+
+
+RUNNING_SPEND_SQL = """
+SELECT o_orderkey, o_custkey,
+  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS UNBOUNDED PRECEDING) AS DOUBLE)/100.0 AS running_spend
+FROM orders
+"""
+
+
+def sample_lineitem(sf_dir: str):
+    """Seeded sampling (rows-only: sampling is not SQL-reproducible)."""
+    return scan(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"]).random_sample(
+        0.01, seed=7
+    )
+
+
+
+
+def q3_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape: 3-way join (broadcast small side + hash join large
+    sides) with filters, grouped revenue, top-10."""
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    keys = frozenset(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
+    cutoff = pa.scalar(np.datetime64("1997-01-01", "us"))
+
+    orders = scan(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = relops.semi_join_filter(orders, "o_custkey", keys)
+    orders = orders.map_batches(
+        lambda t: t.filter(pc.less(t.column("o_orderdate"), cutoff)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    li = scan(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def li_rev(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.greater_equal(batch.column("l_shipdate"), cutoff))
+        r = pc.multiply(
+            pc.cast(batch.column("l_extendedprice"), pa.float64()),
+            pc.subtract(1.0, pc.cast(batch.column("l_discount"), pa.float64())),
+        )
+        return pa.table({"l_orderkey": batch.column("l_orderkey"), "rev_c": _cents(r, 10_000)})
+
+    li = li.map_batches(li_rev, batch_format="pyarrow", zero_copy_batch=True)
+    joined = li.join(orders, "inner", num_partitions=16,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.select(["l_orderkey", "o_orderdate", "rev_c"]).group_by(
+            ["l_orderkey", "o_orderdate"]
+        ).aggregate([("rev_c", "sum")])
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_orderkey", "o_orderdate"])
+        .aggregate(Sum("rev_c_sum", alias_name="rev_c"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch.column("l_orderkey"),
+                "o_orderdate": batch.column("o_orderdate"),
+                "revenue": pc.divide(pc.cast(batch.column("rev_c"), pa.float64()), 10_000.0),
+            }
+        )
+
+    out = agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    out = relops.topk(out, [("revenue", "descending"), ("o_orderkey", "ascending")], 10)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+Q3_SQL = """
+SELECT l.l_orderkey AS o_orderkey, o.o_orderdate,
+  CAST(sum(CAST(round(l.l_extendedprice*(1-l.l_discount)*10000) AS BIGINT)) AS DOUBLE)/10000.0 AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+  AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def json_props_events(sf_dir: str):
+    """JSON field extraction from the events.props column (scalar-fn
+    coverage over semi-structured payloads)."""
+    import json as _json
+
+    ds = scan(sf_dir, "events", columns=["event_id", "props"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ks = []
+        for p in batch.column("props").to_pylist():
+            try:
+                v = _json.loads(p).get("k")
+            except (ValueError, AttributeError):
+                v = None
+            ks.append(int(v) if v is not None else None)
+        return pa.table(
+            {"event_id": batch.column("event_id"), "k": pa.array(ks, pa.int64())}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+JSON_PROPS_SQL = """
+SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events
+"""
+
+
 # --------------------------------------------------------------------------
 # extraction pipeline queries (non-SQL: checked rows-only by the driver,
 # and per-turn against the oracle by tests/test_pipeline.py)
@@ -679,6 +896,12 @@ REGISTRY: dict[str, tuple] = {
     "count_distinct_parts": (count_distinct_parts, COUNT_DISTINCT_SQL),
     "string_fns_part": (string_fns_part, STRING_FNS_SQL),
     "sessionize_events": (sessionize_events, SESSIONIZE_SQL),
+    "join_big_revenue_by_priority": (join_big_revenue_by_priority, JOIN_BIG_SQL),
+    "union_quantity_extremes": (union_quantity_extremes, UNION_SQL),
+    "running_spend_per_customer": (running_spend_per_customer, RUNNING_SPEND_SQL),
+    "sample_lineitem": (sample_lineitem, None),
+    "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
+    "json_props_events": (json_props_events, JSON_PROPS_SQL),
     "dedup_exact_documents": (dedup_exact_documents, DEDUP_EXACT_SQL),
     "token_count_documents": (token_count_documents, TOKEN_COUNT_SQL),
     "textnorm_documents": (textnorm_documents, TEXTNORM_SQL),

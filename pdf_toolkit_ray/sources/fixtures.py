@@ -332,6 +332,26 @@ def generate_transcripts_parquet(
     return out_path
 
 
+def write_expected_parquet(transcripts_path: str, out_path: str, seed: int = 42) -> str:
+    """Emit the golden table (FIXTURES.md §1.3):
+    (conv_id, turn_idx, kind, extracted_text, used_fallback), computed by
+    the same pure functions the oracle uses."""
+    from ..config import ExtractConfig
+    from ..oracle import extract_table
+
+    if os.path.isdir(transcripts_path):
+        import pyarrow.dataset as pads
+
+        tbl = pads.dataset(transcripts_path, format="parquet").to_table()
+    else:
+        tbl = pq.read_table(transcripts_path)
+    out = extract_table(tbl, ExtractConfig()).select(
+        ["conv_id", "turn_idx", "kind", "extracted_text", "used_fallback"]
+    )
+    pq.write_table(out, out_path, row_group_size=65536)
+    return out_path
+
+
 def transcripts_path_for(
     size: str, base_dir: str = "/tmp/graft_fixtures", seed: int = 42, use_ray: bool | None = None
 ) -> str:

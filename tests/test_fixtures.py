@@ -61,6 +61,24 @@ def test_gold_recovery_property(smoke_table):
     assert checked > 250
 
 
+def test_expected_parquet_emission(smoke_parquet, tmp_path):
+    import pyarrow.parquet as pq
+
+    from pdf_toolkit_ray.sources.fixtures import write_expected_parquet
+
+    out = str(tmp_path / "expected.parquet")
+    write_expected_parquet(smoke_parquet, out)
+    exp = pq.read_table(out)
+    assert exp.schema.names == ["conv_id", "turn_idx", "kind", "extracted_text", "used_fallback"]
+    assert exp.num_rows > 300
+    # spot-check one golden row against GOLD recovery
+    row = {c: exp.column(c)[0].as_py() for c in exp.schema.names}
+    if not row["used_fallback"]:
+        assert " ".join(row["extracted_text"].split()) == gold_text(
+            42, row["conv_id"], row["turn_idx"]
+        )
+
+
 def test_kind_mix(smoke_table):
     out = extract_table(smoke_table, ExtractConfig())
     kinds = collections.Counter(out.column("kind").to_pylist())
