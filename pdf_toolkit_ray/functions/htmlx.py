@@ -276,8 +276,9 @@ def parse_html_fast(doc: str) -> list[HtmlNode]:
             pos = n if close is None else close.end()
             continue
         if name in VOID_TAGS:
-            b._stack[-1][2].append(" ")
-            b._stack[-1][4] += 1
+            if not closing:  # a stray </br> is ignored, like html.parser
+                b._stack[-1][2].append(" ")
+                b._stack[-1][4] += 1
             continue
         if closing:
             if name in IGNORE_TAGS:

@@ -1,28 +1,32 @@
 """The flagship pipeline: transcripts parquet → per-turn extraction →
 ordered/deduped conversations → partitioned, manifested output.
 
-Physical plan (SURVEY.md §3.4):
+Physical plan (SURVEY.md §3.4, as built):
 
-    read_parquet (zero-copy Arrow blocks)
-      → [counts pass: column-pruned read → per-batch partial max(turn_idx)
-         → tiny groupby → heavy-conv map, broadcast via ray.put]
-      → map_batches(AddKeys)            # part_id = crc32(conv_id) % n_parts, salt
-      → map_batches(done-filter)        # resume: skip committed partitions
-      → map_batches(ExtractBatcher,     # actor pool, warmed parsers
-                    batch_format="pyarrow", zero_copy_batch=True)
-      → groupby(part_id, salt).map_groups(finalize)   # THE one shuffle
-      → per-group atomic partition write + manifest (job mode)
+    [counts pass: parquet row-group STATISTICS prune (turn_idx max <
+     salt_threshold ⇒ no heavy row) → read only qualifying row groups
+     → heavy-conv map {conv: n_turns}]
+    read_parquet (zero-copy Arrow, ~96 MB blocks)
+      → [resume only: add keys + done-filter before any extraction]
+      → map_batches(keys + sniff + extract)        # fused tasks; warm
+                                                   # module-level parsers
+      → mr_exchange by (part_id, salt)             # THE one all-to-all
+                                                   # (stages/exchange.py)
+      → per-slot finalize (stable order, dedup, cross-turn columns)
+      → atomic partition write + manifest (job mode)
 
 Design notes for 10^12-turn scale:
-* the counts pass reads only (conv_id, turn_idx) — column-pruned;
-* only conversations above ``salt_threshold`` enter the broadcast heavy
-  map, so its size is bounded by the skew, not the conv count;
-* one all-to-all exchange total: the (part_id, salt) groupby. Everything
-  before it is embarrassingly parallel and operator-fused by Ray;
-* groups are bounded by ``salt_width`` turns per heavy conv (memory valve);
+* the counts pass touches only row groups whose statistics admit a heavy
+  row — the skew tail, not the corpus;
+* the heavy map is bounded by the number of heavy keys;
+* one all-to-all exchange total, with a static (part, salt) slot space —
+  no reduce task ever sees more than ``salt_width`` turns of one
+  conversation (memory valve);
+* everything before the exchange is embarrassingly parallel and fused;
 * output partitions commit atomically and independently → resume skips
-  finished partitions at the read (filter before extraction, so no
-  wasted work).
+  finished partitions before extraction work;
+* ``cfg.exchange = "sort"`` switches to pure Dataset.groupby.map_groups
+  (same results; the measured tradeoff is in stages/exchange.py).
 """
 
 from __future__ import annotations
@@ -35,7 +39,6 @@ import pyarrow as pa
 
 import ray
 import ray.data
-from ray.data.aggregate import Max
 
 from ..config import ExtractConfig
 from ..schema import validate_transcripts_schema
