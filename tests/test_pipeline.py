@@ -96,6 +96,16 @@ def test_salting_applied(ray_session, smoke_parquet):
     assert ((heavy["turn_idx"] // CFG.salt_width) == heavy["salt"]).all()
 
 
+def test_sort_exchange_matches_mr(ray_session, smoke_parquet, oracle_df):
+    """The pure-Dataset groupby path (cfg.exchange='sort') must produce the
+    same rows as the default ray-core hash exchange."""
+    import dataclasses
+
+    cfg_sort = dataclasses.replace(CFG, exchange="sort")
+    got = extract_dataset(smoke_parquet, cfg_sort).to_pandas()
+    assert_matches_oracle(got, oracle_df)
+
+
 def test_schema_validation_rejects_wrong_table(ray_session):
     import ray.data
     from pdf_toolkit_ray import UserError
