@@ -180,8 +180,11 @@ def parse_html_stdlib(text: str) -> list[HtmlNode]:
     return collector.finish()
 
 
+# attrs may not contain a bare '<': a stray '<' inside a tag means the tag
+# never closed and we re-scan from the next char (html.parser recovers from
+# such soup with C-level quirks we intentionally do not emulate bug-for-bug)
 _TAG_RE = re.compile(
-    r"<(/?)([a-zA-Z][a-zA-Z0-9-]*)((?:[^>'\"]|'[^']*'|\"[^\"]*\")*?)(/?)>", re.S
+    r"<(/?)([a-zA-Z][a-zA-Z0-9-]*)((?:[^<>'\"]|'[^']*'|\"[^\"]*\")*?)(/?)>", re.S
 )
 _CLASS_ID_RE = re.compile(
     r"(?:class|id)\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]+))", re.I

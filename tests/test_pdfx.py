@@ -1,7 +1,7 @@
 """Exact goldens for the mini-PDF layout parser."""
 
 import pytest
-from hypothesis import given, strategies as st
+from hypothesis import given, settings, strategies as st
 
 from pdf_toolkit_ray.config import ExtractConfig
 from pdf_toolkit_ray.functions.pdfx import (
@@ -28,6 +28,7 @@ def test_normalize_rotation():
         normalize_rotation(0, 45)
 
 
+@settings(derandomize=True)
 @given(
     x=st.integers(0, 599),
     y=st.integers(0, 799),
