@@ -145,3 +145,65 @@ def _ngrams(text: str, n: int) -> list[list[str]]:
     if len(words) < n:
         return [words] if words else []
     return [words[i : i + n] for i in range(len(words) - n + 1)]
+
+
+class HyperLogLog:
+    """Minimal HLL sketch (Flajolet et al. '07): mergeable by register max,
+    the pattern for distributed approximate distinct counts — one sketch
+    per batch inside map_batches, a tiny merge stage after."""
+
+    def __init__(self, p: int = 12):
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def add_hashes(self, hashes: np.ndarray) -> None:
+        h = hashes.astype(np.uint64)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = (h << np.uint64(self.p)) | np.uint64(1 << (self.p - 1))
+        # rank = leading zeros of remaining bits + 1
+        ranks = np.zeros(len(h), dtype=np.uint8)
+        mask = np.uint64(1) << np.uint64(63)
+        rest_work = rest.copy()
+        rank = 1
+        remaining = np.ones(len(h), dtype=bool)
+        while remaining.any() and rank <= 64 - self.p + 1:
+            is_set = (rest_work & mask) != 0
+            newly = remaining & is_set
+            ranks[newly] = rank
+            remaining &= ~is_set
+            rest_work = rest_work << np.uint64(1)
+            rank += 1
+        ranks[remaining] = 64 - self.p + 1
+        np.maximum.at(self.registers, idx, ranks)
+
+    def add_strings(self, values) -> None:
+        hashes = np.fromiter(
+            (int.from_bytes(hashlib.blake2b(str(v).encode(), digest_size=8).digest(), "big")
+             for v in values),
+            dtype=np.uint64, count=len(values),
+        )
+        self.add_hashes(hashes)
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        assert self.p == other.p
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def to_bytes(self) -> bytes:
+        return self.registers.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes, p: int = 12) -> "HyperLogLog":
+        hll = cls(p)
+        hll.registers = np.frombuffer(data, dtype=np.uint8).copy()
+        return hll
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / np.sum(2.0 ** -self.registers.astype(np.float64))
+        zeros = int((self.registers == 0).sum())
+        if est <= 2.5 * m and zeros:
+            est = m * np.log(m / zeros)  # linear counting for small cardinalities
+        return float(est)

@@ -831,6 +831,140 @@ SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events
 """
 
 
+
+
+def q5_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 shape: revenue by nation where customer and supplier share
+    the nation — one large hash join (lineitem x orders) plus three
+    broadcast dimensions and a per-batch co-nation filter."""
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"]).to_pandas()
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
+    asia = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    asia = asia[asia["r_name"] == "ASIA"][["n_nationkey", "n_name"]]
+    nation_name = dict(zip(asia["n_nationkey"], asia["n_name"]))
+    cust_nation = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
+    supp_nation = dict(zip(supp["s_suppkey"], supp["s_nationkey"]))
+
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1998-01-01", "us"))
+    orders = scan(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = orders.map_batches(
+        lambda t: t.filter(pc.and_(pc.greater_equal(t.column("o_orderdate"), lo),
+                                   pc.less(t.column("o_orderdate"), hi))),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    li = scan(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    joined = li.join(orders, "inner", num_partitions=16,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    import ray as _ray
+    dims_ref = _ray.put((cust_nation, supp_nation, nation_name))
+
+    class _CoNation:
+        def __init__(self):
+            self.cust, self.supp, self.names = _ray.get(dims_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+            sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+            cn = np.fromiter((self.cust.get(int(k), -1) for k in ck), dtype=np.int64,
+                             count=len(ck))
+            sn = np.fromiter((self.supp.get(int(k), -2) for k in sk), dtype=np.int64,
+                             count=len(sk))
+            keep = (cn == sn) & np.fromiter((int(n) in self.names for n in sn),
+                                            dtype=bool, count=len(sn))
+            batch = batch.filter(pa.array(keep))
+            sn_kept = sn[keep]
+            rev = pc.multiply(
+                pc.cast(batch.column("l_extendedprice"), pa.float64()),
+                pc.subtract(1.0, pc.cast(batch.column("l_discount"), pa.float64())),
+            )
+            t = pa.table(
+                {
+                    "nation": pa.array([self.names[int(n)] for n in sn_kept]),
+                    "rev_c": _cents(rev, 10_000),
+                }
+            )
+            return t.group_by(["nation"]).aggregate([("rev_c", "sum")])
+
+    agg = (
+        joined.map_batches(_CoNation, batch_format="pyarrow", zero_copy_batch=True,
+                           concurrency=(1, 8))
+        .groupby("nation")
+        .aggregate(Sum("rev_c_sum", alias_name="rev_c"))
+    )
+    tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    return pa.table(
+        {
+            "nation": tbl.column("nation"),
+            "revenue": pc.divide(pc.cast(tbl.column("rev_c"), pa.float64()), 10_000.0),
+        }
+    )
+
+
+Q5_SQL = """
+SELECT n.n_name AS nation,
+  CAST(sum(CAST(round(l.l_extendedprice*(1-l.l_discount)*10000) AS BIGINT)) AS DOUBLE)/10000.0 AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n.n_name
+"""
+
+
+
+
+def approx_distinct_parts(sf_dir: str):
+    """Approximate distinct l_partkey per returnflag with mergeable HLL
+    sketches: one sketch per (flag, batch) inside map_batches, register-max
+    merge in a tiny reduce — the shuffle moves 4KB sketches, not keys.
+    Rows-only (approximate by construction); accuracy vs the exact
+    two-level groupby is asserted in tests."""
+    from .functions.hashing import HyperLogLog
+
+    ds = scan(sf_dir, "lineitem", columns=["l_returnflag", "l_partkey"])
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        flags, blobs = [], []
+        tbl = batch.group_by(["l_returnflag"]).aggregate([("l_partkey", "list")])
+        for flag, keys in zip(
+            tbl.column("l_returnflag").to_pylist(), tbl.column("l_partkey_list").to_pylist()
+        ):
+            hll = HyperLogLog()
+            hll.add_strings(keys)
+            flags.append(flag)
+            blobs.append(hll.to_bytes())
+        return pa.table(
+            {"l_returnflag": pa.array(flags), "sketch": pa.array(blobs, pa.binary())}
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        from .functions.hashing import HyperLogLog as HLL
+
+        merged = HLL.from_bytes(group.column("sketch")[0].as_py())
+        for blob in group.column("sketch").to_pylist()[1:]:
+            merged.merge(HLL.from_bytes(blob))
+        return pa.table(
+            {
+                "l_returnflag": pa.array([group.column("l_returnflag")[0].as_py()]),
+                "approx_n_parts": pa.array([int(round(merged.estimate()))], pa.int64()),
+            }
+        )
+
+    sketches = ds.map_batches(sketch, batch_format="pyarrow", zero_copy_batch=True)
+    return sketches.groupby("l_returnflag").map_groups(merge, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------------------
 # extraction pipeline queries (non-SQL: checked rows-only by the driver,
 # and per-turn against the oracle by tests/test_pipeline.py)
@@ -894,6 +1028,7 @@ REGISTRY: dict[str, tuple] = {
     "join_customer_nation_region": (join_customer_nation_region, JOIN_CNR_SQL),
     "join_orders_customer_top": (join_orders_customer_top, JOIN_TOP_CUSTOMERS_SQL),
     "count_distinct_parts": (count_distinct_parts, COUNT_DISTINCT_SQL),
+    "approx_distinct_parts": (approx_distinct_parts, None),
     "string_fns_part": (string_fns_part, STRING_FNS_SQL),
     "sessionize_events": (sessionize_events, SESSIONIZE_SQL),
     "join_big_revenue_by_priority": (join_big_revenue_by_priority, JOIN_BIG_SQL),
@@ -901,6 +1036,7 @@ REGISTRY: dict[str, tuple] = {
     "running_spend_per_customer": (running_spend_per_customer, RUNNING_SPEND_SQL),
     "sample_lineitem": (sample_lineitem, None),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
+    "q5_local_supplier_volume": (q5_local_supplier_volume, Q5_SQL),
     "json_props_events": (json_props_events, JSON_PROPS_SQL),
     "dedup_exact_documents": (dedup_exact_documents, DEDUP_EXACT_SQL),
     "token_count_documents": (token_count_documents, TOKEN_COUNT_SQL),
