@@ -23,26 +23,6 @@ def part_of(conv_id: str, n_parts: int) -> int:
     return zlib.crc32(conv_id.encode("utf-8")) % n_parts
 
 
-def part_ids_np(conv_ids: np.ndarray, n_parts: int) -> np.ndarray:
-    """Partition ids: one crc32 per *unique* conv in the batch."""
-    uniques, inverse = np.unique(conv_ids.astype(object), return_inverse=True)
-    upart = np.fromiter(
-        (part_of(str(u), n_parts) for u in uniques), dtype=np.int32, count=len(uniques)
-    )
-    return upart[inverse]
-
-
-def salts_np(
-    conv_ids: np.ndarray, turn_idx: np.ndarray, heavy: dict[str, int], cfg: ExtractConfig
-) -> np.ndarray:
-    """salt = turn_idx // salt_width for heavy conversations, else 0."""
-    out = np.zeros(len(conv_ids), dtype=np.int32)
-    if heavy:
-        heavy_mask = np.fromiter(
-            (c in heavy for c in conv_ids), dtype=bool, count=len(conv_ids)
-        )
-        out[heavy_mask] = (turn_idx[heavy_mask] // cfg.salt_width).astype(np.int32)
-    return out
 
 
 def conv_keys_arrays(

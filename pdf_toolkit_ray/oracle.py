@@ -25,7 +25,7 @@ import pyarrow as pa
 
 from .config import ExtractConfig
 from .functions.extract import extract_batch
-from .functions.keys import part_ids_np, salts_np
+from .functions.keys import conv_keys_arrays
 
 
 def heavy_convs(tbl: pa.Table, cfg: ExtractConfig) -> dict[str, int]:
@@ -54,8 +54,7 @@ def finalize_columns(
     role = np.asarray(tbl.column("role").to_numpy(zero_copy_only=False), dtype=object)
     n = len(conv)
 
-    part = part_ids_np(conv, cfg.n_parts)
-    salt = salts_np(conv, turn, heavy, cfg)
+    part, salt = conv_keys_arrays(tbl.column("conv_id"), turn, heavy, cfg)
 
     if n == 0:
         out = tbl.append_column("conv_n_turns", pa.array([], type=pa.int32()))

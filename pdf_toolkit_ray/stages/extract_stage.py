@@ -38,17 +38,6 @@ def add_keys_batch(batch: pa.Table, cfg: ExtractConfig, heavy: dict[str, int]) -
     return batch.append_column("salt", pa.array(salts, type=pa.int32()))
 
 
-class AddKeys:
-    """Stateless-ish keys stage; a class only so the (small) heavy map is
-    deserialized once per worker instead of once per batch."""
-
-    def __init__(self, cfg: ExtractConfig, heavy) -> None:
-        self.cfg = cfg
-        self.heavy = _resolve(heavy)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        return add_keys_batch(batch, self.cfg, self.heavy)
-
 
 def make_done_filter(done: set[tuple[int, int]]):
     """Resume filter: drop rows whose (part_id, salt) partition already has a
