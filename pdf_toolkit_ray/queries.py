@@ -454,6 +454,24 @@ FROM documents GROUP BY md5(text)
 """
 
 
+def dedup_exact_keep_rows(sf_dir: str):
+    """Keep-rows exact dedup via the distributed digest join (no driver set)."""
+    ds = scan(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    out = dedup_mod.exact_dedup(ds, "doc_id", "text")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).select(
+        ["doc_id", "text", "lang"]
+    )
+
+
+DEDUP_KEEP_SQL = """
+SELECT d.doc_id, d.text, d.lang
+FROM documents d
+JOIN (SELECT md5(text) AS digest, min(doc_id) AS doc_id
+      FROM documents GROUP BY md5(text)) k
+  ON md5(d.text) = k.digest AND d.doc_id = k.doc_id
+"""
+
+
 def token_count_documents(sf_dir: str):
     ds = scan(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -886,7 +904,9 @@ def q5_local_supplier_volume(sf_dir: str):
             )
             t = pa.table(
                 {
-                    "nation": pa.array([self.names[int(n)] for n in sn_kept]),
+                    "nation": pa.array(
+                        [self.names[int(n)] for n in sn_kept], type=pa.string()
+                    ),
                     "rev_c": _cents(rev, 10_000),
                 }
             )
@@ -1039,6 +1059,7 @@ REGISTRY: dict[str, tuple] = {
     "q5_local_supplier_volume": (q5_local_supplier_volume, Q5_SQL),
     "json_props_events": (json_props_events, JSON_PROPS_SQL),
     "dedup_exact_documents": (dedup_exact_documents, DEDUP_EXACT_SQL),
+    "dedup_exact_keep_rows": (dedup_exact_keep_rows, DEDUP_KEEP_SQL),
     "token_count_documents": (token_count_documents, TOKEN_COUNT_SQL),
     "textnorm_documents": (textnorm_documents, TEXTNORM_SQL),
     "quality_documents": (quality_documents, QUALITY_SQL),

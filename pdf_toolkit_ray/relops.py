@@ -59,25 +59,32 @@ def pre_agg_groupby(
     return partials.groupby(keys).aggregate(*final_aggs)
 
 
+_JOIN_TYPE = {"inner": "inner", "left": "left outer", "right": "right outer"}
+
+
 def broadcast_join(
     ds: ray.data.Dataset,
-    small: pd.DataFrame,
+    small: "pd.DataFrame | pa.Table",
     on: str | list[str],
     *,
     how: str = "inner",
 ) -> ray.data.Dataset:
-    """Broadcast-hash join: small side shipped once via ray.put, merged
-    per batch in pandas. Never shuffles the big side."""
-    ref = ray.put(small)
+    """Broadcast-hash join: small side shipped once via ray.put as an Arrow
+    table, joined per batch with ``pa.Table.join`` (no pandas conversion in
+    the hot path). Never shuffles the big side."""
+    if isinstance(small, pd.DataFrame):
+        small = pa.Table.from_pandas(small, preserve_index=False)
+    keys = [on] if isinstance(on, str) else list(on)
+    ref = ray.put(small.combine_chunks())
 
     class _Join:
         def __init__(self):
             self.small = ray.get(ref)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return batch.merge(self.small, on=on, how=how)
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            return batch.join(self.small, keys=keys, join_type=_JOIN_TYPE[how])
 
-    return ds.map_batches(_Join, batch_format="pandas", concurrency=(1, 8))
+    return ds.map_batches(_Join, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8))
 
 
 def semi_join_filter(ds: ray.data.Dataset, key: str, keys: frozenset) -> ray.data.Dataset:

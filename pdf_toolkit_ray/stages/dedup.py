@@ -50,20 +50,27 @@ def exact_dedup_groups(
     )
 
 
-def exact_dedup(ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text") -> ray.data.Dataset:
-    """Keep one representative row (min id) per distinct text."""
-    keep = exact_dedup_groups(ds, id_col, text_col).select_columns([id_col])
+def exact_dedup(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Keep one representative row (min id) per distinct text.
 
-    def _filter(batch: pa.Table, keep_ids: frozenset) -> pa.Table:
-        mask = [i in keep_ids for i in batch.column(id_col).to_pylist()]
-        return batch.filter(pa.array(mask))
-
-    # representative-id set is one value per distinct doc — broadcastable for
-    # test scales; at extreme scale use a join on digest instead.
-    ids = frozenset(r[id_col] for r in keep.take_all())
-    return ds.map_batches(
-        lambda b: _filter(b, ids), batch_format="pyarrow", zero_copy_batch=True
+    Scale path: a distributed semi-join on ``(digest, id)`` against the
+    ``exact_dedup_groups`` output — both sides are hash-partitioned by
+    Ray's ``Dataset.join``; nothing is materialized on the driver."""
+    keep = exact_dedup_groups(ds, id_col, text_col).select_columns(["digest", id_col])
+    keyed = add_digest(ds, text_col)
+    joined = keyed.join(
+        keep,
+        "inner",
+        num_partitions=num_partitions,
+        on=("digest", id_col),
     )
+    return joined.drop_columns(["digest"])
 
 
 class _MinHashStage:

@@ -111,5 +111,5 @@ def test_schema_validation_rejects_wrong_table(ray_session):
     from pdf_toolkit_ray import UserError
     from pdf_toolkit_ray.pipelines.extract import read_transcripts
 
-    with pytest.raises((UserError, Exception)):
+    with pytest.raises(UserError, match="missing required transcript columns"):
         read_transcripts("/root/testdata/sf0.001/lineitem.parquet")
