@@ -21,71 +21,163 @@ def md5_hex(texts: list[str]) -> list[str]:
     return [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
 
 
-def _token_hashes(text: str, n: int = 3) -> np.ndarray:
-    """Hashes of word n-gram shingles (uint64)."""
-    words = text.split()
-    if len(words) < n:
-        shingles = [" ".join(words)] if words else [""]
-    else:
-        shingles = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
-    out = np.empty(len(shingles), dtype=np.uint64)
-    for i, s in enumerate(shingles):
-        out[i] = int.from_bytes(
-            hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big"
-        )
-    return out
+_MASK32 = np.uint64(0xFFFFFFFF)
+_MASK29 = np.uint64((1 << 29) - 1)
+_MASK61 = np.uint64((1 << 61) - 1)
+_U8 = np.uint64(8)
 
 
-def minhash_signature(
-    text: str, num_perm: int = 64, shingle_n: int = 3, seed: int = 1
-) -> np.ndarray:
-    """MinHash signature (uint32[num_perm]) over word-shingle hashes.
+def _mulmod61(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Exact (a*b) mod (2^61-1) in vectorized uint64 arithmetic.
 
-    Universal hashing h_i(x) = (a_i * x + b_i) mod p, folded to 32 bits —
-    the standard broadcastable formulation (Broder '97).
+    Standard Mersenne folding with 32-bit operand splitting: with
+    p = 2^61-1 we have 2^61 ≡ 1 and 2^64 ≡ 8 (mod p), so the four
+    32×32-bit partial products reduce without ever needing a 128-bit
+    intermediate. Operands must already be < 2^61.
     """
-    rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
-    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
-    hashes = _token_hashes(text, shingle_n).astype(np.uint64)
-    if len(hashes) == 0:
-        return np.zeros(num_perm, dtype=np.uint32)
-    # (num_perm, n_shingles) without materializing python loops
-    vals = (a[:, None] * (hashes[None, :] % _MERSENNE)) % _MERSENNE
-    vals = (vals + b[:, None]) % _MERSENNE
-    return (vals.min(axis=1) & _MAX_HASH).astype(np.uint32)
+    ah, al = a >> np.uint64(32), a & _MASK32
+    bh, bl = b >> np.uint64(32), b & _MASK32
+    # high·high contributes 2^64 ≡ 8
+    t1 = ah * bh * _U8  # < 2^58·8 = 2^61
+    # cross terms contribute 2^32; reduce the < 2^62 sum first, then use
+    # m·2^32 = (m>>29)·2^61 + (m&mask29)·2^32 ≡ (m>>29) + (m&mask29)<<32
+    mid = ah * bl + al * bh
+    mid = (mid & _MASK61) + (mid >> np.uint64(61))
+    t2 = (mid >> np.uint64(29)) + ((mid & _MASK29) << np.uint64(32))
+    # low·low < 2^64: fold the top 3 bits (2^61 ≡ 1)
+    t3 = al * bl
+    s = t1 + t2 + (t3 & _MASK61) + (t3 >> np.uint64(61))  # < 4·2^61 < 2^63
+    s = (s & _MASK61) + (s >> np.uint64(61))
+    return np.where(s >= _MASK61, s - _MASK61, s)
+
+
+def _mod61(x: np.ndarray) -> np.ndarray:
+    """x mod (2^61-1) for uint64 input (two folds suffice)."""
+    s = (x & _MASK61) + (x >> np.uint64(61))
+    return np.where(s >= _MASK61, s - _MASK61, s)
+
+
+_SM_C1 = np.uint64(0xBF58476D1CE4E5B9)
+_SM_C2 = np.uint64(0x94D049BB133111EB)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """SplitMix64 finalizer (Steele/Lea/Flood '14) — vectorized uint64 mix."""
+    z = x + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * _SM_C1
+    z = (z ^ (z >> np.uint64(27))) * _SM_C2
+    return z ^ (z >> np.uint64(31))
+
+
+_SHINGLE_C = (np.uint64(0x9E3779B97F4A7C15), np.uint64(0xC2B2AE3D27D4EB4F),
+              np.uint64(0x165667B19E3779F9))
+
+
+class _WordHashCache(dict):
+    """word -> uint64 blake2b hash, computed once per distinct word."""
+
+    def __missing__(self, word: str) -> int:
+        h = int.from_bytes(hashlib.blake2b(word.encode("utf-8"), digest_size=8).digest(), "big")
+        self[word] = h
+        return h
+
+
+def _shingle_hashes_batch(
+    texts: list[str], n: int, cache: _WordHashCache
+) -> tuple[np.ndarray, np.ndarray]:
+    """All word-n-gram shingle hashes for a batch of texts.
+
+    Returns (flat uint64 shingle hashes, int64 doc start offsets of length
+    len(texts)+1). Word hashing is cached per distinct word; shingle
+    combination is vectorized (position-weighted word hashes + SplitMix64
+    finalizer), so per-doc cost is the tokenizer plus O(words) numpy work.
+    """
+    per_doc: list[np.ndarray] = []
+    for text in texts:
+        words = (text or "").split()
+        wh = np.fromiter((cache[w] for w in words), dtype=np.uint64, count=len(words))
+        if len(words) < n:
+            # degenerate doc: a single shingle over all words (empty -> constant)
+            acc = np.uint64(0)
+            for i, h in enumerate(wh):
+                acc = acc + h * _SHINGLE_C[i % n]
+            per_doc.append(_splitmix64(np.array([acc], dtype=np.uint64)))
+        else:
+            with np.errstate(over="ignore"):
+                acc = wh[: len(wh) - n + 1] * _SHINGLE_C[0]
+                for j in range(1, n):
+                    acc = acc + wh[j : len(wh) - n + 1 + j] * _SHINGLE_C[j]
+                per_doc.append(_splitmix64(acc))
+    offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+    np.cumsum([len(d) for d in per_doc], out=offsets[1:])
+    flat = np.concatenate(per_doc) if per_doc else np.empty(0, dtype=np.uint64)
+    return flat, offsets
 
 
 class MinHasher:
     """Warmed MinHash state (permutation coefficients computed once) —
-    use as actor-held state in map_batches stages."""
+    use as actor-held state in map_batches stages.
+
+    Row hashes are h_i(x) = (a_i·x + b_i) mod p with p = 2^61-1 computed
+    EXACTLY (``_mulmod61``), i.e. the classic 2-universal family (Carter &
+    Wegman '79; MinHash per Broder '97), folded to 32 bits.
+    """
 
     def __init__(self, num_perm: int = 64, shingle_n: int = 3, bands: int = 16, seed: int = 1):
         assert num_perm % bands == 0
         rng = np.random.RandomState(seed)
-        self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.a = _mod61(rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64))
+        np.maximum(self.a, np.uint64(1), out=self.a)
         self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
         self.num_perm = num_perm
         self.shingle_n = shingle_n
         self.bands = bands
         self.rows_per_band = num_perm // bands
+        self._cache = _WordHashCache()
+
+    def signatures(self, texts: list[str]) -> np.ndarray:
+        """(len(texts), num_perm) uint32 signature matrix, fully vectorized."""
+        flat, offsets = _shingle_hashes_batch(texts, self.shingle_n, self._cache)
+        out = np.empty((len(texts), self.num_perm), dtype=np.uint32)
+        if len(flat) == 0:
+            return out
+        x = _mod61(flat)
+        starts = offsets[:-1]
+        with np.errstate(over="ignore"):
+            for i in range(self.num_perm):
+                v = _mulmod61(np.broadcast_to(self.a[i], x.shape), x) + self.b[i]
+                v = _mod61(v)
+                out[:, i] = (np.minimum.reduceat(v, starts) & _MASK32).astype(np.uint32)
+        return out
 
     def signature(self, text: str) -> np.ndarray:
-        hashes = _token_hashes(text, self.shingle_n).astype(np.uint64)
-        if len(hashes) == 0:
-            return np.zeros(self.num_perm, dtype=np.uint32)
-        vals = (self.a[:, None] * (hashes[None, :] % _MERSENNE)) % _MERSENNE
-        vals = (vals + self.b[:, None]) % _MERSENNE
-        return (vals.min(axis=1) & _MAX_HASH).astype(np.uint32)
+        return self.signatures([text])[0]
 
-    def band_keys(self, sig: np.ndarray) -> list[str]:
-        """One stable bucket key per band: '<band>:<hash-of-band-slice>'."""
-        keys = []
-        for band in range(self.bands):
-            chunk = sig[band * self.rows_per_band : (band + 1) * self.rows_per_band]
-            digest = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-            keys.append(f"{band}:{digest}")
+    def band_key_matrix(self, sigs: np.ndarray) -> np.ndarray:
+        """(n, bands) int64 bucket keys: SplitMix64 chain over each band's
+        signature slice, salted by band index (integer keys shuffle far
+        cheaper than strings)."""
+        n = sigs.shape[0]
+        keys = np.empty((n, self.bands), dtype=np.int64)
+        with np.errstate(over="ignore"):
+            for band in range(self.bands):
+                chunk = sigs[:, band * self.rows_per_band : (band + 1) * self.rows_per_band]
+                acc = np.full(n, np.uint64(band + 1), dtype=np.uint64)
+                for col in range(chunk.shape[1]):
+                    acc = _splitmix64(acc ^ chunk[:, col].astype(np.uint64))
+                keys[:, band] = acc.view(np.int64)
         return keys
+
+    def band_keys(self, sig: np.ndarray) -> list[int]:
+        return list(self.band_key_matrix(sig.reshape(1, -1))[0])
+
+
+def minhash_signature(
+    text: str, num_perm: int = 64, shingle_n: int = 3, seed: int = 1
+) -> np.ndarray:
+    """MinHash signature (uint32[num_perm]) of one text — convenience
+    wrapper over the vectorized ``MinHasher.signatures``."""
+    return MinHasher(num_perm=num_perm, shingle_n=shingle_n, bands=num_perm, seed=seed).signature(text)
 
 
 def simhash64(text: str) -> int:

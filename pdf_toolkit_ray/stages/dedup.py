@@ -10,12 +10,11 @@ Shapes (all Ray-Data-first, shuffle budget stated per op):
 * SimHash: 64-bit signature + 4×16-bit band bucketing → Hamming verify;
 * n-gram Jaccard: LSH candidates → exact Jaccard verify on texts.
 
-Connected components here run union-find on the *edge list* (candidate
-pairs after verification), which is orders of magnitude smaller than the
-corpus; the guard ``max_edges`` makes the assumption explicit. At
-10^12-row scale replace with iterative min-label propagation
-(groupby-join rounds) — the edge emission stages are already
-distributed and unchanged.
+Connected components run distributed (``connected_components``): either
+union-find over the edge list inside one Ray task (edges ≪ corpus), or
+iterative min-label propagation via join/groupby rounds when the edge
+list itself is big. Cluster ids re-attach via broadcast map or
+``Dataset.join`` — corpus rows never materialize on the driver.
 """
 
 from __future__ import annotations
@@ -74,57 +73,108 @@ def exact_dedup(
 
 
 class _MinHashStage:
-    """Actor-pool stage: per-row MinHash signature + LSH band keys."""
+    """Actor-pool stage: per-row MinHash signature + LSH band keys.
+
+    Fully vectorized: one ``signatures`` call per batch (numpy modular
+    arithmetic over all shingles at once), integer band keys, and a
+    row-repeat explode — no per-row Python loop."""
+
+    #: extra column carried through the explode alongside the band key
+    payload = "sig"
 
     def __init__(self, id_col: str, text_col: str, num_perm: int, bands: int):
         self.hasher = MinHasher(num_perm=num_perm, bands=bands)
         self.id_col = id_col
         self.text_col = text_col
 
+    def _payload_array(self, batch: pa.Table, sigs: np.ndarray, repeats: int) -> pa.Array:
+        width = sigs.shape[1] * 4
+        rep = np.repeat(sigs, repeats, axis=0)
+        return pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(width), len(rep), [None, pa.py_buffer(np.ascontiguousarray(rep).tobytes())]
+        )
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, bands_out, sigs = [], [], []
-        for rid, text in zip(
-            batch.column(self.id_col).to_pylist(), batch.column(self.text_col).to_pylist()
-        ):
-            sig = self.hasher.signature(text or "")
-            for key in self.hasher.band_keys(sig):
-                ids.append(rid)
-                bands_out.append(key)
-                sigs.append(sig.tobytes())
+        texts = batch.column(self.text_col).to_pylist()
+        sigs = self.hasher.signatures(texts)  # (n, P) uint32
+        keys = self.hasher.band_key_matrix(sigs)  # (n, B) int64
+        n, n_bands = keys.shape
+        idx = np.repeat(np.arange(n), n_bands)
+        ids = batch.column(self.id_col).take(pa.array(idx))
         return pa.table(
             {
-                "band_key": pa.array(bands_out),
-                self.id_col: pa.array(ids, type=batch.column(self.id_col).type),
-                "sig": pa.array(sigs, type=pa.binary()),
+                "band_key": pa.array(keys.reshape(-1)),
+                self.id_col: ids,
+                self.payload: self._payload_array(batch, sigs, n_bands),
             }
         )
 
 
 def _candidate_edges(group: pa.Table, id_col: str, threshold: float) -> pa.Table:
-    """Pairwise signature-estimated Jaccard within one LSH bucket."""
-    ids = group.column(id_col).to_pylist()
-    sigs = [np.frombuffer(s, dtype=np.uint32) for s in group.column("sig").to_pylist()]
-    a_out, b_out, est = [], [], []
-    seen: dict[int, int] = {}
-    order = sorted(range(len(ids)), key=lambda i: ids[i])
-    for ii in range(len(order)):
-        i = order[ii]
-        for jj in range(ii + 1, len(order)):
-            j = order[jj]
-            if ids[i] == ids[j]:
-                continue
-            sim = float(np.mean(sigs[i] == sigs[j]))
-            if sim >= threshold:
-                a_out.append(ids[i])
-                b_out.append(ids[j])
-                est.append(round_away_scalar(sim))
-    return pa.table(
+    """Pairwise signature-estimated Jaccard within one LSH bucket
+    (vectorized (m, m, P) equality mean over the bucket's signatures)."""
+    m = group.num_rows
+    id_type = group.column(id_col).type
+    empty = pa.table(
         {
-            "a": pa.array(a_out, type=group.column(id_col).type),
-            "b": pa.array(b_out, type=group.column(id_col).type),
-            "est_jaccard": pa.array(est, type=pa.float64()),
+            "a": pa.array([], type=id_type),
+            "b": pa.array([], type=id_type),
+            "est_jaccard": pa.array([], type=pa.float64()),
         }
     )
+    if m < 2:
+        return empty
+    ids_arr = group.column(id_col).to_numpy(zero_copy_only=False)
+    order = np.argsort(ids_arr, kind="stable")
+    ids_sorted = ids_arr[order]
+    width = group.column("sig").type.byte_width
+    raw = b"".join(group.column("sig").to_pylist())
+    sigs = np.frombuffer(raw, dtype=np.uint32).reshape(m, width // 4)[order]
+    iu, ju = np.triu_indices(m, k=1)
+    sims = (sigs[iu] == sigs[ju]).mean(axis=1)
+    keep = (sims >= threshold) & (ids_sorted[iu] != ids_sorted[ju])
+    if not keep.any():
+        return empty
+    return pa.table(
+        {
+            "a": pa.array(ids_sorted[iu[keep]], type=id_type),
+            "b": pa.array(ids_sorted[ju[keep]], type=id_type),
+            "est_jaccard": pa.array(
+                [round_away_scalar(float(s)) for s in sims[keep]], type=pa.float64()
+            ),
+        }
+    )
+
+
+class _TextPayloadStage(_MinHashStage):
+    """Explode variant carrying the raw text (for exact-verify consumers)."""
+
+    payload = "text"
+
+    def _payload_array(self, batch: pa.Table, sigs: np.ndarray, repeats: int) -> pa.Array:
+        idx = np.repeat(np.arange(batch.num_rows), repeats)
+        return batch.column(self.text_col).take(pa.array(idx))
+
+
+_HASHER_CACHE: dict[tuple, "_MinHashStage"] = {}
+_TEXT_STAGE_CACHE: dict[tuple, _TextPayloadStage] = {}
+
+
+def _text_stage_for(id_col: str, text_col: str, num_perm: int, bands: int) -> _TextPayloadStage:
+    key = (id_col, text_col, num_perm, bands)
+    if key not in _TEXT_STAGE_CACHE:
+        _TEXT_STAGE_CACHE[key] = _TextPayloadStage(id_col, text_col, num_perm, bands)
+    return _TEXT_STAGE_CACHE[key]
+
+
+def _stage_for(id_col: str, text_col: str, num_perm: int, bands: int) -> "_MinHashStage":
+    """Module-level stage cache: stateless map_batches tasks get a warmed
+    MinHasher (and its word-hash cache) per worker process for free, with
+    none of the actor-pool dispatch overhead."""
+    key = (id_col, text_col, num_perm, bands)
+    if key not in _HASHER_CACHE:
+        _HASHER_CACHE[key] = _MinHashStage(id_col, text_col, num_perm, bands)
+    return _HASHER_CACHE[key]
 
 
 def minhash_candidate_edges(
@@ -135,20 +185,232 @@ def minhash_candidate_edges(
     num_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.8,
+    distinct: bool = True,
 ) -> ray.data.Dataset:
-    """Distinct near-duplicate candidate pairs with estimated Jaccard ≥ threshold."""
+    """Near-duplicate candidate pairs with estimated Jaccard ≥ threshold.
+
+    ``distinct=True`` dedups pairs that surface from several bands (one
+    extra small shuffle); clustering consumers can skip it — union-find
+    and label propagation are insensitive to duplicate edges."""
+
+    def _sig_explode(batch: pa.Table) -> pa.Table:
+        return _stage_for(id_col, text_col, num_perm, bands)(batch)
+
     exploded = ds.select_columns([id_col, text_col]).map_batches(
-        _MinHashStage,
-        fn_constructor_args=(id_col, text_col, num_perm, bands),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=(1, 8),
+        _sig_explode, batch_format="pyarrow", zero_copy_batch=True
     )
     edges = exploded.groupby("band_key").map_groups(
         lambda g: _candidate_edges(g, id_col, threshold), batch_format="pyarrow"
     )
-    # a pair can surface from several bands -> dedup on (a, b)
+    if not distinct:
+        return edges
     return edges.groupby(["a", "b"]).aggregate(Min("est_jaccard", alias_name="est_jaccard"))
+
+
+@ray.remote
+def _union_find_task(*edge_tables: pa.Table) -> pa.Table:
+    """Union-find over an edge list inside ONE worker task (the edge list —
+    near-dup pairs after LSH + verify — is orders of magnitude smaller than
+    the corpus; this task never sees corpus rows)."""
+    valid = [t for t in edge_tables if t.num_rows]
+    if not valid:
+        return pa.table({"node": pa.array([]), "label": pa.array([])})
+    edges = pa.concat_tables(valid)
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    a_col = edges.column("a").to_pylist()
+    b_col = edges.column("b").to_pylist()
+    for x, y in zip(a_col, b_col):
+        parent.setdefault(x, x)
+        parent.setdefault(y, y)
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            if ry < rx:
+                rx, ry = ry, rx
+            parent[ry] = rx
+    nodes = list(parent)
+    node_type = edges.column("a").type
+    return pa.table(
+        {
+            "node": pa.array(nodes, type=node_type),
+            "label": pa.array([find(n) for n in nodes], type=node_type),
+        }
+    )
+
+
+def _rename(ds: ray.data.Dataset, mapping: dict[str, str]) -> ray.data.Dataset:
+    def _r(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns([mapping.get(c, c) for c in batch.schema.names])
+
+    return ds.map_batches(_r, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _pin_schema(ds: ray.data.Dataset, schema: pa.Schema) -> ray.data.Dataset:
+    """Coerce every block to ``schema`` — Ray 2.49 groupby/aggregate can emit
+    zero-column empty blocks that break downstream ``Dataset.join`` key
+    resolution ("No match for key field reference")."""
+
+    def _p(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 and batch.schema.names != schema.names:
+            return schema.empty_table()
+        return batch.select(schema.names).cast(schema)
+
+    return ds.map_batches(_p, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def connected_components(
+    edges: ray.data.Dataset,
+    *,
+    method: str = "auto",
+    local_edge_limit: int = 2_000_000,
+    num_partitions: int = 16,
+    max_rounds: int = 64,
+) -> ray.data.Dataset:
+    """(node, label) for every node on some edge; label = min id in its
+    component.
+
+    ``method="local"``: union-find in a single Ray task — right whenever
+    the *edge list* fits one worker (it is pairs-after-verify, not corpus).
+    ``method="labelprop"``: fully distributed iterative min-label
+    propagation — each round sends every node's current label across its
+    edges and takes the per-node min (groupby), until fixpoint. O(component
+    diameter) rounds; every step is edge-sized, nothing driver-side.
+    ``method="auto"``: count edges, pick local under ``local_edge_limit``.
+    """
+    # edge lists are pairs-after-verify — tiny relative to the corpus — so
+    # materializing here is cheap and avoids re-executing the candidate
+    # pipeline for count() + the component rounds
+    edges = edges.select_columns(["a", "b"]).materialize()
+    if method == "auto":
+        method = "local" if edges.count() <= local_edge_limit else "labelprop"
+    if method == "local":
+        refs = edges.to_arrow_refs()
+        return ray.data.from_arrow_refs([_union_find_task.remote(*refs)])
+    if method != "labelprop":
+        raise ValueError(f"unknown components method: {method}")
+
+    node_t = edges.schema().base_schema.field("a").type
+    edge_schema = pa.schema([("a", node_t), ("b", node_t)])
+    sym_schema = pa.schema([("src", node_t), ("dst", node_t)])
+    label_schema = pa.schema([("node", node_t), ("label", node_t)])
+    edges = _pin_schema(edges, edge_schema)
+
+    # symmetrize once: (a,b) -> (a->b) and (b->a); one join per round
+    def _forward(batch: pa.Table) -> pa.Table:
+        return pa.table({"src": batch.column("a"), "dst": batch.column("b")})
+
+    def _backward(batch: pa.Table) -> pa.Table:
+        return pa.table({"src": batch.column("b"), "dst": batch.column("a")})
+
+    sym = _pin_schema(
+        edges.map_batches(_forward, batch_format="pyarrow", zero_copy_batch=True).union(
+            edges.map_batches(_backward, batch_format="pyarrow", zero_copy_batch=True)
+        ),
+        sym_schema,
+    ).repartition(num_partitions).materialize()
+
+    def _self_label(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch.column("src"), "label": batch.column("src")})
+
+    labels = _pin_schema(
+        sym.select_columns(["src"])
+        .groupby("src")
+        .aggregate(Count(alias_name="_n"))
+        .map_batches(
+            lambda b: pa.table({"src": b.column("src")}),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        .map_batches(_self_label, batch_format="pyarrow", zero_copy_batch=True),
+        label_schema,
+    ).materialize()
+
+    def _checksum(ds: ray.data.Dataset) -> int:
+        """Order-independent fingerprint of the (node,label) assignment —
+        labels only decrease, so equal checksums mean a fixpoint (w.h.p.)."""
+
+        def _h(batch: pa.Table) -> pa.Table:
+            import hashlib as _hl
+
+            acc = 0
+            for n, l in zip(batch.column("node").to_pylist(), batch.column("label").to_pylist()):
+                d = _hl.blake2b(f"{n}\x00{l}".encode(), digest_size=8).digest()
+                acc = (acc + int.from_bytes(d, "big")) & 0xFFFFFFFFFFFFFFFF
+            return pa.table({"h": pa.array([acc], type=pa.uint64())})
+
+        parts = ds.map_batches(_h, batch_format="pyarrow", zero_copy_batch=True).take_all()
+        return sum(int(r["h"]) for r in parts) & 0xFFFFFFFFFFFFFFFF
+
+    prev_sum = _checksum(labels)
+    for _round in range(max_rounds):
+        # each node's label flows across every incident edge; per-node min
+        msgs = _rename(
+            sym.join(labels, "inner", num_partitions=num_partitions,
+                     on=("src",), right_on=("node",)).select_columns(["dst", "label"]),
+            {"dst": "node"},
+        )
+        new_labels = _pin_schema(
+            labels.union(_pin_schema(msgs, label_schema))
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label")),
+            label_schema,
+        ).materialize()
+        new_sum = _checksum(new_labels)
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels
+
+
+def attach_cluster_ids(
+    ds: ray.data.Dataset,
+    labels: ray.data.Dataset,
+    id_col: str = "doc_id",
+    *,
+    broadcast_limit: int = 5_000_000,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """(id, cluster_id) for EVERY corpus row; rows in no component keep
+    their own id. The label map (duplicate-involved nodes only) is
+    broadcast when small, else joined; corpus ids never hit the driver."""
+    ids_only = ds.select_columns([id_col])
+    if labels.count() <= broadcast_limit:
+        mapping = {r["node"]: r["label"] for r in labels.take_all()}
+        ref = ray.put(mapping)
+
+        class _Attach:
+            def __init__(self):
+                self.map = ray.get(ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                vals = batch.column(id_col).to_pylist()
+                return batch.append_column(
+                    "cluster_id",
+                    pa.array([self.map.get(v, v) for v in vals],
+                             type=batch.column(id_col).type),
+                )
+
+        return ids_only.map_batches(
+            _Attach, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+        )
+    joined = ids_only.join(
+        labels, "left_outer", num_partitions=num_partitions,
+        on=(id_col,), right_on=("node",),
+    )
+
+    def _coalesce(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lbl = pc.coalesce(batch.column("label"), batch.column(id_col))
+        return pa.table({id_col: batch.column(id_col), "cluster_id": lbl})
+
+    return joined.map_batches(_coalesce, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def minhash_lsh_clusters(
@@ -159,40 +421,20 @@ def minhash_lsh_clusters(
     num_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.8,
-    max_edges: int = 5_000_000,
-) -> pa.Table:
-    """(id, cluster_id) for every row; cluster_id = min id in the component."""
-    edge_rows = minhash_candidate_edges(
-        ds, id_col, text_col, num_perm=num_perm, bands=bands, threshold=threshold
-    ).take_all()
-    if len(edge_rows) > max_edges:
-        raise RuntimeError(
-            f"{len(edge_rows)} candidate edges exceed max_edges={max_edges}; "
-            "switch to label-propagation components for this corpus"
-        )
-    parent: dict = {}
+    method: str = "auto",
+) -> ray.data.Dataset:
+    """(id, cluster_id) for every row; cluster_id = min id in the component.
 
-    def find(x):
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    def union(x, y):
-        rx, ry = find(x), find(y)
-        if rx != ry:
-            if ry < rx:
-                rx, ry = ry, rx
-            parent[ry] = rx
-
-    for row in edge_rows:
-        parent.setdefault(row["a"], row["a"])
-        parent.setdefault(row["b"], row["b"])
-        union(row["a"], row["b"])
-
-    ids = [r[id_col] for r in ds.select_columns([id_col]).take_all()]
-    clusters = [find(i) if i in parent else i for i in ids]
-    return pa.table({id_col: pa.array(ids), "cluster_id": pa.array(clusters)})
+    Pipeline: signatures + band explode (vectorized map_batches) →
+    per-bucket candidate edges (groupby) → connected components
+    (distributed; see ``connected_components``) → cluster map attached via
+    broadcast or join. No whole-corpus materialization anywhere."""
+    edges = minhash_candidate_edges(
+        ds, id_col, text_col,
+        num_perm=num_perm, bands=bands, threshold=threshold, distinct=False,
+    )
+    labels = connected_components(edges, method=method)
+    return attach_cluster_ids(ds, labels, id_col)
 
 
 def add_simhash(ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text") -> ray.data.Dataset:
@@ -314,31 +556,11 @@ def ngram_jaccard_pairs(
     compute, not correctness.
     """
 
-    class _Stage(_MinHashStage):
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids, bands_out, texts = [], [], []
-            for rid, text in zip(
-                batch.column(self.id_col).to_pylist(), batch.column(self.text_col).to_pylist()
-            ):
-                sig = self.hasher.signature(text or "")
-                for key in self.hasher.band_keys(sig):
-                    ids.append(rid)
-                    bands_out.append(key)
-                    texts.append(text)
-            return pa.table(
-                {
-                    "band_key": pa.array(bands_out),
-                    self.id_col: pa.array(ids, type=batch.column(self.id_col).type),
-                    "text": pa.array(texts),
-                }
-            )
+    def _sig_explode_text(batch: pa.Table) -> pa.Table:
+        return _text_stage_for(id_col, text_col, num_perm, bands)(batch)
 
     exploded = ds.select_columns([id_col, text_col]).map_batches(
-        _Stage,
-        fn_constructor_args=(id_col, text_col, num_perm, bands),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=(1, 8),
+        _sig_explode_text, batch_format="pyarrow", zero_copy_batch=True
     )
     verifier = _NgramVerifyStage(id_col, threshold, n)
 

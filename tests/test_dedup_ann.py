@@ -94,6 +94,57 @@ def test_minhash_lsh_clusters(ray_session):
     assert out.loc[4, "cluster_id"] == 4
 
 
+def test_mulmod61_exact():
+    from pdf_toolkit_ray.functions.hashing import _MERSENNE, _mulmod61
+
+    rng = np.random.RandomState(11)
+    a = rng.randint(0, _MERSENNE, size=500, dtype=np.uint64)
+    b = rng.randint(0, _MERSENNE, size=500, dtype=np.uint64)
+    got = _mulmod61(a, b)
+    want = [(int(x) * int(y)) % _MERSENNE for x, y in zip(a, b)]
+    assert [int(v) for v in got] == want
+
+
+def test_minhash_signature_golden():
+    # pins the exact-Mersenne universal-hash family: any change to word
+    # hashing, shingle mixing or the modular arithmetic must be deliberate
+    sig = minhash_signature("the quick brown fox jumps over the lazy dog", num_perm=8)
+    assert sig.dtype == np.uint32
+    assert sig.tolist() == [int(v) for v in sig]  # plain ints
+    golden = minhash_signature("the quick brown fox jumps over the lazy dog", num_perm=8)
+    assert np.array_equal(sig, golden)
+    import json, os
+    path = os.path.join(os.path.dirname(__file__), "goldens", "minhash_sig.json")
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as fh:
+            json.dump([int(v) for v in sig], fh)
+    with open(path) as fh:
+        assert [int(v) for v in sig] == json.load(fh)
+
+
+def test_components_labelprop_equals_local(ray_session):
+    """The distributed label-propagation components must produce exactly
+    the clusters of single-task union-find on the sf0.01 documents."""
+    import ray.data
+
+    from pdf_toolkit_ray.relops import scan
+    from pdf_toolkit_ray.stages.dedup import connected_components, minhash_candidate_edges
+
+    ds = scan("/root/testdata/sf0.01", "documents", columns=["doc_id", "text"])
+    edges = minhash_candidate_edges(ds, "doc_id", "text", threshold=0.5).materialize()
+    local = (
+        connected_components(edges, method="local").to_pandas()
+        .sort_values("node").reset_index(drop=True)
+    )
+    lp = (
+        connected_components(edges, method="labelprop", num_partitions=4).to_pandas()
+        .sort_values("node").reset_index(drop=True)
+    )
+    assert len(local) > 0
+    assert local.equals(lp)
+
+
 def test_ngram_pairs(ray_session):
     import ray.data
 
