@@ -619,9 +619,37 @@ def embedding_near_dups(sf_dir: str):
 
 
 def embedding_near_dups_loose(sf_dir: str):
-    """Rows-only variant with a threshold that yields real pairs on the
-    synthetic embeddings (max pairwise cosine ≈ 0.51 at sf0.01)."""
+    """Threshold that yields real pairs on the synthetic embeddings (max
+    pairwise cosine ≈ 0.51 at sf0.01) so sim values and boundary behavior
+    are oracle-checked on non-empty output (nearest below-threshold sim is
+    0.4463 — far outside float32-vs-float64 noise)."""
     return _near_dups_df(sf_dir, 0.45)
+
+
+EMBEDDING_NEAR_DUP_LOOSE_SQL = """
+SELECT a.vec_id AS a, b.vec_id AS b,
+  round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 3) AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+"""
+
+
+def embedding_near_dups_lsh(sf_dir: str):
+    """Sub-quadratic scale path: hyperplane-LSH buckets + in-bucket exact
+    verify (approximate by construction — rows-only)."""
+    # recall = 1-(1-p^H)^L with p = 1-θ/π ≈ 0.649 at cos=0.45: H=4, L=16
+    # gives ~0.96 (low thresholds need short hashes / many tables; at the
+    # 0.9+ thresholds real near-dup dedup uses, H=16 keeps buckets tiny)
+    ds = scan(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    df = ann_mod.cosine_near_dup_pairs_lsh(
+        ds, threshold=0.45, n_tables=16, n_planes=4
+    ).to_pandas()
+    if len(df.columns) == 0:
+        df = pd.DataFrame(
+            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+             "sim": pd.Series(dtype="float64")}
+        )
+    return df
 
 
 EMBEDDING_NEAR_DUP_SQL = """
@@ -1070,7 +1098,8 @@ REGISTRY: dict[str, tuple] = {
     "embedding_topk": (embedding_topk, EMBEDDING_TOPK_SQL),
     "embedding_topk_lsh": (embedding_topk_lsh, None),
     "embedding_near_dups": (embedding_near_dups, EMBEDDING_NEAR_DUP_SQL),
-    "embedding_near_dups_loose": (embedding_near_dups_loose, None),
+    "embedding_near_dups_loose": (embedding_near_dups_loose, EMBEDDING_NEAR_DUP_LOOSE_SQL),
+    "embedding_near_dups_lsh": (embedding_near_dups_lsh, None),
     "multimodal_image_features": (multimodal_image_features, None),
     "multimodal_audio_features": (multimodal_audio_features, None),
     "extract_transcripts": (extract_transcripts, None),

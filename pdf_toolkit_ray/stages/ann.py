@@ -167,42 +167,134 @@ def lsh_bucketed_topk(
     return candidates.groupby("query_id").map_groups(_final_topk(k), batch_format="pyarrow")
 
 
-def cosine_near_dup_pairs(ds: ray.data.Dataset, threshold: float = 0.99) -> ray.data.Dataset:
-    """All pairs (a < b) with cosine ≥ threshold; corpus matrix broadcast."""
-    rows = ds.select_columns(["vec_id", "embedding"]).take_all()
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    full = _normalize(
-        np.array([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+_PAIR_SCHEMA = pa.schema(
+    [("a", pa.int64()), ("b", pa.int64()), ("sim", pa.float64())]
+)
+
+_PLANES_CACHE: dict[tuple, np.ndarray] = {}
+
+
+def _planes_for(seed: int, n_tables: int, n_planes: int, dim: int) -> np.ndarray:
+    """Deterministic hyperplane tables, cached per worker process."""
+    key = (seed, n_tables, n_planes, dim)
+    if key not in _PLANES_CACHE:
+        _PLANES_CACHE[key] = np.random.RandomState(seed).normal(
+            size=(n_tables, n_planes, dim)
+        )
+    return _PLANES_CACHE[key]
+
+
+def _pair_table(ids_a, ids_b, sims) -> pa.Table:
+    return pa.table(
+        {
+            "a": pa.array(np.asarray(ids_a, dtype=np.int64), pa.int64()),
+            "b": pa.array(np.asarray(ids_b, dtype=np.int64), pa.int64()),
+            "sim": pa.array(
+                [round_away_scalar(float(s), 3) for s in sims], pa.float64()
+            ),
+        }
     )
-    order = np.argsort(ids)
-    ids, full = ids[order], full[order]
-    ref = ray.put((ids, full))
 
-    class _Pairs:
-        def __init__(self):
-            self.ids, self.full = ray.get(ref)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            m = _normalize(_matrix(batch.column("embedding")))
-            vec_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-            a_out, b_out, sims_out = [], [], []
-            if m.shape[0]:
-                sims = m @ self.full.T  # (batch, N)
-                for i in range(m.shape[0]):
-                    hits = np.flatnonzero(sims[i] >= threshold)
-                    for j in hits:
-                        if self.ids[j] > vec_ids[i]:  # a < b, no self-pairs
-                            a_out.append(int(vec_ids[i]))
-                            b_out.append(int(self.ids[j]))
-                            sims_out.append(round_away_scalar(float(sims[i, j]), 3))
+def _cross_pairs(
+    ids_l: np.ndarray, m_l: np.ndarray, ids_r: np.ndarray, m_r: np.ndarray,
+    threshold: float, same_block: bool,
+) -> pa.Table:
+    """Pairs (a<b) with cosine ≥ threshold between two normalized blocks."""
+    if m_l.shape[0] == 0 or m_r.shape[0] == 0:
+        return _PAIR_SCHEMA.empty_table()
+    sims = m_l @ m_r.T
+    if same_block:
+        mask = (sims >= threshold) & (ids_l[:, None] < ids_r[None, :])
+    else:
+        mask = sims >= threshold
+    li, rj = np.nonzero(mask)
+    if len(li) == 0:
+        return _PAIR_SCHEMA.empty_table()
+    a, b = ids_l[li], ids_r[rj]
+    swap = a > b
+    a2 = np.where(swap, b, a)
+    b2 = np.where(swap, a, b)
+    return _pair_table(a2, b2, sims[li, rj])
+
+
+@ray.remote
+def _block_pair_task(left: pa.Table, right: pa.Table, threshold: float, same: bool) -> pa.Table:
+    ids_l = left.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    ids_r = right.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    m_l = _normalize(_matrix(left.column("embedding")))
+    m_r = _normalize(_matrix(right.column("embedding")))
+    return _cross_pairs(ids_l, m_l, ids_r, m_r, threshold, same)
+
+
+def cosine_near_dup_pairs(ds: ray.data.Dataset, threshold: float = 0.99) -> ray.data.Dataset:
+    """All pairs (a < b) with cosine ≥ threshold — EXACT.
+
+    Distributed block-pair cross products: the corpus streams into B
+    Arrow blocks (object store, never the driver) and each of the
+    B·(B+1)/2 block pairs is one Ray task doing a single matmul. Exact
+    all-pairs is inherently O(N²) compute — use
+    ``cosine_near_dup_pairs_lsh`` as the sub-quadratic scale path."""
+    refs = ds.select_columns(["vec_id", "embedding"]).to_arrow_refs()
+    tasks = [
+        _block_pair_task.remote(refs[i], refs[j], threshold, i == j)
+        for i in range(len(refs))
+        for j in range(i, len(refs))
+    ]
+    return ray.data.from_arrow_refs(tasks)
+
+
+def cosine_near_dup_pairs_lsh(
+    ds: ray.data.Dataset,
+    threshold: float = 0.9,
+    *,
+    n_tables: int = 12,
+    n_planes: int = 8,
+    seed: int = 7,
+) -> ray.data.Dataset:
+    """Near-duplicate pairs via random-hyperplane bucketing — the
+    sub-quadratic scale path (mirrors ``simhash_near_dup_pairs``'s shape):
+    rows explode to one integer bucket key per hash table, a groupby
+    brings each bucket together, exact cosine verifies within the bucket,
+    and a final tiny groupby dedups pairs found in several tables.
+    Approximate by construction: recall = 1-(1-p^H)^L for a pair with
+    bit-agreement p = 1 - θ/π."""
+    def _bucket(batch: pa.Table) -> pa.Table:
+        m = _normalize(_matrix(batch.column("embedding")))
+        n = m.shape[0]
+        if n == 0:
             return pa.table(
                 {
-                    "a": pa.array(a_out, pa.int64()),
-                    "b": pa.array(b_out, pa.int64()),
-                    "sim": pa.array(sims_out, pa.float64()),
+                    "bucket": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "embedding": batch.column("embedding"),
                 }
             )
+        planes = _planes_for(seed, n_tables, n_planes, m.shape[1])
+        keys = np.empty((n, n_tables), dtype=np.int64)
+        for t in range(n_tables):
+            bits = (m @ planes[t].T) > 0  # (n, H)
+            packed = bits @ (1 << np.arange(n_planes, dtype=np.int64))
+            keys[:, t] = (np.int64(t) << np.int64(48)) | packed
+        idx = np.repeat(np.arange(n), n_tables)
+        taken = batch.take(pa.array(idx))
+        return pa.table(
+            {
+                "bucket": pa.array(keys.reshape(-1)),
+                "vec_id": taken.column("vec_id"),
+                "embedding": taken.column("embedding"),
+            }
+        )
 
-    return ds.select_columns(["vec_id", "embedding"]).map_batches(
-        _Pairs, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+    def _verify(group: pa.Table) -> pa.Table:
+        ids = group.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _normalize(_matrix(group.column("embedding")))
+        return _cross_pairs(ids, m, ids, m, threshold, same_block=True)
+
+    exploded = ds.select_columns(["vec_id", "embedding"]).map_batches(
+        _bucket, batch_format="pyarrow", zero_copy_batch=True
     )
+    pairs = exploded.groupby("bucket").map_groups(_verify, batch_format="pyarrow")
+    from ray.data.aggregate import Min
+
+    return pairs.groupby(["a", "b"]).aggregate(Min("sim", alias_name="sim"))

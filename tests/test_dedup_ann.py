@@ -187,6 +187,44 @@ def test_brute_force_topk_matches_numpy(ray_session):
         assert got[got["query_id"] == qi]["sim"].max() == 1.0  # self-hit
 
 
+def test_cosine_near_dup_pairs_exact_and_lsh(ray_session):
+    """Block-pair exact variant equals numpy all-pairs; the LSH-bucketed
+    variant recovers a large fraction with exact sims for what it finds."""
+    import ray.data
+
+    from pdf_toolkit_ray.stages.ann import cosine_near_dup_pairs, cosine_near_dup_pairs_lsh
+
+    rng = np.random.RandomState(9)
+    base = rng.normal(size=(40, 16))
+    # 40 anchors + 40 jittered copies -> 40 high-cosine pairs
+    jit = base + rng.normal(scale=0.05, size=base.shape)
+    mat = np.vstack([base, jit])
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(80), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in mat],
+                                  type=pa.list_(pa.float32())),
+        }
+    )
+    m32 = np.array([np.asarray(r, dtype=np.float64) for r in tbl.column("embedding").to_pylist()])
+    mn = m32 / np.linalg.norm(m32, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    iu, ju = np.triu_indices(80, k=1)
+    want = {(int(a), int(b)) for a, b in zip(iu[sims[iu, ju] >= 0.98], ju[sims[iu, ju] >= 0.98])}
+    assert len(want) >= 30
+
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    got = cosine_near_dup_pairs(ds, threshold=0.98).to_pandas()
+    assert {(int(a), int(b)) for a, b in zip(got["a"], got["b"])} == want
+
+    lsh = cosine_near_dup_pairs_lsh(
+        ray.data.from_arrow(tbl), threshold=0.98, n_tables=8, n_planes=8
+    ).to_pandas()
+    found = {(int(a), int(b)) for a, b in zip(lsh["a"], lsh["b"])}
+    assert found <= want  # exact verify: no false positives
+    assert len(found) >= 0.9 * len(want)  # high recall at high threshold
+
+
 def test_lsh_topk_recalls_self(ray_session):
     import ray.data
 
