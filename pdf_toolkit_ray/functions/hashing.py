@@ -181,13 +181,16 @@ def minhash_signature(
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word features (Charikar '02)."""
+    """64-bit SimHash over word features (Charikar '02).
+
+    Word hash = top 64 bits of md5 — chosen over blake2b so the whole
+    signature has an exact DuckDB twin (``md5`` + hex-digit bit
+    arithmetic; see ``SIMHASH_SQL`` in queries.py)."""
     acc = np.zeros(64, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
     for word in text.split():
-        h = int.from_bytes(
-            hashlib.blake2b(word.encode("utf-8"), digest_size=8).digest(), "big"
-        )
-        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        h = int(hashlib.md5(word.encode("utf-8")).hexdigest()[:16], 16)
+        bits = (np.uint64(h) >> shifts) & np.uint64(1)
         acc += np.where(bits.astype(bool), 1, -1)
     out = np.uint64(0)
     for i in range(64):

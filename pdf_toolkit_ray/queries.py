@@ -548,6 +548,35 @@ def lang_id_documents(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# exact SQL twin of the stopword-profile heuristic in functions/textstats.py:
+# distinct lowercased words intersected with each language's profile;
+# argmax with ties resolved in sorted language order (de < en < es < fr),
+# 'und' when no profile hits
+LANG_ID_SQL = """
+WITH h AS (
+  SELECT doc_id,
+    len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+        ['the','and','of','to','a','in','is','that','it','for'])) AS h_en,
+    len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+        ['der','die','das','und','ist','nicht','ein','mit','zu','den'])) AS h_de,
+    len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+        ['le','la','les','et','est','un','une','des','que','pour'])) AS h_fr,
+    len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+        ['el','la','los','las','y','es','un','una','que','por'])) AS h_es
+  FROM documents
+)
+SELECT doc_id,
+  CASE
+    WHEN h_de = 0 AND h_en = 0 AND h_es = 0 AND h_fr = 0 THEN 'und'
+    WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+    WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+    WHEN h_es >= h_fr THEN 'es'
+    ELSE 'fr'
+  END AS pred_lang
+FROM h
+"""
+
+
 def minhash_clusters_documents(sf_dir: str):
     ds = scan(sf_dir, "documents", columns=["doc_id", "text"])
     return dedup_mod.minhash_lsh_clusters(ds, "doc_id", "text", threshold=0.8)
@@ -558,9 +587,60 @@ def simhash_documents(sf_dir: str):
     return dedup_mod.add_simhash(ds, "doc_id", "text")
 
 
+# exact SQL twin of simhash64: word hash = top 64 bits of md5; per bit
+# position, majority vote over word occurrences; bit 63 contributes the
+# int64 sign (two's complement). Bit i lives in hex digit 16 - i//4
+# (1-based substr) at in-digit position i%4.
+SIMHASH_SQL = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+bits AS (
+  SELECT doc_id, t.i AS bit,
+    ((strpos('0123456789abcdef', substr(md5(word), CAST(16 - t.i // 4 AS INTEGER), 1)) - 1)
+      >> CAST(t.i % 4 AS INTEGER)) & 1 AS v
+  FROM w, (SELECT unnest(range(0, 64)) AS i) t
+),
+sums AS (
+  SELECT doc_id, bit, sum(CASE WHEN v = 1 THEN 1 ELSE -1 END) AS s
+  FROM bits GROUP BY doc_id, bit
+)
+SELECT doc_id,
+  CAST(sum(CASE WHEN s > 0 THEN
+        CASE WHEN bit = 63 THEN -9223372036854775807 - 1
+             ELSE CAST(1 AS BIGINT) << CAST(bit AS INTEGER) END
+      ELSE 0 END) AS BIGINT) AS simhash
+FROM sums GROUP BY doc_id
+"""
+
+
 def ngram_dup_pairs_documents(sf_dir: str):
     ds = scan(sf_dir, "documents", columns=["doc_id", "text"])
     return dedup_mod.ngram_jaccard_pairs(ds, "doc_id", "text", threshold=0.5)
+
+
+# exact SQL twin: distinct word trigrams per doc, all-pairs set Jaccard.
+# The Ray side generates candidates by MinHash-LSH (64 perms, 32 bands of
+# 2 rows: miss prob (1-j^2)^32 < 1e-4 at j=0.5) then verifies EXACT
+# Jaccard, so at the driver's scale the result equals the all-pairs truth.
+NGRAM_PAIRS_SQL = """
+WITH g AS (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      range(1, len(string_split(text, ' ')) - 1),
+      i -> string_split(text, ' ')[i] || ' ' ||
+           string_split(text, ' ')[i+1] || ' ' ||
+           string_split(text, ' ')[i+2]
+    )) AS grams
+  FROM documents
+)
+SELECT a, b, round(j, 4) AS jaccard FROM (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+    CAST(len(list_intersect(x.grams, y.grams)) AS DOUBLE) /
+      (len(x.grams) + len(y.grams) - len(list_intersect(x.grams, y.grams))) AS j
+  FROM g x JOIN g y ON x.doc_id < y.doc_id
+) WHERE j >= 0.5
+"""
 
 
 def _query_embeddings(sf_dir: str, n_queries: int = 5):
@@ -774,10 +854,29 @@ FROM orders
 
 
 def sample_lineitem(sf_dir: str):
-    """Seeded sampling (rows-only: sampling is not SQL-reproducible)."""
-    return scan(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"]).random_sample(
-        0.01, seed=7
-    )
+    """Deterministic ~1.2% hash sample: md5 of the row key, keep rows whose
+    first hex byte < 0x03 — reproducible on any engine (and SQL-checkable),
+    unlike seeded RNG sampling whose stream depends on block layout."""
+    ds = scan(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        ok = batch.column("l_orderkey").to_pylist()
+        ln = batch.column("l_linenumber").to_pylist()
+        keep = [
+            hashlib.md5(f"{o}-{l}".encode()).hexdigest()[:2] < "03"
+            for o, l in zip(ok, ln)
+        ]
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SAMPLE_SQL = """
+SELECT l_orderkey, l_linenumber FROM lineitem
+WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)), 1, 2) < '03'
+"""
 
 
 
@@ -1082,7 +1181,7 @@ REGISTRY: dict[str, tuple] = {
     "join_big_revenue_by_priority": (join_big_revenue_by_priority, JOIN_BIG_SQL),
     "union_quantity_extremes": (union_quantity_extremes, UNION_SQL),
     "running_spend_per_customer": (running_spend_per_customer, RUNNING_SPEND_SQL),
-    "sample_lineitem": (sample_lineitem, None),
+    "sample_lineitem": (sample_lineitem, SAMPLE_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q5_local_supplier_volume": (q5_local_supplier_volume, Q5_SQL),
     "json_props_events": (json_props_events, JSON_PROPS_SQL),
@@ -1091,10 +1190,10 @@ REGISTRY: dict[str, tuple] = {
     "token_count_documents": (token_count_documents, TOKEN_COUNT_SQL),
     "textnorm_documents": (textnorm_documents, TEXTNORM_SQL),
     "quality_documents": (quality_documents, QUALITY_SQL),
-    "lang_id_documents": (lang_id_documents, None),
+    "lang_id_documents": (lang_id_documents, LANG_ID_SQL),
     "minhash_clusters_documents": (minhash_clusters_documents, None),
-    "simhash_documents": (simhash_documents, None),
-    "ngram_dup_pairs_documents": (ngram_dup_pairs_documents, None),
+    "simhash_documents": (simhash_documents, SIMHASH_SQL),
+    "ngram_dup_pairs_documents": (ngram_dup_pairs_documents, NGRAM_PAIRS_SQL),
     "embedding_topk": (embedding_topk, EMBEDDING_TOPK_SQL),
     "embedding_topk_lsh": (embedding_topk_lsh, None),
     "embedding_near_dups": (embedding_near_dups, EMBEDDING_NEAR_DUP_SQL),
