@@ -32,6 +32,12 @@ def _build_parser() -> argparse.ArgumentParser:
                      help="config override (repeatable)")
     ext.add_argument("--no-resume", action="store_true",
                      help="reprocess all partitions even if committed")
+    ext.add_argument("--turns", default=None, metavar="SPEC",
+                     help='strict 1-based turn selection, e.g. "1-3,5" or "all" '
+                          "(duplicates/overlaps are errors); pushed down to the read")
+    ext.add_argument("--dry-run", action="store_true",
+                     help="plan only: report input size, heavy convs, partition "
+                          "slots and resume skips; write nothing")
     ext.add_argument("--dump-default-config", action="store_true")
     ext.add_argument("--num-cpus", type=int, default=None)
 
@@ -80,10 +86,17 @@ def main(argv: list[str] | None = None) -> int:
             if not args.input or not args.out:
                 raise UserError("extract requires --input and --out")
             cfg = load_config(args.config, overrides=_parse_overrides(args.set))
+            if args.turns is not None:
+                from .functions.turnspec import turn_filter_expression
+
+                turn_filter_expression(args.turns)  # fail fast on bad specs
             ray = _ray_session(args.num_cpus)
             from .pipelines.extract import run_extract_job
 
-            summary = run_extract_job(args.input, args.out, cfg, resume=not args.no_resume)
+            summary = run_extract_job(
+                args.input, args.out, cfg,
+                resume=not args.no_resume, turns=args.turns, dry_run=args.dry_run,
+            )
             print(json.dumps(summary, indent=1))
             ray.shutdown()
             return 0

@@ -60,6 +60,13 @@ class ExtractConfig:
     salt_width: int = 50_000           # turns per salt chunk: salt = turn_idx // salt_width
     batch_size: int = 32768            # rows per extraction batch/task
     extract_concurrency: Any = None    # actor pool size; None = let Ray autoscale
+    # two-level exchange: None = auto (on when blocks*slots exceeds
+    # exchange_max_objects), True/False = force. exchange_wave bounds how
+    # many map shards a mid-level merge task consumes (driver ref lists and
+    # reducer arg lists stay O(blocks/wave) instead of O(blocks)).
+    exchange_two_level: Any = None
+    exchange_wave: int = 32
+    exchange_max_objects: int = 100_000
 
     def __post_init__(self) -> None:
         if self.split_ratio <= 0:
@@ -109,13 +116,18 @@ class ExtractConfig:
             raise UserError("salt_width must be a positive integer.")
         if self.batch_size <= 0:
             raise UserError("batch_size must be a positive integer.")
+        if self.exchange_wave <= 1:
+            raise UserError("exchange_wave must be > 1.")
+        if self.exchange_max_objects <= 0:
+            raise UserError("exchange_max_objects must be a positive integer.")
 
     def config_hash(self) -> str:
         """Stable digest of the semantic knobs — recorded in partition manifests."""
         payload = {
             k: v
             for k, v in dataclasses.asdict(self).items()
-            if k not in ("batch_size", "extract_concurrency")
+            if k not in ("batch_size", "extract_concurrency", "exchange_two_level",
+                         "exchange_wave", "exchange_max_objects")
         }
         return hashlib.sha256(
             json.dumps(payload, sort_keys=True).encode()

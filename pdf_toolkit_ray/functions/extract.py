@@ -36,7 +36,11 @@ def extract_batch(tbl: pa.Table, cfg: ExtractConfig) -> pa.Table:
     extracted = np.empty(n, dtype=object)
     used_fallback = np.zeros(n, dtype=bool)
     notes_cells: list[list[str]] = [[]] * n  # shared empty; replaced when non-empty
-    spans_cells: list[list[dict] | None] = [None] * n
+    # span storage: int => plain row with one (0, len, text, 1.0) span;
+    # list[Span] => document rows; None => no spans. Flattened to Arrow
+    # below WITHOUT building a dict per span (the dict path was ~15% of
+    # batch CPU: 4 allocs + 4 hashed lookups per span during conversion).
+    span_rows: list = [None] * n
 
     # --- plain rows: fully vectorized normalize ---
     plain_idx = np.flatnonzero(kinds_np == KIND_PLAIN)
@@ -48,11 +52,7 @@ def extract_batch(tbl: pa.Table, cfg: ExtractConfig) -> pa.Table:
         extracted[plain_idx] = norm_np
         for i, row in enumerate(plain_idx):
             length = int(lens[i])
-            spans_cells[row] = (
-                [{"start": 0, "end": length, "kind": "text", "score": 1.0}]
-                if length
-                else []
-            )
+            span_rows[row] = length if length else None
 
     # --- html / pdf rows: per-document extractors ---
     doc_idx = np.flatnonzero(kinds_np != KIND_PLAIN)
@@ -67,13 +67,48 @@ def extract_batch(tbl: pa.Table, cfg: ExtractConfig) -> pa.Table:
             used_fallback[row] = result.used_fallback
             if result.notes:
                 notes_cells[row] = result.notes
-            spans_cells[row] = [s.as_dict() for s in result.spans]
+            span_rows[row] = result.spans
+
+    # --- flat span assembly: primitive columns + offsets, zero dicts ---
+    counts = np.empty(n + 1, dtype=np.int32)
+    counts[0] = 0
+    starts: list[int] = []
+    ends: list[int] = []
+    span_kinds: list[str] = []
+    scores: list[float] = []
+    for row, v in enumerate(span_rows):
+        if v is None:
+            counts[row + 1] = 0
+        elif type(v) is int:
+            counts[row + 1] = 1
+            starts.append(0)
+            ends.append(v)
+            span_kinds.append("text")
+            scores.append(1.0)
+        else:
+            counts[row + 1] = len(v)
+            for s in v:
+                starts.append(s.start)
+                ends.append(s.end)
+                span_kinds.append(s.kind)
+                scores.append(s.score)
+    struct = pa.StructArray.from_arrays(
+        [
+            pa.array(starts, type=pa.int32()),
+            pa.array(ends, type=pa.int32()),
+            pa.array(span_kinds, type=pa.string()),
+            pa.array(scores, type=pa.float32()),
+        ],
+        fields=list(SPAN_TYPE),
+    )
+    offsets = pa.array(np.cumsum(counts, dtype=np.int32), type=pa.int32())
+    spans_arr = pa.ListArray.from_arrays(offsets, struct)
 
     out = tbl.append_column("kind", kinds)
     out = out.append_column(
         "extracted_text", pa.array(extracted, type=pa.large_string())
     )
-    out = out.append_column("spans", pa.array(spans_cells, type=pa.list_(SPAN_TYPE)))
+    out = out.append_column("spans", spans_arr.cast(pa.list_(SPAN_TYPE)))
     out = out.append_column("notes", pa.array(notes_cells, type=pa.list_(pa.string())))
     out = out.append_column("used_fallback", pa.array(used_fallback))
     return out

@@ -57,6 +57,23 @@ def _input_bytes(input_path: str) -> int:
     return total
 
 
+def _input_row_count(input_path: str) -> int:
+    """Total rows from parquet footers only (no data read)."""
+    import pyarrow.parquet as pq
+
+    files = (
+        [input_path]
+        if os.path.isfile(input_path)
+        else [
+            os.path.join(root, f)
+            for root, _d, fs in os.walk(input_path)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+    )
+    return sum(pq.ParquetFile(p).metadata.num_rows for p in files)
+
+
 def _choose_num_blocks(input_path: str, target_block_bytes: int = 96 << 20) -> int:
     """Block count for the scan: enough for 2 blocks per CPU, but never
     smaller blocks than ~target_block_bytes once the input is large.
@@ -67,14 +84,23 @@ def _choose_num_blocks(input_path: str, target_block_bytes: int = 96 << 20) -> i
     starve parallelism. Scale-safe: at 100 TB this yields ~1M blocks of
     ~96 MB, at bench scale it yields 2×CPU blocks.
     """
+    override = os.environ.get("GRAFT_NUM_BLOCKS")
+    if override:
+        return int(override)
     cpus = int(ray.cluster_resources().get("CPU", 8))
     by_size = max(1, _input_bytes(input_path) // target_block_bytes)
     return int(max(2 * cpus, by_size))
 
 
-def read_transcripts(input_path: str, columns: list[str] | None = None) -> ray.data.Dataset:
+def read_transcripts(
+    input_path: str, columns: list[str] | None = None, filter=None
+) -> ray.data.Dataset:
+    """Column-pruned, predicate-pushed transcript scan. ``filter`` is a
+    pyarrow dataset expression (e.g. from ``turn_filter_expression``) —
+    row groups excluded by statistics never leave storage."""
     ds = ray.data.read_parquet(
-        input_path, columns=columns, override_num_blocks=_choose_num_blocks(input_path)
+        input_path, columns=columns, filter=filter,
+        override_num_blocks=_choose_num_blocks(input_path),
     )
     validate_transcripts_schema(ds.schema().base_schema if hasattr(ds.schema(), "base_schema") else ds.schema())
     return ds
@@ -217,21 +243,66 @@ def run_extract_job(
     cfg: ExtractConfig | None = None,
     *,
     resume: bool = True,
+    turns: str | None = None,
+    dry_run: bool = False,
 ) -> dict[str, Any]:
     """Run the pipeline to a partitioned, manifested output directory.
 
     Returns the job summary (also written to ``out/_job_manifest.json``).
     Re-running after a partial failure processes only partitions without
     a valid manifest.
+
+    ``turns`` is a strict 1-based selection spec ("1-3,5", "all") applied
+    as predicate pushdown at the read (``functions/turnspec.py``, the
+    reference's ``parse_page_spec`` analog). ``dry_run=True`` plans the
+    job — input size, heavy conversations, slot list, which partitions a
+    resume would skip — and writes NOTHING (reference ``render.py:127-137``
+    semantics: actions recorded with status "dry-run", manifest skipped).
     """
     cfg = cfg or ExtractConfig()
     t_start = time.time()
-    os.makedirs(out_dir, exist_ok=True)
+    turn_filter = None
+    if turns is not None:
+        from ..functions.turnspec import turn_filter_expression
+
+        turn_filter = turn_filter_expression(turns)
     config_hash = cfg.config_hash()
     done = manifest_mod.completed_partitions(out_dir, config_hash) if resume else set()
 
     heavy = compute_heavy(input_path, cfg)
-    ds = read_transcripts(input_path)
+    t_heavy = time.time()
+
+    if dry_run:
+        from ..stages.exchange import exchange_slots
+
+        slots = exchange_slots(cfg, heavy)
+        actions = [
+            {
+                "timestamp": manifest_mod._utcnow(),
+                "action": "write_partition",
+                "status": "skipped" if (p, s) in done else "dry-run",
+                "part_id": p,
+                "salt": s,
+            }
+            for p, s in slots
+        ]
+        return {
+            "input": str(input_path),
+            "out_dir": out_dir,
+            "dry_run": True,
+            "config_hash": config_hash,
+            "input_rows": _input_row_count(input_path),
+            "heavy_convs": len(heavy),
+            "planned_partitions": len(slots),
+            "resumed_partitions": sorted(list(done)),
+            "turns": turns,
+            "actions": actions,
+            "action_counts": manifest_mod.summarize_actions(actions),
+            "wall_sec": round(time.time() - t_start, 3),
+        }
+
+    os.makedirs(out_dir, exist_ok=True)
+    ds = read_transcripts(input_path, filter=turn_filter)
     ds = _extracted(ds, cfg, heavy, done=done)
 
     lineage = {"input": str(input_path), "config_hash": config_hash}
@@ -269,15 +340,29 @@ def run_extract_job(
             .map_groups(_finalize_and_write, batch_format="pyarrow")
             .take_all()  # tiny: one row per partition
         )
+        t_map = t_reduce = time.time()
     else:
         from ..stages.exchange import mr_exchange
 
         def _finalize_commit(tbl: pa.Table) -> dict | None:
             return _commit(finalize_group(tbl, heavy, cfg))
 
-        stats = [r for r in ray.get(mr_exchange(ds, cfg, heavy, _finalize_commit)) if r]
+        refs = mr_exchange(ds, cfg, heavy, _finalize_commit)
+        t_map = time.time()  # extraction consumed, all split/merge tasks issued
+        stats = [r for r in ray.get(refs) if r]
+        t_reduce = time.time()
 
     written = {(int(r["part_id"]), int(r["salt"])): int(r["rows"]) for r in stats}
+    now = manifest_mod._utcnow()
+    actions = [
+        {"timestamp": now, "action": "write_partition", "status": "skipped",
+         "part_id": p, "salt": s}
+        for p, s in sorted(done)
+    ] + [
+        {"timestamp": now, "action": "write_partition", "status": "written",
+         "part_id": p, "salt": s, "rows": n}
+        for (p, s), n in sorted(written.items())
+    ]
     summary = {
         "input": str(input_path),
         "out_dir": out_dir,
@@ -286,7 +371,15 @@ def run_extract_job(
         "written_partitions": len(written),
         "rows_written": int(sum(written.values())),
         "heavy_convs": len(heavy),
+        "turns": turns,
+        "action_counts": manifest_mod.summarize_actions(actions),
+        "actions": actions,
         "wall_sec": round(time.time() - t_start, 3),
+        "phase_sec": {
+            "heavy_pass": round(t_heavy - t_start, 3),
+            "map_split": round(t_map - t_heavy, 3),
+            "reduce_write": round(t_reduce - t_map, 3),
+        },
     }
     manifest_mod.write_job_manifest(out_dir, summary)
     return summary

@@ -51,6 +51,11 @@ SIZES = {
     # session/shuffle overhead and pool ramp-up amortize, approximating the
     # 10^12-turn regime where compute dominates
     "scaling": (400_000, 8_000),
+    # 2x scaling: per-core work is ~2x so node-fixed costs (disk write,
+    # driver loops, session machinery) amortize further — closer still to
+    # the compute-dominated regime the 10^12-turn criterion imagines,
+    # while the in-flight working set stays inside the object store
+    "scaling2": (800_000, 16_000),
 }
 
 _TS_BASE_US = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z in microseconds
@@ -357,7 +362,7 @@ def transcripts_path_for(
 ) -> str:
     """Cached fixture location; generates on first use."""
     if use_ray is None:
-        use_ray = size in ("bench", "scaling")
+        use_ray = size in ("bench", "scaling", "scaling2")
     suffix = "" if use_ray else ".parquet"
     path = os.path.join(base_dir, f"transcripts-{size}-s{seed}-v{FIXTURE_VERSION}{suffix}")
     done_marker = path + ".done"

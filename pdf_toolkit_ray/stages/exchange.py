@@ -94,6 +94,53 @@ def _reduce_slot(finalize_fn, *shards):
     return finalize_fn(EXTRACTED_WITH_KEYS_SCHEMA.empty_table())
 
 
+@ray.remote
+def _split_block_groups(block: pa.Table, composite_keys: np.ndarray, group_bounds: np.ndarray):
+    """One extraction block → one sub-table per slot GROUP (coarse level-1
+    routing; the per-slot split happens in the level-2 merge task)."""
+    n_groups = len(group_bounds) - 1
+    if block.num_rows == 0 or "part_id" not in block.schema.names:
+        empty = block.slice(0, 0)
+        return tuple(empty for _ in range(n_groups))
+    part = block.column("part_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    salt = block.column("salt").to_numpy(zero_copy_only=False).astype(np.int64)
+    comp = (part << _SALT_BITS) | salt
+    slot = np.searchsorted(composite_keys, comp)
+    order = np.argsort(slot, kind="stable")
+    sorted_tbl = block.take(pa.array(order))
+    sorted_slot = slot[order]
+    bounds = np.searchsorted(sorted_slot, group_bounds)
+    return tuple(
+        sorted_tbl.slice(bounds[g], bounds[g + 1] - bounds[g])
+        for g in range(n_groups)
+    )
+
+
+@ray.remote
+def _subsplit_group(group_keys: np.ndarray, *shards: pa.Table):
+    """Level-2: concat one WAVE of a group's shards, split per slot."""
+    n_slots = len(group_keys)
+    valid = [s for s in shards if s.num_rows and "part_id" in s.schema.names]
+    if not valid:
+        from ..schema import EXTRACTED_WITH_KEYS_SCHEMA
+
+        empty = EXTRACTED_WITH_KEYS_SCHEMA.empty_table()
+        return tuple(empty for _ in range(n_slots)) if n_slots > 1 else empty
+    tbl = pa.concat_tables(valid)
+    part = tbl.column("part_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    salt = tbl.column("salt").to_numpy(zero_copy_only=False).astype(np.int64)
+    comp = (part << _SALT_BITS) | salt
+    slot = np.searchsorted(group_keys, comp)
+    order = np.argsort(slot, kind="stable")
+    sorted_tbl = tbl.take(pa.array(order))
+    sorted_slot = slot[order]
+    bounds = np.searchsorted(sorted_slot, np.arange(n_slots + 1))
+    out = tuple(
+        sorted_tbl.slice(bounds[s], bounds[s + 1] - bounds[s]) for s in range(n_slots)
+    )
+    return out if n_slots > 1 else out[0]
+
+
 def mr_exchange(
     ds: ray.data.Dataset,
     cfg: ExtractConfig,
@@ -105,23 +152,80 @@ def mr_exchange(
     ``finalize_fn`` runs inside each reduce task: finalize-only
     (returning the finalized Arrow table — consume via
     ``ray.data.from_arrow_refs``) or finalize+atomic-write (returning a
-    small metrics dict, or None for empty slots — ``ray.get`` them)."""
+    small metrics dict, or None for empty slots — ``ray.get`` them).
+
+    Topology is chosen per job: the single-level exchange creates B×S
+    shard objects (fine while S is moderate); when B×S would explode
+    (``cfg.exchange_two_level`` True, or auto at S > 1024), a two-level
+    exchange routes each block to √S slot GROUPS and merges each group's
+    shards in bounded WAVES of ``cfg.exchange_wave`` blocks, so object
+    count is B·√S + (B/W)·S and no driver list or reduce arg list grows
+    with B×S."""
     slots = exchange_slots(cfg, heavy)
     composite = np.array([(p << _SALT_BITS) | s for p, s in slots], dtype=np.int64)
-    comp_ref = ray.put(composite)
     n_slots = len(slots)
+    two_level = cfg.exchange_two_level
+    if two_level is None:
+        two_level = n_slots > 1024
 
-    shard_refs: list[list[ray.ObjectRef]] = [[] for _ in range(n_slots)]
-    splitter = _split_block.options(num_returns=n_slots)
+    if not two_level:
+        comp_ref = ray.put(composite)
+        shard_refs: list[list[ray.ObjectRef]] = [[] for _ in range(n_slots)]
+        splitter = _split_block.options(num_returns=n_slots)
+        for bundle in ds.iter_internal_ref_bundles():
+            for block_ref in bundle.block_refs:
+                outs = splitter.remote(block_ref, comp_ref)
+                if n_slots == 1:
+                    outs = [outs]
+                for slot_idx, ref in enumerate(outs):
+                    shard_refs[slot_idx].append(ref)
+        return [
+            _reduce_slot.remote(finalize_fn, *shard_refs[slot_idx])
+            for slot_idx in range(n_slots)
+        ]
+
+    # --- two-level path ---
+    n_groups = max(1, int(np.ceil(np.sqrt(n_slots))))
+    per_group = int(np.ceil(n_slots / n_groups))
+    group_bounds = np.minimum(np.arange(n_groups + 1) * per_group, n_slots)
+    comp_ref = ray.put(composite)
+    bounds_ref = ray.put(group_bounds)
+    group_key_refs = [
+        ray.put(composite[group_bounds[g] : group_bounds[g + 1]])
+        for g in range(n_groups)
+    ]
+    group_sizes = [int(group_bounds[g + 1] - group_bounds[g]) for g in range(n_groups)]
+
+    slot_shards: list[list[ray.ObjectRef]] = [[] for _ in range(n_slots)]
+    pending: list[list[ray.ObjectRef]] = [[] for _ in range(n_groups)]
+
+    def _flush(g: int) -> None:
+        if not pending[g]:
+            return
+        outs = _subsplit_group.options(num_returns=group_sizes[g]).remote(
+            group_key_refs[g], *pending[g]
+        )
+        pending[g] = []
+        if group_sizes[g] == 1:
+            outs = [outs]
+        base = int(group_bounds[g])
+        for local_idx, ref in enumerate(outs):
+            slot_shards[base + local_idx].append(ref)
+
+    splitter = _split_block_groups.options(num_returns=n_groups)
     for bundle in ds.iter_internal_ref_bundles():
         for block_ref in bundle.block_refs:
-            outs = splitter.remote(block_ref, comp_ref)
-            if n_slots == 1:
+            outs = splitter.remote(block_ref, comp_ref, bounds_ref)
+            if n_groups == 1:
                 outs = [outs]
-            for slot_idx, ref in enumerate(outs):
-                shard_refs[slot_idx].append(ref)
+            for g, ref in enumerate(outs):
+                pending[g].append(ref)
+                if len(pending[g]) >= cfg.exchange_wave:
+                    _flush(g)
+    for g in range(n_groups):
+        _flush(g)
 
     return [
-        _reduce_slot.remote(finalize_fn, *shard_refs[slot_idx])
+        _reduce_slot.remote(finalize_fn, *slot_shards[slot_idx])
         for slot_idx in range(n_slots)
     ]

@@ -54,7 +54,11 @@ def write_partition(
     data_path = os.path.join(pdir, "data.parquet")
     tmp_path = data_path + f".tmp.{os.getpid()}"
     try:
-        pq.write_table(tbl, tmp_path)
+        # zstd over the default snappy: ~2x smaller files. Disk bandwidth is
+        # the one resource that does NOT scale with added cores on a node
+        # (and is precious on a 256-node cluster); the extra encode CPU
+        # runs inside the (parallel) reduce tasks where cores are abundant.
+        pq.write_table(tbl, tmp_path, compression="zstd")
         os.replace(tmp_path, data_path)
     except BaseException:
         if os.path.exists(tmp_path):
@@ -71,11 +75,31 @@ def write_partition(
         "written_at": _utcnow(),
         "lineage": lineage,
         "metrics": metrics,
+        # per-action audit record (reference manifest.py:66-79 shape)
+        "actions": [
+            {
+                "timestamp": _utcnow(),
+                "action": "write_partition",
+                "status": "written",
+                "rows": int(tbl.num_rows),
+                "data_file": "data.parquet",
+            }
+        ],
     }
     mtmp = os.path.join(pdir, MANIFEST_NAME + f".tmp.{os.getpid()}")
     with open(mtmp, "w") as fh:
         json.dump(manifest, fh, sort_keys=True)
     os.replace(mtmp, os.path.join(pdir, MANIFEST_NAME))
+
+
+def summarize_actions(actions: list[dict[str, Any]]) -> dict[str, int]:
+    """Count actions by status (reference ``_summarize_actions``,
+    manifest.py:81-88)."""
+    counts: dict[str, int] = {}
+    for action in actions:
+        status = str(action.get("status", "unknown"))
+        counts[status] = counts.get(status, 0) + 1
+    return counts
 
 
 def load_manifest(pdir: str) -> dict[str, Any] | None:

@@ -106,6 +106,18 @@ def test_sort_exchange_matches_mr(ray_session, smoke_parquet, oracle_df):
     assert_matches_oracle(got, oracle_df)
 
 
+def test_two_level_exchange_matches_mr(ray_session, smoke_parquet, oracle_df):
+    """The two-level (group split -> wave merge -> per-slot reduce) exchange
+    must produce the same rows as the single-level exchange, at a slot
+    count (n_parts=128) and wave size small enough to exercise several
+    groups and mid-level merges."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, exchange_two_level=True, exchange_wave=2)
+    got = extract_dataset(smoke_parquet, cfg).to_pandas()
+    assert_matches_oracle(got, oracle_df)
+
+
 def test_schema_validation_rejects_wrong_table(ray_session):
     import ray.data
     from pdf_toolkit_ray import UserError
