@@ -203,6 +203,29 @@ def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 
 
+_FP_BASE = 257
+
+
+def char_fingerprints(
+    text: str, window: int = 8, keep_mod: int = 16
+) -> np.ndarray:
+    """Winnowing-style fingerprints over CHARACTER windows (Schleimer '03
+    shape), exactly SQL-replicable: h_i = Σ_j cp(c_{i+j})·257^(W-1-j) mod
+    (2^61-1), keeping h ≡ 0 (mod keep_mod). Vectorized with the exact
+    Mersenne modmul; code points via utf-32 decode (no byte ambiguity)."""
+    cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    n = len(cps) - window + 1
+    if n <= 0:
+        return np.empty(0, dtype=np.uint64)
+    weights = [pow(_FP_BASE, window - 1 - j, _MERSENNE) for j in range(window)]
+    acc = np.zeros(n, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j, w in enumerate(weights):
+            term = _mulmod61(np.broadcast_to(np.uint64(w), (n,)), cps[j : j + n])
+            acc = _mod61(acc + term)
+    return acc[acc % np.uint64(keep_mod) == 0]
+
+
 def rolling_fingerprint(text: str, window: int = 8, keep_mod: int = 16) -> list[int]:
     """Winnowing-style document fingerprint: Rabin-Karp rolling hashes of
     character windows, keeping hashes ≡ 0 (mod keep_mod) (Schleimer '03)."""

@@ -577,6 +577,51 @@ FROM h
 """
 
 
+def fingerprint_documents(sf_dir: str):
+    """Winnowing-style character-window fingerprints per document
+    (count + min fingerprint; -1 when none selected)."""
+    from .functions.hashing import char_fingerprints
+
+    ds = scan(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n_fp, min_fp = [], []
+        for t in batch.column("text").to_pylist():
+            fps = char_fingerprints(t or "")
+            n_fp.append(len(fps))
+            min_fp.append(int(fps.min()) if len(fps) else -1)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_fp": pa.array(n_fp, pa.int64()),
+                "min_fp": pa.array(min_fp, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# exact SQL twin: same 8-char polynomial window hash mod the Mersenne
+# prime, computed in HUGEINT (terms < 2^78), fingerprints = h % 16 == 0
+FINGERPRINT_SQL = """
+WITH fp AS (
+  SELECT d.doc_id,
+    (list_sum(list_transform(range(0, 8), j ->
+       CAST(unicode(substr(d.text, CAST(t.i + j AS INTEGER), 1)) AS HUGEINT)
+       * CAST([74051159531521793, 288136807515649, 1121154893057, 4362470401,
+               16974593, 66049, 257, 1][CAST(j + 1 AS INTEGER)] AS HUGEINT)))
+     % CAST(2305843009213693951 AS HUGEINT)) AS h
+  FROM documents d, unnest(range(1, length(d.text) - 8 + 2)) t(i)
+  WHERE length(d.text) >= 8
+)
+SELECT d.doc_id, COALESCE(s.n_fp, 0) AS n_fp, COALESCE(s.min_fp, -1) AS min_fp
+FROM documents d LEFT JOIN (
+  SELECT doc_id, count(*) AS n_fp, CAST(min(h) AS BIGINT) AS min_fp
+  FROM fp WHERE h % 16 = 0 GROUP BY doc_id
+) s ON d.doc_id = s.doc_id
+"""
+
+
 def minhash_clusters_documents(sf_dir: str):
     ds = scan(sf_dir, "documents", columns=["doc_id", "text"])
     return dedup_mod.minhash_lsh_clusters(ds, "doc_id", "text", threshold=0.8)
@@ -1191,6 +1236,7 @@ REGISTRY: dict[str, tuple] = {
     "textnorm_documents": (textnorm_documents, TEXTNORM_SQL),
     "quality_documents": (quality_documents, QUALITY_SQL),
     "lang_id_documents": (lang_id_documents, LANG_ID_SQL),
+    "fingerprint_documents": (fingerprint_documents, FINGERPRINT_SQL),
     "minhash_clusters_documents": (minhash_clusters_documents, None),
     "simhash_documents": (simhash_documents, SIMHASH_SQL),
     "ngram_dup_pairs_documents": (ngram_dup_pairs_documents, NGRAM_PAIRS_SQL),
