@@ -132,8 +132,11 @@ def run_scaling() -> dict:
     """
     fixture = os.environ.get("GRAFT_SCALING_FIXTURE", "scaling2")
     reps = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
+    levels = tuple(
+        int(x) for x in os.environ.get("GRAFT_SCALING_LEVELS", "8,32").split(",")
+    )
     results = {}
-    for ncpu in (8, 32):
+    for ncpu in levels:
         best = None
         for _attempt in range(reps):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_FIXTURE=fixture,
@@ -150,21 +153,23 @@ def run_scaling() -> dict:
             if best is None or run["value"] < best["value"]:
                 best = run
         results[ncpu] = best
-    thr8 = results[8]["turns_per_sec"]
-    thr32 = results[32]["turns_per_sec"]
-    eff = (thr32 / thr8) / (32 / 8)
+    lo, hi = levels[0], levels[-1]
+    thr8 = results[lo]["turns_per_sec"]
+    thr32 = results[hi]["turns_per_sec"]
+    eff = (thr32 / thr8) / (hi / lo)
     summary = {
         "metric": "scaling_efficiency",
         "fixture": fixture,
+        "levels": list(levels),
         "value": round(eff, 3),
         "unit": "ratio",
         "turns_per_sec_8": thr8,
         "turns_per_sec_32": thr32,
-        "sec_8": results[8]["value"],
-        "sec_32": results[32]["value"],
-        "phase_8": results[8].get("phase_sec", {}),
-        "phase_32": results[32].get("phase_sec", {}),
-        "turns": results[32]["turns"],
+        "sec_8": results[lo]["value"],
+        "sec_32": results[hi]["value"],
+        "phase_8": results[lo].get("phase_sec", {}),
+        "phase_32": results[hi].get("phase_sec", {}),
+        "turns": results[hi]["turns"],
         "sf": SF_DIR,
     }
     os.makedirs("BENCH", exist_ok=True)
