@@ -43,14 +43,35 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+_QUERY_CACHE: dict = {}
+_REF_CACHE: dict = {}
+
+
+def _cached_ref(ref):
+    """ray.get once per worker process for a broadcast ObjectRef."""
+    key = ref.hex()
+    if key not in _REF_CACHE:
+        _REF_CACHE[key] = ray.get(ref)
+    return _REF_CACHE[key]
+
+
+def _cached_queries(queries_ref):
+    """ray.get + normalize once per worker process (keyed by ref hex)."""
+    key = queries_ref.hex() if isinstance(queries_ref, ray.ObjectRef) else id(queries_ref)
+    if key not in _QUERY_CACHE:
+        payload = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        qids, qm = payload
+        _QUERY_CACHE[key] = (qids, _normalize(qm))
+    return _QUERY_CACHE[key]
+
+
 class _TopKStage:
     """Batch-local exact top-k: one matmul per batch against the broadcast
-    query matrix (ray.put once, ray.get in __init__ — once per actor)."""
+    query matrix (ray.put once, fetched+normalized once per worker —
+    usable as a stateless task fn via ``_topk_fn`` or as an actor)."""
 
     def __init__(self, queries_ref, k: int):
-        payload = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
-        self.query_ids, qm = payload
-        self.qn = _normalize(qm)
+        self.query_ids, self.qn = _cached_queries(queries_ref)
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -96,14 +117,16 @@ def _final_topk(k: int):
 def brute_force_topk(
     ds: ray.data.Dataset, query_ids: list[int], query_matrix: np.ndarray, k: int = 10
 ) -> ray.data.Dataset:
-    """Exact cosine top-k per query over the embedding column."""
+    """Exact cosine top-k per query over the embedding column — stateless
+    tasks (broadcast query matrix cached per worker; no actor-pool
+    spin-up latency)."""
     ref = ray.put((list(query_ids), query_matrix.astype(np.float64)))
+
+    def _topk_fn(batch: pa.Table) -> pa.Table:
+        return _TopKStage(ref, k)(batch)
+
     candidates = ds.select_columns(["vec_id", "embedding"]).map_batches(
-        _TopKStage,
-        fn_constructor_args=(ref, k),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=(1, 8),
+        _topk_fn, batch_format="pyarrow", zero_copy_batch=True
     )
     return candidates.groupby("query_id").map_groups(_final_topk(k), batch_format="pyarrow")
 
@@ -141,28 +164,24 @@ def lsh_bucketed_topk(
     planes_ref = ray.put(planes)
     buckets_ref = ray.put(frozenset(query_buckets))
 
-    class _Filter:
-        def __init__(self):
-            self.planes = ray.get(planes_ref)
-            self.buckets = ray.get(buckets_ref)
+    def _filter_fn(batch: pa.Table) -> pa.Table:
+        m = _normalize(_matrix(batch.column("embedding")))
+        if m.shape[0] == 0:
+            return batch
+        table_planes = _cached_ref(planes_ref)
+        buckets = _cached_ref(buckets_ref)
+        keys = _bucket_keys(m, table_planes)
+        mask = [any(k in buckets for k in row_keys) for row_keys in keys]
+        return batch.filter(pa.array(mask))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            m = _normalize(_matrix(batch.column("embedding")))
-            if m.shape[0] == 0:
-                return batch
-            keys = _bucket_keys(m, self.planes)
-            mask = [any(k in self.buckets for k in row_keys) for row_keys in keys]
-            return batch.filter(pa.array(mask))
+    def _topk_fn(batch: pa.Table) -> pa.Table:
+        return _TopKStage(ref, k)(batch)
 
     filtered = ds.select_columns(["vec_id", "embedding"]).map_batches(
-        _Filter, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+        _filter_fn, batch_format="pyarrow", zero_copy_batch=True
     )
     candidates = filtered.map_batches(
-        _TopKStage,
-        fn_constructor_args=(ref, k),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=(1, 8),
+        _topk_fn, batch_format="pyarrow", zero_copy_batch=True
     )
     return candidates.groupby("query_id").map_groups(_final_topk(k), batch_format="pyarrow")
 

@@ -130,17 +130,31 @@ def _candidate_edges(group: pa.Table, id_col: str, threshold: float) -> pa.Table
     width = group.column("sig").type.byte_width
     raw = b"".join(group.column("sig").to_pylist())
     sigs = np.frombuffer(raw, dtype=np.uint32).reshape(m, width // 4)[order]
-    iu, ju = np.triu_indices(m, k=1)
-    sims = (sigs[iu] == sigs[ju]).mean(axis=1)
-    keep = (sims >= threshold) & (ids_sorted[iu] != ids_sorted[ju])
-    if not keep.any():
+    # chunked upper-triangle sweep: a degenerate bucket (skewed shingles)
+    # must not allocate an O(m^2 · P) comparison tensor in one shot
+    chunk = 1024
+    a_parts, b_parts, s_parts = [], [], []
+    for lo_a in range(0, m, chunk):
+        hi_a = min(lo_a + chunk, m)
+        for lo_b in range(lo_a, m, chunk):
+            hi_b = min(lo_b + chunk, m)
+            sims = (sigs[lo_a:hi_a, None, :] == sigs[None, lo_b:hi_b, :]).mean(axis=2)
+            ia, jb = np.nonzero(sims >= threshold)
+            gi, gj = ia + lo_a, jb + lo_b
+            keep = (gi < gj) & (ids_sorted[gi] != ids_sorted[gj])
+            if keep.any():
+                a_parts.append(ids_sorted[gi[keep]])
+                b_parts.append(ids_sorted[gj[keep]])
+                s_parts.append(sims[ia[keep], jb[keep]])
+    if not a_parts:
         return empty
+    sims_all = np.concatenate(s_parts)
     return pa.table(
         {
-            "a": pa.array(ids_sorted[iu[keep]], type=id_type),
-            "b": pa.array(ids_sorted[ju[keep]], type=id_type),
+            "a": pa.array(np.concatenate(a_parts), type=id_type),
+            "b": pa.array(np.concatenate(b_parts), type=id_type),
             "est_jaccard": pa.array(
-                [round_away_scalar(float(s)) for s in sims[keep]], type=pa.float64()
+                [round_away_scalar(float(s)) for s in sims_all], type=pa.float64()
             ),
         }
     )
