@@ -119,17 +119,30 @@ def topk(ds: ray.data.Dataset, sort_cols: list[tuple[str, str]], k: int) -> ray.
 def distinct_count(
     ds: ray.data.Dataset, group_key: str, distinct_col: str, alias: str
 ) -> ray.data.Dataset:
-    """Exact count-distinct per group: two-level groupby (both shuffles move
-    at most one row per distinct pair / per group)."""
+    """Exact count-distinct per group in ONE shuffle: per-batch local
+    distinct first (the shuffle moves at most one row per batch-local
+    distinct pair, not raw rows), then a single ``groupby(group_key).
+    map_groups`` that counts unique values per group. Each group's pair
+    set is bounded by the true distinct cardinality — the same bound the
+    old two-level groupby chain had, minus one whole sort-shuffle."""
 
     def _local_distinct(batch: pa.Table) -> pa.Table:
         return batch.select([group_key, distinct_col]).group_by(
             [group_key, distinct_col]
         ).aggregate([])
 
+    def _count_unique(group: pa.Table) -> pa.Table:
+        vals = group.column(distinct_col)
+        n = len(pc.unique(vals.combine_chunks() if isinstance(vals, pa.ChunkedArray) else vals))
+        return pa.table(
+            {
+                group_key: group.column(group_key).slice(0, 1),
+                alias: pa.array([n], type=pa.int64()),
+            }
+        )
+
     pairs = ds.map_batches(_local_distinct, batch_format="pyarrow", zero_copy_batch=True)
-    level1 = pairs.groupby([group_key, distinct_col]).aggregate(Count(alias_name="_c"))
-    return level1.groupby(group_key).aggregate(Count(alias_name=alias))
+    return pairs.groupby(group_key).map_groups(_count_unique, batch_format="pyarrow")
 
 
 def sessionize(

@@ -6,12 +6,15 @@ layout) is real and tested. Decoders:
 
 * **PPM (P6) images** — decoded for real (pure byte parsing + numpy);
   nearest-neighbor resize implemented on the pixel array;
+* **PNG images** — decoded for real from scratch (stdlib ``zlib`` +
+  chunk walk + all five scanline filters; 8-bit gray/RGB/RGBA,
+  non-interlaced) with a matching minimal encoder;
 * **WAV (PCM) audio** — decoded for real (stdlib ``wave`` + numpy);
-* **JPEG/PNG/MP3/video** — STUBBED: the container has no Pillow/ffmpeg,
+* **JPEG/MP3/video** — STUBBED: the container has no Pillow/ffmpeg,
   so :func:`decode_image` / :func:`decode_audio` raise
   ``NotImplementedError`` for those formats behind an import-try; the
-  deterministic fake generator below produces PPM/WAV so the pipelines
-  exercise the full path end-to-end.
+  deterministic fake generator below produces PPM/PNG/WAV so the
+  pipelines exercise the full path end-to-end.
 
 Large binary payloads → small ``batch_size`` (default 32) so
 batch × concurrency stays within worker heaps; blocks of binaries are
@@ -43,20 +46,127 @@ AUDIO_META_TYPE = pa.struct(
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """bytes → (H, W, 3) uint8. Real for PPM P6; stub otherwise."""
+    """bytes → (H, W, 3) uint8. Real for PPM P6 and PNG (8-bit gray/RGB/
+    RGBA, non-interlaced — pure stdlib zlib + unfilter); JPEG stays a
+    declared stub (a from-scratch DCT/Huffman decoder is out of scope and
+    Pillow is absent from this container)."""
     if payload.startswith(b"P6"):
         return _decode_ppm(payload)
-    if payload.startswith(b"\x89PNG") or payload.startswith(b"\xff\xd8"):
+    if payload.startswith(b"\x89PNG"):
+        return decode_png(payload)
+    if payload.startswith(b"\xff\xd8"):
         try:
             from PIL import Image  # not present in this container
 
             return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
         except ImportError as exc:
             raise NotImplementedError(
-                "PNG/JPEG decode requires Pillow, which is not available in this "
-                "environment; the PPM path exercises the identical Ray plumbing"
+                "JPEG decode requires Pillow, which is not available in this "
+                "environment; PPM and PNG paths exercise the identical Ray plumbing"
             ) from exc
     raise NotImplementedError(f"unsupported image container: {payload[:4]!r}")
+
+
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # gray, RGB, RGBA (8-bit only)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """From-scratch PNG decoder (RFC 2083): chunk walk → zlib inflate →
+    per-row unfilter (None/Sub/Up/Average/Paeth) → (H, W, 3) uint8.
+    Supports bit depth 8, color types 0/2/6, no interlace."""
+    import zlib
+
+    if not payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        raise ValueError("not a PNG stream")
+    off = 8
+    width = height = None
+    color_type = None
+    idat = bytearray()
+    while off + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, off)
+        ctype = payload[off + 4 : off + 8]
+        data = payload[off + 8 : off + 8 + length]
+        off += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8:
+                raise NotImplementedError("only 8-bit PNG supported")
+            if color_type not in _PNG_CHANNELS:
+                raise NotImplementedError(f"PNG color type {color_type} unsupported")
+            if interlace:
+                raise NotImplementedError("interlaced PNG unsupported")
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    ch = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * ch
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG scanline data length mismatch")
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        row_off = y * (stride + 1)
+        ftype = raw[row_off]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=row_off + 1)
+        if ftype == 0:  # None
+            recon = line.copy()
+        elif ftype == 2:  # Up
+            recon = line + prev
+        elif ftype == 1:  # Sub: prefix sum along pixels (mod 256 via uint8 wrap)
+            recon = line.copy().reshape(width, ch)
+            np.cumsum(recon, axis=0, dtype=np.uint8, out=recon)
+            recon = recon.reshape(stride)
+        else:  # Average (3) / Paeth (4): sequential left-dependence
+            recon = np.empty(stride, dtype=np.uint8)
+            for x in range(stride):
+                a = int(recon[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                if ftype == 3:
+                    recon[x] = (int(line[x]) + ((a + b) >> 1)) & 0xFF
+                elif ftype == 4:
+                    c = int(prev[x - ch]) if x >= ch else 0
+                    p = a + b - c
+                    pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa_ <= pb and pa_ <= pc_) else (b if pb <= pc_ else c)
+                    recon[x] = (int(line[x]) + pred) & 0xFF
+                else:
+                    raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = recon
+        prev = recon
+    img = out.reshape(height, width, ch)
+    if ch == 1:
+        return np.repeat(img, 3, axis=2)
+    if ch == 4:
+        return np.ascontiguousarray(img[..., :3])
+    return img
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Minimal PNG writer (filter 0 rows, one zlib IDAT) — test twin of
+    :func:`decode_png`."""
+    import zlib
+
+    h, w, _ = img.shape
+    body = img.astype(np.uint8)
+    raw = b"".join(b"\x00" + body[y].tobytes() for y in range(h))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
 
 
 def _decode_ppm(payload: bytes) -> np.ndarray:
@@ -139,9 +249,10 @@ def synthesize_media_table(n: int = 64, seed: int = 42) -> pa.Table:
         if i % 2 == 0:
             w, h = int(rng.randint(16, 64)), int(rng.randint(16, 64))
             img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
-            payloads.append(encode_ppm(img))
+            fmt = "png" if i % 4 == 0 else "ppm"
+            payloads.append(encode_png(img) if fmt == "png" else encode_ppm(img))
             kinds.append("image")
-            img_meta.append({"width": w, "height": h, "format": "ppm"})
+            img_meta.append({"width": w, "height": h, "format": fmt})
             aud_meta.append(None)
         else:
             rate = 8000

@@ -24,6 +24,71 @@ def test_resize_nearest():
     assert small[0, 0, 0] == 0 and small[1, 1, 0] == 255
 
 
+def test_png_roundtrip_and_filters():
+    """From-scratch PNG codec: encode→decode roundtrip, plus a hand-built
+    stream exercising every scanline filter type (None/Sub/Up/Avg/Paeth)
+    and the grayscale→RGB expansion."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from pdf_toolkit_ray.stages.multimodal import decode_png, encode_png
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, size=(37, 53, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(img)), img)
+    assert np.array_equal(decode_image(encode_png(img)), img)
+
+    h, w, ch = 5, 7, 3
+    body = rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8)
+    raws, prev = [], np.zeros(w * ch, dtype=np.uint8)
+    for y, ft in enumerate([0, 1, 2, 3, 4]):
+        line = body[y].reshape(-1)
+        filt = np.empty(w * ch, dtype=np.uint8)
+        for x in range(w * ch):
+            a = int(line[x - ch]) if x >= ch else 0
+            b = int(prev[x])
+            c = int(prev[x - ch]) if x >= ch else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc_) else (b if pb <= pc_ else c)
+            filt[x] = (int(line[x]) - pred) & 0xFF
+        raws.append(bytes([ft]) + filt.tobytes())
+        prev = line
+
+    def chunk(ctype, data):
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"".join(raws)))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(png), body)
+
+    gray = rng.randint(0, 256, size=(9, 11, 1), dtype=np.uint8)
+    raw_g = b"".join(b"\x00" + gray[y].tobytes() for y in range(9))
+    png_g = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 11, 9, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw_g))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(png_g), np.repeat(gray, 3, axis=2))
+
+
 def test_unsupported_formats_raise():
     with pytest.raises(NotImplementedError):
         decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
