@@ -180,23 +180,60 @@ def minhash_signature(
     return MinHasher(num_perm=num_perm, shingle_n=shingle_n, bands=num_perm, seed=seed).signature(text)
 
 
+class _Md5WordCache(dict):
+    """word -> top 64 bits of md5 (matches DuckDB ``md5`` hex arithmetic)."""
+
+    def __missing__(self, word: str) -> int:
+        h = int(hashlib.md5(word.encode("utf-8")).hexdigest()[:16], 16)
+        self[word] = h
+        return h
+
+
+_SIM_CACHE = _Md5WordCache()
+_BIT_SHIFTS = np.arange(64, dtype=np.uint64)
+
+
+def simhash64_batch(texts: list[str]) -> np.ndarray:
+    """SimHash (Charikar '02) for a whole batch, vectorized: cached md5
+    word hashes → (total_words, 64) ±1 contribution matrix → per-doc
+    per-bit sums via ``add.reduceat`` → sign bits packed to int64
+    (two's complement of the uint64 signature). Empty docs hash to 0."""
+    per_doc = []
+    counts = np.empty(len(texts), dtype=np.int64)
+    for i, text in enumerate(texts):
+        words = (text or "").split()
+        counts[i] = len(words)
+        if words:
+            per_doc.append(
+                np.fromiter((_SIM_CACHE[w] for w in words), dtype=np.uint64, count=len(words))
+            )
+    out = np.zeros(len(texts), dtype=np.int64)
+    nonempty = np.flatnonzero(counts > 0)
+    if len(nonempty) == 0:
+        return out
+    flat = np.concatenate(per_doc)
+    contrib = (
+        ((flat[:, None] >> _BIT_SHIFTS[None, :]) & np.uint64(1))
+        .astype(np.int32) * 2 - 1
+    )  # (total_words, 64) of ±1
+    starts = np.zeros(len(nonempty), dtype=np.int64)
+    if len(nonempty) > 1:
+        np.cumsum(counts[nonempty][:-1], out=starts[1:])
+    sums = np.add.reduceat(contrib, starts, axis=0)  # (n_nonempty, 64)
+    bits = (sums > 0).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        sigs = (bits << _BIT_SHIFTS[None, :]).sum(axis=1, dtype=np.uint64)
+    out[nonempty] = sigs.view(np.int64)
+    return out
+
+
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word features (Charikar '02).
+    """64-bit SimHash of one text (uint64 value as a Python int).
 
     Word hash = top 64 bits of md5 — chosen over blake2b so the whole
     signature has an exact DuckDB twin (``md5`` + hex-digit bit
     arithmetic; see ``SIMHASH_SQL`` in queries.py)."""
-    acc = np.zeros(64, dtype=np.int64)
-    shifts = np.arange(64, dtype=np.uint64)
-    for word in text.split():
-        h = int(hashlib.md5(word.encode("utf-8")).hexdigest()[:16], 16)
-        bits = (np.uint64(h) >> shifts) & np.uint64(1)
-        acc += np.where(bits.astype(bool), 1, -1)
-    out = np.uint64(0)
-    for i in range(64):
-        if acc[i] > 0:
-            out |= np.uint64(1) << np.uint64(i)
-    return int(out)
+    return int(np.int64(simhash64_batch([text])[0]).astype(np.uint64))
 
 
 def hamming64(a: int, b: int) -> int:

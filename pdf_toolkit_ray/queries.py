@@ -346,7 +346,9 @@ def join_orders_customer_top(sf_dir: str):
         return t.group_by(["c_custkey"]).aggregate([("spend_c", "sum"), ("spend_c", "count")])
 
     per_cust = (
-        orders.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        relops.coalesce_partials(
+            orders.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        )
         .groupby("c_custkey")
         .aggregate(Sum("spend_c_sum", alias_name="spend_c"),
                    Sum("spend_c_count", alias_name="n_orders"))

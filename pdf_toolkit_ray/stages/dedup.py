@@ -452,17 +452,16 @@ def minhash_lsh_clusters(
 
 
 def add_simhash(ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text") -> ray.data.Dataset:
-    """(id, simhash) — signature stored as int64 (two's-complement of uint64)."""
+    """(id, simhash) — signature stored as int64 (two's-complement of
+    uint64); whole batch vectorized via ``simhash64_batch``."""
+    from ..functions.hashing import simhash64_batch
 
     def _sim(batch: pa.Table) -> pa.Table:
-        sims = [
-            np.uint64(simhash64(t or "")).astype(np.int64)
-            for t in batch.column(text_col).to_pylist()
-        ]
+        sims = simhash64_batch(batch.column(text_col).to_pylist())
         return pa.table(
             {
                 id_col: batch.column(id_col),
-                "simhash": pa.array(np.array(sims, dtype=np.int64)),
+                "simhash": pa.array(sims, type=pa.int64()),
             }
         )
 
@@ -479,19 +478,22 @@ def simhash_near_dup_pairs(
     sims = add_simhash(ds, id_col, text_col)
 
     def _explode(batch: pa.Table) -> pa.Table:
-        ids, keys, hashes = [], [], []
-        for rid, sh in zip(batch.column(id_col).to_pylist(), batch.column("simhash").to_pylist()):
-            u = np.uint64(sh).item() & 0xFFFFFFFFFFFFFFFF
-            for band in range(4):
-                chunk = (u >> (band * 16)) & 0xFFFF
-                ids.append(rid)
-                keys.append(f"{band}:{chunk}")
-                hashes.append(sh)
+        n = batch.num_rows
+        col = batch.column("simhash")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        sh = col.to_numpy(zero_copy_only=False).view(np.uint64)
+        keys = np.empty((n, 4), dtype=np.int64)
+        for band in range(4):
+            chunk = (sh >> np.uint64(band * 16)) & np.uint64(0xFFFF)
+            keys[:, band] = (np.int64(band) << np.int64(16)) | chunk.astype(np.int64)
+        idx = np.repeat(np.arange(n), 4)
+        taken = batch.take(pa.array(idx))
         return pa.table(
             {
-                "band_key": pa.array(keys),
-                id_col: pa.array(ids, type=batch.column(id_col).type),
-                "simhash": pa.array(hashes, type=pa.int64()),
+                "band_key": pa.array(keys.reshape(-1)),
+                id_col: taken.column(id_col),
+                "simhash": taken.column("simhash"),
             }
         )
 

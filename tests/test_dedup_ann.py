@@ -145,6 +145,32 @@ def test_components_labelprop_equals_local(ray_session):
     assert local.equals(lp)
 
 
+def test_attach_cluster_ids_join_path(ray_session):
+    """The left-outer Dataset.join attach path (labels above the broadcast
+    limit) must equal the broadcast path."""
+    import ray.data
+
+    from pdf_toolkit_ray.stages.dedup import (
+        attach_cluster_ids,
+        connected_components,
+        minhash_candidate_edges,
+    )
+
+    ds = ray.data.from_arrow(_docs_table())
+    edges = minhash_candidate_edges(ds, threshold=0.5).materialize()
+    labels = connected_components(edges, method="local").materialize()
+    broadcast = (
+        attach_cluster_ids(ds, labels, "doc_id").to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    joined = (
+        attach_cluster_ids(ds, labels, "doc_id", broadcast_limit=0, num_partitions=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert broadcast.equals(joined)
+    assert list(broadcast["cluster_id"]) == [0, 0, 2, 0, 4]
+
+
 def test_ngram_pairs(ray_session):
     import ray.data
 
