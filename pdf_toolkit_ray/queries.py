@@ -789,6 +789,99 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
 
 
 
+def asof_clicks_before_errors(sf_dir: str):
+    """Backward as-of join: for each 'error' event, the same user's most
+    recent 'click' at or before it (stream-shaped op, SURVEY §2.9)."""
+    import pyarrow.dataset as pads
+
+    base_cols = ["event_id", "user_id", "ts", "event_type"]
+    errors = scan(sf_dir, "events", columns=base_cols,
+                  filter=(pads.field("event_type") == "error")).drop_columns(["event_type"])
+    clicks = scan(sf_dir, "events", columns=base_cols,
+                  filter=(pads.field("event_type") == "click")).drop_columns(["event_type"])
+    out = relops.asof_join(
+        errors, clicks, key="user_id", ts_col="ts",
+        right_payload={"event_id": "click_id", "ts": "click_ts"},
+    )
+    return out
+
+
+ASOF_SQL = """
+SELECT e.event_id, e.user_id, e.ts, c.event_id AS click_id, c.ts AS click_ts
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON e.user_id = c.user_id AND e.ts >= c.ts
+"""
+
+
+_VALUE_BANDS = [(0.0, 5.0, "low"), (5.0, 20.0, "mid"), (20.0, 1e9, "high")]
+
+
+def range_join_event_bands(sf_dir: str):
+    """Range (interval) join: classify events into value bands defined by
+    [lo, hi) intervals — the small side broadcast, matched per batch with
+    one vectorized searchsorted instead of an inequality-join shuffle."""
+    ds = scan(sf_dir, "events", columns=["event_id", "value"])
+    los = np.array([b[0] for b in _VALUE_BANDS])
+    names = np.array([b[2] for b in _VALUE_BANDS], dtype=object)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        v = pc.cast(batch.column("value"), pa.float64()).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(los, v, side="right") - 1
+        valid = idx >= 0  # value below the first band joins nothing
+        return pa.table(
+            {
+                "event_id": batch.column("event_id").filter(pa.array(valid)),
+                "band": pa.array(names[idx[valid]], type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+RANGE_JOIN_SQL = """
+SELECT e.event_id, b.band
+FROM events e
+JOIN (VALUES (0.0, 5.0, 'low'), (5.0, 20.0, 'mid'), (20.0, 1e9, 'high')) b(lo, hi, band)
+  ON e.value >= b.lo AND e.value < b.hi
+"""
+
+
+def sliding_avg_events(sf_dir: str):
+    """Bounded sliding-window aggregate: per-user mean of the current and
+    4 preceding event values in ts order (groupby + per-group cumsum)."""
+    ds = scan(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def _window(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[("ts", "ascending")])
+        g = group.take(idx)
+        v = pc.cast(g.column("value"), pa.float64()).to_numpy(zero_copy_only=False)
+        cs = np.concatenate([[0.0], np.cumsum(v)])
+        n = len(v)
+        starts = np.maximum(np.arange(n) - 4, 0)
+        counts = np.arange(n) - starts + 1
+        means = (cs[np.arange(n) + 1] - cs[starts]) / counts
+        from .functions.rounding import round_away
+
+        return pa.table(
+            {
+                "event_id": g.column("event_id"),
+                "user_id": g.column("user_id"),
+                "sliding_avg": pa.array(round_away(means, 4), type=pa.float64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(_window, batch_format="pyarrow")
+
+
+SLIDING_AVG_SQL = """
+SELECT event_id, user_id,
+  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS sliding_avg
+FROM events
+"""
+
+
 def join_big_revenue_by_priority(sf_dir: str):
     """Large-large join via Dataset.join (hash-partitioned), then a
     pre-aggregated groupby — the non-broadcast join path (SURVEY.md §2.4)."""
@@ -1225,6 +1318,9 @@ REGISTRY: dict[str, tuple] = {
     "approx_distinct_parts": (approx_distinct_parts, None),
     "string_fns_part": (string_fns_part, STRING_FNS_SQL),
     "sessionize_events": (sessionize_events, SESSIONIZE_SQL),
+    "asof_clicks_before_errors": (asof_clicks_before_errors, ASOF_SQL),
+    "range_join_event_bands": (range_join_event_bands, RANGE_JOIN_SQL),
+    "sliding_avg_events": (sliding_avg_events, SLIDING_AVG_SQL),
     "join_big_revenue_by_priority": (join_big_revenue_by_priority, JOIN_BIG_SQL),
     "union_quantity_extremes": (union_quantity_extremes, UNION_SQL),
     "running_spend_per_customer": (running_spend_per_customer, RUNNING_SPEND_SQL),

@@ -156,6 +156,74 @@ def distinct_count(
     return pairs.groupby(group_key).map_groups(_count_unique, batch_format="pyarrow")
 
 
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    key: str,
+    ts_col: str,
+    right_payload: dict[str, str],
+) -> ray.data.Dataset:
+    """Backward as-of join (DuckDB ``ASOF LEFT JOIN`` semantics): for every
+    left row, attach the right row with the greatest ``ts_col`` ≤ the left
+    row's, matching on ``key``; unmatched left rows keep nulls.
+
+    Ray Data lacks a co-group primitive, so both sides are tagged, unioned
+    and brought together by ONE ``groupby(key)`` shuffle; the per-group
+    merge is a sorted ``searchsorted`` (no pairwise product). Partitioning
+    assumption: one key's rows fit a worker (salt upstream if a key is
+    pathologically hot). ``right_payload`` maps right column → output name.
+    """
+    left_cols = [c for c in left.schema().base_schema.names]
+    r_schema = right.schema().base_schema
+
+    def _tag_left(batch: pa.Table) -> pa.Table:
+        out = batch
+        for rcol, outname in right_payload.items():
+            out = out.append_column(
+                outname, pa.nulls(batch.num_rows, type=r_schema.field(rcol).type)
+            )
+        return out.append_column("_side", pa.array(np.zeros(batch.num_rows, dtype=np.int8)))
+
+    def _tag_right(batch: pa.Table) -> pa.Table:
+        cols = {key: batch.column(key), ts_col: batch.column(ts_col)}
+        lf_schema = left.schema().base_schema
+        for c in left_cols:
+            if c not in (key, ts_col):
+                cols[c] = pa.nulls(batch.num_rows, type=lf_schema.field(c).type)
+        for rcol, outname in right_payload.items():
+            cols[outname] = batch.column(rcol)
+        cols["_side"] = pa.array(np.ones(batch.num_rows, dtype=np.int8))
+        out_names = left_cols + list(right_payload.values()) + ["_side"]
+        return pa.table({n: cols[n] for n in out_names})
+
+    tagged = left.map_batches(_tag_left, batch_format="pyarrow", zero_copy_batch=True).union(
+        right.map_batches(_tag_right, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    out_payload = list(right_payload.values())
+
+    def _merge(group: pa.Table) -> pa.Table:
+        side = group.column("_side").to_numpy(zero_copy_only=False)
+        lefts = group.filter(pa.array(side == 0))
+        rights = group.filter(pa.array(side == 1))
+        rights = rights.take(pc.sort_indices(rights, sort_keys=[(ts_col, "ascending")]))
+        lt = lefts.column(ts_col).to_numpy(zero_copy_only=False)
+        rt = rights.column(ts_col).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(rt, lt, side="right") - 1
+        valid = pos >= 0
+        idx = pa.array(np.where(valid, pos, 0), type=pa.int64())
+        valid_arr = pa.array(valid)
+        cols = {c: lefts.column(c) for c in left_cols}
+        for outname in out_payload:
+            col = rights.column(outname)
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            taken = col.take(idx) if rights.num_rows else pa.nulls(len(lt), type=col.type)
+            cols[outname] = pc.if_else(valid_arr, taken, pa.nulls(len(lt), type=col.type))
+        return pa.table(cols)
+
+    return tagged.groupby(key).map_groups(_merge, batch_format="pyarrow")
+
+
 def sessionize(
     ds: ray.data.Dataset,
     key: str = "user_id",
@@ -185,7 +253,7 @@ def sessionize(
 
 
 __all__ = [
-    "scan", "round_cols", "pre_agg_groupby", "broadcast_join", "semi_join_filter",
-    "topk", "distinct_count", "sessionize",
+    "scan", "round_cols", "pre_agg_groupby", "coalesce_partials", "broadcast_join",
+    "semi_join_filter", "topk", "distinct_count", "sessionize", "asof_join",
     "Count", "Max", "Mean", "Min", "Sum",
 ]

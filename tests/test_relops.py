@@ -1,0 +1,65 @@
+"""Edge-case tests for the relational building blocks added in round 2
+(as-of join, coalesced partial aggregation)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _ts(*secs):
+    return pa.array([np.datetime64(s, "us") for s in secs], pa.timestamp("us"))
+
+
+def test_asof_join_semantics(ray_session):
+    import ray.data
+
+    from pdf_toolkit_ray.relops import asof_join
+
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([1, 2, 3, 4], pa.int64()),
+                "k": pa.array(["a", "a", "b", "c"]),
+                "ts": _ts(10, 25, 5, 7),
+            }
+        )
+    )
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "rid": pa.array([100, 101, 102], pa.int64()),
+                "k": pa.array(["a", "a", "b"]),
+                "ts": _ts(9, 20, 6),
+            }
+        )
+    )
+    out = (
+        asof_join(left, right, key="k", ts_col="ts",
+                  right_payload={"rid": "match_id", "ts": "match_ts"})
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    # id=1 (a, t10) -> rid 100 (t9); id=2 (a, t25) -> rid 101 (t20);
+    # id=3 (b, t5) -> no click at-or-before (t6 is later) -> null;
+    # id=4 (c) -> no right rows for key at all -> null
+    assert list(out["id"]) == [1, 2, 3, 4]
+    assert list(out["match_id"].fillna(-1)) == [100, 101, -1, -1]
+    assert pd.isna(out.loc[2, "match_ts"]) and pd.isna(out.loc[3, "match_ts"])
+    # exact tie: left.ts == right.ts matches (>= semantics)
+    left2 = ray.data.from_arrow(
+        pa.table({"id": pa.array([9], pa.int64()), "k": pa.array(["a"]), "ts": _ts(20)})
+    )
+    out2 = asof_join(left2, right, key="k", ts_col="ts",
+                     right_payload={"rid": "match_id"}).to_pandas()
+    assert list(out2["match_id"]) == [101]
+
+
+def test_coalesce_partials_preserves_rows(ray_session):
+    import ray.data
+
+    from pdf_toolkit_ray.relops import coalesce_partials
+
+    ds = ray.data.range(1000).repartition(50)
+    out = coalesce_partials(ds).materialize()
+    assert out.count() == 1000
+    assert out.num_blocks() < 50
