@@ -220,7 +220,8 @@ class _FastBuilder:
                 tag=tag,
                 text=text,
                 chars=len(text),
-                link_chars=len(norm_inline("".join(link_parts))),
+                # most nodes have no links — skip the no-op normalize
+                link_chars=len(norm_inline("".join(link_parts))) if link_parts else 0,
                 tag_count=tag_count,
                 flagged=flagged,
             )
@@ -255,13 +256,14 @@ def parse_html_fast(doc: str) -> list[HtmlNode]:
             break
         if lt > pos:
             b.text(doc[pos:lt])
-        if doc.startswith("<!--", lt):
-            end = doc.find("-->", lt + 4)
-            pos = n if end == -1 else end + 3
-            continue
-        if doc.startswith("<!", lt) or doc.startswith("<?", lt):
-            end = doc.find(">", lt)
-            pos = n if end == -1 else end + 1
+        nxt = doc[lt + 1 : lt + 2]
+        if nxt == "!" or nxt == "?":
+            if doc.startswith("<!--", lt):
+                end = doc.find("-->", lt + 4)
+                pos = n if end == -1 else end + 3
+            else:
+                end = doc.find(">", lt)
+                pos = n if end == -1 else end + 1
             continue
         m = _TAG_RE.match(doc, lt)
         if m is None:

@@ -26,8 +26,11 @@ def norm_inline(s: str) -> str:
     """NFC + collapse ASCII-whitespace runs to single spaces + strip ends.
 
     Used for plain payloads and for text inside one HTML node / PDF block.
+    NFC is the identity on ASCII, so the (dominant) ASCII case skips the
+    normalize call — bit-identical output, measurably less per-node CPU.
     """
-    s = unicodedata.normalize("NFC", s)
+    if not s.isascii():
+        s = unicodedata.normalize("NFC", s)
     return _WS_RE.sub(" ", s).strip(WS_CHARS)
 
 
