@@ -494,6 +494,32 @@ SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM doc
 """
 
 
+def bpe_token_count_documents(sf_dir: str):
+    """GPT-2-ish pre-tokenizer counts (word / number / punct runs) — the
+    Arrow ``count_substring_regex`` kernel, RE2-compatible pattern."""
+    from .functions.textstats import bpe_ish_token_count
+
+    ds = scan(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_bpe_tokens": bpe_ish_token_count(batch.column("text")),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+BPE_TOKEN_COUNT_SQL = r"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+    AS n_bpe_tokens
+FROM documents
+"""
+
+
 def textnorm_documents(sf_dir: str):
     from .functions.textnorm import norm_inline_arrow
 
@@ -728,6 +754,21 @@ def embedding_topk_lsh(sf_dir: str):
     qids, qm = _query_embeddings(sf_dir)
     ds = scan(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return ann_mod.lsh_bucketed_topk(ds, qids, qm, k=10)
+
+
+def embedding_topk_ivf(sf_dir: str):
+    """IVF coarse-quantizer top-k. Training sample loaded deterministically
+    from the parquet file (first 2048 rows in storage order); at the
+    driver's sf, probing 8 of 16 cells recovers the exact top-k, so this
+    shares the brute-force oracle — at scale n_probe/n_cells trades recall
+    for scanning only ~n_probe/n_cells of the corpus."""
+    qids, qm = _query_embeddings(sf_dir)
+    train = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+    ).slice(0, 2048)
+    tm = np.array([np.asarray(v, dtype=np.float64) for v in train.column("embedding").to_pylist()])
+    ds = scan(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ann_mod.ivf_topk(ds, qids, qm, k=10, n_cells=16, n_probe=8, train_matrix=tm)
 
 
 def _near_dups_df(sf_dir: str, threshold: float) -> pd.DataFrame:
@@ -1331,6 +1372,7 @@ REGISTRY: dict[str, tuple] = {
     "dedup_exact_documents": (dedup_exact_documents, DEDUP_EXACT_SQL),
     "dedup_exact_keep_rows": (dedup_exact_keep_rows, DEDUP_KEEP_SQL),
     "token_count_documents": (token_count_documents, TOKEN_COUNT_SQL),
+    "bpe_token_count_documents": (bpe_token_count_documents, BPE_TOKEN_COUNT_SQL),
     "textnorm_documents": (textnorm_documents, TEXTNORM_SQL),
     "quality_documents": (quality_documents, QUALITY_SQL),
     "lang_id_documents": (lang_id_documents, LANG_ID_SQL),
@@ -1340,6 +1382,7 @@ REGISTRY: dict[str, tuple] = {
     "ngram_dup_pairs_documents": (ngram_dup_pairs_documents, NGRAM_PAIRS_SQL),
     "embedding_topk": (embedding_topk, EMBEDDING_TOPK_SQL),
     "embedding_topk_lsh": (embedding_topk_lsh, None),
+    "embedding_topk_ivf": (embedding_topk_ivf, EMBEDDING_TOPK_SQL),
     "embedding_near_dups": (embedding_near_dups, EMBEDDING_NEAR_DUP_SQL),
     "embedding_near_dups_loose": (embedding_near_dups_loose, EMBEDDING_NEAR_DUP_LOOSE_SQL),
     "embedding_near_dups_lsh": (embedding_near_dups_lsh, None),

@@ -246,6 +246,81 @@ def _block_pair_task(left: pa.Table, right: pa.Table, threshold: float, same: bo
     return _cross_pairs(ids_l, m_l, ids_r, m_r, threshold, same)
 
 
+def _train_centroids(sample: np.ndarray, n_cells: int, seed: int, iters: int = 10) -> np.ndarray:
+    """Spherical k-means (Lloyd) on a normalized sample — deterministic."""
+    rng = np.random.RandomState(seed)
+    sn = _normalize(sample)
+    cents = sn[rng.choice(len(sn), size=min(n_cells, len(sn)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(sn @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = sn[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
+def ivf_topk(
+    ds: ray.data.Dataset,
+    query_ids: list[int],
+    query_matrix: np.ndarray,
+    k: int = 10,
+    *,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    train_sample: int = 2048,
+    seed: int = 3,
+    train_matrix: np.ndarray | None = None,
+) -> ray.data.Dataset:
+    """IVF (inverted-file) approximate cosine top-k — the classic
+    coarse-quantizer scale path (Jégou et al. '11 shape, flat lists):
+
+    1. TRAIN: spherical k-means centroids on a deterministic corpus
+       sample (sample-sized driver work, not corpus-sized);
+    2. PROBE: each query keeps its ``n_probe`` nearest cells; the probed
+       cell set + centroids broadcast via ``ray.put``;
+    3. ASSIGN+FILTER: one map_batches assigns each row its nearest cell
+       and drops rows outside the probed set — only ~n_probe/n_cells of
+       the corpus is ever scored;
+    4. SCORE: exact cosine on survivors (same batch-local top-k stage as
+       the brute-force baseline) + per-query final top-k."""
+    if train_matrix is not None:
+        sample = train_matrix.astype(np.float64)
+    else:
+        sample_rows = ds.select_columns(["embedding"]).limit(train_sample).take_all()
+        sample = np.array([np.asarray(r["embedding"], dtype=np.float64) for r in sample_rows])
+    cents = _train_centroids(sample, n_cells, seed)
+    qn = _normalize(query_matrix.astype(np.float64))
+    probe_cells = set()
+    for qi in range(qn.shape[0]):
+        sims = qn[qi] @ cents.T
+        for c in np.argsort(-sims)[:n_probe]:
+            probe_cells.add(int(c))
+    cents_ref = ray.put(cents)
+    probes_ref = ray.put(frozenset(probe_cells))
+    ref = ray.put((list(query_ids), query_matrix.astype(np.float64)))
+
+    def _assign_filter(batch: pa.Table) -> pa.Table:
+        m = _normalize(_matrix(batch.column("embedding")))
+        if m.shape[0] == 0:
+            return batch
+        c = _cached_ref(cents_ref)
+        probes = _cached_ref(probes_ref)
+        cell = np.argmax(m @ c.T, axis=1)
+        mask = np.fromiter((int(x) in probes for x in cell), dtype=bool, count=len(cell))
+        return batch.filter(pa.array(mask))
+
+    def _topk_fn(batch: pa.Table) -> pa.Table:
+        return _TopKStage(ref, k)(batch)
+
+    survivors = ds.select_columns(["vec_id", "embedding"]).map_batches(
+        _assign_filter, batch_format="pyarrow", zero_copy_batch=True
+    )
+    candidates = survivors.map_batches(_topk_fn, batch_format="pyarrow", zero_copy_batch=True)
+    return candidates.groupby("query_id").map_groups(_final_topk(k), batch_format="pyarrow")
+
+
 def cosine_near_dup_pairs(ds: ray.data.Dataset, threshold: float = 0.99) -> ray.data.Dataset:
     """All pairs (a < b) with cosine ≥ threshold — EXACT.
 

@@ -251,6 +251,40 @@ def test_cosine_near_dup_pairs_exact_and_lsh(ray_session):
     assert len(found) >= 0.9 * len(want)  # high recall at high threshold
 
 
+def test_ivf_topk_probe_tradeoff(ray_session):
+    """IVF: probing all cells equals brute force; probing few cells still
+    recalls each query's own cell (the self-hit)."""
+    import ray.data
+
+    from pdf_toolkit_ray.stages.ann import brute_force_topk, ivf_topk
+
+    rng = np.random.RandomState(12)
+    n, d = 240, 16
+    mat = rng.normal(size=(n, d)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in mat],
+                                  type=pa.list_(pa.float32())),
+        }
+    )
+    qids, qm = [3, 7], mat[[3, 7]].astype(np.float64)
+    exact = brute_force_topk(ray.data.from_arrow(tbl), qids, qm, k=5).to_pandas()
+    full = ivf_topk(
+        ray.data.from_arrow(tbl), qids, qm, k=5, n_cells=8, n_probe=8
+    ).to_pandas()
+
+    def norm(df):
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    assert norm(exact).equals(norm(full))  # all cells probed == exact
+    few = ivf_topk(
+        ray.data.from_arrow(tbl), qids, qm, k=5, n_cells=8, n_probe=1
+    ).to_pandas()
+    assert {3, 7} <= set(few["vec_id"])  # self-hits always in the probed cell
+    assert few["sim"].max() == 1.0
+
+
 def test_lsh_topk_recalls_self(ray_session):
     import ray.data
 
