@@ -154,26 +154,28 @@ def run_scaling() -> dict:
                 best = run
         results[ncpu] = best
     lo, hi = levels[0], levels[-1]
-    thr8 = results[lo]["turns_per_sec"]
-    thr32 = results[hi]["turns_per_sec"]
-    eff = (thr32 / thr8) / (hi / lo)
+    if lo == hi:
+        raise SystemExit("GRAFT_SCALING_LEVELS needs two distinct levels")
+    thr_lo = results[lo]["turns_per_sec"]
+    thr_hi = results[hi]["turns_per_sec"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
     summary = {
         "metric": "scaling_efficiency",
         "fixture": fixture,
         "levels": list(levels),
         "value": round(eff, 3),
         "unit": "ratio",
-        "turns_per_sec_8": thr8,
-        "turns_per_sec_32": thr32,
-        "sec_8": results[lo]["value"],
-        "sec_32": results[hi]["value"],
-        "phase_8": results[lo].get("phase_sec", {}),
-        "phase_32": results[hi].get("phase_sec", {}),
+        f"turns_per_sec_{lo}": thr_lo,
+        f"turns_per_sec_{hi}": thr_hi,
+        f"sec_{lo}": results[lo]["value"],
+        f"sec_{hi}": results[hi]["value"],
+        f"phase_{lo}": results[lo].get("phase_sec", {}),
+        f"phase_{hi}": results[hi].get("phase_sec", {}),
         "turns": results[hi]["turns"],
         "sf": SF_DIR,
     }
     os.makedirs("BENCH", exist_ok=True)
-    p8, p32 = summary["phase_8"], summary["phase_32"]
+    p8, p32 = summary[f"phase_{lo}"], summary[f"phase_{hi}"]
     with open("BENCH/BASELINE.md", "w") as fh:
         fh.write(
             "# BENCH — measured scaling (sandbox substitute for N vs 4N nodes)\n\n"
@@ -183,9 +185,9 @@ def run_scaling() -> dict:
             "times vary ±25% run-to-run from shared-host noise).\n\n"
             "| num_cpus | wall sec | turns/sec | map+split sec | reduce+write sec |\n"
             "|---|---|---|---|---|\n"
-            f"| 8 | {summary['sec_8']} | {thr8} | {p8.get('map_split')} | {p8.get('reduce_write')} |\n"
-            f"| 32 | {summary['sec_32']} | {thr32} | {p32.get('map_split')} | {p32.get('reduce_write')} |\n\n"
-            f"**Scaling efficiency (thr32/thr8)/4 = {summary['value']}** "
+            f"| {lo} | {summary[f'sec_{lo}']} | {thr_lo} | {p8.get('map_split')} | {p8.get('reduce_write')} |\n"
+            f"| {hi} | {summary[f'sec_{hi}']} | {thr_hi} | {p32.get('map_split')} | {p32.get('reduce_write')} |\n\n"
+            f"**Scaling efficiency (thr_{hi}/thr_{lo})/{hi//lo} = {summary['value']}** "
             "(north-rule target ≥ 0.8 for N → 4N *nodes*).\n\n"
             "## Reading this number\n\n"
             "The criterion imagines two cluster sizes, where DRAM bandwidth,\n"

@@ -73,10 +73,17 @@ _SHINGLE_C = (np.uint64(0x9E3779B97F4A7C15), np.uint64(0xC2B2AE3D27D4EB4F),
               np.uint64(0x165667B19E3779F9))
 
 
+_WORD_CACHE_CAP = 1_000_000  # ~100 MB worst case per worker, then reset
+
+
 class _WordHashCache(dict):
-    """word -> uint64 blake2b hash, computed once per distinct word."""
+    """word -> uint64 blake2b hash, computed once per distinct word.
+    Bounded: a high-vocabulary corpus (random tokens) streaming through a
+    long-lived worker must not accrete unbounded state."""
 
     def __missing__(self, word: str) -> int:
+        if len(self) >= _WORD_CACHE_CAP:
+            self.clear()
         h = int.from_bytes(hashlib.blake2b(word.encode("utf-8"), digest_size=8).digest(), "big")
         self[word] = h
         return h
@@ -97,10 +104,12 @@ def _shingle_hashes_batch(
         words = (text or "").split()
         wh = np.fromiter((cache[w] for w in words), dtype=np.uint64, count=len(words))
         if len(words) < n:
-            # degenerate doc: a single shingle over all words (empty -> constant)
-            acc = np.uint64(0)
+            # degenerate doc: a single shingle over all words (empty ->
+            # constant); exact Python ints avoid numpy scalar-overflow
+            # warnings, wrapping mod 2^64 like the vectorized branch
+            acc = 0
             for i, h in enumerate(wh):
-                acc = acc + h * _SHINGLE_C[i % n]
+                acc = (acc + int(h) * int(_SHINGLE_C[i % n])) & 0xFFFFFFFFFFFFFFFF
             per_doc.append(_splitmix64(np.array([acc], dtype=np.uint64)))
         else:
             with np.errstate(over="ignore"):
@@ -181,9 +190,12 @@ def minhash_signature(
 
 
 class _Md5WordCache(dict):
-    """word -> top 64 bits of md5 (matches DuckDB ``md5`` hex arithmetic)."""
+    """word -> top 64 bits of md5 (matches DuckDB ``md5`` hex arithmetic);
+    bounded like :class:`_WordHashCache`."""
 
     def __missing__(self, word: str) -> int:
+        if len(self) >= _WORD_CACHE_CAP:
+            self.clear()
         h = int(hashlib.md5(word.encode("utf-8")).hexdigest()[:16], 16)
         self[word] = h
         return h
@@ -193,37 +205,56 @@ _SIM_CACHE = _Md5WordCache()
 _BIT_SHIFTS = np.arange(64, dtype=np.uint64)
 
 
-def simhash64_batch(texts: list[str]) -> np.ndarray:
-    """SimHash (Charikar '02) for a whole batch, vectorized: cached md5
-    word hashes → (total_words, 64) ±1 contribution matrix → per-doc
-    per-bit sums via ``add.reduceat`` → sign bits packed to int64
-    (two's complement of the uint64 signature). Empty docs hash to 0."""
-    per_doc = []
-    counts = np.empty(len(texts), dtype=np.int64)
-    for i, text in enumerate(texts):
-        words = (text or "").split()
-        counts[i] = len(words)
-        if words:
-            per_doc.append(
-                np.fromiter((_SIM_CACHE[w] for w in words), dtype=np.uint64, count=len(words))
-            )
-    out = np.zeros(len(texts), dtype=np.int64)
-    nonempty = np.flatnonzero(counts > 0)
-    if len(nonempty) == 0:
-        return out
+_SIMHASH_WORD_BUDGET = 200_000  # contribution matrix ≤ ~50 MB per slice
+
+
+def _simhash_slice(per_doc: list[np.ndarray]) -> np.ndarray:
+    """Signatures for a slice of non-empty docs (word-hash arrays)."""
     flat = np.concatenate(per_doc)
     contrib = (
         ((flat[:, None] >> _BIT_SHIFTS[None, :]) & np.uint64(1))
         .astype(np.int32) * 2 - 1
-    )  # (total_words, 64) of ±1
-    starts = np.zeros(len(nonempty), dtype=np.int64)
-    if len(nonempty) > 1:
-        np.cumsum(counts[nonempty][:-1], out=starts[1:])
-    sums = np.add.reduceat(contrib, starts, axis=0)  # (n_nonempty, 64)
+    )  # (slice_words, 64) of ±1
+    lens = np.fromiter((len(d) for d in per_doc), dtype=np.int64, count=len(per_doc))
+    starts = np.zeros(len(per_doc), dtype=np.int64)
+    if len(per_doc) > 1:
+        np.cumsum(lens[:-1], out=starts[1:])
+    sums = np.add.reduceat(contrib, starts, axis=0)
     bits = (sums > 0).astype(np.uint64)
     with np.errstate(over="ignore"):
-        sigs = (bits << _BIT_SHIFTS[None, :]).sum(axis=1, dtype=np.uint64)
-    out[nonempty] = sigs.view(np.int64)
+        return (bits << _BIT_SHIFTS[None, :]).sum(axis=1, dtype=np.uint64)
+
+
+def simhash64_batch(texts: list[str]) -> np.ndarray:
+    """SimHash (Charikar '02) for a whole batch, vectorized: cached md5
+    word hashes → ±1 bit-contribution matrix → per-doc per-bit sums via
+    ``add.reduceat`` → sign bits packed to int64 (two's complement of the
+    uint64 signature). Empty docs hash to 0. Processed in word-budgeted
+    slices so the transient contribution matrix stays bounded regardless
+    of block size."""
+    per_doc: list[np.ndarray] = []
+    doc_idx: list[int] = []
+    for i, text in enumerate(texts):
+        words = (text or "").split()
+        if words:
+            per_doc.append(
+                np.fromiter((_SIM_CACHE[w] for w in words), dtype=np.uint64, count=len(words))
+            )
+            doc_idx.append(i)
+    out = np.zeros(len(texts), dtype=np.int64)
+    if not per_doc:
+        return out
+    sig_parts: list[np.ndarray] = []
+    slice_docs: list[np.ndarray] = []
+    budget = 0
+    for arr in per_doc:
+        if slice_docs and budget + len(arr) > _SIMHASH_WORD_BUDGET:
+            sig_parts.append(_simhash_slice(slice_docs))
+            slice_docs, budget = [], 0
+        slice_docs.append(arr)
+        budget += len(arr)
+    sig_parts.append(_simhash_slice(slice_docs))
+    out[np.array(doc_idx, dtype=np.int64)] = np.concatenate(sig_parts).view(np.int64)
     return out
 
 

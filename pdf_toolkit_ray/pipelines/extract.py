@@ -233,7 +233,8 @@ def extract_dataset(
         return ds.groupby(["part_id", "salt"]).map_groups(_finalize, batch_format="pyarrow")
     from ..stages.exchange import mr_exchange
 
-    refs = mr_exchange(ds, cfg, heavy, _finalize)
+    refs = mr_exchange(ds, cfg, heavy, _finalize,
+                       est_blocks=_choose_num_blocks(input_path))
     return ray.data.from_arrow_refs(refs)
 
 
@@ -347,7 +348,8 @@ def run_extract_job(
         def _finalize_commit(tbl: pa.Table) -> dict | None:
             return _commit(finalize_group(tbl, heavy, cfg))
 
-        refs = mr_exchange(ds, cfg, heavy, _finalize_commit)
+        refs = mr_exchange(ds, cfg, heavy, _finalize_commit,
+                           est_blocks=_choose_num_blocks(input_path))
         t_map = time.time()  # extraction consumed, all split/merge tasks issued
         stats = [r for r in ray.get(refs) if r]
         t_reduce = time.time()

@@ -697,15 +697,19 @@ def ngram_dup_pairs_documents(sf_dir: str):
 # 2 rows: miss prob (1-j^2)^32 < 1e-4 at j=0.5) then verifies EXACT
 # Jaccard, so at the driver's scale the result equals the all-pairs truth.
 NGRAM_PAIRS_SQL = """
-WITH g AS (
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+g AS (
   SELECT doc_id,
-    list_distinct(list_transform(
-      range(1, len(string_split(text, ' ')) - 1),
-      i -> string_split(text, ' ')[i] || ' ' ||
-           string_split(text, ' ')[i+1] || ' ' ||
-           string_split(text, ' ')[i+2]
-    )) AS grams
-  FROM documents
+    CASE WHEN len(words) >= 3 THEN
+      list_distinct(list_transform(
+        range(1, len(words) - 1),
+        i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+    ELSE [array_to_string(words, ' ')]  -- <3 words: one whole-doc shingle,
+                                        -- matching _ngrams in hashing.py
+    END AS grams
+  FROM w
 )
 SELECT a, b, round(j, 4) AS jaccard FROM (
   SELECT x.doc_id AS a, y.doc_id AS b,
@@ -864,12 +868,16 @@ def range_join_event_bands(sf_dir: str):
     one vectorized searchsorted instead of an inequality-join shuffle."""
     ds = scan(sf_dir, "events", columns=["event_id", "value"])
     los = np.array([b[0] for b in _VALUE_BANDS])
+    his = np.array([b[1] for b in _VALUE_BANDS])
     names = np.array([b[2] for b in _VALUE_BANDS], dtype=object)
 
     def fn(batch: pa.Table) -> pa.Table:
         v = pc.cast(batch.column("value"), pa.float64()).to_numpy(zero_copy_only=False)
         idx = np.searchsorted(los, v, side="right") - 1
-        valid = idx >= 0  # value below the first band joins nothing
+        safe = np.maximum(idx, 0)
+        # honor BOTH interval bounds (a value past the last band's hi, or
+        # NaN, joins nothing — exactly the SQL inequality-join semantics)
+        valid = (idx >= 0) & (v < his[safe]) & ~np.isnan(v)
         return pa.table(
             {
                 "event_id": batch.column("event_id").filter(pa.array(valid)),

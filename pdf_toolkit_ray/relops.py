@@ -70,7 +70,10 @@ def pre_agg_groupby(
     return coalesce_partials(partials).groupby(keys).aggregate(*final_aggs)
 
 
-_JOIN_TYPE = {"inner": "inner", "left": "left outer", "right": "right outer"}
+# "right" is deliberately absent: a per-batch right-outer join would
+# re-emit every unmatched small-side row once PER BATCH (phantom rows);
+# swap the sides and use how="left" instead.
+_JOIN_TYPE = {"inner": "inner", "left": "left outer"}
 
 
 def broadcast_join(
@@ -83,6 +86,11 @@ def broadcast_join(
     """Broadcast-hash join: small side shipped once via ray.put as an Arrow
     table, joined per batch with ``pa.Table.join`` (no pandas conversion in
     the hot path). Never shuffles the big side."""
+    if how not in _JOIN_TYPE:
+        raise ValueError(
+            f"broadcast_join supports how in {sorted(_JOIN_TYPE)}; for a "
+            "right join, swap the sides and use how='left'"
+        )
     if isinstance(small, pd.DataFrame):
         small = pa.Table.from_pandas(small, preserve_index=False)
     keys = [on] if isinstance(on, str) else list(on)

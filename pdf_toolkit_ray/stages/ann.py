@@ -51,16 +51,27 @@ def _cached_ref(ref):
     """ray.get once per worker process for a broadcast ObjectRef."""
     key = ref.hex()
     if key not in _REF_CACHE:
+        if len(_REF_CACHE) >= _CACHE_CAP:
+            _REF_CACHE.clear()
         _REF_CACHE[key] = ray.get(ref)
     return _REF_CACHE[key]
 
 
+_CACHE_CAP = 8  # a worker only ever serves a handful of live queries
+
+
 def _cached_queries(queries_ref):
-    """ray.get + normalize once per worker process (keyed by ref hex)."""
-    key = queries_ref.hex() if isinstance(queries_ref, ray.ObjectRef) else id(queries_ref)
+    """ray.get + normalize once per worker process (keyed by ref hex).
+    Raw (ids, matrix) payloads are NOT cached — id()-based keys can
+    collide after GC recycles an address."""
+    if not isinstance(queries_ref, ray.ObjectRef):
+        qids, qm = queries_ref
+        return qids, _normalize(qm)
+    key = queries_ref.hex()
     if key not in _QUERY_CACHE:
-        payload = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
-        qids, qm = payload
+        if len(_QUERY_CACHE) >= _CACHE_CAP:
+            _QUERY_CACHE.clear()
+        qids, qm = ray.get(queries_ref)
         _QUERY_CACHE[key] = (qids, _normalize(qm))
     return _QUERY_CACHE[key]
 

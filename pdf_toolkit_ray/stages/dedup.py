@@ -361,6 +361,7 @@ def connected_components(
         return sum(int(r["h"]) for r in parts) & 0xFFFFFFFFFFFFFFFF
 
     prev_sum = _checksum(labels)
+    converged = False
     for _round in range(max_rounds):
         # each node's label flows across every incident edge; per-node min
         msgs = _rename(
@@ -377,8 +378,17 @@ def connected_components(
         new_sum = _checksum(new_labels)
         labels = new_labels
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        # one min-label hop per round => rounds needed = component diameter.
+        # Returning silently would split one true component into several
+        # cluster ids — fail loudly instead.
+        raise RuntimeError(
+            f"label propagation did not converge in {max_rounds} rounds "
+            "(component diameter exceeds max_rounds); raise max_rounds"
+        )
     return labels
 
 

@@ -146,6 +146,7 @@ def mr_exchange(
     cfg: ExtractConfig,
     heavy: dict[str, int],
     finalize_fn: Callable[[pa.Table], Any],
+    est_blocks: int | None = None,
 ) -> list[ray.ObjectRef]:
     """Run the exchange; returns one ObjectRef per slot (slot order).
 
@@ -166,7 +167,11 @@ def mr_exchange(
     n_slots = len(slots)
     two_level = cfg.exchange_two_level
     if two_level is None:
-        two_level = n_slots > 1024
+        # auto: engage whenever the single-level shard-object count B×S
+        # would explode — by slot count alone, or by the caller's block
+        # estimate against cfg.exchange_max_objects
+        projected = (est_blocks or 0) * n_slots
+        two_level = n_slots > 1024 or projected > cfg.exchange_max_objects
 
     if not two_level:
         comp_ref = ray.put(composite)

@@ -145,6 +145,28 @@ def test_components_labelprop_equals_local(ray_session):
     assert local.equals(lp)
 
 
+def test_labelprop_raises_on_nonconvergence(ray_session):
+    """A component whose diameter exceeds max_rounds must fail loudly,
+    not silently return a split component."""
+    import ray.data
+
+    from pdf_toolkit_ray.stages.dedup import connected_components
+
+    chain = pa.table(
+        {
+            "a": pa.array([0, 1, 2, 3], pa.int64()),
+            "b": pa.array([1, 2, 3, 4], pa.int64()),
+        }
+    )
+    edges = ray.data.from_arrow(chain)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, method="labelprop", num_partitions=2, max_rounds=1)
+    ok = connected_components(
+        edges, method="labelprop", num_partitions=2, max_rounds=8
+    ).to_pandas()
+    assert set(ok["label"]) == {0}
+
+
 def test_attach_cluster_ids_join_path(ray_session):
     """The left-outer Dataset.join attach path (labels above the broadcast
     limit) must equal the broadcast path."""
