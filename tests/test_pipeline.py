@@ -106,6 +106,16 @@ def test_sort_exchange_matches_mr(ray_session, smoke_parquet, oracle_df):
     assert_matches_oracle(got, oracle_df)
 
 
+def test_actor_pool_extraction_matches_tasks(ray_session, smoke_parquet, oracle_df):
+    """The ExtractBatcher actor-pool path (cfg.extract_concurrency set)
+    must produce the same rows as the default fused stateless tasks."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, extract_concurrency=(1, 2))
+    got = extract_dataset(smoke_parquet, cfg).to_pandas()
+    assert_matches_oracle(got, oracle_df)
+
+
 def test_two_level_exchange_matches_mr(ray_session, smoke_parquet, oracle_df):
     """The two-level (group split -> wave merge -> per-slot reduce) exchange
     must produce the same rows as the single-level exchange, at a slot
