@@ -268,6 +268,15 @@ def run_extract_job(
 
         turn_filter = turn_filter_expression(turns)
     config_hash = cfg.config_hash()
+    if turns is not None:
+        # the turn selection changes partition CONTENT, so it is part of
+        # the resume identity: partitions committed under a different
+        # selection must not satisfy this run
+        import hashlib as _hl
+
+        config_hash = _hl.sha256(
+            f"{config_hash}|turns={turns.strip().replace(' ', '')}".encode()
+        ).hexdigest()[:16]
     done = manifest_mod.completed_partitions(out_dir, config_hash) if resume else set()
 
     heavy = compute_heavy(input_path, cfg)

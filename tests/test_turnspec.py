@@ -121,3 +121,24 @@ def test_turns_selection_end_to_end(ray_session, smoke_parquet, tmp_path):
     run_extract_job(smoke_parquet, out, cfg, turns="1-2")
     df = read_extracted(out).to_pandas()
     assert sorted(set(df["turn_idx"])) == [0, 1]
+
+
+def test_turns_filter_is_part_of_resume_identity(ray_session, smoke_parquet, tmp_path):
+    """Partitions committed under a turn selection must NOT satisfy a rerun
+    with a different (or no) selection — the content differs."""
+    from pdf_toolkit_ray.config import ExtractConfig
+    from pdf_toolkit_ray.pipelines.extract import run_extract_job, read_extracted
+
+    out = str(tmp_path / "resel")
+    cfg = ExtractConfig(n_parts=4, salt_threshold=8, salt_width=4)
+    s1 = run_extract_job(smoke_parquet, out, cfg, turns="1-2")
+    assert s1["written_partitions"] > 0
+    # unfiltered rerun: filtered partitions are stale, everything reruns
+    s2 = run_extract_job(smoke_parquet, out, cfg)
+    assert s2["resumed_partitions"] == []
+    assert s2["written_partitions"] > 0
+    df = read_extracted(out).to_pandas()
+    assert max(df["turn_idx"]) > 1  # full turn range restored
+    # same-selection rerun DOES resume
+    s3 = run_extract_job(smoke_parquet, out, cfg)
+    assert s3["written_partitions"] == 0 and len(s3["resumed_partitions"]) > 0
