@@ -33,3 +33,29 @@ def test_query_list():
     assert r.returncode == 0
     assert "q1_pricing_summary  [sql-oracle]" in r.stdout
     assert "extract_transcripts  [rows-only]" in r.stdout
+
+
+def test_bad_turn_spec_fails_fast():
+    """--turns validation happens before Ray initializes (reference
+    UserError semantics: exit code 2, clear message)."""
+    r = _run("extract", "--input", "x", "--out", "y", "--turns", "3-2")
+    assert r.returncode == 2
+    assert "start > end" in r.stderr
+    r = _run("extract", "--input", "x", "--out", "y", "--turns", "1,,2")
+    assert r.returncode == 2
+    assert "empty token" in r.stderr
+
+
+def test_dry_run_cli(tmp_path):
+    from pdf_toolkit_ray.sources.fixtures import transcripts_path_for
+
+    path = transcripts_path_for("smoke")
+    out = str(tmp_path / "cli_dry")
+    r = _run("extract", "--input", path, "--out", out, "--dry-run",
+             "--num-cpus", "2", "--set", "n_parts=2")
+    assert r.returncode == 0, r.stderr
+    plan = json.loads(r.stdout)
+    assert plan["dry_run"] is True
+    assert plan["action_counts"]["dry-run"] == plan["planned_partitions"]
+    import os
+    assert not os.path.exists(os.path.join(out, "_job_manifest.json"))
