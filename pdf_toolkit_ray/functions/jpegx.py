@@ -1,0 +1,485 @@
+"""From-scratch baseline JPEG codec (pure stdlib + numpy).
+
+Decoder: baseline sequential DCT (SOF0), 8-bit, grayscale or YCbCr with
+sampling factors up to 2x2 (4:4:4 / 4:2:2 / 4:2:0), restart markers,
+standard zigzag/dequantize/IDCT pipeline (ITU T.81). Progressive (SOF2)
+and arithmetic coding are out of scope and raise ``NotImplementedError``.
+
+Encoder: minimal baseline writer used as the decoder's test twin —
+4:4:4 (no subsampling), the T.81 Annex K example quantization tables
+scaled by a quality factor, and the Annex K standard Huffman tables.
+
+Everything here is textbook public-domain JPEG structure; no external
+codec libraries are involved (the container has no Pillow/libjpeg).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --- zigzag order (T.81 Figure A.6) ---
+ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int32)
+
+# --- T.81 Annex K.1 example quantization tables ---
+QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32)
+QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int32)
+
+# --- T.81 Annex K.3 standard Huffman tables: (bits[1..16], values) ---
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+# --- DCT basis (orthonormal type-II), used by both encoder and decoder ---
+def _dct_matrix() -> np.ndarray:
+    k = np.arange(8)
+    c = np.sqrt(2.0 / 8.0) * np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16.0)
+    c[0, :] = np.sqrt(1.0 / 8.0)
+    return c
+
+
+_DCT = _dct_matrix()
+
+
+def _idct2(block: np.ndarray) -> np.ndarray:
+    return _DCT.T @ block @ _DCT
+
+
+def _fdct2(block: np.ndarray) -> np.ndarray:
+    return _DCT @ block @ _DCT.T
+
+
+# --------------------------------------------------------------------------
+# Huffman machinery
+
+
+def _build_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(code_length, code) -> value, canonical ordering (T.81 Annex C)."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    idx = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[idx]
+            idx += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _build_encode_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """value -> (code, code_length)."""
+    enc: dict[int, tuple[int, int]] = {}
+    code = 0
+    idx = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            enc[vals[idx]] = (code, length)
+            idx += 1
+            code += 1
+        code <<= 1
+    return enc
+
+
+class _BitReader:
+    """Entropy-segment bit reader with 0xFF00 unstuffing and RST handling."""
+
+    def __init__(self, data: bytes, start: int):
+        self.data = data
+        self.pos = start
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        while self.n <= 24:
+            if self.pos >= len(self.data):
+                self.acc = (self.acc << 8) | 0  # pad past EOI; decoder stops via MCU count
+                self.n += 8
+                continue
+            byte = self.data[self.pos]
+            if byte == 0xFF:
+                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:
+                    # restart marker consumed by sync_restart(), not here
+                    self.acc = (self.acc << 8) | 0
+                    self.n += 8
+                    continue
+                else:  # EOI or next segment: pad
+                    self.acc = (self.acc << 8) | 0
+                    self.n += 8
+                    continue
+            else:
+                self.pos += 1
+            self.acc = ((self.acc << 8) | byte) & 0xFFFFFFFFFF
+            self.n += 8
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def read_bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def sync_restart(self) -> None:
+        """Align to byte boundary and consume one RSTn marker."""
+        self.acc = 0
+        self.n = 0
+        while self.pos + 1 < len(self.data):
+            if self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+
+    def decode_huff(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            if (length, code) in table:
+                return table[(length, code)]
+        raise ValueError("invalid Huffman code in JPEG stream")
+
+
+def _extend(v: int, t: int) -> int:
+    """DIFF/coefficient sign extension (T.81 F.2.2.1)."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+# --------------------------------------------------------------------------
+# decoder
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JPEG bytes → (H, W, 3) uint8 RGB."""
+    if not payload.startswith(b"\xff\xd8"):
+        raise ValueError("not a JPEG stream")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = payload[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
+        seg = payload[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            off = 0
+            while off < len(seg):
+                pq, tq = seg[off] >> 4, seg[off] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables unsupported")
+                tbl = np.frombuffer(seg, dtype=np.uint8, count=64, offset=off + 1)
+                qt[tq] = tbl.astype(np.int32)
+                off += 65
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(seg):
+                tc, th = seg[off] >> 4, seg[off] & 0xF
+                bits = list(seg[off + 1 : off + 17])
+                nvals = sum(bits)
+                vals = list(seg[off + 17 : off + 17 + nvals])
+                table = _build_decode_table(bits, vals)
+                (huff_dc if tc == 0 else huff_ac)[th] = table
+                off += 17 + nvals
+        elif marker == 0xC0:  # SOF0 baseline
+            precision, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
+            if precision != 8:
+                raise NotImplementedError("only 8-bit precision")
+            comps = []
+            for i in range(nc):
+                cid, sampling, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
+                comps.append({"id": cid, "h": sampling >> 4, "v": sampling & 0xF, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError("only baseline sequential JPEG (SOF0) supported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF0")
+            ns = seg[0]
+            scan_comps = []
+            for i in range(ns):
+                cs, tables = seg[1 + 2 * i], seg[2 + 2 * i]
+                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                scan_comps.append(
+                    {**comp, "dc": huff_dc[tables >> 4], "ac": huff_ac[tables & 0xF]}
+                )
+            data_start = pos + 2 + seg_len
+            return _decode_scan(payload, data_start, frame, scan_comps, qt, restart_interval)
+        pos += 2 + seg_len
+    raise ValueError("no SOS segment found")
+
+
+def _decode_scan(payload, start, frame, comps, qt, restart_interval) -> np.ndarray:
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (w + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_h - 1) // mcu_h
+    planes = {
+        c["id"]: np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64)
+        for c in comps
+    }
+    reader = _BitReader(payload, start)
+    pred = {c["id"]: 0 for c in comps}
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                reader.sync_restart()
+                pred = {c["id"]: 0 for c in comps}
+            for c in comps:
+                q = qt[c["tq"]].astype(np.float64)
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.float64)
+                        t = reader.decode_huff(c["dc"])
+                        diff = _extend(reader.read_bits(t), t)
+                        pred[c["id"]] += diff
+                        zz[0] = pred[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = reader.decode_huff(c["ac"])
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run past end of block")
+                            zz[k] = _extend(reader.read_bits(s), s)
+                            k += 1
+                        # zz and the DQT table are both in zigzag order;
+                        # dequantize there, then scatter to natural order
+                        deq = zz * q
+                        nat = np.zeros(64, dtype=np.float64)
+                        nat[ZIGZAG] = deq
+                        pix = _idct2(nat.reshape(8, 8)) + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = pix
+            mcu_count += 1
+    # upsample to full resolution and convert
+    full = []
+    for c in comps:
+        p = planes[c["id"]]
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        g = np.clip(full[0], 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
+# encoder (test twin: 4:4:4, quality-scaled Annex K tables)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> None:
+        if self.n:
+            self.acc = (self.acc << (8 - self.n)) | ((1 << (8 - self.n)) - 1)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.n = 0
+
+
+def _quality_scale(q: np.ndarray, quality: int) -> np.ndarray:
+    quality = max(1, min(100, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    t = np.clip((q * scale + 50) // 100, 1, 255)
+    return t.astype(np.int32)
+
+
+def _mag_cat(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
+    """(H, W, 3) uint8 RGB → baseline JFIF bytes (4:4:4)."""
+    h, w, _ = img.shape
+    rgb = img.astype(np.float64)
+    y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    cb = -0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2] + 128.0
+    cr = 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2] + 128.0
+    q_l = _quality_scale(QT_LUMA, quality)
+    q_c = _quality_scale(QT_CHROMA, quality)
+    enc_dc = [_build_encode_table(DC_LUMA_BITS, DC_LUMA_VALS),
+              _build_encode_table(DC_CHROMA_BITS, DC_CHROMA_VALS)]
+    enc_ac = [_build_encode_table(AC_LUMA_BITS, AC_LUMA_VALS),
+              _build_encode_table(AC_CHROMA_BITS, AC_CHROMA_VALS)]
+
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    bh, bwid = (h + 7) // 8, (w + 7) // 8
+    padded = []
+    for plane in (y, cb, cr):
+        p = np.empty((bh * 8, bwid * 8), dtype=np.float64)
+        p[:h, :w] = plane
+        p[h:, :w] = plane[h - 1 : h, :]
+        p[:, w:] = p[:, w - 1 : w]
+        padded.append(p)
+    for by in range(bh):
+        for bx in range(bwid):
+            for ci, plane in enumerate(padded):
+                t_idx = 0 if ci == 0 else 1
+                q = q_l if ci == 0 else q_c
+                block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                coef = _fdct2(block)
+                zz = coef.reshape(-1)[ZIGZAG]
+                quant = np.round(zz / q.astype(np.float64)).astype(np.int64)
+                diff = int(quant[0]) - pred[ci]
+                pred[ci] = int(quant[0])
+                t = _mag_cat(diff)
+                code, ln = enc_dc[t_idx][t]
+                bw.write(code, ln)
+                if t:
+                    bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+                run = 0
+                for k in range(1, 64):
+                    v = int(quant[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = enc_ac[t_idx][0xF0]
+                        bw.write(code, ln)
+                        run -= 16
+                    s = _mag_cat(v)
+                    code, ln = enc_ac[t_idx][(run << 4) | s]
+                    bw.write(code, ln)
+                    bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if run:
+                    code, ln = enc_ac[t_idx][0x00]
+                    bw.write(code, ln)
+    bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    def dqt(tq: int, tbl: np.ndarray) -> bytes:
+        return seg(0xDB, bytes([tq]) + bytes(int(v) for v in tbl))
+
+    def dht(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
+        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, 3)
+              + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]))
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    jfif = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    return (
+        b"\xff\xd8" + jfif + dqt(0, q_l) + dqt(1, q_c)
+        + dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+        + dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+        + dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
+        + dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+        + sof + sos + bytes(bw.out) + b"\xff\xd9"
+    )

@@ -9,12 +9,16 @@ layout) is real and tested. Decoders:
 * **PNG images** — decoded for real from scratch (stdlib ``zlib`` +
   chunk walk + all five scanline filters; 8-bit gray/RGB/RGBA,
   non-interlaced) with a matching minimal encoder;
+* **JPEG images** — decoded for real from scratch (baseline sequential:
+  Huffman entropy decode, dequantize, IDCT, chroma upsample, YCbCr→RGB —
+  ``functions/jpegx.py``, with a 4:4:4 encoder twin); progressive JPEG
+  raises ``NotImplementedError``;
 * **WAV (PCM) audio** — decoded for real (stdlib ``wave`` + numpy);
-* **JPEG/MP3/video** — STUBBED: the container has no Pillow/ffmpeg,
-  so :func:`decode_image` / :func:`decode_audio` raise
-  ``NotImplementedError`` for those formats behind an import-try; the
-  deterministic fake generator below produces PPM/PNG/WAV so the
-  pipelines exercise the full path end-to-end.
+* **MP3/video codecs** — STUBBED: lossy audio and video containers need
+  ffmpeg-class decoders; :func:`decode_audio` /
+  :func:`sample_video_frames` raise ``NotImplementedError`` for them.
+  The deterministic fake generator below produces PPM/PNG/JPEG/WAV so
+  the pipelines exercise the full decode path end-to-end.
 
 Large binary payloads → small ``batch_size`` (default 32) so
 batch × concurrency stays within worker heaps; blocks of binaries are
@@ -46,24 +50,19 @@ AUDIO_META_TYPE = pa.struct(
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """bytes → (H, W, 3) uint8. Real for PPM P6 and PNG (8-bit gray/RGB/
-    RGBA, non-interlaced — pure stdlib zlib + unfilter); JPEG stays a
-    declared stub (a from-scratch DCT/Huffman decoder is out of scope and
-    Pillow is absent from this container)."""
+    """bytes → (H, W, 3) uint8. All three containers decode for real with
+    no image libraries: PPM P6 (byte parsing), PNG (stdlib zlib + the five
+    scanline filters), and baseline JPEG (from-scratch Huffman + IDCT +
+    YCbCr pipeline in ``functions/jpegx.py``). Progressive JPEG raises
+    ``NotImplementedError``."""
     if payload.startswith(b"P6"):
         return _decode_ppm(payload)
     if payload.startswith(b"\x89PNG"):
         return decode_png(payload)
     if payload.startswith(b"\xff\xd8"):
-        try:
-            from PIL import Image  # not present in this container
+        from ..functions.jpegx import decode_jpeg
 
-            return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
-        except ImportError as exc:
-            raise NotImplementedError(
-                "JPEG decode requires Pillow, which is not available in this "
-                "environment; PPM and PNG paths exercise the identical Ray plumbing"
-            ) from exc
+        return decode_jpeg(payload)
     raise NotImplementedError(f"unsupported image container: {payload[:4]!r}")
 
 
@@ -249,8 +248,15 @@ def synthesize_media_table(n: int = 64, seed: int = 42) -> pa.Table:
         if i % 2 == 0:
             w, h = int(rng.randint(16, 64)), int(rng.randint(16, 64))
             img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
-            fmt = "png" if i % 4 == 0 else "ppm"
-            payloads.append(encode_png(img) if fmt == "png" else encode_ppm(img))
+            fmt = {0: "png", 2: "jpeg", 4: "png", 6: "ppm"}[i % 8]
+            if fmt == "png":
+                payloads.append(encode_png(img))
+            elif fmt == "jpeg":
+                from ..functions.jpegx import encode_jpeg
+
+                payloads.append(encode_jpeg(img, quality=90))
+            else:
+                payloads.append(encode_ppm(img))
             kinds.append("image")
             img_meta.append({"width": w, "height": h, "format": fmt})
             aud_meta.append(None)

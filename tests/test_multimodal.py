@@ -89,9 +89,36 @@ def test_png_roundtrip_and_filters():
     assert np.array_equal(decode_png(png_g), np.repeat(gray, 3, axis=2))
 
 
+def test_jpeg_roundtrip():
+    """From-scratch baseline JPEG codec: encode→decode stays close
+    (lossy, so PSNR-bounded), exact dims on non-multiple-of-8 images."""
+    import numpy as np
+
+    from pdf_toolkit_ray.functions.jpegx import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(7)
+    h, w = 45, 61
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [(yy * 3 + xx * 2) % 256, (255 - xx * 4) % 256, (yy * 5) % 256], axis=2
+    ).astype(np.float64)
+    img = np.clip(img + rng.normal(0, 4, img.shape), 0, 255).astype(np.uint8)
+    out = decode_image(encode_jpeg(img, quality=90))
+    assert out.shape == img.shape
+    mse = float(np.mean((out.astype(np.float64) - img.astype(np.float64)) ** 2))
+    assert 10 * np.log10(255**2 / mse) > 28  # PSNR
+    # pure noise survives the Huffman tables at lower quality
+    noise = rng.randint(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    assert decode_jpeg(encode_jpeg(noise, quality=75)).shape == noise.shape
+
+
 def test_unsupported_formats_raise():
+    import struct
+
+    # progressive JPEG (SOF2) is declared out of scope
+    sof2 = b"\xff\xd8" + struct.pack(">BBH", 0xFF, 0xC2, 10) + b"\x08\x00\x10\x00\x10\x01\x01\x11"
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
+        decode_image(sof2)
     with pytest.raises(NotImplementedError):
         decode_audio(b"ID3 mp3-ish")
     with pytest.raises(NotImplementedError):
