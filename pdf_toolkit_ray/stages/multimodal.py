@@ -198,19 +198,32 @@ def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
 
 
 def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
-    """bytes → (samples float64 in [-1, 1], sample_rate). Real for WAV PCM."""
+    """bytes → (mono samples float64 in [-1, 1], sample_rate).
+
+    Real for WAV PCM at 8/16/24/32-bit, any channel count (channels are
+    interleaved in the frame stream and mixed down to mono, so durations
+    and energy stats are per-frame, not per-interleaved-sample)."""
     if payload.startswith(b"RIFF"):
         with wave.open(io.BytesIO(payload)) as wf:
             rate = wf.getframerate()
-            n = wf.getnframes()
-            raw = wf.readframes(n)
+            nch = wf.getnchannels()
+            raw = wf.readframes(wf.getnframes())
             width = wf.getsampwidth()
         if width == 2:
             samples = np.frombuffer(raw, dtype=np.int16).astype(np.float64) / 32768.0
         elif width == 1:
             samples = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+        elif width == 3:
+            b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3).astype(np.int32)
+            v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+            v = np.where(v >= 1 << 23, v - (1 << 24), v)  # sign-extend
+            samples = v.astype(np.float64) / float(1 << 23)
+        elif width == 4:
+            samples = np.frombuffer(raw, dtype=np.int32).astype(np.float64) / float(1 << 31)
         else:
             raise NotImplementedError(f"{width*8}-bit PCM unsupported")
+        if nch > 1:
+            samples = samples.reshape(-1, nch).mean(axis=1)
         return samples, rate
     raise NotImplementedError(
         "non-WAV audio (mp3/ogg/flac) requires codec libs not present here"

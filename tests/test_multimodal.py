@@ -89,6 +89,44 @@ def test_png_roundtrip_and_filters():
     assert np.array_equal(decode_png(png_g), np.repeat(gray, 3, axis=2))
 
 
+def test_wav_stereo_and_widths():
+    """Stereo WAV: duration counts FRAMES (not interleaved samples) and
+    channels mix down; 24-bit PCM sign-extends correctly."""
+    import io
+    import wave
+
+    import numpy as np
+
+    rate = 8000
+    t = np.arange(rate) / rate
+    left = (np.sin(2 * np.pi * 440 * t) * 20000).astype(np.int16)
+    right = (np.sin(2 * np.pi * 880 * t) * 10000).astype(np.int16)
+    inter = np.empty(2 * rate, dtype=np.int16)
+    inter[0::2], inter[1::2] = left, right
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(inter.tobytes())
+    samples, r = decode_audio(buf.getvalue())
+    assert r == rate and len(samples) == rate  # 1.0 s, not 2.0 s
+    want = ((left.astype(np.float64) + right.astype(np.float64)) / 2) / 32768.0
+    assert np.allclose(samples, want)
+
+    # 24-bit mono incl. negative values
+    vals = np.array([0, 1 << 22, -(1 << 22), (1 << 23) - 1, -(1 << 23)], dtype=np.int64)
+    raw = b"".join(int(v & 0xFFFFFF).to_bytes(3, "little") for v in vals)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(3)
+        wf.setframerate(rate)
+        wf.writeframes(raw)
+    samples, _ = decode_audio(buf.getvalue())
+    assert np.allclose(samples, vals.astype(np.float64) / (1 << 23))
+
+
 def test_jpeg_roundtrip():
     """From-scratch baseline JPEG codec: encode→decode stays close
     (lossy, so PSNR-bounded), exact dims on non-multiple-of-8 images."""
@@ -110,6 +148,33 @@ def test_jpeg_roundtrip():
     # pure noise survives the Huffman tables at lower quality
     noise = rng.randint(0, 256, size=(32, 32, 3), dtype=np.uint8)
     assert decode_jpeg(encode_jpeg(noise, quality=75)).shape == noise.shape
+
+
+def test_jpeg_decoder_survives_malformed_input():
+    """Truncations and byte flips of a valid stream must terminate with a
+    decoded array or a clean exception — never hang or segfault."""
+    import struct
+
+    import numpy as np
+
+    from pdf_toolkit_ray.functions.jpegx import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    data = bytearray(encode_jpeg(img, quality=80))
+    for cut in (3, 20, len(data) // 2, len(data) - 3):
+        try:
+            decode_jpeg(bytes(data[:cut]))
+        except (ValueError, NotImplementedError, struct.error, IndexError, KeyError):
+            pass
+    for _ in range(30):
+        flipped = bytearray(data)
+        flipped[rng.randint(2, len(data))] ^= 1 << rng.randint(0, 8)
+        try:
+            out = decode_jpeg(bytes(flipped))
+            assert out.dtype == np.uint8
+        except (ValueError, NotImplementedError, struct.error, IndexError, KeyError):
+            pass
 
 
 def test_unsupported_formats_raise():
