@@ -41,6 +41,20 @@ def _build_parser() -> argparse.ArgumentParser:
     ext.add_argument("--dump-default-config", action="store_true")
     ext.add_argument("--num-cpus", type=int, default=None)
 
+    spl = sub.add_parser(
+        "split",
+        help="split transcripts into one output partition per turn range "
+             "(reference `split` command analog)",
+    )
+    spl.add_argument("--input", required=True, help="transcripts parquet path")
+    spl.add_argument("--out", required=True, help="output directory")
+    spl.add_argument("--ranges", required=True, metavar="SPEC",
+                     help='strict 1-based ranges, e.g. "1-120,121-240" '
+                          "(overlaps are errors)")
+    spl.add_argument("--overwrite", action="store_true",
+                     help="rewrite ranges that already have a committed manifest")
+    spl.add_argument("--num-cpus", type=int, default=None)
+
     qry = sub.add_parser("query", help="run a registry query")
     qry.add_argument("name", nargs="?", help="query name (omit to list)")
     qry.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -96,6 +110,19 @@ def main(argv: list[str] | None = None) -> int:
             summary = run_extract_job(
                 args.input, args.out, cfg,
                 resume=not args.no_resume, turns=args.turns, dry_run=args.dry_run,
+            )
+            print(json.dumps(summary, indent=1))
+            ray.shutdown()
+            return 0
+        if args.command == "split":
+            from .functions.turnspec import parse_turn_ranges
+
+            ranges = parse_turn_ranges(args.ranges)  # fail fast pre-Ray
+            ray = _ray_session(args.num_cpus)
+            from .pipelines.extract import run_split_job
+
+            summary = run_split_job(
+                args.input, args.out, ranges, overwrite=args.overwrite
             )
             print(json.dumps(summary, indent=1))
             ray.shutdown()

@@ -396,6 +396,75 @@ def run_extract_job(
     return summary
 
 
+def run_split_job(
+    input_path: str,
+    out_dir: str,
+    ranges: list[tuple[int, int]],
+    *,
+    overwrite: bool = False,
+) -> dict[str, Any]:
+    """Split transcripts into one committed partition per turn range —
+    the analog of the reference's ``split`` command (``split.py:96-154``:
+    page ranges → ``prefix_partNN.pdf`` files, skip-if-exists reruns).
+
+    Each range is an independent predicate-pushed scan written atomically
+    (tmp + rename + manifest last), so a rerun completes only missing
+    ranges; ranges are 0-based inclusive (from ``parse_turn_ranges``).
+    """
+    import hashlib as _hl
+
+    import pyarrow.dataset as pads
+
+    t_start = time.time()
+    os.makedirs(out_dir, exist_ok=True)
+    range_hash = _hl.sha256(
+        f"{input_path}|{sorted(ranges)}".encode()
+    ).hexdigest()[:16]
+    done = (
+        manifest_mod.completed_partitions(out_dir, range_hash)
+        if not overwrite
+        else set()
+    )
+    now = manifest_mod._utcnow()
+    actions = []
+    rows_written = 0
+    for idx, (start, end) in enumerate(ranges):
+        if (idx, 0) in done:
+            actions.append(
+                {"timestamp": now, "action": "write_range", "status": "skipped",
+                 "part_id": idx, "range": [start, end]}
+            )
+            continue
+        expr = (pads.field("turn_idx") >= start) & (pads.field("turn_idx") <= end)
+        ds = read_transcripts(input_path, filter=expr)
+        # stream batches into the partition file — a range never
+        # materializes whole in driver memory
+        n_rows = manifest_mod.write_partition_stream(
+            out_dir, idx, 0,
+            ds.iter_batches(batch_format="pyarrow"),
+            schema=ds.schema().base_schema,
+            lineage={"input": str(input_path), "config_hash": range_hash,
+                     "turn_range": [int(start), int(end)]},
+        )
+        rows_written += n_rows
+        actions.append(
+            {"timestamp": now, "action": "write_range", "status": "written",
+             "part_id": idx, "range": [start, end], "rows": int(n_rows)}
+        )
+    summary = {
+        "input": str(input_path),
+        "out_dir": out_dir,
+        "ranges": [[int(a), int(b)] for a, b in ranges],
+        "config_hash": range_hash,
+        "rows_written": int(rows_written),
+        "action_counts": manifest_mod.summarize_actions(actions),
+        "actions": actions,
+        "wall_sec": round(time.time() - t_start, 3),
+    }
+    manifest_mod.write_job_manifest(out_dir, summary)
+    return summary
+
+
 def read_extracted(out_dir: str) -> ray.data.Dataset:
     """Read a job's committed output back as a Dataset."""
     paths = [

@@ -92,6 +92,62 @@ def write_partition(
     os.replace(mtmp, os.path.join(pdir, MANIFEST_NAME))
 
 
+def write_partition_stream(
+    out_dir: str,
+    part_id: int,
+    salt: int,
+    batches,
+    *,
+    schema: pa.Schema,
+    lineage: dict[str, Any],
+) -> int:
+    """Atomic partition commit from a BATCH STREAM (never holds the whole
+    partition in memory): tmp file via ParquetWriter → rename → manifest
+    last. Returns rows written."""
+    pdir = partition_dir(out_dir, part_id, salt)
+    os.makedirs(pdir, exist_ok=True)
+    data_path = os.path.join(pdir, "data.parquet")
+    tmp_path = data_path + f".tmp.{os.getpid()}"
+    n_rows = 0
+    try:
+        with pq.ParquetWriter(tmp_path, schema, compression="zstd") as writer:
+            for batch in batches:
+                tbl = batch if isinstance(batch, pa.Table) else pa.Table.from_batches([batch])
+                writer.write_table(tbl.cast(schema))
+                n_rows += tbl.num_rows
+        os.replace(tmp_path, data_path)
+    except BaseException:
+        if os.path.exists(tmp_path):
+            try:
+                os.remove(tmp_path)
+            except OSError:
+                pass
+        raise
+    manifest = {
+        "engine": "pdf_toolkit_ray",
+        "version": __version__,
+        "part_id": part_id,
+        "salt": salt,
+        "written_at": _utcnow(),
+        "lineage": lineage,
+        "metrics": {"rows": n_rows},
+        "actions": [
+            {
+                "timestamp": _utcnow(),
+                "action": "write_partition",
+                "status": "written",
+                "rows": n_rows,
+                "data_file": "data.parquet",
+            }
+        ],
+    }
+    mtmp = os.path.join(pdir, MANIFEST_NAME + f".tmp.{os.getpid()}")
+    with open(mtmp, "w") as fh:
+        json.dump(manifest, fh, sort_keys=True)
+    os.replace(mtmp, os.path.join(pdir, MANIFEST_NAME))
+    return n_rows
+
+
 def summarize_actions(actions: list[dict[str, Any]]) -> dict[str, int]:
     """Count actions by status (reference ``_summarize_actions``,
     manifest.py:81-88)."""

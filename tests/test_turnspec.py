@@ -123,6 +123,38 @@ def test_turns_selection_end_to_end(ray_session, smoke_parquet, tmp_path):
     assert sorted(set(df["turn_idx"])) == [0, 1]
 
 
+def test_split_job_by_ranges(ray_session, smoke_parquet, tmp_path):
+    """Reference `split` analog: one committed partition per turn range,
+    skip-if-exists rerun semantics, streamed writes."""
+    import pyarrow.parquet as pq
+
+    from pdf_toolkit_ray.functions.turnspec import parse_turn_ranges
+    from pdf_toolkit_ray.pipelines.extract import run_split_job
+
+    out = str(tmp_path / "split")
+    ranges = parse_turn_ranges("1-3,4-10")
+    s1 = run_split_job(smoke_parquet, out, ranges)
+    assert s1["action_counts"]["written"] == 2
+    p0 = pq.read_table(f"{out}/part-00000-s00000/data.parquet")
+    p1 = pq.read_table(f"{out}/part-00001-s00000/data.parquet")
+    assert set(p0.column("turn_idx").to_pylist()) <= {0, 1, 2}
+    assert min(p1.column("turn_idx").to_pylist()) == 3
+    import pyarrow.compute as pc
+
+    full = pq.read_table(smoke_parquet)
+    in_range = pc.sum(
+        pc.cast(pc.less_equal(full.column("turn_idx"), 9), "int64")
+    ).as_py()
+    assert p0.num_rows + p1.num_rows == in_range
+    # rerun: both ranges skip
+    s2 = run_split_job(smoke_parquet, out, ranges)
+    assert s2["action_counts"].get("written", 0) == 0
+    assert s2["action_counts"]["skipped"] == 2
+    # overwrite forces rewrite
+    s3 = run_split_job(smoke_parquet, out, ranges, overwrite=True)
+    assert s3["action_counts"]["written"] == 2
+
+
 def test_turns_filter_is_part_of_resume_identity(ray_session, smoke_parquet, tmp_path):
     """Partitions committed under a turn selection must NOT satisfy a rerun
     with a different (or no) selection — the content differs."""
