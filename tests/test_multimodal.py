@@ -127,6 +127,20 @@ def test_wav_stereo_and_widths():
     assert np.allclose(samples, vals.astype(np.float64) / (1 << 23))
 
 
+def test_png_random_shapes_roundtrip():
+    """PNG is lossless: exact roundtrip across random shapes incl. 1x1."""
+    import numpy as np
+
+    from pdf_toolkit_ray.stages.multimodal import decode_png, encode_png
+
+    rng = np.random.RandomState(21)
+    for h, w in [(1, 1), (1, 17), (33, 1)] + [
+        (int(rng.randint(2, 40)), int(rng.randint(2, 40))) for _ in range(10)
+    ]:
+        img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(img)), img), (h, w)
+
+
 def test_jpeg_roundtrip():
     """From-scratch baseline JPEG codec: encode→decode stays close
     (lossy, so PSNR-bounded), exact dims on non-multiple-of-8 images."""

@@ -128,6 +128,18 @@ def test_two_level_exchange_matches_mr(ray_session, smoke_parquet, oracle_df):
     assert_matches_oracle(got, oracle_df)
 
 
+def test_two_level_auto_trigger_above_slot_limit(ray_session, smoke_parquet, oracle_df):
+    """n_parts > 1024 auto-engages the two-level exchange (no explicit
+    flag) and stays row-correct."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, n_parts=1500, exchange_wave=4)
+    got = extract_dataset(smoke_parquet, cfg).to_pandas()
+    df = _sorted(got)
+    assert len(df) == len(oracle_df)
+    assert (df["extracted_text"].values == oracle_df["extracted_text"].values).all()
+
+
 def test_schema_validation_rejects_wrong_table(ray_session):
     import ray.data
     from pdf_toolkit_ray import UserError
