@@ -41,9 +41,13 @@ def add_digest(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset
 def exact_dedup_groups(
     ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text"
 ) -> ray.data.Dataset:
-    """(digest, doc_id=min id, n=multiplicity) per distinct content."""
+    """(digest, doc_id=min id, n=multiplicity) per distinct content.
+
+    Texts are digested map-side and DROPPED before the groupby — the
+    shuffle moves (digest, id) pairs only, never document bodies."""
     return (
         add_digest(ds.select_columns([id_col, text_col]), text_col)
+        .select_columns(["digest", id_col])
         .groupby("digest")
         .aggregate(Min(id_col, alias_name=id_col), Count(alias_name="n"))
     )
