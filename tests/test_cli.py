@@ -59,3 +59,21 @@ def test_dry_run_cli(tmp_path):
     assert plan["action_counts"]["dry-run"] == plan["planned_partitions"]
     import os
     assert not os.path.exists(os.path.join(out, "_job_manifest.json"))
+
+
+def test_cli_extract_end_to_end(tmp_path):
+    """Full CLI extract on the smoke fixture: job manifest written,
+    partitions committed, audit counts coherent."""
+    import os
+
+    from pdf_toolkit_ray.sources.fixtures import transcripts_path_for
+
+    path = transcripts_path_for("smoke")
+    out = str(tmp_path / "cli_job")
+    r = _run("extract", "--input", path, "--out", out,
+             "--num-cpus", "2", "--set", "n_parts=2")
+    assert r.returncode == 0, r.stderr
+    summary = json.loads(r.stdout)
+    assert summary["rows_written"] > 0
+    assert summary["action_counts"]["written"] == summary["written_partitions"]
+    assert os.path.exists(os.path.join(out, "_job_manifest.json"))

@@ -174,3 +174,26 @@ def test_turns_filter_is_part_of_resume_identity(ray_session, smoke_parquet, tmp
     # same-selection rerun DOES resume
     s3 = run_extract_job(smoke_parquet, out, cfg)
     assert s3["written_partitions"] == 0 and len(s3["resumed_partitions"]) > 0
+
+
+def test_turnspec_fuzz_never_crashes():
+    """Random garbage specs either parse or raise UserError — no other
+    exception type escapes the grammar."""
+    import random
+
+    rng = random.Random(13)
+    alphabet = "0123456789-, alx*"
+    for _ in range(300):
+        spec = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 12)))
+        try:
+            parse_turn_spec(spec, 50)
+        except UserError:
+            pass
+        try:
+            parse_turn_ranges(spec, 50)
+        except UserError:
+            pass
+        try:
+            turn_filter_expression(spec)
+        except UserError:
+            pass
