@@ -353,17 +353,28 @@ def join_orders_customer_top(sf_dir: str):
         .aggregate(Sum("spend_c_sum", alias_name="spend_c"),
                    Sum("spend_c_count", alias_name="n_orders"))
     )
-    cust = pq.read_table(
-        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"]
-    ).to_pandas()
-    joined = relops.broadcast_join(per_cust, cust, on="c_custkey")
+    # customer scales with sf — never materialize it on the driver; hash-join
+    # the per-customer partials (one row per customer) against the pruned
+    # customer scan, partition count derived from input bytes.
+    cust_ds = scan(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    n_parts = relops.choose_num_partitions(
+        relops.table_path(sf_dir, "orders"), relops.table_path(sf_dir, "customer")
+    )
+    joined = per_cust.join(cust_ds, "inner", num_partitions=n_parts, on=("c_custkey",))
 
-    def finish(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.assign(total_spend=(batch["spend_c"].astype(np.float64) / 100.0))
-        return batch[["c_custkey", "c_name", "total_spend", "n_orders"]]
+    def finish(batch: pa.Table) -> pa.Table:
+        spend = pc.divide(pc.cast(batch.column("spend_c"), pa.float64()), 100.0)
+        return pa.table(
+            {
+                "c_custkey": batch.column("c_custkey"),
+                "c_name": batch.column("c_name"),
+                "total_spend": spend,
+                "n_orders": batch.column("n_orders"),
+            }
+        )
 
     out = relops.topk(
-        joined.map_batches(finish, batch_format="pandas"),
+        joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True),
         [("total_spend", "descending"), ("c_custkey", "ascending")],
         10,
     )
@@ -721,13 +732,24 @@ SELECT a, b, round(j, 4) AS jaccard FROM (
 
 
 def _query_embeddings(sf_dir: str, n_queries: int = 5):
-    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    ids = tbl.column("vec_id").to_numpy(zero_copy_only=False)
-    order = np.argsort(ids)[:n_queries]
-    qids = [int(ids[i]) for i in order]
-    qm = np.array(
-        [np.asarray(tbl.column("embedding")[int(i)].as_py(), dtype=np.float64) for i in order]
+    """The n_queries lowest vec_ids and their vectors. embeddings scales
+    with sf, so the bottom-k id selection is a distributed topk over the
+    pruned id column and only the k matching row groups are read back
+    (statistics-pruned ``filters=``) — the driver never holds the table."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ids_ds = ray.data.read_parquet(path, columns=["vec_id"])
+    qids = sorted(
+        int(r["vec_id"])
+        for r in relops.topk(ids_ds, [("vec_id", "ascending")], n_queries).take_all()
     )
+    tbl = pq.read_table(
+        path, columns=["vec_id", "embedding"], filters=[("vec_id", "in", qids)]
+    )
+    by_id = {
+        int(v): np.asarray(e, dtype=np.float64)
+        for v, e in zip(tbl.column("vec_id").to_pylist(), tbl.column("embedding").to_pylist())
+    }
+    qm = np.array([by_id[q] for q in qids])
     return qids, qm
 
 
@@ -762,17 +784,25 @@ def embedding_topk_lsh(sf_dir: str):
 
 def embedding_topk_ivf(sf_dir: str):
     """IVF coarse-quantizer top-k. Training sample loaded deterministically
-    from the parquet file (first 2048 rows in storage order); at the
-    driver's sf, probing 8 of 16 cells recovers the exact top-k, so this
-    shares the brute-force oracle — at scale n_probe/n_cells trades recall
-    for scanning only ~n_probe/n_cells of the corpus."""
+    from the parquet file (first 2048 rows in storage order). The registry
+    entry probes ALL cells (n_probe == n_cells), which is EXACT by
+    construction — equality with the brute-force oracle cannot depend on
+    the fixture. The scale path (n_probe < n_cells, scanning only
+    ~n_probe/n_cells of the corpus for bounded recall loss) is exercised
+    by the probe-tradeoff pytest in tests/test_dedup_ann.py."""
     qids, qm = _query_embeddings(sf_dir)
-    train = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
-    ).slice(0, 2048)
+    # training sample: first 2048 rows only — stream row groups, never the file
+    pf = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
+    batches, need = [], 2048
+    for b in pf.iter_batches(batch_size=2048, columns=["embedding"]):
+        batches.append(b)
+        need -= b.num_rows
+        if need <= 0:
+            break
+    train = pa.Table.from_batches(batches).slice(0, 2048)
     tm = np.array([np.asarray(v, dtype=np.float64) for v in train.column("embedding").to_pylist()])
     ds = scan(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return ann_mod.ivf_topk(ds, qids, qm, k=10, n_cells=16, n_probe=8, train_matrix=tm)
+    return ann_mod.ivf_topk(ds, qids, qm, k=10, n_cells=16, n_probe=16, train_matrix=tm)
 
 
 def _near_dups_df(sf_dir: str, threshold: float) -> pd.DataFrame:
@@ -1071,19 +1101,27 @@ WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARC
 
 
 def q3_shipping_priority(sf_dir: str):
-    """TPC-H Q3 shape: 3-way join (broadcast small side + hash join large
-    sides) with filters, grouped revenue, top-10."""
-    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
-                         columns=["c_custkey", "c_mktsegment"]).to_pandas()
-    keys = frozenset(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
+    """TPC-H Q3 shape: 3-way distributed hash join with filters pushed to
+    the scans, grouped revenue, top-10. customer scales with sf, so the
+    segment semi-join is a ``Dataset.join`` against the predicate-pushed
+    customer scan (c_custkey is unique: inner join ≡ semi-join) — no
+    driver-side key-set materialization."""
     cutoff = pa.scalar(np.datetime64("1997-01-01", "us"))
-
-    orders = scan(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
-    orders = relops.semi_join_filter(orders, "o_custkey", keys)
-    orders = orders.map_batches(
-        lambda t: t.filter(pc.less(t.column("o_orderdate"), cutoff)),
-        batch_format="pyarrow", zero_copy_batch=True,
+    n_parts = relops.choose_num_partitions(
+        relops.table_path(sf_dir, "orders"), relops.table_path(sf_dir, "customer")
     )
+
+    building = scan(
+        sf_dir, "customer", columns=["c_custkey"],
+        filter=(pc.field("c_mktsegment") == "BUILDING"),
+    )
+    orders = scan(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pc.field("o_orderdate") < np.datetime64("1997-01-01", "us")),
+    )
+    orders = orders.join(building, "inner", num_partitions=n_parts,
+                         on=("o_custkey",), right_on=("c_custkey",))
+    orders = orders.select_columns(["o_orderkey", "o_orderdate"])
     li = scan(sf_dir, "lineitem",
               columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
 
@@ -1096,7 +1134,7 @@ def q3_shipping_priority(sf_dir: str):
         return pa.table({"l_orderkey": batch.column("l_orderkey"), "rev_c": _cents(r, 10_000)})
 
     li = li.map_batches(li_rev, batch_format="pyarrow", zero_copy_batch=True)
-    joined = li.join(orders, "inner", num_partitions=16,
+    joined = li.join(orders, "inner", num_partitions=n_parts,
                      on=("l_orderkey",), right_on=("o_orderkey",))
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -1169,63 +1207,72 @@ SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events
 
 def q5_local_supplier_volume(sf_dir: str):
     """TPC-H Q5 shape: revenue by nation where customer and supplier share
-    the nation — one large hash join (lineitem x orders) plus three
-    broadcast dimensions and a per-batch co-nation filter."""
-    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
-                         columns=["c_custkey", "c_nationkey"]).to_pandas()
-    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
-                         columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    the nation. customer and supplier scale with sf, so both are attached
+    via distributed ``Dataset.join``; only nation x region (fixed 25 x 5
+    rows by TPC-H spec) is a driver-side broadcast. The co-nation filter
+    and the nation-name attach run as one vectorized batch kernel."""
     nation = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
     region = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
     asia = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
     asia = asia[asia["r_name"] == "ASIA"][["n_nationkey", "n_name"]]
-    nation_name = dict(zip(asia["n_nationkey"], asia["n_name"]))
-    cust_nation = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
-    supp_nation = dict(zip(supp["s_suppkey"], supp["s_nationkey"]))
+    asia_keys = asia["n_nationkey"].to_numpy(dtype=np.int64)
+    asia_names = asia["n_name"].tolist()
 
-    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
-    hi = pa.scalar(np.datetime64("1998-01-01", "us"))
-    orders = scan(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
-    orders = orders.map_batches(
-        lambda t: t.filter(pc.and_(pc.greater_equal(t.column("o_orderdate"), lo),
-                                   pc.less(t.column("o_orderdate"), hi))),
-        batch_format="pyarrow", zero_copy_batch=True,
+    n_parts = relops.choose_num_partitions(
+        relops.table_path(sf_dir, "lineitem"), relops.table_path(sf_dir, "orders")
     )
+    dim_parts = relops.choose_num_partitions(
+        relops.table_path(sf_dir, "orders"), relops.table_path(sf_dir, "customer")
+    )
+    orders = scan(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(
+            (pc.field("o_orderdate") >= np.datetime64("1996-01-01", "us"))
+            & (pc.field("o_orderdate") < np.datetime64("1998-01-01", "us"))
+        ),
+    )
+    cust = scan(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    orders = orders.join(cust, "inner", num_partitions=dim_parts,
+                         on=("o_custkey",), right_on=("c_custkey",))
+    orders = orders.select_columns(["o_orderkey", "c_nationkey"])
+
     li = scan(sf_dir, "lineitem",
               columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
-    joined = li.join(orders, "inner", num_partitions=16,
+    joined = li.join(orders, "inner", num_partitions=n_parts,
                      on=("l_orderkey",), right_on=("o_orderkey",))
 
-    import ray as _ray
-    dims_ref = _ray.put((cust_nation, supp_nation, nation_name))
+    supp = scan(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    supp_parts = relops.choose_num_partitions(
+        relops.table_path(sf_dir, "lineitem"), relops.table_path(sf_dir, "supplier")
+    )
+    joined = joined.join(supp, "inner", num_partitions=supp_parts,
+                         on=("l_suppkey",), right_on=("s_suppkey",))
+
+    asia_keys_ref = ray.put((asia_keys, asia_names))
 
     class _CoNation:
         def __init__(self):
-            self.cust, self.supp, self.names = _ray.get(dims_ref)
+            self.asia_keys, self.asia_names = ray.get(asia_keys_ref)
+            # nation-id -> name lookup table indexed by nationkey (≤ 25 ids)
+            size = int(self.asia_keys.max()) + 1 if len(self.asia_keys) else 1
+            self.name_idx = np.full(size, -1, dtype=np.int64)
+            self.name_idx[self.asia_keys] = np.arange(len(self.asia_keys))
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
-            sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
-            cn = np.fromiter((self.cust.get(int(k), -1) for k in ck), dtype=np.int64,
-                             count=len(ck))
-            sn = np.fromiter((self.supp.get(int(k), -2) for k in sk), dtype=np.int64,
-                             count=len(sk))
-            keep = (cn == sn) & np.fromiter((int(n) in self.names for n in sn),
-                                            dtype=bool, count=len(sn))
+            cn = batch.column("c_nationkey").to_numpy(zero_copy_only=False)
+            sn = batch.column("s_nationkey").to_numpy(zero_copy_only=False)
+            in_asia = (sn < len(self.name_idx)) & (sn >= 0)
+            idx = np.where(in_asia, self.name_idx[np.clip(sn, 0, len(self.name_idx) - 1)], -1)
+            keep = (cn == sn) & (idx >= 0)
             batch = batch.filter(pa.array(keep))
-            sn_kept = sn[keep]
+            names = pa.DictionaryArray.from_arrays(
+                pa.array(idx[keep], type=pa.int32()), pa.array(self.asia_names)
+            ).cast(pa.string())
             rev = pc.multiply(
                 pc.cast(batch.column("l_extendedprice"), pa.float64()),
                 pc.subtract(1.0, pc.cast(batch.column("l_discount"), pa.float64())),
             )
-            t = pa.table(
-                {
-                    "nation": pa.array(
-                        [self.names[int(n)] for n in sn_kept], type=pa.string()
-                    ),
-                    "rev_c": _cents(rev, 10_000),
-                }
-            )
+            t = pa.table({"nation": names, "rev_c": _cents(rev, 10_000)})
             return t.group_by(["nation"]).aggregate([("rev_c", "sum")])
 
     agg = (
