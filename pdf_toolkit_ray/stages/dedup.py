@@ -164,25 +164,31 @@ def _candidate_edges(group: pa.Table, id_col: str, threshold: float) -> pa.Table
     )
 
 
-class _TextPayloadStage(_MinHashStage):
-    """Explode variant carrying the raw text (for exact-verify consumers)."""
+class _IdOnlyStage(_MinHashStage):
+    """Explode variant carrying ONLY (band_key, id): the candidate shuffle
+    moves ~16 bytes per (row, band) — document bodies never enter the band
+    explode (with bands=32 a text payload here would cross the shuffle 32
+    times per document)."""
 
-    payload = "text"
-
-    def _payload_array(self, batch: pa.Table, sigs: np.ndarray, repeats: int) -> pa.Array:
-        idx = np.repeat(np.arange(batch.num_rows), repeats)
-        return batch.column(self.text_col).take(pa.array(idx))
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        sigs = self.hasher.signatures(texts)
+        keys = self.hasher.band_key_matrix(sigs)
+        n, n_bands = keys.shape
+        idx = np.repeat(np.arange(n), n_bands)
+        ids = batch.column(self.id_col).take(pa.array(idx))
+        return pa.table({"band_key": pa.array(keys.reshape(-1)), self.id_col: ids})
 
 
 _HASHER_CACHE: dict[tuple, "_MinHashStage"] = {}
-_TEXT_STAGE_CACHE: dict[tuple, _TextPayloadStage] = {}
+_ID_STAGE_CACHE: dict[tuple, _IdOnlyStage] = {}
 
 
-def _text_stage_for(id_col: str, text_col: str, num_perm: int, bands: int) -> _TextPayloadStage:
+def _id_stage_for(id_col: str, text_col: str, num_perm: int, bands: int) -> _IdOnlyStage:
     key = (id_col, text_col, num_perm, bands)
-    if key not in _TEXT_STAGE_CACHE:
-        _TEXT_STAGE_CACHE[key] = _TextPayloadStage(id_col, text_col, num_perm, bands)
-    return _TEXT_STAGE_CACHE[key]
+    if key not in _ID_STAGE_CACHE:
+        _ID_STAGE_CACHE[key] = _IdOnlyStage(id_col, text_col, num_perm, bands)
+    return _ID_STAGE_CACHE[key]
 
 
 def _stage_for(id_col: str, text_col: str, num_perm: int, bands: int) -> "_MinHashStage":
@@ -540,33 +546,31 @@ def simhash_near_dup_pairs(
     return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
 
 
-class _NgramVerifyStage:
-    """Exact n-gram Jaccard verification within an LSH bucket (texts present)."""
-
-    def __init__(self, id_col: str, threshold: float, n: int):
-        self.id_col, self.threshold, self.n = id_col, threshold, n
-
-    def __call__(self, group: pa.Table) -> pa.Table:
-        ids = group.column(self.id_col).to_pylist()
-        texts = group.column("text").to_pylist()
-        a_out, b_out, jac = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if ids[i] == ids[j]:
-                    continue
-                sim = jaccard_ngrams(texts[i] or "", texts[j] or "", self.n)
-                if sim >= self.threshold:
-                    lo, hi = sorted((ids[i], ids[j]))
-                    a_out.append(lo)
-                    b_out.append(hi)
-                    jac.append(round_away_scalar(sim))
-        return pa.table(
-            {
-                "a": pa.array(a_out, type=group.column(self.id_col).type),
-                "b": pa.array(b_out, type=group.column(self.id_col).type),
-                "jaccard": pa.array(jac, type=pa.float64()),
-            }
-        )
+def _bucket_id_pairs(group: pa.Table, id_col: str) -> pa.Table:
+    """All distinct unordered id pairs within one LSH bucket — candidate
+    generation only, no text. Chunked upper-triangle so a degenerate hot
+    bucket never materializes one O(m^2) index tensor."""
+    id_type = group.column(id_col).type
+    ids = np.unique(group.column(id_col).to_numpy(zero_copy_only=False))
+    m = len(ids)
+    if m < 2:
+        return pa.table({"a": pa.array([], type=id_type), "b": pa.array([], type=id_type)})
+    chunk = 4096
+    a_parts, b_parts = [], []
+    for lo in range(0, m, chunk):
+        hi = min(lo + chunk, m)
+        for lo_b in range(lo, m, chunk):
+            hi_b = min(lo_b + chunk, m)
+            gi, gj = np.meshgrid(np.arange(lo, hi), np.arange(lo_b, hi_b), indexing="ij")
+            keep = gi < gj
+            a_parts.append(ids[gi[keep]])
+            b_parts.append(ids[gj[keep]])
+    return pa.table(
+        {
+            "a": pa.array(np.concatenate(a_parts), type=id_type),
+            "b": pa.array(np.concatenate(b_parts), type=id_type),
+        }
+    )
 
 
 def ngram_jaccard_pairs(
@@ -578,24 +582,65 @@ def ngram_jaccard_pairs(
     n: int = 3,
     num_perm: int = 64,
     bands: int = 32,
+    num_partitions: int = 8,
 ) -> ray.data.Dataset:
-    """LSH-bucketed candidate generation + exact Jaccard verify.
+    """LSH-bucketed candidate generation + exact Jaccard verify, with the
+    band explode carrying (band_key, id) ONLY — texts are joined back just
+    for the (tiny) deduped candidate set, so each candidate document body
+    crosses the wire twice (once per pair side), not once per band.
 
-    More bands (32×2 rows) → high recall at moderate thresholds; the
-    exact verify step removes false positives, so extra candidates cost
-    compute, not correctness.
+    More bands → high recall at moderate thresholds; the exact verify step
+    removes false positives, so extra candidates cost compute, not
+    correctness.
     """
 
-    def _sig_explode_text(batch: pa.Table) -> pa.Table:
-        return _text_stage_for(id_col, text_col, num_perm, bands)(batch)
+    def _sig_explode(batch: pa.Table) -> pa.Table:
+        return _id_stage_for(id_col, text_col, num_perm, bands)(batch)
 
-    exploded = ds.select_columns([id_col, text_col]).map_batches(
-        _sig_explode_text, batch_format="pyarrow", zero_copy_batch=True
+    texts_ds = ds.select_columns([id_col, text_col])
+    exploded = texts_ds.map_batches(
+        _sig_explode, batch_format="pyarrow", zero_copy_batch=True
     )
-    verifier = _NgramVerifyStage(id_col, threshold, n)
+    cand = (
+        exploded.groupby("band_key")
+        .map_groups(lambda g: _bucket_id_pairs(g, id_col), batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["a", "b"])
+    )
 
-    def _verify(group: pa.Table) -> pa.Table:
-        return verifier(group)
+    def _rename(side: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {side: batch.column(id_col), f"text_{side}": batch.column(text_col)}
+            )
 
-    pairs = exploded.groupby("band_key").map_groups(_verify, batch_format="pyarrow")
-    return pairs.groupby(["a", "b"]).aggregate(Min("jaccard", alias_name="jaccard"))
+        return fn
+
+    texts_a = texts_ds.map_batches(_rename("a"), batch_format="pyarrow", zero_copy_batch=True)
+    texts_b = texts_ds.map_batches(_rename("b"), batch_format="pyarrow", zero_copy_batch=True)
+    cand = cand.join(texts_a, "inner", num_partitions=num_partitions, on=("a",))
+    cand = cand.join(texts_b, "inner", num_partitions=num_partitions, on=("b",))
+
+    def _verify(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_pylist()
+        b = batch.column("b").to_pylist()
+        ta = batch.column("text_a").to_pylist()
+        tb = batch.column("text_b").to_pylist()
+        a_out, b_out, jac = [], [], []
+        for i in range(len(a)):
+            sim = jaccard_ngrams(ta[i] or "", tb[i] or "", n)
+            if sim >= threshold:
+                a_out.append(a[i])
+                b_out.append(b[i])
+                jac.append(round_away_scalar(sim))
+        id_type = batch.column("a").type
+        return pa.table(
+            {
+                "a": pa.array(a_out, type=id_type),
+                "b": pa.array(b_out, type=id_type),
+                "jaccard": pa.array(jac, type=pa.float64()),
+            }
+        )
+
+    return cand.map_batches(_verify, batch_format="pyarrow", zero_copy_batch=True)

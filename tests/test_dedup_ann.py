@@ -115,10 +115,9 @@ def test_minhash_signature_golden():
     assert np.array_equal(sig, golden)
     import json, os
     path = os.path.join(os.path.dirname(__file__), "goldens", "minhash_sig.json")
-    if not os.path.exists(path):
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        with open(path, "w") as fh:
-            json.dump([int(v) for v in sig], fh)
+    # the golden is committed; a missing file must FAIL (a regenerate-on-
+    # absence fallback could never catch a hash-family regression)
+    assert os.path.exists(path), "committed golden tests/goldens/minhash_sig.json missing"
     with open(path) as fh:
         assert [int(v) for v in sig] == json.load(fh)
 
@@ -204,6 +203,17 @@ def test_ngram_pairs(ray_session):
     assert (0, 1) in keys and (0, 3) in keys and (1, 3) in keys
     exact = pairs[(pairs["a"] == 0) & (pairs["b"] == 3)]
     assert exact["jaccard"].iloc[0] == 1.0
+
+
+def test_ngram_band_explode_carries_no_text():
+    """The candidate band explode must shuffle (band_key, id) ONLY — a text
+    payload here would cross the shuffle once per band (32x amplification)."""
+    from pdf_toolkit_ray.stages.dedup import _IdOnlyStage
+
+    stage = _IdOnlyStage("doc_id", "text", num_perm=64, bands=32)
+    out = stage(_docs_table())
+    assert out.schema.names == ["band_key", "doc_id"]
+    assert out.num_rows == _docs_table().num_rows * 32
 
 
 def test_brute_force_topk_matches_numpy(ray_session):
