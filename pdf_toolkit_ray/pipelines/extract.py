@@ -57,21 +57,45 @@ def _input_bytes(input_path: str) -> int:
     return total
 
 
-def _input_row_count(input_path: str) -> int:
-    """Total rows from parquet footers only (no data read)."""
+def _parquet_files(input_path: str) -> list[str]:
+    if os.path.isfile(input_path):
+        return [input_path]
+    return sorted(
+        os.path.join(root, f)
+        for root, _d, fs in os.walk(input_path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+
+
+#: above this many files, footer-only passes fan out as batched Ray tasks
+#: (a serial driver loop over ~1M footers is minutes before any work starts)
+_FOOTER_FANOUT_THRESHOLD = 32
+_FOOTER_FILES_PER_TASK = 64
+
+
+def _chunked(items: list, size: int) -> list[list]:
+    return [items[i:i + size] for i in range(0, len(items), size)]
+
+
+@ray.remote
+def _footer_rows_task(paths: list[str]) -> int:
     import pyarrow.parquet as pq
 
-    files = (
-        [input_path]
-        if os.path.isfile(input_path)
-        else [
-            os.path.join(root, f)
-            for root, _d, fs in os.walk(input_path)
-            for f in fs
-            if f.endswith(".parquet")
-        ]
+    return sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
+
+
+def _input_row_count(input_path: str) -> int:
+    """Total rows from parquet footers only (no data read); parallel over
+    batched Ray tasks when the file count is large."""
+    import pyarrow.parquet as pq
+
+    files = _parquet_files(input_path)
+    if len(files) <= _FOOTER_FANOUT_THRESHOLD:
+        return sum(pq.ParquetFile(p).metadata.num_rows for p in files)
+    return sum(
+        ray.get([_footer_rows_task.remote(c) for c in _chunked(files, _FOOTER_FILES_PER_TASK)])
     )
-    return sum(pq.ParquetFile(p).metadata.num_rows for p in files)
 
 
 def _choose_num_blocks(input_path: str, target_block_bytes: int = 96 << 20) -> int:
@@ -118,53 +142,89 @@ def compute_heavy(input_path: str, cfg: ExtractConfig) -> dict[str, int]:
     rows/block, partials ≈ the whole input — measured as a full-size
     extra shuffle.)
     """
-    import pyarrow.compute as pc
+    files = _parquet_files(input_path)
+
+    # phase 1 (metadata only): row groups whose turn_idx max statistic is
+    # below the threshold cannot contain a heavy row. Footer reads fan out
+    # as batched Ray tasks above the file-count threshold — a serial driver
+    # loop over ~1M footers is minutes of dead time before any work starts.
+    if len(files) <= _FOOTER_FANOUT_THRESHOLD:
+        candidates = _footer_heavy_candidates(files, cfg.salt_threshold)
+    else:
+        candidates = [
+            c
+            for part in ray.get(
+                [
+                    _footer_candidates_task.remote(chunk, cfg.salt_threshold)
+                    for chunk in _chunked(files, _FOOTER_FILES_PER_TASK)
+                ]
+            )
+            for c in part
+        ]
+
+    if not candidates:
+        return {}
+
+    # phase 2: read only the qualifying row groups (two columns), batched
+    # into parallel Ray tasks
+    partials = ray.get(
+        [
+            _rg_max_task.remote(chunk, cfg.salt_threshold)
+            for chunk in _chunked(candidates, 32)
+        ]
+    )
+    heavy: dict[str, int] = {}
+    for part in partials:
+        for conv, mx in part.items():
+            if mx + 1 > heavy.get(conv, 0):
+                heavy[conv] = int(mx) + 1
+    return heavy
+
+
+def _footer_heavy_candidates(files: list[str], salt_threshold: int) -> list[tuple[str, int]]:
+    """(path, row_group) pairs whose turn_idx max statistic admits a heavy
+    row (or that carry no statistics)."""
     import pyarrow.parquet as pq
 
-    files = (
-        [input_path]
-        if os.path.isfile(input_path)
-        else sorted(
-            os.path.join(root, f)
-            for root, _d, fs in os.walk(input_path)
-            for f in fs
-            if f.endswith(".parquet")
-        )
-    )
-
-    # phase 1 (metadata only, driver-side): row groups whose turn_idx max
-    # statistic is below the threshold cannot contain a heavy row
     candidates: list[tuple[str, int]] = []
     for path in files:
         meta = pq.ParquetFile(path).metadata
         turn_col_idx = meta.schema.to_arrow_schema().get_field_index("turn_idx")
         for rg in range(meta.num_row_groups):
             stats = meta.row_group(rg).column(turn_col_idx).statistics
-            if stats is None or stats.max is None or stats.max >= cfg.salt_threshold:
+            if stats is None or stats.max is None or stats.max >= salt_threshold:
                 candidates.append((path, rg))
+    return candidates
 
-    if not candidates:
-        return {}
 
-    # phase 2: read only the qualifying row groups (two columns), in
-    # parallel Ray tasks when there are many
-    @ray.remote
-    def _rg_max(path: str, rg: int) -> dict[str, int]:
-        tbl = pq.ParquetFile(path).read_row_group(rg, columns=["conv_id", "turn_idx"])
-        tbl = tbl.filter(pc.greater_equal(tbl.column("turn_idx"), cfg.salt_threshold))
-        if tbl.num_rows == 0:
-            return {}
-        agg = tbl.group_by("conv_id").aggregate([("turn_idx", "max")])
-        return dict(
-            zip(agg.column("conv_id").to_pylist(), agg.column("turn_idx_max").to_pylist())
-        )
+@ray.remote
+def _footer_candidates_task(files: list[str], salt_threshold: int) -> list[tuple[str, int]]:
+    return _footer_heavy_candidates(files, salt_threshold)
 
-    partials = ray.get([_rg_max.remote(p, rg) for p, rg in candidates])
+
+@ray.remote
+def _rg_max_task(candidates: list[tuple[str, int]], salt_threshold: int) -> dict[str, int]:
+    """Per-conv max turn_idx over a batch of qualifying row groups."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
     heavy: dict[str, int] = {}
-    for part in partials:
-        for conv, mx in part.items():
-            if mx + 1 > heavy.get(conv, 0):
-                heavy[conv] = int(mx) + 1
+    by_file: dict[str, list[int]] = {}
+    for path, rg in candidates:
+        by_file.setdefault(path, []).append(rg)
+    for path, rgs in by_file.items():
+        pf = pq.ParquetFile(path)
+        for rg in rgs:
+            tbl = pf.read_row_group(rg, columns=["conv_id", "turn_idx"])
+            tbl = tbl.filter(pc.greater_equal(tbl.column("turn_idx"), salt_threshold))
+            if tbl.num_rows == 0:
+                continue
+            agg = tbl.group_by("conv_id").aggregate([("turn_idx", "max")])
+            for conv, mx in zip(
+                agg.column("conv_id").to_pylist(), agg.column("turn_idx_max").to_pylist()
+            ):
+                if int(mx) > heavy.get(conv, -1):
+                    heavy[conv] = int(mx)
     return heavy
 
 
@@ -396,6 +456,25 @@ def run_extract_job(
     return summary
 
 
+@ray.remote
+def _split_range_task(
+    input_path: str, out_dir: str, idx: int, start: int, end: int, range_hash: str
+) -> int:
+    """One range: predicate-pushed pyarrow-dataset scan streamed into an
+    atomic partition commit, entirely inside this task."""
+    import pyarrow.dataset as pads
+
+    dataset = pads.dataset(input_path, format="parquet")
+    expr = (pads.field("turn_idx") >= start) & (pads.field("turn_idx") <= end)
+    scanner = dataset.scanner(filter=expr, batch_size=64 << 10)
+    return manifest_mod.write_partition_stream(
+        out_dir, idx, 0, scanner.to_batches(),
+        schema=dataset.schema,
+        lineage={"input": str(input_path), "config_hash": range_hash,
+                 "turn_range": [int(start), int(end)]},
+    )
+
+
 def run_split_job(
     input_path: str,
     out_dir: str,
@@ -407,9 +486,16 @@ def run_split_job(
     the analog of the reference's ``split`` command (``split.py:96-154``:
     page ranges → ``prefix_partNN.pdf`` files, skip-if-exists reruns).
 
-    Each range is an independent predicate-pushed scan written atomically
-    (tmp + rename + manifest last), so a rerun completes only missing
-    ranges; ranges are 0-based inclusive (from ``parse_turn_ranges``).
+    Each range is one independent Ray TASK doing a predicate-pushed scan
+    streamed straight into an atomic partition commit (tmp + rename +
+    manifest last) — no range's bytes ever pass through the driver, and
+    ranges write in parallel. A rerun completes only missing ranges;
+    ranges are 0-based inclusive (from ``parse_turn_ranges``).
+
+    Resume identity: the hash covers the ORDERED range list (partition idx
+    is the spec-order position, so "121-240,1-120" is a different job than
+    "1-120,121-240"), and before skipping, the committed partition's
+    lineage.turn_range must equal the range currently assigned to that idx.
     """
     import hashlib as _hl
 
@@ -418,39 +504,43 @@ def run_split_job(
     t_start = time.time()
     os.makedirs(out_dir, exist_ok=True)
     range_hash = _hl.sha256(
-        f"{input_path}|{sorted(ranges)}".encode()
+        f"{input_path}|{[(int(a), int(b)) for a, b in ranges]}".encode()
     ).hexdigest()[:16]
     done = (
         manifest_mod.completed_partitions(out_dir, range_hash)
         if not overwrite
         else set()
     )
+    validate_transcripts_schema(pads.dataset(input_path, format="parquet").schema)
     now = manifest_mod._utcnow()
     actions = []
     rows_written = 0
+    pending: list[tuple[int, tuple[int, int], Any]] = []
     for idx, (start, end) in enumerate(ranges):
         if (idx, 0) in done:
-            actions.append(
-                {"timestamp": now, "action": "write_range", "status": "skipped",
-                 "part_id": idx, "range": [start, end]}
+            committed = manifest_mod.load_manifest(
+                manifest_mod.partition_dir(out_dir, idx, 0)
             )
-            continue
-        expr = (pads.field("turn_idx") >= start) & (pads.field("turn_idx") <= end)
-        ds = read_transcripts(input_path, filter=expr)
-        # stream batches into the partition file — a range never
-        # materializes whole in driver memory
-        n_rows = manifest_mod.write_partition_stream(
-            out_dir, idx, 0,
-            ds.iter_batches(batch_format="pyarrow"),
-            schema=ds.schema().base_schema,
-            lineage={"input": str(input_path), "config_hash": range_hash,
-                     "turn_range": [int(start), int(end)]},
+            committed_range = (committed or {}).get("lineage", {}).get("turn_range")
+            if committed_range == [int(start), int(end)]:
+                actions.append(
+                    {"timestamp": now, "action": "write_range", "status": "skipped",
+                     "part_id": idx, "range": [start, end]}
+                )
+                continue
+            # manifest claims this idx but holds a different range — rewrite
+        pending.append(
+            (idx, (int(start), int(end)),
+             _split_range_task.remote(input_path, out_dir, idx, int(start), int(end), range_hash))
         )
+    for idx, (start, end), ref in pending:
+        n_rows = ray.get(ref)
         rows_written += n_rows
         actions.append(
             {"timestamp": now, "action": "write_range", "status": "written",
              "part_id": idx, "range": [start, end], "rows": int(n_rows)}
         )
+    actions.sort(key=lambda a: a["part_id"])
     summary = {
         "input": str(input_path),
         "out_dir": out_dir,

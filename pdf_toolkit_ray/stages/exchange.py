@@ -62,11 +62,12 @@ def exchange_slots(cfg: ExtractConfig, heavy: dict[str, int]) -> list[tuple[int,
 @ray.remote
 def _split_block(block: pa.Table, composite_keys: np.ndarray):
     """One extraction block → one sub-table per slot (zero-copy slices)."""
+    n_slots = len(composite_keys)
     if block.num_rows == 0 or "part_id" not in block.schema.names:
         # Ray Data synthesizes a schema-less empty block when every row was
         # filtered (e.g. a fully-resumed rerun) — nothing to route.
         empty = block.slice(0, 0)
-        return tuple(empty for _ in range(len(composite_keys)))
+        return tuple(empty for _ in range(n_slots)) if n_slots > 1 else empty
     part = block.column("part_id").to_numpy(zero_copy_only=False).astype(np.int64)
     salt = block.column("salt").to_numpy(zero_copy_only=False).astype(np.int64)
     comp = (part << _SALT_BITS) | salt
@@ -74,11 +75,13 @@ def _split_block(block: pa.Table, composite_keys: np.ndarray):
     order = np.argsort(slot, kind="stable")
     sorted_tbl = block.take(pa.array(order))
     sorted_slot = slot[order]
-    bounds = np.searchsorted(sorted_slot, np.arange(len(composite_keys) + 1))
-    return tuple(
+    bounds = np.searchsorted(sorted_slot, np.arange(n_slots + 1))
+    out = tuple(
         sorted_tbl.slice(bounds[s], bounds[s + 1] - bounds[s])
-        for s in range(len(composite_keys))
+        for s in range(n_slots)
     )
+    # with num_returns=1 Ray treats a 1-tuple as THE value — unwrap
+    return out if n_slots > 1 else out[0]
 
 
 @ray.remote
@@ -101,7 +104,7 @@ def _split_block_groups(block: pa.Table, composite_keys: np.ndarray, group_bound
     n_groups = len(group_bounds) - 1
     if block.num_rows == 0 or "part_id" not in block.schema.names:
         empty = block.slice(0, 0)
-        return tuple(empty for _ in range(n_groups))
+        return tuple(empty for _ in range(n_groups)) if n_groups > 1 else empty
     part = block.column("part_id").to_numpy(zero_copy_only=False).astype(np.int64)
     salt = block.column("salt").to_numpy(zero_copy_only=False).astype(np.int64)
     comp = (part << _SALT_BITS) | salt
@@ -110,10 +113,12 @@ def _split_block_groups(block: pa.Table, composite_keys: np.ndarray, group_bound
     sorted_tbl = block.take(pa.array(order))
     sorted_slot = slot[order]
     bounds = np.searchsorted(sorted_slot, group_bounds)
-    return tuple(
+    out = tuple(
         sorted_tbl.slice(bounds[g], bounds[g + 1] - bounds[g])
         for g in range(n_groups)
     )
+    # with num_returns=1 Ray treats a 1-tuple as THE value — unwrap
+    return out if n_groups > 1 else out[0]
 
 
 @ray.remote

@@ -147,3 +147,76 @@ def test_schema_validation_rejects_wrong_table(ray_session):
 
     with pytest.raises(UserError, match="missing required transcript columns"):
         read_transcripts("/root/testdata/sf0.001/lineitem.parquet")
+
+
+def test_heavy_pass_parallel_matches_serial(ray_session, smoke_table, tmp_path):
+    """compute_heavy must fan footer reads out as Ray tasks above the file
+    threshold and produce the same heavy map as the serial driver path —
+    and stay fast: 200 files of footer metadata in well under a second of
+    per-file work."""
+    import time
+
+    import pyarrow.parquet as pq
+
+    from pdf_toolkit_ray.pipelines import extract as ex
+
+    # shard the smoke table into many small files (forces the fan-out path)
+    many_dir = tmp_path / "many"
+    many_dir.mkdir()
+    n_files = 200
+    rows = smoke_table.num_rows
+    step = max(1, rows // n_files)
+    for i in range(0, rows, step):
+        pq.write_table(smoke_table.slice(i, step), str(many_dir / f"part-{i:06d}.parquet"))
+    n_written = len(list(many_dir.glob("*.parquet")))
+    assert n_written > ex._FOOTER_FANOUT_THRESHOLD
+
+    serial = ex._footer_heavy_candidates(
+        ex._parquet_files(str(many_dir)), CFG.salt_threshold
+    )
+    t0 = time.time()
+    heavy_parallel = ex.compute_heavy(str(many_dir), CFG)
+    elapsed = time.time() - t0
+
+    # single-file serial reference
+    single = tmp_path / "single.parquet"
+    pq.write_table(smoke_table, str(single))
+    heavy_serial = ex.compute_heavy(str(single), CFG)
+    assert heavy_parallel == heavy_serial
+    assert len(heavy_serial) > 0
+    assert elapsed < 10.0, f"heavy pass took {elapsed:.1f}s on {n_written} files"
+    # the sharded run must have used the fan-out path's candidate logic
+    assert len(serial) >= len(heavy_serial)
+
+
+def test_input_row_count_parallel_matches_serial(ray_session, smoke_table, tmp_path):
+    import pyarrow.parquet as pq
+
+    from pdf_toolkit_ray.pipelines import extract as ex
+
+    many_dir = tmp_path / "many_rc"
+    many_dir.mkdir()
+    rows = smoke_table.num_rows
+    step = max(1, rows // 100)
+    for i in range(0, rows, step):
+        pq.write_table(smoke_table.slice(i, step), str(many_dir / f"p-{i:06d}.parquet"))
+    assert ex._input_row_count(str(many_dir)) == rows
+
+
+def test_single_slot_exchange_both_levels(ray_session, smoke_parquet):
+    """ADVICE regression: n_parts=1 (one slot, one group) must not crash —
+    with num_returns=1 Ray unwraps a 1-tuple, so splitters must return the
+    bare block. Covers both the single-level and forced two-level paths."""
+    import dataclasses
+
+    base = dataclasses.replace(CFG, n_parts=1, salt_threshold=10_000)
+    single = extract_dataset(smoke_parquet, base).to_pandas()
+    two = extract_dataset(
+        smoke_parquet,
+        dataclasses.replace(base, exchange_two_level=True, exchange_wave=2),
+    ).to_pandas()
+    assert len(single) > 0
+    assert len(single) == len(two)
+    s = _sorted(single)
+    t = _sorted(two)
+    assert (s["extracted_text"].values == t["extracted_text"].values).all()

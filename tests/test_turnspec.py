@@ -197,3 +197,21 @@ def test_turnspec_fuzz_never_crashes():
             turn_filter_expression(spec)
         except UserError:
             pass
+
+
+def test_split_job_reordered_ranges_rewrite(ray_session, smoke_parquet, tmp_path):
+    """ADVICE regression: rerunning with the SAME ranges in a DIFFERENT
+    order must not skip — partition idx is the spec-order position, so
+    part 0 must end up holding the new spec's first range."""
+    import pyarrow.parquet as pq
+
+    from pdf_toolkit_ray.functions.turnspec import parse_turn_ranges
+    from pdf_toolkit_ray.pipelines.extract import run_split_job
+
+    out = str(tmp_path / "split_reorder")
+    run_split_job(smoke_parquet, out, parse_turn_ranges("1-3,4-10"))
+    s2 = run_split_job(smoke_parquet, out, parse_turn_ranges("4-10,1-3"))
+    assert s2["action_counts"].get("skipped", 0) == 0
+    assert s2["action_counts"]["written"] == 2
+    p0 = pq.read_table(f"{out}/part-00000-s00000/data.parquet")
+    assert min(p0.column("turn_idx").to_pylist()) == 3  # 4-10 (1-based) first now
