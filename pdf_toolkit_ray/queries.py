@@ -978,7 +978,11 @@ def join_big_revenue_by_priority(sf_dir: str):
     li = li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True)
     orders = scan(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
     joined = li.join(
-        orders, "inner", num_partitions=16, on=("l_orderkey",), right_on=("o_orderkey",)
+        orders, "inner",
+        num_partitions=relops.choose_num_partitions(
+            relops.table_path(sf_dir, "lineitem"), relops.table_path(sf_dir, "orders")
+        ),
+        on=("l_orderkey",), right_on=("o_orderkey",),
     )
 
     def partial(batch: pa.Table) -> pa.Table:

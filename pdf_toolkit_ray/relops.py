@@ -57,6 +57,23 @@ def table_path(sf_dir: str, table: str) -> str:
     return os.path.join(sf_dir, f"{table}.parquet")
 
 
+def choose_num_partitions_for(
+    ds: "ray.data.Dataset", target_bytes: int = 128 << 20, lo: int = 8, hi: int = 1024
+) -> int:
+    """Like :func:`choose_num_partitions` but from a Dataset's estimated
+    size (parquet metadata when available). Falls back to the cluster CPU
+    count when the size is unknown (e.g. after opaque transforms)."""
+    nbytes = None
+    try:
+        nbytes = ds.size_bytes()
+    except Exception:
+        pass
+    if not nbytes:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        return max(lo, cpus)
+    return max(lo, min(hi, -(-nbytes // target_bytes)))
+
+
 def round_cols(tbl: pa.Table, cols: Sequence[str], ndigits: int = 4) -> pa.Table:
     """Round float columns (DuckDB-identical half-away rounding) so neither
     summation order nor rounding mode can flip the driver's value hash."""

@@ -58,13 +58,18 @@ def exact_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     *,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Keep one representative row (min id) per distinct text.
 
     Scale path: a distributed semi-join on ``(digest, id)`` against the
     ``exact_dedup_groups`` output — both sides are hash-partitioned by
-    Ray's ``Dataset.join``; nothing is materialized on the driver."""
+    Ray's ``Dataset.join``; nothing is materialized on the driver.
+    ``num_partitions`` defaults to an input-size-derived count."""
+    if num_partitions is None:
+        from ..relops import choose_num_partitions_for
+
+        num_partitions = choose_num_partitions_for(ds)
     keep = exact_dedup_groups(ds, id_col, text_col).select_columns(["digest", id_col])
     keyed = add_digest(ds, text_col)
     joined = keyed.join(
@@ -293,7 +298,7 @@ def connected_components(
     *,
     method: str = "auto",
     local_edge_limit: int = 2_000_000,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
     max_rounds: int = 64,
 ) -> ray.data.Dataset:
     """(node, label) for every node on some edge; label = min id in its
@@ -311,6 +316,10 @@ def connected_components(
     # materializing here is cheap and avoids re-executing the candidate
     # pipeline for count() + the component rounds
     edges = edges.select_columns(["a", "b"]).materialize()
+    if num_partitions is None:
+        from ..relops import choose_num_partitions_for
+
+        num_partitions = choose_num_partitions_for(edges, lo=4)
     if method == "auto":
         method = "local" if edges.count() <= local_edge_limit else "labelprop"
     if method == "local":
@@ -356,15 +365,22 @@ def connected_components(
 
     def _checksum(ds: ray.data.Dataset) -> int:
         """Order-independent fingerprint of the (node,label) assignment —
-        labels only decrease, so equal checksums mean a fixpoint (w.h.p.)."""
+        labels only decrease, so equal checksums mean a fixpoint (w.h.p.).
+        Vectorized: one ``hash_pandas_object`` call per batch (siphash with
+        a fixed key — deterministic across worker processes), summed with
+        uint64 wraparound."""
 
         def _h(batch: pa.Table) -> pa.Table:
-            import hashlib as _hl
+            import pandas as pd
 
-            acc = 0
-            for n, l in zip(batch.column("node").to_pylist(), batch.column("label").to_pylist()):
-                d = _hl.blake2b(f"{n}\x00{l}".encode(), digest_size=8).digest()
-                acc = (acc + int.from_bytes(d, "big")) & 0xFFFFFFFFFFFFFFFF
+            df = pd.DataFrame(
+                {
+                    "node": batch.column("node").to_pandas(),
+                    "label": batch.column("label").to_pandas(),
+                }
+            )
+            hv = pd.util.hash_pandas_object(df, index=False).to_numpy()
+            acc = int(np.sum(hv.astype(np.uint64), dtype=np.uint64))
             return pa.table({"h": pa.array([acc], type=pa.uint64())})
 
         parts = ds.map_batches(_h, batch_format="pyarrow", zero_copy_batch=True).take_all()
@@ -408,12 +424,16 @@ def attach_cluster_ids(
     id_col: str = "doc_id",
     *,
     broadcast_limit: int = 5_000_000,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """(id, cluster_id) for EVERY corpus row; rows in no component keep
     their own id. The label map (duplicate-involved nodes only) is
     broadcast when small, else joined; corpus ids never hit the driver."""
     ids_only = ds.select_columns([id_col])
+    if num_partitions is None:
+        from ..relops import choose_num_partitions_for
+
+        num_partitions = choose_num_partitions_for(ids_only)
     if labels.count() <= broadcast_limit:
         mapping = {r["node"]: r["label"] for r in labels.take_all()}
         ref = ray.put(mapping)
