@@ -16,7 +16,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
-from pdf_toolkit_ray.queries import REGISTRY
+from pdf_toolkit_ray.queries import LAZY_SQL, REGISTRY
 
 
 def entry() -> Any:
@@ -34,4 +34,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}
+    out = {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}
+    for name, build in LAZY_SQL.items():
+        out[name] = build()
+    return out

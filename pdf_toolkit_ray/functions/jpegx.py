@@ -409,8 +409,13 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
     y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
     cb = -0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2] + 128.0
     cr = 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2] + 128.0
-    q_l = _quality_scale(QT_LUMA, quality)
-    q_c = _quality_scale(QT_CHROMA, quality)
+    # quality-scaled tables in NATURAL order, then permuted to zigzag: the
+    # coefficient stream is zigzag-ordered, so index k must divide by
+    # q[ZIGZAG[k]], and DQT bytes are zigzag-ordered per T.81 B.2.4.1 —
+    # this way the effective matrix really is the Annex K table, not a
+    # permutation of it
+    q_l = _quality_scale(QT_LUMA, quality)[ZIGZAG]
+    q_c = _quality_scale(QT_CHROMA, quality)[ZIGZAG]
     enc_dc = [_build_encode_table(DC_LUMA_BITS, DC_LUMA_VALS),
               _build_encode_table(DC_CHROMA_BITS, DC_CHROMA_VALS)]
     enc_ac = [_build_encode_table(AC_LUMA_BITS, AC_LUMA_VALS),

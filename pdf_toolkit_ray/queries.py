@@ -662,8 +662,54 @@ FROM documents d LEFT JOIN (
 
 
 def minhash_clusters_documents(sf_dir: str):
+    """Near-dup clusters: MinHash-LSH candidate pairs, EXACT word-trigram
+    Jaccard >= 0.8 verify, distributed connected components, cluster id =
+    min doc_id attached to every corpus row. The exact-verify step makes
+    the result SQL-expressible (all-pairs Jaccard + recursive-CTE
+    components) — LSH affects candidate RECALL only, and at 64 perms / 32
+    bands the miss probability at j=0.8 is (1-0.8^2)^32 < 1e-14. The
+    pure signature-estimate variant stays available as
+    ``stages.dedup.minhash_lsh_clusters`` (pytest-covered)."""
     ds = scan(sf_dir, "documents", columns=["doc_id", "text"])
-    return dedup_mod.minhash_lsh_clusters(ds, "doc_id", "text", threshold=0.8)
+    pairs = dedup_mod.ngram_jaccard_pairs(ds, "doc_id", "text", threshold=0.8)
+    labels = dedup_mod.connected_components(pairs)
+    return dedup_mod.attach_cluster_ids(ds, labels, "doc_id")
+
+
+MINHASH_CLUSTERS_SQL = """
+WITH RECURSIVE w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+g AS (
+  SELECT doc_id,
+    CASE WHEN len(words) >= 3 THEN
+      list_distinct(list_transform(
+        range(1, len(words) - 1),
+        i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+    ELSE [array_to_string(words, ' ')]
+    END AS grams
+  FROM w
+),
+p AS (
+  SELECT a, b FROM (
+    SELECT x.doc_id AS a, y.doc_id AS b,
+      CAST(len(list_intersect(x.grams, y.grams)) AS DOUBLE) /
+        (len(x.grams) + len(y.grams) - len(list_intersect(x.grams, y.grams))) AS j
+    FROM g x JOIN g y ON x.doc_id < y.doc_id
+  ) WHERE j >= 0.8
+),
+e AS (
+  SELECT a AS src, b AS dst FROM p UNION ALL SELECT b AS src, a AS dst FROM p
+),
+reach AS (
+  SELECT src AS node, src AS lbl FROM e
+  UNION
+  SELECT e.dst AS node, r.lbl AS lbl FROM reach r JOIN e ON e.src = r.node
+),
+c AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node)
+SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN c ON d.doc_id = c.node
+"""
 
 
 def simhash_documents(sf_dir: str):
@@ -1401,6 +1447,26 @@ def transcripts_conv_stats(sf_dir: str):
     )
 
 
+def transcripts_conv_stats_sql() -> str:
+    """DuckDB twin over the SAME deterministic fixture parquet the Ray
+    pipeline reads at the driver's sf (0.01 → 'correctness'). Extraction
+    preserves per-turn rows modulo exact (conv_id, turn_idx) dedup
+    (stages/finalize.py), so conv stats over the extracted output equal
+    DISTINCT-turn stats over the raw input. Generating the path here is
+    idempotent (cache-markered) and guarantees the file exists before the
+    driver runs the SQL."""
+    from .sources.fixtures import transcripts_path_for
+
+    path = transcripts_path_for("correctness")
+    return f"""
+SELECT conv_id,
+  count(DISTINCT turn_idx) AS n_turns,
+  max(turn_idx) AS max_turn
+FROM read_parquet('{path}')
+GROUP BY conv_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -1436,7 +1502,7 @@ REGISTRY: dict[str, tuple] = {
     "quality_documents": (quality_documents, QUALITY_SQL),
     "lang_id_documents": (lang_id_documents, LANG_ID_SQL),
     "fingerprint_documents": (fingerprint_documents, FINGERPRINT_SQL),
-    "minhash_clusters_documents": (minhash_clusters_documents, None),
+    "minhash_clusters_documents": (minhash_clusters_documents, MINHASH_CLUSTERS_SQL),
     "simhash_documents": (simhash_documents, SIMHASH_SQL),
     "ngram_dup_pairs_documents": (ngram_dup_pairs_documents, NGRAM_PAIRS_SQL),
     "embedding_topk": (embedding_topk, EMBEDDING_TOPK_SQL),
@@ -1450,4 +1516,42 @@ REGISTRY: dict[str, tuple] = {
     "extract_transcripts": (extract_transcripts, None),
     "extract_kind_stats": (extract_kind_stats, None),
     "transcripts_conv_stats": (transcripts_conv_stats, None),
+}
+
+#: oracle SQL that must be built lazily (embeds a generated-on-demand
+#: fixture path); merged into the static REGISTRY by __ray_entry__.oracle_sql
+LAZY_SQL: dict[str, Any] = {
+    "transcripts_conv_stats": transcripts_conv_stats_sql,
+}
+
+
+def _oracle_extract_df(sf_dir: str) -> pa.Table:
+    """Single-process reference extraction (oracle.py) over the same
+    fixture — the deterministic python oracle for the extraction family."""
+    from .oracle import extract_table
+
+    return extract_table(pq.read_table(_transcripts_path(sf_dir)), ExtractConfig())
+
+
+def _oracle_kind_stats(sf_dir: str) -> pa.Table:
+    tbl = _oracle_extract_df(sf_dir)
+    agg = (
+        tbl.select(["kind", "used_fallback"])
+        .group_by(["kind", "used_fallback"])
+        .aggregate([("kind", "count")])
+    )
+    return pa.table(
+        {
+            "kind": agg.column("kind"),
+            "used_fallback": agg.column("used_fallback"),
+            "n": pc.cast(agg.column("kind_count"), pa.int64()),
+        }
+    )
+
+
+#: deterministic python oracles for non-SQL-expressible ops, used by
+#: tools/check_queries.py for full-value equality (driver sees rows-only)
+PYTHON_ORACLES: dict[str, Any] = {
+    "extract_transcripts": _oracle_extract_df,
+    "extract_kind_stats": _oracle_kind_stats,
 }

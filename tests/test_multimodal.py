@@ -233,3 +233,24 @@ def test_media_stage_pipeline(ray_session):
     assert imgs.sort_values("media_id").reset_index(drop=True).equals(
         imgs2.sort_values("media_id").reset_index(drop=True)
     )
+
+
+def test_jpeg_dqt_is_annex_k_in_zigzag_order():
+    """ADVICE regression: the DQT segment must carry the quality-scaled
+    Annex K table in ZIGZAG byte order (T.81 B.2.4.1) — previously the
+    natural-order listing was written, so the effective quantization
+    matrix was a permutation of Annex K."""
+    import numpy as np
+
+    from pdf_toolkit_ray.functions.jpegx import (
+        QT_LUMA, ZIGZAG, _quality_scale, encode_jpeg,
+    )
+
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    data = encode_jpeg(img, quality=90)
+    # find first DQT (FF DB), skip len(2)+tq(1), read 64 bytes
+    i = data.index(b"\xff\xdb")
+    tbl = np.frombuffer(data[i + 5 : i + 5 + 64], dtype=np.uint8).astype(np.int32)
+    natural = np.empty(64, dtype=np.int32)
+    natural[ZIGZAG] = tbl  # de-zigzag
+    assert np.array_equal(natural, _quality_scale(QT_LUMA, 90))

@@ -32,10 +32,18 @@ def to_pandas(obj) -> pd.DataFrame:
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    import numpy as np
+
     df = df[sorted(df.columns)].copy()
     for col in df.columns:
         if df[col].dtype == object:
-            df[col] = df[col].astype(str)
+            # lists arrive as python lists (duckdb/oracle) or numpy arrays
+            # (arrow to_pandas) — normalize both to one repr
+            df[col] = df[col].map(
+                lambda v: repr([x for x in v])
+                if isinstance(v, (list, np.ndarray))
+                else str(v)
+            )
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
@@ -74,6 +82,20 @@ def main() -> int:
             continue
         ray_sec = time.time() - t0
         if name not in sqls:
+            # non-SQL ops with a deterministic single-process python oracle
+            # still get a full-value equality check here
+            from pdf_toolkit_ray.queries import PYTHON_ORACLES
+
+            if name in PYTHON_ORACLES:
+                want = to_pandas(PYTHON_ORACLES[name](sf_dir))
+                a, b = canon(got), canon(want)
+                try:
+                    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+                    print(f"ok   {name}: {len(got)} rows match python-oracle ({ray_sec:.1f}s)")
+                except AssertionError as exc:
+                    print(f"FAIL {name}: python-oracle mismatch\n{str(exc)[:600]}")
+                    failures += 1
+                continue
             print(f"ok   {name}: rows-only ({len(got)} rows, {ray_sec:.1f}s) cols={list(got.columns)}")
             continue
         t0 = time.time()
