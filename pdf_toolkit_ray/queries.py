@@ -353,14 +353,16 @@ def join_orders_customer_top(sf_dir: str):
         .aggregate(Sum("spend_c_sum", alias_name="spend_c"),
                    Sum("spend_c_count", alias_name="n_orders"))
     )
-    # customer scales with sf — never materialize it on the driver; hash-join
-    # the per-customer partials (one row per customer) against the pruned
-    # customer scan, partition count derived from input bytes.
-    cust_ds = scan(sf_dir, "customer", columns=["c_custkey", "c_name"])
-    n_parts = relops.choose_num_partitions(
-        relops.table_path(sf_dir, "orders"), relops.table_path(sf_dir, "customer")
-    )
-    joined = per_cust.join(cust_ds, "inner", num_partitions=n_parts, on=("c_custkey",))
+    # customer scales with sf — size-gated: broadcast under the gate (one
+    # driver read of a bounded table), distributed hash join above it
+    small, cust_ds = relops.small_side(sf_dir, "customer", ["c_custkey", "c_name"])
+    if small is not None:
+        joined = relops.broadcast_join(per_cust, small, on="c_custkey")
+    else:
+        n_parts = relops.choose_num_partitions(
+            relops.table_path(sf_dir, "orders"), relops.table_path(sf_dir, "customer")
+        )
+        joined = per_cust.join(cust_ds, "inner", num_partitions=n_parts, on=("c_custkey",))
 
     def finish(batch: pa.Table) -> pa.Table:
         spend = pc.divide(pc.cast(batch.column("spend_c"), pa.float64()), 100.0)
@@ -777,11 +779,16 @@ SELECT a, b, round(j, 4) AS jaccard FROM (
 """
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
 def _query_embeddings(sf_dir: str, n_queries: int = 5):
     """The n_queries lowest vec_ids and their vectors. embeddings scales
     with sf, so the bottom-k id selection is a distributed topk over the
     pruned id column and only the k matching row groups are read back
-    (statistics-pruned ``filters=``) — the driver never holds the table."""
+    (statistics-pruned ``filters=``) — the driver never holds the table.
+    Cached per (sf_dir, n): four ANN queries share the same selection."""
     path = os.path.join(sf_dir, "embeddings.parquet")
     ids_ds = ray.data.read_parquet(path, columns=["vec_id"])
     qids = sorted(
@@ -1161,16 +1168,28 @@ def q3_shipping_priority(sf_dir: str):
         relops.table_path(sf_dir, "orders"), relops.table_path(sf_dir, "customer")
     )
 
-    building = scan(
-        sf_dir, "customer", columns=["c_custkey"],
-        filter=(pc.field("c_mktsegment") == "BUILDING"),
-    )
     orders = scan(
         sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"],
         filter=(pc.field("o_orderdate") < np.datetime64("1997-01-01", "us")),
     )
-    orders = orders.join(building, "inner", num_partitions=n_parts,
-                         on=("o_custkey",), right_on=("c_custkey",))
+    # size-gated segment semi-join: broadcast the filtered key set under
+    # the gate (vectorized pc.is_in per batch), Dataset.join above it
+    if os.path.getsize(relops.table_path(sf_dir, "customer")) <= relops.BROADCAST_GATE_BYTES:
+        cust = pq.read_table(
+            relops.table_path(sf_dir, "customer"),
+            columns=["c_custkey"],
+            filters=[("c_mktsegment", "=", "BUILDING")],
+        )
+        orders = relops.semi_join_filter(
+            orders, "o_custkey", cust.column("c_custkey").combine_chunks()
+        )
+    else:
+        building = scan(
+            sf_dir, "customer", columns=["c_custkey"],
+            filter=(pc.field("c_mktsegment") == "BUILDING"),
+        )
+        orders = orders.join(building, "inner", num_partitions=n_parts,
+                             on=("o_custkey",), right_on=("c_custkey",))
     orders = orders.select_columns(["o_orderkey", "o_orderdate"])
     li = scan(sf_dir, "lineitem",
               columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
@@ -1281,9 +1300,18 @@ def q5_local_supplier_volume(sf_dir: str):
             & (pc.field("o_orderdate") < np.datetime64("1998-01-01", "us"))
         ),
     )
-    cust = scan(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
-    orders = orders.join(cust, "inner", num_partitions=dim_parts,
-                         on=("o_custkey",), right_on=("c_custkey",))
+    cust_small, cust_ds = relops.small_side(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    if cust_small is not None:
+        def _key_as_cust(t: pa.Table) -> pa.Table:
+            return t.rename_columns(["o_orderkey", "c_custkey", "o_orderdate"])
+
+        orders = relops.broadcast_join(
+            orders.map_batches(_key_as_cust, batch_format="pyarrow", zero_copy_batch=True),
+            cust_small, on="c_custkey",
+        )
+    else:
+        orders = orders.join(cust_ds, "inner", num_partitions=dim_parts,
+                             on=("o_custkey",), right_on=("c_custkey",))
     orders = orders.select_columns(["o_orderkey", "c_nationkey"])
 
     li = scan(sf_dir, "lineitem",
@@ -1291,43 +1319,46 @@ def q5_local_supplier_volume(sf_dir: str):
     joined = li.join(orders, "inner", num_partitions=n_parts,
                      on=("l_orderkey",), right_on=("o_orderkey",))
 
-    supp = scan(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
-    supp_parts = relops.choose_num_partitions(
-        relops.table_path(sf_dir, "lineitem"), relops.table_path(sf_dir, "supplier")
-    )
-    joined = joined.join(supp, "inner", num_partitions=supp_parts,
-                         on=("l_suppkey",), right_on=("s_suppkey",))
+    supp_small, supp_ds = relops.small_side(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    if supp_small is not None:
+        joined = relops.broadcast_join(
+            joined.map_batches(
+                lambda t: t.append_column("s_suppkey", t.column("l_suppkey")),
+                batch_format="pyarrow", zero_copy_batch=True,
+            ),
+            supp_small, on="s_suppkey",
+        )
+    else:
+        supp_parts = relops.choose_num_partitions(
+            relops.table_path(sf_dir, "lineitem"), relops.table_path(sf_dir, "supplier")
+        )
+        joined = joined.join(supp_ds, "inner", num_partitions=supp_parts,
+                             on=("l_suppkey",), right_on=("s_suppkey",))
 
-    asia_keys_ref = ray.put((asia_keys, asia_names))
+    # nation x region is FIXED-size (25 x 5 by TPC-H spec): closure state,
+    # stateless tasks — no persistent actor CPU reservation
+    name_idx = np.full(int(asia_keys.max()) + 1 if len(asia_keys) else 1, -1, dtype=np.int64)
+    name_idx[asia_keys] = np.arange(len(asia_keys))
 
-    class _CoNation:
-        def __init__(self):
-            self.asia_keys, self.asia_names = ray.get(asia_keys_ref)
-            # nation-id -> name lookup table indexed by nationkey (≤ 25 ids)
-            size = int(self.asia_keys.max()) + 1 if len(self.asia_keys) else 1
-            self.name_idx = np.full(size, -1, dtype=np.int64)
-            self.name_idx[self.asia_keys] = np.arange(len(self.asia_keys))
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            cn = batch.column("c_nationkey").to_numpy(zero_copy_only=False)
-            sn = batch.column("s_nationkey").to_numpy(zero_copy_only=False)
-            in_asia = (sn < len(self.name_idx)) & (sn >= 0)
-            idx = np.where(in_asia, self.name_idx[np.clip(sn, 0, len(self.name_idx) - 1)], -1)
-            keep = (cn == sn) & (idx >= 0)
-            batch = batch.filter(pa.array(keep))
-            names = pa.DictionaryArray.from_arrays(
-                pa.array(idx[keep], type=pa.int32()), pa.array(self.asia_names)
-            ).cast(pa.string())
-            rev = pc.multiply(
-                pc.cast(batch.column("l_extendedprice"), pa.float64()),
-                pc.subtract(1.0, pc.cast(batch.column("l_discount"), pa.float64())),
-            )
-            t = pa.table({"nation": names, "rev_c": _cents(rev, 10_000)})
-            return t.group_by(["nation"]).aggregate([("rev_c", "sum")])
+    def _co_nation(batch: pa.Table) -> pa.Table:
+        cn = batch.column("c_nationkey").to_numpy(zero_copy_only=False)
+        sn = batch.column("s_nationkey").to_numpy(zero_copy_only=False)
+        in_asia = (sn < len(name_idx)) & (sn >= 0)
+        idx = np.where(in_asia, name_idx[np.clip(sn, 0, len(name_idx) - 1)], -1)
+        keep = (cn == sn) & (idx >= 0)
+        batch = batch.filter(pa.array(keep))
+        names = pa.DictionaryArray.from_arrays(
+            pa.array(idx[keep], type=pa.int32()), pa.array(asia_names)
+        ).cast(pa.string())
+        rev = pc.multiply(
+            pc.cast(batch.column("l_extendedprice"), pa.float64()),
+            pc.subtract(1.0, pc.cast(batch.column("l_discount"), pa.float64())),
+        )
+        t = pa.table({"nation": names, "rev_c": _cents(rev, 10_000)})
+        return t.group_by(["nation"]).aggregate([("rev_c", "sum")])
 
     agg = (
-        joined.map_batches(_CoNation, batch_format="pyarrow", zero_copy_batch=True,
-                           concurrency=(1, 8))
+        joined.map_batches(_co_nation, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("nation")
         .aggregate(Sum("rev_c_sum", alias_name="rev_c"))
     )

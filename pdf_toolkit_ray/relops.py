@@ -28,8 +28,26 @@ import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 
+def ensure_join_tuning() -> None:
+    """Cap per-join aggregator CPU reservation on SMALL sessions: Ray's
+    hash-join reserves up to half the cluster's CPUs in aggregator actors
+    PER JOIN, so a pipeline chaining three Dataset.joins starves its own
+    map tasks and hangs at <= 4 CPUs (observed: q5 with customer+lineitem+
+    supplier joins). 0.05 CPU/partition keeps every pool schedulable; on
+    larger clusters Ray's own budget (<= 50% CPUs) is left untouched."""
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    if ctx.join_operator_actor_num_cpus_per_partition_override is not None:
+        return
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    if cpus <= 8:
+        ctx.join_operator_actor_num_cpus_per_partition_override = 0.05
+
+
 def scan(sf_dir: str, table: str, columns: list[str] | None = None, filter=None) -> ray.data.Dataset:
     """Column-pruned, predicate-pushed parquet scan of one testdata table."""
+    ensure_join_tuning()
     return ray.data.read_parquet(
         os.path.join(sf_dir, f"{table}.parquet"), columns=columns, filter=filter
     )
@@ -55,6 +73,26 @@ def choose_num_partitions(
 
 def table_path(sf_dir: str, table: str) -> str:
     return os.path.join(sf_dir, f"{table}.parquet")
+
+
+#: dimension tables at or below this on-disk size may be read on the
+#: driver and broadcast (bounded memory: ~64MB compressed ≈ a few hundred
+#: MB in flight); above it, callers must hash-join distributed. This is
+#: the size-gate pattern (see stages/dedup.py attach_cluster_ids): the
+#: engine never ASSUMES a scaling table fits one process — it checks.
+BROADCAST_GATE_BYTES = 64 << 20
+
+
+def small_side(sf_dir: str, table: str, columns: list[str] | None = None):
+    """(pa.Table, None) when the table is under the broadcast gate, else
+    (None, Dataset) for a distributed join. Decision is by on-disk size —
+    no driver read happens unless the gate passes."""
+    import pyarrow.parquet as pq
+
+    path = table_path(sf_dir, table)
+    if os.path.getsize(path) <= BROADCAST_GATE_BYTES:
+        return pq.read_table(path, columns=columns), None
+    return None, scan(sf_dir, table, columns=columns)
 
 
 def choose_num_partitions_for(
@@ -135,32 +173,33 @@ def broadcast_join(
     keys = [on] if isinstance(on, str) else list(on)
     ref = ray.put(small.combine_chunks())
 
-    class _Join:
-        def __init__(self):
-            self.small = ray.get(ref)
+    # stateless TASKS, not an actor pool: ray.get of a plasma-resident
+    # Arrow table is zero-copy shared memory (~µs once local), and tasks
+    # hold no persistent CPU reservation — actor pools here deadlocked
+    # small sessions when several lookup stages ran in one plan
+    def _join(batch: pa.Table) -> pa.Table:
+        return batch.join(ray.get(ref), keys=keys, join_type=_JOIN_TYPE[how])
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            return batch.join(self.small, keys=keys, join_type=_JOIN_TYPE[how])
-
-    return ds.map_batches(_Join, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8))
+    return ds.map_batches(_join, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def semi_join_filter(ds: ray.data.Dataset, key: str, keys) -> ray.data.Dataset:
     """Semi-join by broadcasting the key set and filtering per batch with one
     vectorized ``pc.is_in`` kernel (no per-row Python; ~40x faster than the
     old ``to_pylist`` + ``in`` loop on a 150k-row batch)."""
-    value_set = pa.array(sorted(keys)) if not isinstance(keys, pa.Array) else keys
+    if isinstance(keys, pa.ChunkedArray):
+        value_set = keys.combine_chunks()
+    elif isinstance(keys, pa.Array):
+        value_set = keys
+    else:
+        value_set = pa.array(sorted(keys))
     ref = ray.put(value_set)
 
-    class _Semi:
-        def __init__(self):
-            self.value_set = ray.get(ref)
+    def _semi(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column(key), value_set=ray.get(ref))
+        return batch.filter(mask)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            mask = pc.is_in(batch.column(key), value_set=self.value_set)
-            return batch.filter(mask)
-
-    return ds.map_batches(_Semi, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8))
+    return ds.map_batches(_semi, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def topk(ds: ray.data.Dataset, sort_cols: list[tuple[str, str]], k: int) -> ray.data.Dataset:

@@ -435,24 +435,23 @@ def attach_cluster_ids(
 
         num_partitions = choose_num_partitions_for(ids_only)
     if labels.count() <= broadcast_limit:
-        mapping = {r["node"]: r["label"] for r in labels.take_all()}
-        ref = ray.put(mapping)
+        # broadcast the label map as an ARROW table (zero-copy plasma get
+        # per task, no per-actor dict rebuild, no per-row python lookup):
+        # per batch a vectorized pa.Table.join + coalesce
+        import pyarrow.compute as pc
 
-        class _Attach:
-            def __init__(self):
-                self.map = ray.get(ref)
+        label_tbl = pa.concat_tables(ray.get(labels.to_arrow_refs())).combine_chunks()
+        ref = ray.put(label_tbl)
 
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                vals = batch.column(id_col).to_pylist()
-                return batch.append_column(
-                    "cluster_id",
-                    pa.array([self.map.get(v, v) for v in vals],
-                             type=batch.column(id_col).type),
-                )
+        def _attach(batch: pa.Table) -> pa.Table:
+            joined = batch.join(
+                ray.get(ref), keys=[id_col], right_keys=["node"],
+                join_type="left outer",
+            )
+            cluster = pc.coalesce(joined.column("label"), joined.column(id_col))
+            return pa.table({id_col: joined.column(id_col), "cluster_id": cluster})
 
-        return ids_only.map_batches(
-            _Attach, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
-        )
+        return ids_only.map_batches(_attach, batch_format="pyarrow", zero_copy_batch=True)
     joined = ids_only.join(
         labels, "left_outer", num_partitions=num_partitions,
         on=(id_col,), right_on=("node",),

@@ -63,3 +63,30 @@ def test_coalesce_partials_preserves_rows(ray_session):
     out = coalesce_partials(ds).materialize()
     assert out.count() == 1000
     assert out.num_blocks() < 50
+
+
+def test_gated_joins_above_gate_match_broadcast(ray_session, monkeypatch):
+    """With the broadcast gate forced to 0 bytes, the three gated queries
+    take the distributed Dataset.join path and must produce the same rows
+    as the (default) broadcast path at sf0.001."""
+    import pandas as pd
+
+    from pdf_toolkit_ray import queries, relops
+
+    sf = "/root/testdata/sf0.001"
+    names = ["join_orders_customer_top", "q3_shipping_priority", "q5_local_supplier_volume"]
+
+    def run_all():
+        out = {}
+        for n in names:
+            fn, _ = queries.REGISTRY[n]
+            df = fn(sf)
+            df = df.to_pandas() if not isinstance(df, pd.DataFrame) else df
+            out[n] = df.sort_values(list(df.columns)).reset_index(drop=True)
+        return out
+
+    broadcast = run_all()
+    monkeypatch.setattr(relops, "BROADCAST_GATE_BYTES", 0)
+    joined = run_all()
+    for n in names:
+        pd.testing.assert_frame_equal(broadcast[n], joined[n], check_dtype=False)
