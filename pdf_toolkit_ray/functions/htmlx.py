@@ -23,6 +23,7 @@ Ray actor stage.
 from __future__ import annotations
 
 import dataclasses
+import html as _htmlmod
 import re
 from html.parser import HTMLParser
 
@@ -41,6 +42,11 @@ BLOCK_TAGS = frozenset(
 )
 # Subtrees with no visible text at all.
 IGNORE_TAGS = frozenset({"head", "style", "script", "title", "noscript", "template"})
+# per-tag close patterns precompiled once: the scanner previously compiled
+# one regex PER ignored-subtree occurrence (hot-path allocation)
+_IGNORE_CLOSE_RE = {
+    name: re.compile(rf"</{name}\s*>", re.I) for name in IGNORE_TAGS
+}
 # Tags that are boilerplate by construction (jusText-style prior).
 BP_TAGS = frozenset({"nav", "footer", "header", "aside", "form"})
 # Arc90-style negative class/id patterns.
@@ -211,7 +217,10 @@ class _FastBuilder:
 
     def pop_emit(self) -> None:
         tag, flagged, text_parts, link_parts, tag_count, order = self._stack.pop()
-        text = norm_inline("".join(text_parts))
+        if not text_parts:
+            return
+        raw = text_parts[0] if len(text_parts) == 1 else "".join(text_parts)
+        text = norm_inline(raw)
         if not text:
             return
         self.nodes.append(
@@ -229,9 +238,7 @@ class _FastBuilder:
 
     def text(self, data: str) -> None:
         if "&" in data:
-            import html as _html
-
-            data = _html.unescape(data)
+            data = _htmlmod.unescape(data)
         self._stack[-1][2].append(data)
         if self._a_depth:
             self._stack[-1][3].append(data)
@@ -277,7 +284,7 @@ def parse_html_fast(doc: str) -> list[HtmlNode]:
         if not closing and name in IGNORE_TAGS:
             # skip the whole invisible subtree; script/style content may
             # contain '<' that is not markup, so jump to the literal close
-            close = re.compile(rf"</{name}\s*>", re.I).search(doc, pos)
+            close = _IGNORE_CLOSE_RE[name].search(doc, pos)
             pos = n if close is None else close.end()
             continue
         if name in VOID_TAGS:
