@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 from ray.data.aggregate import Count, Min
@@ -592,6 +593,40 @@ def _bucket_id_pairs(group: pa.Table, id_col: str) -> pa.Table:
     )
 
 
+@ray.remote
+def _concat_tables_task(*refs) -> pa.Table:
+    """Concat Arrow blocks inside a worker — the result lands in plasma,
+    never on the driver."""
+    tables = [t for t in refs if t.num_rows]
+    if not tables:
+        return refs[0].slice(0, 0)
+    return pa.concat_tables(tables).combine_chunks()
+
+
+def _verify_pairs_batch(
+    batch: pa.Table, n: int, threshold: float
+) -> pa.Table:
+    a = batch.column("a").to_pylist()
+    b = batch.column("b").to_pylist()
+    ta = batch.column("text_a").to_pylist()
+    tb = batch.column("text_b").to_pylist()
+    a_out, b_out, jac = [], [], []
+    for i in range(len(a)):
+        sim = jaccard_ngrams(ta[i] or "", tb[i] or "", n)
+        if sim >= threshold:
+            a_out.append(a[i])
+            b_out.append(b[i])
+            jac.append(round_away_scalar(sim))
+    id_type = batch.column("a").type
+    return pa.table(
+        {
+            "a": pa.array(a_out, type=id_type),
+            "b": pa.array(b_out, type=id_type),
+            "jaccard": pa.array(jac, type=pa.float64()),
+        }
+    )
+
+
 def ngram_jaccard_pairs(
     ds: ray.data.Dataset,
     id_col: str = "doc_id",
@@ -602,11 +637,20 @@ def ngram_jaccard_pairs(
     num_perm: int = 64,
     bands: int = 32,
     num_partitions: int = 8,
+    broadcast_pair_limit: int = 100_000,
 ) -> ray.data.Dataset:
     """LSH-bucketed candidate generation + exact Jaccard verify, with the
-    band explode carrying (band_key, id) ONLY — texts are joined back just
-    for the (tiny) deduped candidate set, so each candidate document body
-    crosses the wire twice (once per pair side), not once per band.
+    band explode carrying (band_key, id) ONLY — document bodies never
+    enter the band shuffle (with bands=32 that would be 32x the corpus
+    text bytes).
+
+    Text attach for the exact verify is size-gated on the candidate-pair
+    count: under ``broadcast_pair_limit`` the candidate texts are gathered
+    by a shuffle-free ``pc.is_in`` filter over the corpus scan,
+    concatenated INSIDE a worker task (the driver never holds texts) and
+    read zero-copy from plasma by the verify tasks — no hash-join shuffle
+    at all. Above the limit, two distributed ``Dataset.join``s attach the
+    texts (each candidate body crosses the wire once per pair side).
 
     More bands → high recall at moderate thresholds; the exact verify step
     removes false positives, so extra candidates cost compute, not
@@ -626,8 +670,62 @@ def ngram_jaccard_pairs(
         .groupby(["a", "b"])
         .aggregate(Count(alias_name="_n"))
         .select_columns(["a", "b"])
+        .materialize()
     )
 
+    if cand.count() <= broadcast_pair_limit:
+        # candidate ids fit comfortably (ids only — never texts); Ray can
+        # emit schema-less empty blocks, so keep non-empty ones only
+        pair_blocks = [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows]
+        id_type = ds.schema().base_schema.field(id_col).type
+        if not pair_blocks:
+            empty = pa.table(
+                {
+                    "a": pa.array([], type=id_type),
+                    "b": pa.array([], type=id_type),
+                    "jaccard": pa.array([], type=pa.float64()),
+                }
+            )
+            return ray.data.from_arrow(empty)
+        pairs = pa.concat_tables(
+            [t.select(["a", "b"]) for t in pair_blocks]
+        ).combine_chunks()
+        ids = pc.unique(
+            pa.chunked_array(
+                [pairs.column("a").combine_chunks(), pairs.column("b").combine_chunks()]
+            ).combine_chunks()
+        )
+        ids_ref = ray.put(ids)
+
+        def _select_cand_texts(batch: pa.Table) -> pa.Table:
+            mask = pc.is_in(batch.column(id_col), value_set=ray.get(ids_ref))
+            return batch.filter(mask)
+
+        text_block_refs = (
+            texts_ds.map_batches(
+                _select_cand_texts, batch_format="pyarrow", zero_copy_batch=True
+            ).to_arrow_refs()
+        )
+        texts_ref = _concat_tables_task.remote(*text_block_refs)
+
+        def _verify_broadcast(batch: pa.Table) -> pa.Table:
+            texts = ray.get(texts_ref)
+            ta = pa.table({"a": texts.column(id_col), "text_a": texts.column(text_col)})
+            tb = pa.table({"b": texts.column(id_col), "text_b": texts.column(text_col)})
+            joined = batch.join(ta, keys=["a"], join_type="inner")
+            joined = joined.join(tb, keys=["b"], join_type="inner")
+            return _verify_pairs_batch(joined, n, threshold)
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        chunk = max(256, -(-pairs.num_rows // cpus))
+        pair_chunks = [
+            pairs.slice(i, chunk) for i in range(0, pairs.num_rows, chunk)
+        ]
+        return ray.data.from_arrow(pair_chunks).map_batches(
+            _verify_broadcast, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    # scale path: distributed text attach, one crossing per pair side
     def _rename(side: str):
         def fn(batch: pa.Table) -> pa.Table:
             return pa.table(
@@ -642,24 +740,6 @@ def ngram_jaccard_pairs(
     cand = cand.join(texts_b, "inner", num_partitions=num_partitions, on=("b",))
 
     def _verify(batch: pa.Table) -> pa.Table:
-        a = batch.column("a").to_pylist()
-        b = batch.column("b").to_pylist()
-        ta = batch.column("text_a").to_pylist()
-        tb = batch.column("text_b").to_pylist()
-        a_out, b_out, jac = [], [], []
-        for i in range(len(a)):
-            sim = jaccard_ngrams(ta[i] or "", tb[i] or "", n)
-            if sim >= threshold:
-                a_out.append(a[i])
-                b_out.append(b[i])
-                jac.append(round_away_scalar(sim))
-        id_type = batch.column("a").type
-        return pa.table(
-            {
-                "a": pa.array(a_out, type=id_type),
-                "b": pa.array(b_out, type=id_type),
-                "jaccard": pa.array(jac, type=pa.float64()),
-            }
-        )
+        return _verify_pairs_batch(batch, n, threshold)
 
     return cand.map_batches(_verify, batch_format="pyarrow", zero_copy_batch=True)

@@ -336,3 +336,23 @@ def test_lsh_topk_recalls_self(ray_session):
     got = lsh_bucketed_topk(ds, [5], mat[5:6].astype(np.float64), k=3).to_pandas()
     assert 5 in set(got["vec_id"])  # the query itself always shares its own bucket
     assert got["sim"].max() == 1.0
+
+
+def test_ngram_pairs_join_path_matches_broadcast(ray_session):
+    """Above broadcast_pair_limit the verify uses distributed text joins —
+    must equal the (default) plasma-broadcast path."""
+    import ray.data
+
+    from pdf_toolkit_ray.stages.dedup import ngram_jaccard_pairs
+
+    ds = ray.data.from_arrow(_docs_table())
+    default = (
+        ngram_jaccard_pairs(ds, threshold=0.5).to_pandas()
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    joined = (
+        ngram_jaccard_pairs(ds, threshold=0.5, broadcast_pair_limit=0).to_pandas()
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    assert len(default) > 0
+    assert default.equals(joined)
