@@ -152,8 +152,10 @@ def run_scaling() -> dict:
     for ncpu in levels:
         best = None
         for _attempt in range(reps):
+            # GRAFT_HEADLINE_REPS=1: this loop already takes min-of-reps;
+            # the inner headline min-of-k would multiply wall time
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_FIXTURE=fixture,
-                       GRAFT_RUN_QUERIES="0")
+                       GRAFT_RUN_QUERIES="0", GRAFT_HEADLINE_REPS="1")
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env,
