@@ -507,6 +507,59 @@ SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM doc
 """
 
 
+_QUANTILES = ((0.25, 1, 4), (0.5, 1, 2), (0.75, 3, 4), (0.9, 9, 10), (0.99, 99, 100))
+
+
+def token_quantiles_documents(sf_dir: str):
+    """EXACT distributed quantiles of per-doc whitespace token counts via
+    mergeable value histograms: each batch emits a (value, count) partial
+    histogram, one tiny groupby merges them, and the quantiles come out of
+    the merged histogram with integer-exact ranks (``ceil(p*n) - 1``,
+    0-based — verified identical to DuckDB ``quantile_disc`` for n=1..200
+    x all five p). The shuffle moves histograms bounded by the
+    distinct-value count, never rows — the scale-right shape for
+    percentile telemetry over 10^12 rows (token counts have ~1e4 distinct
+    values regardless of corpus size)."""
+    ds = scan(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_value_length(pc.split_pattern(batch.column("text"), pattern=" "))
+        t = pa.table({"v": pc.cast(toks, pa.int64())})
+        return t.group_by(["v"]).aggregate([("v", "count")])
+
+    hist = (
+        relops.coalesce_partials(
+            ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        )
+        .groupby("v")
+        .aggregate(Sum("v_count", alias_name="cnt"))
+    )
+    h = hist.to_pandas().sort_values("v").reset_index(drop=True)
+    values = h["v"].to_numpy(dtype=np.int64)
+    cum = h["cnt"].to_numpy(dtype=np.int64).cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+    out_p, out_v = [], []
+    for p, num, den in _QUANTILES:
+        rank = -(-(num * n) // den) - 1  # ceil(num*n/den) - 1, integer exact
+        idx = int(np.searchsorted(cum, rank + 1))
+        out_p.append(p)
+        out_v.append(int(values[idx]))
+    return pa.table(
+        {"p": pa.array(out_p, pa.float64()), "n_tokens": pa.array(out_v, pa.int64())}
+    )
+
+
+# DuckDB quantile_disc requires CONSTANT p — one SELECT per quantile
+TOKEN_QUANTILES_SQL = """
+WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS v FROM documents)
+SELECT CAST(0.25 AS DOUBLE) AS p, CAST(quantile_disc(v, 0.25) AS BIGINT) AS n_tokens FROM t
+UNION ALL SELECT 0.5, CAST(quantile_disc(v, 0.5) AS BIGINT) FROM t
+UNION ALL SELECT 0.75, CAST(quantile_disc(v, 0.75) AS BIGINT) FROM t
+UNION ALL SELECT 0.9, CAST(quantile_disc(v, 0.9) AS BIGINT) FROM t
+UNION ALL SELECT 0.99, CAST(quantile_disc(v, 0.99) AS BIGINT) FROM t
+"""
+
+
 def bpe_token_count_documents(sf_dir: str):
     """GPT-2-ish pre-tokenizer counts (word / number / punct runs) — the
     Arrow ``count_substring_regex`` kernel, RE2-compatible pattern."""
@@ -1528,6 +1581,7 @@ REGISTRY: dict[str, tuple] = {
     "dedup_exact_documents": (dedup_exact_documents, DEDUP_EXACT_SQL),
     "dedup_exact_keep_rows": (dedup_exact_keep_rows, DEDUP_KEEP_SQL),
     "token_count_documents": (token_count_documents, TOKEN_COUNT_SQL),
+    "token_quantiles_documents": (token_quantiles_documents, TOKEN_QUANTILES_SQL),
     "bpe_token_count_documents": (bpe_token_count_documents, BPE_TOKEN_COUNT_SQL),
     "textnorm_documents": (textnorm_documents, TEXTNORM_SQL),
     "quality_documents": (quality_documents, QUALITY_SQL),

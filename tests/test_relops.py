@@ -90,3 +90,24 @@ def test_gated_joins_above_gate_match_broadcast(ray_session, monkeypatch):
     joined = run_all()
     for n in names:
         pd.testing.assert_frame_equal(broadcast[n], joined[n], check_dtype=False)
+
+
+def test_token_quantiles_match_duckdb_on_random_data(ray_session):
+    """The histogram-merge quantile (rank = ceil(p*n)-1, integer exact)
+    must equal DuckDB quantile_disc for arbitrary value multisets."""
+    import duckdb
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    for trial in range(3):
+        vals = rng.randint(0, 50, size=rng.randint(1, 400))
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t AS SELECT unnest(?) AS v", [vals.tolist()])
+        for p, num, den in [(0.25, 1, 4), (0.5, 1, 2), (0.9, 9, 10), (0.99, 99, 100)]:
+            want = con.execute(f"SELECT quantile_disc(v, {p}) FROM t").fetchone()[0]
+            n = len(vals)
+            u, c = np.unique(vals, return_counts=True)
+            cum = c.cumsum()
+            rank = -(-(num * n) // den) - 1
+            got = int(u[int(np.searchsorted(cum, rank + 1))])
+            assert got == want, (trial, p, got, want)
