@@ -507,6 +507,41 @@ SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM doc
 """
 
 
+def top_words_documents(sf_dir: str, k: int = 25):
+    """Corpus vocabulary heavy hitters: top-k whitespace tokens by
+    occurrence count (vocab building / domain-frequency analysis shape).
+    Combiner pattern: each batch explodes its own tokens and
+    pre-aggregates to (word, count) partials — the shuffle moves one row
+    per distinct word per batch, never one row per token occurrence. Tiny
+    global groupby + deterministic top-k (count desc, word asc)."""
+    ds = scan(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), pattern=" ")
+        flat = pc.list_flatten(toks)
+        t = pa.table({"word": flat})
+        return t.group_by(["word"]).aggregate([("word", "count")])
+
+    agg = (
+        relops.coalesce_partials(
+            ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        )
+        .groupby("word")
+        .aggregate(Sum("word_count", alias_name="n"))
+    )
+    out = relops.topk(agg, [("n", "descending"), ("word", "ascending")], k)
+    tbl = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    idx = tbl.schema.get_field_index("n")
+    return tbl.set_column(idx, "n", pc.cast(tbl.column("n"), pa.int64()))
+
+
+TOP_WORDS_SQL = """
+SELECT word, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+GROUP BY word ORDER BY n DESC, word ASC LIMIT 25
+"""
+
+
 _QUANTILES = ((0.25, 1, 4), (0.5, 1, 2), (0.75, 3, 4), (0.9, 9, 10), (0.99, 99, 100))
 
 
@@ -1531,17 +1566,20 @@ def transcripts_conv_stats(sf_dir: str):
     )
 
 
-def transcripts_conv_stats_sql() -> str:
+def transcripts_conv_stats_sql(sf_dir: str | None = None) -> str:
     """DuckDB twin over the SAME deterministic fixture parquet the Ray
     pipeline reads at the driver's sf (0.01 → 'correctness'). Extraction
     preserves per-turn rows modulo exact (conv_id, turn_idx) dedup
     (stages/finalize.py), so conv stats over the extracted output equal
     DISTINCT-turn stats over the raw input. Generating the path here is
     idempotent (cache-markered) and guarantees the file exists before the
-    driver runs the SQL."""
+    driver runs the SQL. ``sf_dir`` (local check_queries only — the driver
+    contract passes nothing and always runs sf0.01) re-points the twin at
+    the fixture size the Ray side resolves for that sf."""
     from .sources.fixtures import transcripts_path_for
 
-    path = transcripts_path_for("correctness")
+    size = _sf_to_fixture_size(sf_dir) if sf_dir else "correctness"
+    path = transcripts_path_for(size)
     return f"""
 SELECT conv_id,
   count(DISTINCT turn_idx) AS n_turns,
@@ -1582,6 +1620,7 @@ REGISTRY: dict[str, tuple] = {
     "dedup_exact_keep_rows": (dedup_exact_keep_rows, DEDUP_KEEP_SQL),
     "token_count_documents": (token_count_documents, TOKEN_COUNT_SQL),
     "token_quantiles_documents": (token_quantiles_documents, TOKEN_QUANTILES_SQL),
+    "top_words_documents": (top_words_documents, TOP_WORDS_SQL),
     "bpe_token_count_documents": (bpe_token_count_documents, BPE_TOKEN_COUNT_SQL),
     "textnorm_documents": (textnorm_documents, TEXTNORM_SQL),
     "quality_documents": (quality_documents, QUALITY_SQL),

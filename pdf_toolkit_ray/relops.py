@@ -136,6 +136,26 @@ def coalesce_partials(ds: ray.data.Dataset) -> ray.data.Dataset:
     return ds.repartition(max(8, cpus // 2))
 
 
+def drop_empty_blocks(ds: ray.data.Dataset, empty: pa.Table) -> ray.data.Dataset:
+    """Strip zero-row blocks from a MATERIALIZED dataset at the ref level.
+
+    Ray's hash-join / hash-aggregate emit schema-LESS zero-row blocks for
+    empty partitions, and ``map_batches`` UDFs never run on zero-row
+    blocks, so no normalization stage can repair them — they survive to a
+    downstream ``Dataset.join`` and crash pyarrow with "No match or
+    multiple matches for key field reference". Only block METADATA is
+    read on the driver; block bytes stay in the object store. ``empty``
+    supplies the typed schema when every block turns out empty."""
+    refs = []
+    for bundle in ds.iter_internal_ref_bundles():
+        for block_ref, meta in bundle.blocks:
+            if meta.num_rows is None or meta.num_rows:
+                refs.append(block_ref)
+    if not refs:
+        return ray.data.from_arrow(empty)
+    return ray.data.from_arrow_refs(refs)
+
+
 def pre_agg_groupby(
     ds: ray.data.Dataset,
     keys: list[str],

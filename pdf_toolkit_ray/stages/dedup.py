@@ -566,30 +566,52 @@ def simhash_near_dup_pairs(
     return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
 
 
-def _bucket_id_pairs(group: pa.Table, id_col: str) -> pa.Table:
-    """All distinct unordered id pairs within one LSH bucket — candidate
-    generation only, no text. Chunked upper-triangle so a degenerate hot
-    bucket never materializes one O(m^2) index tensor."""
-    id_type = group.column(id_col).type
-    ids = np.unique(group.column(id_col).to_numpy(zero_copy_only=False))
-    m = len(ids)
-    if m < 2:
-        return pa.table({"a": pa.array([], type=id_type), "b": pa.array([], type=id_type)})
-    chunk = 4096
-    a_parts, b_parts = [], []
-    for lo in range(0, m, chunk):
-        hi = min(lo + chunk, m)
-        for lo_b in range(lo, m, chunk):
-            hi_b = min(lo_b + chunk, m)
-            gi, gj = np.meshgrid(np.arange(lo, hi), np.arange(lo_b, hi_b), indexing="ij")
-            keep = gi < gj
-            a_parts.append(ids[gi[keep]])
-            b_parts.append(ids[gj[keep]])
-    return pa.table(
-        {
-            "a": pa.array(np.concatenate(a_parts), type=id_type),
-            "b": pa.array(np.concatenate(b_parts), type=id_type),
-        }
+def _bucket_candidate_pairs(
+    exploded: ray.data.Dataset,
+    id_col: str,
+    id_type: pa.DataType,
+    num_partitions: int,
+) -> ray.data.Dataset:
+    """Distinct unordered id pairs sharing an LSH band, via a vectorized
+    SELF-JOIN on band_key (Arrow hash-join kernels in C++) instead of
+    ``groupby(band).map_groups`` — with mostly-unique bands the per-group
+    Python dispatch dominated (150k+ empty-group calls measured 4.2s vs
+    2.9s for the join at sf0.1). A pathologically hot bucket of m members
+    still implies m^2 candidate rows — inherent to all-pairs-within-bucket
+    semantics; the downstream (a, b) dedup bounds what survives.
+
+    Ray's hash-join and aggregate can emit schema-LESS empty blocks for
+    empty partitions; every stage here normalizes those to a typed empty
+    (a, b) table so downstream ``Dataset.join`` on ``a`` never sees a
+    block missing the key column (``id_type`` exists for exactly this)."""
+    empty = pa.table(
+        {"a": pa.array([], type=id_type), "b": pa.array([], type=id_type)}
+    )
+
+    def _as_b(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"band_key": batch.column("band_key"), "b": batch.column(id_col)}
+        )
+
+    right = exploded.map_batches(_as_b, batch_format="pyarrow", zero_copy_batch=True)
+    joined = exploded.join(right, "inner", num_partitions=num_partitions, on=("band_key",))
+
+    def _ordered(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or id_col not in batch.column_names:
+            return empty
+        kept = batch.filter(pc.less(batch.column(id_col), batch.column("b")))
+        return pa.table({"a": kept.column(id_col), "b": kept.column("b")})
+
+    def _norm(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "a" not in batch.column_names:
+            return empty
+        return batch.select(["a", "b"])
+
+    return (
+        joined.map_batches(_ordered, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="_n"))
+        .map_batches(_norm, batch_format="pyarrow", zero_copy_batch=True)
     )
 
 
@@ -660,24 +682,25 @@ def ngram_jaccard_pairs(
     def _sig_explode(batch: pa.Table) -> pa.Table:
         return _id_stage_for(id_col, text_col, num_perm, bands)(batch)
 
+    from ..relops import drop_empty_blocks
+
+    id_type = ds.schema().base_schema.field(id_col).type
     texts_ds = ds.select_columns([id_col, text_col])
     exploded = texts_ds.map_batches(
         _sig_explode, batch_format="pyarrow", zero_copy_batch=True
     )
-    cand = (
-        exploded.groupby("band_key")
-        .map_groups(lambda g: _bucket_id_pairs(g, id_col), batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["a", "b"])
-        .materialize()
+    empty_pairs = pa.table(
+        {"a": pa.array([], type=id_type), "b": pa.array([], type=id_type)}
+    )
+    cand = drop_empty_blocks(
+        _bucket_candidate_pairs(exploded, id_col, id_type, num_partitions).materialize(),
+        empty_pairs,
     )
 
     if cand.count() <= broadcast_pair_limit:
         # candidate ids fit comfortably (ids only — never texts); Ray can
         # emit schema-less empty blocks, so keep non-empty ones only
         pair_blocks = [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows]
-        id_type = ds.schema().base_schema.field(id_col).type
         if not pair_blocks:
             empty = pa.table(
                 {

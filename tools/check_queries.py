@@ -62,6 +62,15 @@ def main() -> int:
     import __ray_entry__ as entrymod
 
     qs, sqls = entrymod.queries(), entrymod.oracle_sql()
+    # lazy twins embed a fixture path resolved for the driver's sf0.01;
+    # when checking another sf, rebuild them against that sf's fixture
+    import inspect
+
+    from pdf_toolkit_ray.queries import LAZY_SQL
+
+    for name, build in LAZY_SQL.items():
+        if inspect.signature(build).parameters:
+            sqls[name] = build(sf_dir)
 
     con = duckdb.connect()
     for table in TABLES:
