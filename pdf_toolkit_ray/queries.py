@@ -1590,6 +1590,392 @@ GROUP BY conv_id
 
 
 # --------------------------------------------------------------------------
+# window rank / pivot / stratified sample / per-group quantiles / anti-join
+
+
+def rank_orders_per_customer(sf_dir: str, k: int = 2):
+    """Group-wise top-k window rank: each customer's k most expensive
+    orders with their row number (`row_number() OVER (PARTITION BY ...)`
+    shape). Combiner-pruned shuffle via relops.window_topk_per_key — at
+    most k rows per customer per input block reach the groupby."""
+    ds = scan(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    return relops.window_topk_per_key(
+        ds, "o_custkey", [("o_totalprice", "descending"), ("o_orderkey", "ascending")], k
+    )
+
+
+RANK_ORDERS_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rn
+  FROM orders)
+WHERE rn <= 2
+"""
+
+
+#: per-stratum md5-prefix thresholds (first hex byte < threshold keeps the
+#: row): urgent rows oversampled, low-priority undersampled
+_STRATA_THRESH = {
+    "1-URGENT": "14",
+    "2-HIGH": "0a",
+    "3-MEDIUM": "06",
+    "4-NOT SPECIFIED": "03",
+    "5-LOW": "01",
+}
+
+
+def stratified_sample_orders(sf_dir: str):
+    """Deterministic stratified hash-sample: per-stratum sampling rate via
+    an md5-prefix threshold on the row key — reproducible on any engine
+    and block layout (seeded RNG sampling is not), embarrassingly
+    parallel, and SQL-checkable. The per-priority rate table is a
+    constant, not data."""
+    ds = scan(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"],
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        keys = batch.column("o_orderkey").to_pylist()
+        prio = batch.column("o_orderpriority").to_pylist()
+        keep = [
+            hashlib.md5(f"o{k}".encode()).hexdigest()[:2] < _STRATA_THRESH.get(p, "00")
+            for k, p in zip(keys, prio)
+        ]
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+STRATIFIED_SAMPLE_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM orders
+WHERE substr(md5('o' || CAST(o_orderkey AS VARCHAR)), 1, 2) <
+  CASE o_orderpriority
+    WHEN '1-URGENT' THEN '14' WHEN '2-HIGH' THEN '0a' WHEN '3-MEDIUM' THEN '06'
+    WHEN '4-NOT SPECIFIED' THEN '03' WHEN '5-LOW' THEN '01' ELSE '00' END
+"""
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def pivot_events_daily(sf_dir: str):
+    """Pivot: events per day, one count column per event type. Partial
+    (day, type) counts per batch mean the shuffle moves one row per
+    (day, type) per input block; the pivot itself runs on the
+    POST-aggregation result, which is days x types — small by
+    construction at any corpus size."""
+    ds = scan(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = pc.strftime(batch.column("ts"), format="%Y-%m-%d")
+        t = pa.table({"d": d, "event_type": batch.column("event_type")})
+        return t.group_by(["d", "event_type"]).aggregate([("d", "count")])
+
+    agg = (
+        relops.coalesce_partials(
+            ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        )
+        .groupby(["d", "event_type"])
+        .aggregate(Sum("d_count", alias_name="n"))
+    )
+    df = agg.to_pandas().pivot_table(
+        index="d", columns="event_type", values="n", fill_value=0, aggfunc="sum"
+    )
+    cols = {"d": pa.array(df.index.to_list(), pa.string())}
+    for t in _EVENT_TYPES:
+        vals = df[t].to_numpy(dtype=np.int64) if t in df.columns else np.zeros(len(df), np.int64)
+        cols[f"n_{t}"] = pa.array(vals, pa.int64())
+    return pa.table(cols)
+
+
+PIVOT_EVENTS_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS d,
+  CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+  CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+  CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+  CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+  CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view
+FROM events GROUP BY d
+"""
+
+
+_GROUP_QUANTILES = ((0.5, 1, 2), (0.9, 9, 10))
+
+
+def doc_len_quantiles_by_lang(sf_dir: str):
+    """EXACT per-group quantiles via mergeable value histograms keyed by
+    (lang, n_chars): each batch emits per-(group, value) count partials,
+    one small groupby merges them, and per-group discrete quantiles come
+    out of the merged histograms with integer-exact ranks (same
+    ``ceil(p*n) - 1`` convention as token_quantiles_documents, verified
+    against DuckDB quantile_disc). The shuffle is bounded by
+    groups x distinct-values, never rows."""
+    ds = scan(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.select(["lang", "n_chars"]).group_by(
+            ["lang", "n_chars"]
+        ).aggregate([("n_chars", "count")])
+
+    hist = (
+        relops.coalesce_partials(
+            ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        )
+        .groupby(["lang", "n_chars"])
+        .aggregate(Sum("n_chars_count", alias_name="cnt"))
+    )
+    h = hist.to_pandas()
+    out_lang: list[str] = []
+    out_p: list[float] = []
+    out_v: list[int] = []
+    for lang, g in h.groupby("lang"):
+        g = g.sort_values("n_chars")
+        values = g["n_chars"].to_numpy(dtype=np.int64)
+        cum = g["cnt"].to_numpy(dtype=np.int64).cumsum()
+        n = int(cum[-1])
+        for p, num, den in _GROUP_QUANTILES:
+            rank = -(-(num * n) // den) - 1  # ceil(num*n/den) - 1, exact
+            idx = int(np.searchsorted(cum, rank + 1))
+            out_lang.append(str(lang))
+            out_p.append(p)
+            out_v.append(int(values[idx]))
+    return pa.table(
+        {
+            "lang": pa.array(out_lang, pa.string()),
+            "p": pa.array(out_p, pa.float64()),
+            "n_chars": pa.array(out_v, pa.int64()),
+        }
+    )
+
+
+DOC_LEN_QUANTILES_SQL = """
+SELECT lang, CAST(0.5 AS DOUBLE) AS p,
+       CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS n_chars
+FROM documents GROUP BY lang
+UNION ALL
+SELECT lang, CAST(0.9 AS DOUBLE) AS p,
+       CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS n_chars
+FROM documents GROUP BY lang
+"""
+
+
+def anti_join_customers_no_orders(sf_dir: str):
+    """Anti-join: customers that placed no URGENT order. Distinct matching
+    custkeys come from a per-batch local-distinct combiner + small groupby
+    (one row per key per block crosses the wire), then a distributed
+    left_outer Dataset.join marks matches; rows with a null marker
+    survive. Both sides scale with sf — nothing is materialized on the
+    driver."""
+    cust = scan(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    orders = scan(
+        sf_dir, "orders", columns=["o_custkey"],
+        filter=(pc.field("o_orderpriority") == "1-URGENT"),
+    )
+
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": pc.unique(batch.column("o_custkey"))})
+
+    keys = (
+        orders.map_batches(local_distinct, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="_has"))
+    )
+    n_parts = relops.choose_num_partitions(
+        relops.table_path(sf_dir, "customer"), relops.table_path(sf_dir, "orders")
+    )
+    joined = cust.join(
+        keys, "left_outer", num_partitions=n_parts,
+        on=("c_custkey",), right_on=("o_custkey",),
+    )
+
+    def only_unmatched(batch: pa.Table) -> pa.Table:
+        if "_has" not in batch.column_names:
+            return pa.table(
+                {"c_custkey": pa.array([], pa.int64()), "c_name": pa.array([], pa.string())}
+            )
+        return batch.filter(pc.is_null(batch.column("_has"))).select(
+            ["c_custkey", "c_name"]
+        )
+
+    return joined.map_batches(only_unmatched, batch_format="pyarrow", zero_copy_batch=True)
+
+
+ANTI_JOIN_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN
+  (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+"""
+
+
+# --------------------------------------------------------------------------
+# distributed k-means over embeddings (clustering for data curation)
+
+
+def _kmeans_init(sf_dir: str, k: int) -> np.ndarray:
+    """Deterministic init: embeddings of the k smallest vec_ids."""
+    ds = scan(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    head = relops.topk(ds, [("vec_id", "ascending")], k).to_pandas()
+    head = head.sort_values("vec_id")
+    return np.array([np.asarray(v, dtype=np.float64) for v in head["embedding"]])
+
+
+def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 5):
+    """Distributed Lloyd k-means cluster assignment over the embeddings
+    table (semantic-bucketing / curation shape). Deterministic init (k
+    smallest vec_ids), quantized centroid recurrence — see
+    stages/ann.py::kmeans_assign for the scale design. Checked full-value
+    against a single-process numpy oracle (PYTHON_ORACLES)."""
+    ds = scan(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ann_mod.kmeans_assign(ds, _kmeans_init(sf_dir, k), iters=iters)
+
+
+def _oracle_kmeans(sf_dir: str, k: int = 8, iters: int = 5, quant: float = 1e-4):
+    """Single-process reference: same quantized Lloyd recurrence, same
+    distance expansion and tie-breaking, one numpy pass per iteration."""
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = tbl.column("vec_id").to_numpy(zero_copy_only=False)
+    flat = tbl.column("embedding").combine_chunks().flatten().to_numpy(
+        zero_copy_only=False
+    ).astype(np.float64)
+    m = flat.reshape(len(ids), -1)
+    order = np.argsort(ids, kind="stable")[:k]  # positions of k smallest ids
+    cents = m[order]  # ascending vec_id, matching _kmeans_init
+    cents = np.round(cents / quant) * quant
+
+    def _d2(mat, c):
+        return (
+            (mat * mat).sum(axis=1)[:, None]
+            - 2.0 * (mat @ c.T)
+            + (c * c).sum(axis=1)[None, :]
+        )
+
+    for _ in range(iters):
+        a = np.argmin(_d2(m, cents), axis=1)
+        sums = np.zeros_like(cents)
+        np.add.at(sums, a, m)
+        counts = np.bincount(a, minlength=k).astype(np.int64)
+        new = np.where(counts[:, None] > 0, sums / np.maximum(counts[:, None], 1), cents)
+        cents = np.round(new / quant) * quant
+    d2 = _d2(m, cents)
+    a = np.argmin(d2, axis=1)
+    return pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "cluster": pa.array(a.astype(np.int64)),
+            "dist2": pa.array(np.round(d2[np.arange(len(a)), a], 6)),
+        }
+    )
+
+
+# --------------------------------------------------------------------------
+# train/test decontamination (word-shingle overlap with a benchmark set)
+
+_DECON_N = 3
+_DECON_BENCH_MOD = 97
+
+
+def _word_ngrams(text: str, n: int) -> list[str]:
+    toks = text.split(" ")
+    if len(toks) < n:
+        return []
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
+def decontaminate_documents(sf_dir: str):
+    """Train/test decontamination: count, per corpus document, the
+    distinct n-gram word shingles it shares with the benchmark set
+    (n=3 here so the synthetic fixture has signal; production
+    decontamination uses 8-13-gram shingles — n is the knob)
+    (doc_id % 97 == 0 stands in for a held-out eval set). Scale shape:
+    the benchmark side is SMALL by definition (eval sets are MBs at any
+    corpus size) — its distinct shingles are collected once and broadcast
+    through the object store; the corpus side is one map_batches pass
+    with a single vectorized ``pc.is_in`` per batch. Each document is one
+    row, so per-doc distinct-hit counts complete inside the batch — the
+    corpus never shuffles at all. Only contaminated docs are emitted."""
+    ds = scan(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        bench = batch.filter(pa.array(ids % _DECON_BENCH_MOD == 0))
+        grams: set[str] = set()
+        for t in bench.column("text").to_pylist():
+            grams.update(_word_ngrams(t, _DECON_N))
+        return pa.table({"g": pa.array(sorted(grams), pa.string())})
+
+    gram_blocks = [
+        t
+        for t in ray.get(
+            ds.map_batches(bench_grams, batch_format="pyarrow", zero_copy_batch=True)
+            .materialize()
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if gram_blocks:
+        bench_set = pc.unique(pa.concat_tables(gram_blocks).column("g"))
+    else:
+        bench_set = pa.array([], pa.string())
+    bench_ref = ray.put(bench_set)
+
+    def scan_batch(batch: pa.Table) -> pa.Table:
+        bench = ray.get(bench_ref)
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()), "n_hits": pa.array([], pa.int64())}
+        )
+        if len(bench) == 0:
+            return empty
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        doc_idx: list[int] = []
+        flat: list[str] = []
+        for i, text in enumerate(texts):
+            if ids[i] % _DECON_BENCH_MOD == 0:
+                continue
+            gs = set(_word_ngrams(text, _DECON_N))  # distinct within doc
+            doc_idx.extend([int(ids[i])] * len(gs))
+            flat.extend(gs)
+        if not flat:
+            return empty
+        t = pa.table(
+            {"doc_id": pa.array(doc_idx, pa.int64()), "g": pa.array(flat, pa.string())}
+        )
+        t = t.filter(pc.is_in(t.column("g"), value_set=bench))
+        if t.num_rows == 0:
+            return empty
+        agg = t.group_by(["doc_id"]).aggregate([("g", "count")])
+        return pa.table(
+            {
+                "doc_id": agg.column("doc_id"),
+                "n_hits": pc.cast(agg.column("g_count"), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(scan_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+DECONTAMINATE_SQL = """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS g
+  FROM words, unnest(range(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 3
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+SELECT g.doc_id, CAST(count(DISTINCT g.g) AS BIGINT) AS n_hits
+FROM grams g JOIN bench USING (g)
+WHERE g.doc_id % 97 <> 0
+GROUP BY g.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 
 REGISTRY: dict[str, tuple] = {
@@ -1621,6 +2007,13 @@ REGISTRY: dict[str, tuple] = {
     "token_count_documents": (token_count_documents, TOKEN_COUNT_SQL),
     "token_quantiles_documents": (token_quantiles_documents, TOKEN_QUANTILES_SQL),
     "top_words_documents": (top_words_documents, TOP_WORDS_SQL),
+    "rank_orders_per_customer": (rank_orders_per_customer, RANK_ORDERS_SQL),
+    "stratified_sample_orders": (stratified_sample_orders, STRATIFIED_SAMPLE_SQL),
+    "pivot_events_daily": (pivot_events_daily, PIVOT_EVENTS_SQL),
+    "doc_len_quantiles_by_lang": (doc_len_quantiles_by_lang, DOC_LEN_QUANTILES_SQL),
+    "anti_join_customers_no_orders": (anti_join_customers_no_orders, ANTI_JOIN_SQL),
+    "decontaminate_documents": (decontaminate_documents, DECONTAMINATE_SQL),
+    "embedding_kmeans": (embedding_kmeans, None),
     "bpe_token_count_documents": (bpe_token_count_documents, BPE_TOKEN_COUNT_SQL),
     "textnorm_documents": (textnorm_documents, TEXTNORM_SQL),
     "quality_documents": (quality_documents, QUALITY_SQL),
@@ -1678,4 +2071,5 @@ def _oracle_kind_stats(sf_dir: str) -> pa.Table:
 PYTHON_ORACLES: dict[str, Any] = {
     "extract_transcripts": _oracle_extract_df,
     "extract_kind_stats": _oracle_kind_stats,
+    "embedding_kmeans": _oracle_kmeans,
 }

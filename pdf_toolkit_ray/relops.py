@@ -222,6 +222,40 @@ def semi_join_filter(ds: ray.data.Dataset, key: str, keys) -> ray.data.Dataset:
     return ds.map_batches(_semi, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def window_topk_per_key(
+    ds: ray.data.Dataset,
+    key: str,
+    sort_cols: list[tuple[str, str]],
+    k: int,
+    rank_col: str = "rn",
+) -> ray.data.Dataset:
+    """Group-wise top-k with rank — SQL ``row_number() OVER (PARTITION BY
+    key ORDER BY ...) <= k``. Scale shape: a per-batch COMBINER keeps at
+    most k rows per key first (the global per-key top-k is contained in
+    the union of per-batch top-ks), so the groupby shuffle moves ≤ k rows
+    per key per input block, never the full table; the final per-group
+    head+rank is vectorized pandas inside each group call, and group
+    dispatch parallelizes across the map_groups tasks. ``sort_cols`` must
+    be a total order within a key (include a tiebreaker) or the rank is
+    nondeterministic."""
+    import numpy as np
+    import pandas as pd
+
+    by = [c for c, _ in sort_cols]
+    asc = [d == "ascending" for _, d in sort_cols]
+
+    def _combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(by, ascending=asc).groupby(key, sort=False).head(k)
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.sort_values(by, ascending=asc).head(k).copy()
+        out[rank_col] = np.arange(1, len(out) + 1, dtype=np.int64)
+        return out
+
+    pruned = ds.map_batches(_combine, batch_format="pandas")
+    return pruned.groupby(key).map_groups(_final, batch_format="pandas")
+
+
 def topk(ds: ray.data.Dataset, sort_cols: list[tuple[str, str]], k: int) -> ray.data.Dataset:
     """Global top-k: per-batch head(k) prune, then exact sort+limit on the
     tiny survivor set (≤ k rows per batch reach the sort)."""

@@ -403,3 +403,94 @@ def cosine_near_dup_pairs_lsh(
     from ray.data.aggregate import Min
 
     return pairs.groupby(["a", "b"]).aggregate(Min("sim", alias_name="sim"))
+
+
+def kmeans_assign(
+    ds: ray.data.Dataset,
+    init_centroids: np.ndarray,
+    *,
+    iters: int = 5,
+    quant: float = 1e-4,
+) -> ray.data.Dataset:
+    """Distributed Lloyd k-means over the embedding column.
+
+    Every iteration is ONE streaming pass: each batch assigns its rows to
+    the nearest centroid (a single matmul via the
+    ``|x|^2 - 2 x.c + |c|^2`` expansion) and emits k*d PARTIAL-SUM rows
+    (cluster, dim, s, n) — the shuffle moves k*d rows per block, never
+    the corpus; a tiny groupby merges the partials and the driver updates
+    the k x d centroid matrix (driver state is model-sized, not
+    data-sized; centroids broadcast per iteration via ``ray.put``).
+
+    Centroids are QUANTIZED to the ``quant`` grid after every update so
+    distributed summation order cannot perturb the trajectory — the whole
+    run is reproducible and checkable against a single-process oracle
+    computing the same quantized recurrence. Empty clusters keep their
+    previous centroid; ``np.argmin`` ties resolve to the lowest cluster
+    index on both sides. The final pass emits (vec_id, cluster, dist2)."""
+    from ray.data.aggregate import Sum
+
+    cents = np.round(init_centroids.astype(np.float64) / quant) * quant
+    k, d = cents.shape
+    work = ds.select_columns(["vec_id", "embedding"])
+
+    def _partial_for(ref):
+        def _partial(batch: pa.Table) -> pa.Table:
+            c = _cached_ref(ref)
+            m = _matrix(batch.column("embedding"))
+            d2 = (
+                (m * m).sum(axis=1)[:, None]
+                - 2.0 * (m @ c.T)
+                + (c * c).sum(axis=1)[None, :]
+            )
+            a = np.argmin(d2, axis=1)
+            sums = np.zeros((k, d), np.float64)
+            np.add.at(sums, a, m)
+            counts = np.bincount(a, minlength=k).astype(np.int64)
+            return pa.table(
+                {
+                    "cluster": pa.array(np.repeat(np.arange(k, dtype=np.int64), d)),
+                    "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), k)),
+                    "s": pa.array(sums.ravel()),
+                    "n": pa.array(np.repeat(counts, d)),
+                }
+            )
+
+        return _partial
+
+    for _ in range(iters):
+        ref = ray.put(cents)
+        merged = (
+            work.map_batches(
+                _partial_for(ref), batch_format="pyarrow", zero_copy_batch=True
+            )
+            .groupby(["cluster", "dim"])
+            .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+        )
+        h = merged.to_pandas().sort_values(["cluster", "dim"])
+        sums = h["s"].to_numpy(dtype=np.float64).reshape(k, d)
+        counts = h[h["dim"] == 0]["n"].to_numpy(dtype=np.int64)
+        new = np.where(counts[:, None] > 0, sums / np.maximum(counts[:, None], 1), cents)
+        cents = np.round(new / quant) * quant
+
+    final_ref = ray.put(cents)
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        c = _cached_ref(final_ref)
+        m = _matrix(batch.column("embedding"))
+        d2 = (
+            (m * m).sum(axis=1)[:, None]
+            - 2.0 * (m @ c.T)
+            + (c * c).sum(axis=1)[None, :]
+        )
+        a = np.argmin(d2, axis=1)
+        dist2 = np.round(d2[np.arange(len(a)), a], 6)
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "cluster": pa.array(a.astype(np.int64)),
+                "dist2": pa.array(dist2),
+            }
+        )
+
+    return work.map_batches(_assign, batch_format="pyarrow", zero_copy_batch=True)

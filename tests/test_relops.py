@@ -111,3 +111,71 @@ def test_token_quantiles_match_duckdb_on_random_data(ray_session):
             rank = -(-(num * n) // den) - 1
             got = int(u[int(np.searchsorted(cum, rank + 1))])
             assert got == want, (trial, p, got, want)
+
+
+def test_window_topk_per_key(ray_session):
+    import ray.data
+
+    from pdf_toolkit_ray.relops import window_topk_per_key
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "key": rng.integers(0, 200, n),
+            "val": rng.random(n),
+            "tie": np.arange(n, dtype=np.int64),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(13)  # keys straddle blocks
+    got = (
+        window_topk_per_key(
+            ds, "key", [("val", "descending"), ("tie", "ascending")], 3
+        )
+        .to_pandas()
+        .sort_values(["key", "rn"])
+        .reset_index(drop=True)
+    )
+    want = (
+        df.sort_values(["val", "tie"], ascending=[False, True])
+        .groupby("key", sort=False)
+        .head(3)
+        .copy()
+    )
+    want["rn"] = want.groupby("key").cumcount() + 1
+    want = want.sort_values(["key", "rn"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["key", "val", "tie", "rn"]], want[["key", "val", "tie", "rn"]],
+        check_dtype=False,
+    )
+
+
+def test_kmeans_quantized_recurrence_is_layout_independent(ray_session):
+    """Same input in different block layouts must give identical clusters
+    (the quantized-centroid design claim)."""
+    import ray.data
+
+    from pdf_toolkit_ray.stages.ann import kmeans_assign
+
+    rng = np.random.default_rng(5)
+    n, d, k = 400, 16, 6
+    m = rng.normal(size=(n, d)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array([r for r in m.tolist()], pa.list_(pa.float32())),
+        }
+    )
+    init = m[:k].astype(np.float64)
+    outs = []
+    for parts in (2, 11):
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        outs.append(
+            kmeans_assign(ds, init, iters=4)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    # sanity: uses more than one cluster
+    assert outs[0]["cluster"].nunique() > 1
