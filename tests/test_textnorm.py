@@ -19,6 +19,13 @@ GRID = [
     "x y",          # NBSP preserved: ASCII-only whitespace semantics
     "tab\t \r\n mix",
     "ünïcode  wörds",
+    # ASCII separator controls \x1c-\x1f: str.split() treats them as
+    # whitespace but the pinned ASCII-ws class does NOT — these force the
+    # python fast path to fall back to the regex
+    "a\x1cb",
+    " a \x1d b ",
+    "\x1e\x1f",
+    "a \x1c  b",
 ]
 
 
