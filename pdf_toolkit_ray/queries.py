@@ -1976,6 +1976,379 @@ GROUP BY g.doc_id
 
 
 # --------------------------------------------------------------------------
+# round-3 widening: TPC-H-shaped relational operators (conditional
+# aggregates, scalar-subquery-per-group, HAVING + join-back, EXISTS
+# semi-join, argmin-per-group, lag windows)
+
+
+def q14_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape: percentage of revenue from one part class. The
+    sf-scaling `part` dimension is size-gated (broadcast under
+    relops.BROADCAST_GATE_BYTES, distributed Dataset.join above); revenue
+    is carried as exact integer cents so the ratio is deterministic."""
+    li = scan(sf_dir, "lineitem",
+              columns=["l_partkey", "l_extendedprice", "l_discount"])
+
+    def rev(batch: pa.Table) -> pa.Table:
+        r = pc.multiply(
+            pc.cast(batch.column("l_extendedprice"), pa.float64()),
+            pc.subtract(1.0, pc.cast(batch.column("l_discount"), pa.float64())),
+        )
+        return pa.table(
+            {"p_partkey": batch.column("l_partkey"), "rev_c": _cents(r, 10_000)}
+        )
+
+    li = li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True)
+    part_small, part_ds = relops.small_side(sf_dir, "part", ["p_partkey", "p_type"])
+    if part_small is not None:
+        joined = relops.broadcast_join(li, part_small, on="p_partkey")
+    else:
+        joined = li.join(
+            part_ds, "inner",
+            num_partitions=relops.choose_num_partitions(
+                relops.table_path(sf_dir, "lineitem"), relops.table_path(sf_dir, "part")
+            ),
+            on=("p_partkey",), right_on=("p_partkey",),
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rev_c = batch.column("rev_c")
+        promo = pc.if_else(
+            pc.equal(batch.column("p_type"), "ECONOMY"), rev_c,
+            pa.scalar(0, pa.int64()),
+        )
+        return pa.table(
+            {
+                "promo_c": pa.array([pc.sum(promo).as_py() or 0], pa.int64()),
+                "tot_c": pa.array([pc.sum(rev_c).as_py() or 0], pa.int64()),
+            }
+        )
+
+    parts = joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    promo_c = parts.sum("promo_c")
+    tot_c = parts.sum("tot_c")
+    pct = 100.0 * float(promo_c) / float(tot_c) if tot_c else 0.0
+    return pa.table({"promo_pct": round_away_arrow(pa.array([pct], pa.float64()))})
+
+
+Q14_SQL = """
+SELECT round(
+  100.0 * sum(CASE WHEN p.p_type = 'ECONOMY'
+                   THEN CAST(round(l.l_extendedprice*(1-l.l_discount)*10000) AS BIGINT)
+                   ELSE 0 END)
+        / sum(CAST(round(l.l_extendedprice*(1-l.l_discount)*10000) AS BIGINT)), 4
+) AS promo_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+"""
+
+
+def q17_small_quantity_revenue(sf_dir: str):
+    """TPC-H Q17 shape: revenue of lineitems whose quantity is under 20%
+    of their part's average — a scalar-subquery-per-group. The per-part
+    average is a distributed pre-aggregated groupby; attaching it back is
+    size-gated on the `part` table's on-disk bytes (the aggregate has one
+    row per partkey, so the dimension's size bounds it). Quantities are
+    integral, so the int64 sum / count reproduces DuckDB's avg() double
+    bit-exactly and the 0.2*avg comparison is deterministic."""
+    li = scan(sf_dir, "lineitem",
+              columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l_partkey": batch.column("l_partkey"),
+                "q": pc.cast(pc.round(batch.column("l_quantity")), pa.int64()),
+            }
+        )
+        return t.group_by(["l_partkey"]).aggregate([("q", "sum"), ("q", "count")])
+
+    avg = relops.coalesce_partials(
+        li.map_batches(qty_partial, batch_format="pyarrow", zero_copy_batch=True)
+    ).groupby("l_partkey").aggregate(
+        Sum("q_sum", alias_name="qs"), Sum("q_count", alias_name="qn")
+    )
+
+    def to_avg(batch: pa.Table) -> pa.Table:
+        aq = pc.divide(
+            pc.cast(batch.column("qs"), pa.float64()),
+            pc.cast(batch.column("qn"), pa.float64()),
+        )
+        return pa.table({"ap_partkey": batch.column("l_partkey"), "aq": aq})
+
+    avg = avg.map_batches(to_avg, batch_format="pyarrow", zero_copy_batch=True)
+
+    gate_ok = (
+        os.path.getsize(relops.table_path(sf_dir, "part")) <= relops.BROADCAST_GATE_BYTES
+    )
+    if gate_ok:
+        avg_tbl = pa.Table.from_pandas(avg.to_pandas(), preserve_index=False)
+        joined = relops.broadcast_join(
+            li.map_batches(
+                lambda t: t.append_column("ap_partkey", t.column("l_partkey")),
+                batch_format="pyarrow", zero_copy_batch=True,
+            ),
+            avg_tbl, on="ap_partkey",
+        )
+    else:
+        joined = li.join(
+            avg, "inner",
+            num_partitions=relops.choose_num_partitions(
+                relops.table_path(sf_dir, "lineitem"), relops.table_path(sf_dir, "part")
+            ),
+            on=("l_partkey",), right_on=("ap_partkey",),
+        )
+
+    def small_qty(batch: pa.Table) -> pa.Table:
+        qty = pc.cast(batch.column("l_quantity"), pa.float64())
+        thr = pc.multiply(0.2, batch.column("aq"))
+        batch = batch.filter(pc.less(qty, thr))
+        total = pc.sum(_cents(pc.cast(batch.column("l_extendedprice"), pa.float64()), 100)).as_py() or 0
+        return pa.table({"price_c": pa.array([total], pa.int64())})
+
+    total_c = joined.map_batches(
+        small_qty, batch_format="pyarrow", zero_copy_batch=True
+    ).sum("price_c")
+    yearly = float(total_c) / 100.0 / 7.0
+    return pa.table({"avg_yearly": round_away_arrow(pa.array([yearly], pa.float64()))})
+
+
+Q17_SQL = """
+SELECT round(
+  CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0/7.0, 4
+) AS avg_yearly
+FROM lineitem l
+JOIN (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)/count(*) AS aq
+  FROM lineitem GROUP BY l_partkey
+) a ON l.l_partkey = a.l_partkey
+WHERE l.l_quantity < 0.2 * a.aq
+"""
+
+
+def q18_large_volume_orders(sf_dir: str):
+    """TPC-H Q18 shape: HAVING on a big groupby, then join back to the
+    fact's parent. The having-filtered aggregate (one row per qualifying
+    orderkey) joins `orders` via distributed Dataset.join — no driver
+    materialization of an sf-scaling set."""
+    li = scan(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "q": pc.cast(pc.round(batch.column("l_quantity")), pa.int64()),
+            }
+        )
+        return t.group_by(["l_orderkey"]).aggregate([("q", "sum")])
+
+    totals = relops.coalesce_partials(
+        li.map_batches(qty_partial, batch_format="pyarrow", zero_copy_batch=True)
+    ).groupby("l_orderkey").aggregate(Sum("q_sum", alias_name="total_qty"))
+
+    def having(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch.column("total_qty"), 250))
+
+    totals = totals.map_batches(having, batch_format="pyarrow", zero_copy_batch=True)
+    orders = scan(sf_dir, "orders",
+                  columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    joined = orders.join(
+        totals, "inner",
+        num_partitions=relops.choose_num_partitions(
+            relops.table_path(sf_dir, "lineitem"), relops.table_path(sf_dir, "orders")
+        ),
+        on=("o_orderkey",), right_on=("l_orderkey",),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey"),
+                "o_custkey": batch.column("o_custkey"),
+                "o_orderdate": batch.column("o_orderdate"),
+                "o_totalprice": round_away_arrow(
+                    pc.cast(batch.column("o_totalprice"), pa.float64())
+                ),
+                "total_qty": pc.cast(batch.column("total_qty"), pa.int64()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+Q18_SQL = """
+SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+       round(o.o_totalprice, 4) AS o_totalprice,
+       t.total_qty
+FROM orders o
+JOIN (
+  SELECT l_orderkey,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 250
+) t ON o.o_orderkey = t.l_orderkey
+"""
+
+
+def q4_priority_with_returns(sf_dir: str):
+    """EXISTS-style semi-join: count orders per priority that have at
+    least one returned lineitem. Distinct matching orderkeys come from a
+    per-batch local-distinct combiner + groupby (the shuffle moves keys,
+    not rows), then a distributed inner join marks existence — the same
+    scale shape as anti_join_customers_no_orders, inverted."""
+    li = scan(sf_dir, "lineitem", columns=["l_orderkey"],
+              filter=(pc.field("l_returnflag") == "R"))
+
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": pc.unique(batch.column("l_orderkey"))})
+
+    keys = (
+        li.map_batches(local_distinct, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_orderkey")
+        .aggregate(Count(alias_name="_has"))
+    )
+    orders = scan(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    joined = orders.join(
+        keys, "inner",
+        num_partitions=relops.choose_num_partitions(
+            relops.table_path(sf_dir, "lineitem"), relops.table_path(sf_dir, "orders")
+        ),
+        on=("o_orderkey",), right_on=("l_orderkey",),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.select(["o_orderpriority"]).group_by(
+            ["o_orderpriority"]
+        ).aggregate([("o_orderpriority", "count")])
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_orderpriority")
+        .aggregate(Sum("o_orderpriority_count", alias_name="n_orders"))
+    )
+    tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    return pa.table(
+        {
+            "o_orderpriority": tbl.column("o_orderpriority"),
+            "n_orders": pc.cast(tbl.column("n_orders"), pa.int64()),
+        }
+    )
+
+
+Q4_SQL = """
+SELECT o.o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o.o_orderpriority
+"""
+
+
+def cheapest_supplier_per_part(sf_dir: str):
+    """Argmin-per-group: for every part, the supplier of its cheapest
+    lineitem (ties broken by the smaller suppkey). A per-batch combiner
+    keeps ONE candidate row per partkey per block — the argmin is
+    closed under composition, so the groupby shuffle moves at most one
+    row per key per block; the final per-group argmin is the same sorted
+    head."""
+    li = scan(sf_dir, "lineitem",
+              columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+    sort_keys = [
+        ("l_partkey", "ascending"),
+        ("l_extendedprice", "ascending"),
+        ("l_suppkey", "ascending"),
+    ]
+
+    def combine(batch: pa.Table) -> pa.Table:
+        t = batch.take(pc.sort_indices(batch, sort_keys=sort_keys))
+        pk = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        mask = np.empty(len(pk), dtype=bool)
+        if len(pk):
+            mask[0] = True
+            mask[1:] = pk[1:] != pk[:-1]
+        return t.filter(pa.array(mask))
+
+    def final(group: pa.Table) -> pa.Table:
+        t = group.take(pc.sort_indices(group, sort_keys=sort_keys)).slice(0, 1)
+        return pa.table(
+            {
+                "l_partkey": t.column("l_partkey"),
+                "best_suppkey": t.column("l_suppkey"),
+                "min_price": round_away_arrow(
+                    pc.cast(t.column("l_extendedprice"), pa.float64())
+                ),
+            }
+        )
+
+    pruned = li.map_batches(combine, batch_format="pyarrow", zero_copy_batch=True)
+    return pruned.groupby("l_partkey").map_groups(final, batch_format="pyarrow")
+
+
+CHEAPEST_SUPPLIER_SQL = """
+WITH r AS (
+  SELECT l_partkey, l_suppkey, l_extendedprice,
+         row_number() OVER (PARTITION BY l_partkey
+                            ORDER BY l_extendedprice, l_suppkey) AS rn
+  FROM lineitem
+)
+SELECT l_partkey, l_suppkey AS best_suppkey,
+       round(l_extendedprice, 4) AS min_price
+FROM r WHERE rn = 1
+"""
+
+
+def order_gap_days_per_customer(sf_dir: str):
+    """lag()-window analog: per customer, the average gap in days between
+    consecutive orders (ordered by date, orderkey). One groupby(custkey)
+    shuffle; each group's gaps are a vectorized diff over its sorted
+    timestamps. Gaps are integral days (midnight timestamps), so the
+    int-sum / count average is deterministic."""
+    orders = scan(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate"])
+    day_us = 86_400_000_000
+
+    def gaps(group: pa.Table) -> pa.Table:
+        ts = group.column("o_orderdate").to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        ok = group.column("o_orderkey").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ok, ts))
+        ts = ts[order]
+        if len(ts) < 2:
+            return pa.table(
+                {
+                    "o_custkey": pa.array([], pa.int64()),
+                    "n_gaps": pa.array([], pa.int64()),
+                    "avg_gap_days": pa.array([], pa.float64()),
+                }
+            )
+        d = np.diff(ts) // day_us
+        avg = float(int(d.sum())) / float(len(d))
+        return pa.table(
+            {
+                "o_custkey": group.column("o_custkey").slice(0, 1),
+                "n_gaps": pa.array([len(d)], pa.int64()),
+                "avg_gap_days": round_away_arrow(pa.array([avg], pa.float64())),
+            }
+        )
+
+    return orders.groupby("o_custkey").map_groups(gaps, batch_format="pyarrow")
+
+
+ORDER_GAP_SQL = """
+WITH g AS (
+  SELECT o_custkey,
+         date_diff('day',
+                   lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey),
+                   o_orderdate) AS gap
+  FROM orders
+)
+SELECT o_custkey, CAST(count(gap) AS BIGINT) AS n_gaps,
+       round(CAST(sum(gap) AS DOUBLE)/count(gap), 4) AS avg_gap_days
+FROM g WHERE gap IS NOT NULL
+GROUP BY o_custkey
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 
 REGISTRY: dict[str, tuple] = {
@@ -2012,6 +2385,12 @@ REGISTRY: dict[str, tuple] = {
     "pivot_events_daily": (pivot_events_daily, PIVOT_EVENTS_SQL),
     "doc_len_quantiles_by_lang": (doc_len_quantiles_by_lang, DOC_LEN_QUANTILES_SQL),
     "anti_join_customers_no_orders": (anti_join_customers_no_orders, ANTI_JOIN_SQL),
+    "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),
+    "q17_small_quantity_revenue": (q17_small_quantity_revenue, Q17_SQL),
+    "q18_large_volume_orders": (q18_large_volume_orders, Q18_SQL),
+    "q4_priority_with_returns": (q4_priority_with_returns, Q4_SQL),
+    "cheapest_supplier_per_part": (cheapest_supplier_per_part, CHEAPEST_SUPPLIER_SQL),
+    "order_gap_days_per_customer": (order_gap_days_per_customer, ORDER_GAP_SQL),
     "decontaminate_documents": (decontaminate_documents, DECONTAMINATE_SQL),
     "embedding_kmeans": (embedding_kmeans, None),
     "bpe_token_count_documents": (bpe_token_count_documents, BPE_TOKEN_COUNT_SQL),
