@@ -2348,6 +2348,255 @@ GROUP BY o_custkey
 """
 
 
+def rollup_events_daily(sf_dir: str):
+    """ROLLUP(event_type, day): finest-level aggregate distributed (one
+    combiner pass + small groupby), coarser levels derived from the
+    finest on the driver — correct because sum/count are aggregates of
+    aggregates, and the finest level is types x days rows regardless of
+    input scale. Values are exact integer 1e-4 units so re-aggregation
+    cannot drift. Subtotal rows use the '__all__' sentinel."""
+    ds = scan(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "day": pc.strftime(
+                    pc.floor_temporal(batch.column("ts"), unit="day"), format="%Y-%m-%d"
+                ),
+                "v": _cents(batch.column("value"), 10_000),
+            }
+        )
+        return t.group_by(["event_type", "day"]).aggregate(
+            [("v", "sum"), ("v", "count")]
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "day"])
+        .aggregate(Sum("v_sum", alias_name="v"), Sum("v_count", alias_name="n"))
+    )
+    fine = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+
+    def level(tbl: pa.Table, keys: list[str]) -> pa.Table:
+        if keys:
+            g = tbl.group_by(keys).aggregate([("n", "sum"), ("v", "sum")])
+            n, v = g.column("n_sum"), g.column("v_sum")
+        else:
+            g = pa.table({})
+            n = pa.array([pc.sum(tbl.column("n")).as_py() or 0], pa.int64())
+            v = pa.array([pc.sum(tbl.column("v")).as_py() or 0], pa.int64())
+        rows = len(n)
+        return pa.table(
+            {
+                "event_type": g.column("event_type") if "event_type" in keys
+                else pa.array(["__all__"] * rows),
+                "day": g.column("day") if "day" in keys
+                else pa.array(["__all__"] * rows),
+                "n": pc.cast(n, pa.int64()),
+                "sum_value": round_away_arrow(
+                    pc.divide(pc.cast(v, pa.float64()), 10_000.0)
+                ),
+            }
+        )
+
+    return pa.concat_tables(
+        [level(fine, ["event_type", "day"]), level(fine, ["event_type"]), level(fine, [])]
+    )
+
+
+ROLLUP_EVENTS_SQL = """
+WITH base AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         CAST(round(value*10000) AS BIGINT) AS v
+  FROM events
+),
+l2 AS (SELECT event_type, day, count(*) AS n, sum(v) AS v
+       FROM base GROUP BY event_type, day)
+SELECT event_type, day, CAST(n AS BIGINT) AS n,
+       round(CAST(v AS DOUBLE)/10000.0, 4) AS sum_value FROM l2
+UNION ALL
+SELECT event_type, '__all__', CAST(sum(n) AS BIGINT),
+       round(CAST(sum(v) AS DOUBLE)/10000.0, 4) FROM l2 GROUP BY event_type
+UNION ALL
+SELECT '__all__', '__all__', CAST(sum(n) AS BIGINT),
+       round(CAST(sum(v) AS DOUBLE)/10000.0, 4) FROM l2
+"""
+
+
+def set_ops_customers(sf_dir: str):
+    """INTERSECT / EXCEPT in one pass: customers who ordered in 1995,
+    1996, or both — per-batch (custkey, in_a, in_b) flag partials, one
+    groupby(max, max), status from the flag pair. The shuffle moves at
+    most one flag row per key per block; no driver key sets."""
+    lo = np.datetime64("1995-01-01", "us")
+    mid = np.datetime64("1996-01-01", "us")
+    hi = np.datetime64("1997-01-01", "us")
+    orders = scan(
+        sf_dir, "orders", columns=["o_custkey", "o_orderdate"],
+        filter=((pc.field("o_orderdate") >= lo) & (pc.field("o_orderdate") < hi)),
+    )
+
+    def flags(batch: pa.Table) -> pa.Table:
+        d = batch.column("o_orderdate")
+        t = pa.table(
+            {
+                "o_custkey": batch.column("o_custkey"),
+                "in_a": pc.cast(pc.less(d, pa.scalar(mid)), pa.int8()),
+                "in_b": pc.cast(pc.greater_equal(d, pa.scalar(mid)), pa.int8()),
+            }
+        )
+        return t.group_by(["o_custkey"]).aggregate([("in_a", "max"), ("in_b", "max")])
+
+    agg = (
+        orders.map_batches(flags, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_custkey")
+        .aggregate(Max("in_a_max", alias_name="a"), Max("in_b_max", alias_name="b"))
+    )
+
+    def status(batch: pa.Table) -> pa.Table:
+        a = pc.greater(batch.column("a"), 0)
+        b = pc.greater(batch.column("b"), 0)
+        st = pc.if_else(
+            pc.and_(a, b), "both", pc.if_else(a, "1995_only", "1996_only")
+        )
+        return pa.table({"o_custkey": batch.column("o_custkey"), "status": st})
+
+    return agg.map_batches(status, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SET_OPS_SQL = """
+WITH a AS (SELECT DISTINCT o_custkey FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+             AND o_orderdate <  TIMESTAMP '1996-01-01'),
+b AS (SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1997-01-01')
+SELECT coalesce(a.o_custkey, b.o_custkey) AS o_custkey,
+  CASE WHEN a.o_custkey IS NOT NULL AND b.o_custkey IS NOT NULL THEN 'both'
+       WHEN a.o_custkey IS NOT NULL THEN '1995_only'
+       ELSE '1996_only' END AS status
+FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+"""
+
+
+def corr_qty_price_by_flag(sf_dir: str):
+    """Pearson correlation per group via mergeable sufficient statistics
+    (n, Sx, Sy, Sxx, Sxy, Syy) — the distributed-statistics pattern: one
+    combiner pass, one tiny groupby, exact integer sums (qty integral,
+    price rounded to whole dollars), then one float formula per group.
+    The final arithmetic mirrors the SQL twin operation-for-operation
+    (int -> double casts, IEEE sqrt/divide), so the doubles are
+    bit-identical. int64 bound: Syy is the binding term (~1.1e10 per
+    row), safe to ~8e8 rows per flag; beyond that shard Syy into
+    hi/lo words or sum compensated doubles."""
+    li = scan(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = pc.cast(pc.round(batch.column("l_quantity")), pa.int64())
+        y = pc.cast(pc.round(batch.column("l_extendedprice")), pa.int64())
+        t = pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "x": x,
+                "y": y,
+                "xx": pc.multiply(x, x),
+                "xy": pc.multiply(x, y),
+                "yy": pc.multiply(y, y),
+            }
+        )
+        return t.group_by(["l_returnflag"]).aggregate(
+            [(c, "sum") for c in ("one", "x", "y", "xx", "xy", "yy")]
+        )
+
+    agg = (
+        li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_returnflag")
+        .aggregate(*[Sum(f"{c}_sum", alias_name=c) for c in ("one", "x", "y", "xx", "xy", "yy")])
+    )
+    tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    import math
+
+    flags, ns, corrs = [], [], []
+    for row in tbl.to_pylist():
+        n, sx, sy = int(row["one"]), int(row["x"]), int(row["y"])
+        sxx, sxy, syy = int(row["xx"]), int(row["xy"]), int(row["yy"])
+        num = n * sxy - sx * sy
+        den = math.sqrt(float(n * sxx - sx * sx)) * math.sqrt(float(n * syy - sy * sy))
+        flags.append(row["l_returnflag"])
+        ns.append(n)
+        corrs.append(float(num) / den if den else 0.0)
+    return pa.table(
+        {
+            "l_returnflag": pa.array(flags, pa.string()),
+            "n": pa.array(ns, pa.int64()),
+            "corr_qty_price": round_away_arrow(pa.array(corrs, pa.float64())),
+        }
+    )
+
+
+CORR_SQL = """
+WITH s AS (
+  SELECT l_returnflag, count(*) AS n,
+    sum(CAST(round(l_quantity) AS HUGEINT)) AS sx,
+    sum(CAST(round(l_extendedprice) AS HUGEINT)) AS sy,
+    sum(CAST(round(l_quantity) AS HUGEINT)*CAST(round(l_quantity) AS HUGEINT)) AS sxx,
+    sum(CAST(round(l_quantity) AS HUGEINT)*CAST(round(l_extendedprice) AS HUGEINT)) AS sxy,
+    sum(CAST(round(l_extendedprice) AS HUGEINT)*CAST(round(l_extendedprice) AS HUGEINT)) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+  round(CAST(n*sxy - sx*sy AS DOUBLE)
+        / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))),
+        4) AS corr_qty_price
+FROM s
+"""
+
+
+def mode_brand_per_type(sf_dir: str):
+    """Mode (most frequent value) per group with a deterministic
+    tiebreak: count (p_type, p_brand) pairs via combiner partials, then a
+    per-type argmax — count desc, brand asc. The pair-count table is
+    bounded by the categorical cross-product, not the row count."""
+    part = scan(sf_dir, "part", columns=["p_type", "p_brand"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["p_type", "p_brand"]).aggregate([("p_brand", "count")])
+
+    counts = (
+        part.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["p_type", "p_brand"])
+        .aggregate(Sum("p_brand_count", alias_name="cnt"))
+    )
+
+    def argmax(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group, sort_keys=[("cnt", "descending"), ("p_brand", "ascending")]
+        )
+        t = group.take(idx).slice(0, 1)
+        return pa.table(
+            {
+                "p_type": t.column("p_type"),
+                "top_brand": t.column("p_brand"),
+                "n": pc.cast(t.column("cnt"), pa.int64()),
+            }
+        )
+
+    return counts.groupby("p_type").map_groups(argmax, batch_format="pyarrow")
+
+
+MODE_BRAND_SQL = """
+WITH c AS (SELECT p_type, p_brand, count(*) AS cnt
+           FROM part GROUP BY p_type, p_brand),
+r AS (SELECT *, row_number() OVER (PARTITION BY p_type
+                                   ORDER BY cnt DESC, p_brand) AS rn
+      FROM c)
+SELECT p_type, p_brand AS top_brand, CAST(cnt AS BIGINT) AS n
+FROM r WHERE rn = 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -2391,6 +2640,10 @@ REGISTRY: dict[str, tuple] = {
     "q4_priority_with_returns": (q4_priority_with_returns, Q4_SQL),
     "cheapest_supplier_per_part": (cheapest_supplier_per_part, CHEAPEST_SUPPLIER_SQL),
     "order_gap_days_per_customer": (order_gap_days_per_customer, ORDER_GAP_SQL),
+    "rollup_events_daily": (rollup_events_daily, ROLLUP_EVENTS_SQL),
+    "set_ops_customers": (set_ops_customers, SET_OPS_SQL),
+    "corr_qty_price_by_flag": (corr_qty_price_by_flag, CORR_SQL),
+    "mode_brand_per_type": (mode_brand_per_type, MODE_BRAND_SQL),
     "decontaminate_documents": (decontaminate_documents, DECONTAMINATE_SQL),
     "embedding_kmeans": (embedding_kmeans, None),
     "bpe_token_count_documents": (bpe_token_count_documents, BPE_TOKEN_COUNT_SQL),
