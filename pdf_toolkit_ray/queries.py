@@ -2598,6 +2598,184 @@ FROM r WHERE rn = 1
 
 
 # --------------------------------------------------------------------------
+# round-3 widening: repetition / quality signals for LLM-corpus curation
+# (Gopher-style repetition rules, C4-style keep/drop filters). All three
+# explode words with Arrow kernels (split_pattern + list_flatten) and
+# aggregate within the batch — a document never spans batches, so the
+# corpus needs NO shuffle.
+
+
+def _exploded_words(batch: pa.Table) -> tuple[np.ndarray, pa.Array, np.ndarray]:
+    """(parent doc_id per word, flat word array, words-per-doc lengths) —
+    vectorized explode, no per-row Python."""
+    words = pc.split_pattern(batch.column("text"), pattern=" ")
+    words = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+    lengths = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    return np.repeat(ids, lengths), pc.list_flatten(words), lengths
+
+
+def ttr_documents(sf_dir: str):
+    """Type-token ratio + top-word fraction per document (the Gopher
+    'fraction of most common word' repetition signal)."""
+    ds = scan(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        parent, flat, _ = _exploded_words(batch)
+        t = pa.table({"doc_id": pa.array(parent, pa.int64()), "word": flat})
+        c = t.group_by(["doc_id", "word"]).aggregate([("word", "count")])
+        d = c.group_by(["doc_id"]).aggregate(
+            [("word_count", "sum"), ("word_count", "count"), ("word_count", "max")]
+        )
+        nw = pc.cast(d.column("word_count_sum"), pa.float64())
+        nt = pc.cast(d.column("word_count_count"), pa.float64())
+        top = pc.cast(d.column("word_count_max"), pa.float64())
+        return pa.table(
+            {
+                "doc_id": d.column("doc_id"),
+                "n_words": pc.cast(d.column("word_count_sum"), pa.int64()),
+                "n_types": pc.cast(d.column("word_count_count"), pa.int64()),
+                "ttr": round_away_arrow(pc.divide(nt, nw)),
+                "top_frac": round_away_arrow(pc.divide(top, nw)),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+TTR_SQL = """
+WITH ws AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+c AS (SELECT doc_id, word, count(*) AS cnt FROM ws GROUP BY doc_id, word)
+SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+  CAST(count(*) AS BIGINT) AS n_types,
+  round(CAST(count(*) AS DOUBLE)/sum(cnt), 4) AS ttr,
+  round(CAST(max(cnt) AS DOUBLE)/sum(cnt), 4) AS top_frac
+FROM c GROUP BY doc_id
+"""
+
+
+def bigram_repetition_documents(sf_dir: str):
+    """Duplicate-bigram fraction per document (Gopher duplicate-n-gram
+    rule). Bigrams form by joining the flat word array against itself
+    shifted by one (one Arrow binary_join kernel), masking word pairs
+    that straddle a document boundary; docs with < 2 words drop out."""
+    ds = scan(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        parent, flat, _ = _exploded_words(batch)
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_bigrams": pa.array([], pa.int64()),
+                "n_distinct": pa.array([], pa.int64()),
+                "dup_frac": pa.array([], pa.float64()),
+            }
+        )
+        if len(flat) < 2:
+            return empty
+        a = flat.slice(0, len(flat) - 1)
+        b = flat.slice(1)
+        bg = pc.binary_join_element_wise(a, b, " ")
+        same_doc = parent[:-1] == parent[1:]
+        t = pa.table(
+            {
+                "doc_id": pa.array(parent[:-1][same_doc], pa.int64()),
+                "g": pc.array_filter(bg, pa.array(same_doc)),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        c = t.group_by(["doc_id", "g"]).aggregate([("g", "count")])
+        d = c.group_by(["doc_id"]).aggregate(
+            [("g_count", "sum"), ("g_count", "count")]
+        )
+        n = pc.cast(d.column("g_count_sum"), pa.float64())
+        nd = pc.cast(d.column("g_count_count"), pa.float64())
+        return pa.table(
+            {
+                "doc_id": d.column("doc_id"),
+                "n_bigrams": pc.cast(d.column("g_count_sum"), pa.int64()),
+                "n_distinct": pc.cast(d.column("g_count_count"), pa.int64()),
+                "dup_frac": round_away_arrow(
+                    pc.divide(pc.subtract(n, nd), n)
+                ),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+BIGRAM_REP_SQL = """
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (SELECT doc_id, array_to_string(list_slice(w, i, i + 1), ' ') AS g
+      FROM ws, unnest(range(1, len(w))) AS t(i) WHERE len(w) >= 2)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+  CAST(count(DISTINCT g) AS BIGINT) AS n_distinct,
+  round(CAST(count(*) - count(DISTINCT g) AS DOUBLE)/count(*), 4) AS dup_frac
+FROM g GROUP BY doc_id
+"""
+
+
+def c4_filter_documents(sf_dir: str):
+    """C4-style keep/drop filter: word-count floor, stopword-fraction
+    floor and mean-word-length ceiling, with the signals emitted beside
+    the boolean so a downstream pipeline can re-threshold without a
+    second corpus pass. keep is decided on UNROUNDED doubles (identical
+    arithmetic to the SQL twin); rounding is display-only."""
+    ds = scan(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        parent, flat, _ = _exploded_words(batch)
+        is_stop = pc.is_in(flat, value_set=pa.array(["the", "a"]))
+        t = pa.table(
+            {
+                "doc_id": pa.array(parent, pa.int64()),
+                "stop": pc.cast(is_stop, pa.int64()),
+                "wlen": pc.cast(pc.utf8_length(flat), pa.int64()),
+            }
+        )
+        d = t.group_by(["doc_id"]).aggregate(
+            [("stop", "count"), ("stop", "sum"), ("wlen", "sum")]
+        )
+        nw = pc.cast(d.column("stop_count"), pa.float64())
+        stop_frac = pc.divide(pc.cast(d.column("stop_sum"), pa.float64()), nw)
+        mean_wlen = pc.divide(pc.cast(d.column("wlen_sum"), pa.float64()), nw)
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(d.column("stop_count"), 40),
+                pc.greater_equal(stop_frac, 0.03),
+            ),
+            pc.less_equal(mean_wlen, 4.8),
+        )
+        return pa.table(
+            {
+                "doc_id": d.column("doc_id"),
+                "n_words": pc.cast(d.column("stop_count"), pa.int64()),
+                "stop_frac": round_away_arrow(stop_frac),
+                "mean_wlen": round_away_arrow(mean_wlen),
+                "keep": keep,
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+C4_FILTER_SQL = """
+WITH ws AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+s AS (SELECT doc_id, count(*) AS n_words,
+        sum(CASE WHEN word IN ('the', 'a') THEN 1 ELSE 0 END) AS n_stop,
+        sum(length(word)) AS n_chars
+      FROM ws GROUP BY doc_id)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+  round(CAST(n_stop AS DOUBLE)/n_words, 4) AS stop_frac,
+  round(CAST(n_chars AS DOUBLE)/n_words, 4) AS mean_wlen,
+  (n_words >= 40 AND CAST(n_stop AS DOUBLE)/n_words >= 0.03
+   AND CAST(n_chars AS DOUBLE)/n_words <= 4.8) AS keep
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 
 REGISTRY: dict[str, tuple] = {
@@ -2644,6 +2822,9 @@ REGISTRY: dict[str, tuple] = {
     "set_ops_customers": (set_ops_customers, SET_OPS_SQL),
     "corr_qty_price_by_flag": (corr_qty_price_by_flag, CORR_SQL),
     "mode_brand_per_type": (mode_brand_per_type, MODE_BRAND_SQL),
+    "ttr_documents": (ttr_documents, TTR_SQL),
+    "bigram_repetition_documents": (bigram_repetition_documents, BIGRAM_REP_SQL),
+    "c4_filter_documents": (c4_filter_documents, C4_FILTER_SQL),
     "decontaminate_documents": (decontaminate_documents, DECONTAMINATE_SQL),
     "embedding_kmeans": (embedding_kmeans, None),
     "bpe_token_count_documents": (bpe_token_count_documents, BPE_TOKEN_COUNT_SQL),
