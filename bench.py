@@ -42,6 +42,8 @@ BENCH_QUERIES = [
     "quality_documents",
     "minhash_clusters_documents",
     "embedding_topk",
+    "q18_large_volume_orders",
+    "ttr_documents",
 ]
 
 

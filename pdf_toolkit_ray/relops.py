@@ -247,13 +247,53 @@ def window_topk_per_key(
     def _combine(df: pd.DataFrame) -> pd.DataFrame:
         return df.sort_values(by, ascending=asc).groupby(key, sort=False).head(k)
 
-    def _final(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.sort_values(by, ascending=asc).head(k).copy()
-        out[rank_col] = np.arange(1, len(out) + 1, dtype=np.int64)
-        return out
+    def _final_bucket(group: pa.Table) -> pa.Table:
+        # every key in the bucket at once: one sort, grouped head + rank
+        df = group.to_pandas().sort_values([key] + by, ascending=[True] + asc)
+        out = df.groupby(key, sort=False).head(k).copy()
+        out[rank_col] = (out.groupby(key, sort=False).cumcount() + 1).astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     pruned = ds.map_batches(_combine, batch_format="pandas")
-    return pruned.groupby(key).map_groups(_final, batch_format="pandas")
+    return bucketed_groupby(pruned, [key], _final_bucket)
+
+
+def bucketed_groupby(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    per_group: Callable[[pa.Table], pa.Table],
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Exact groupby for HIGH-cardinality keys. Ray's sort-based
+    ``groupby().aggregate()/map_groups`` pays per-group Python dispatch —
+    ~80µs x group count, so 150k orderkeys cost seconds regardless of data
+    size (measured: q18's totals groupby 9.5s at sf0.1). This routes the
+    shuffle through a LOW-cardinality derived bucket = hash(keys) % B
+    (vectorized siphash via pandas), then runs ``per_group`` ONCE per
+    bucket where it does the real ``pa.Table.group_by`` vectorized. Every
+    key lands wholly in one bucket, so any combiner-closed aggregate is
+    exact. B defaults to 4x cluster CPUs: per-bucket working set is
+    rows/B — scale B with the cluster, or raise it for skewed giants.
+    ``per_group`` receives the bucket's rows (bucket column dropped) and
+    must itself group by ``keys``."""
+    if num_buckets is None:
+        num_buckets = 4 * int(ray.cluster_resources().get("CPU", 8))
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        h = np.zeros(batch.num_rows, dtype=np.uint64)
+        for k in keys:
+            h ^= pd.util.hash_pandas_object(
+                batch.column(k).to_pandas(), index=False
+            ).to_numpy(dtype=np.uint64)
+        return batch.append_column(
+            "_bucket", pa.array((h % num_buckets).astype(np.int32))
+        )
+
+    def _run(group: pa.Table) -> pa.Table:
+        return per_group(group.drop_columns(["_bucket"]))
+
+    tagged = ds.map_batches(_tag, batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby("_bucket").map_groups(_run, batch_format="pyarrow")
 
 
 def topk(ds: ray.data.Dataset, sort_cols: list[tuple[str, str]], k: int) -> ray.data.Dataset:
@@ -398,6 +438,7 @@ def sessionize(
 __all__ = [
     "scan", "round_cols", "pre_agg_groupby", "coalesce_partials", "broadcast_join",
     "semi_join_filter", "topk", "distinct_count", "sessionize", "asof_join",
+    "bucketed_groupby",
     "choose_num_partitions", "table_path",
     "Count", "Max", "Mean", "Min", "Sum",
 ]
