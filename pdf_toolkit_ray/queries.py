@@ -2819,6 +2819,394 @@ FROM s
 """
 
 
+def q13_customer_distribution(sf_dir: str):
+    """TPC-H Q13 shape: the distribution of per-customer order counts,
+    INCLUDING zero-order customers. Per-batch (custkey, n) partials →
+    bucketed exact sum (custkey cardinality scales with sf) → distributed
+    left_outer join from customer (null → 0) → the histogram itself has
+    at most max-orders-per-customer rows, so a per-batch partial and a
+    tiny groupby finish it. Nothing sf-scaling touches the driver."""
+    orders = scan(sf_dir, "orders", columns=["o_custkey"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["o_custkey"]).aggregate([("o_custkey", "count")])
+
+    def bucket_sum(group: pa.Table) -> pa.Table:
+        g = group.group_by(["o_custkey"]).aggregate([("o_custkey_count", "sum")])
+        return pa.table(
+            {
+                "k_custkey": g.column("o_custkey"),
+                "n": pc.cast(g.column("o_custkey_count_sum"), pa.int64()),
+            }
+        )
+
+    counts = relops.bucketed_groupby(
+        orders.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["o_custkey"], bucket_sum,
+    )
+    cust = scan(sf_dir, "customer", columns=["c_custkey"])
+    n_parts = relops.choose_num_partitions(
+        relops.table_path(sf_dir, "customer"), relops.table_path(sf_dir, "orders")
+    )
+    joined = cust.join(
+        counts, "left_outer", num_partitions=n_parts,
+        on=("c_custkey",), right_on=("k_custkey",),
+    )
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        if "n" not in batch.column_names:
+            c = pa.nulls(batch.num_rows, pa.int64())
+        else:
+            c = batch.column("n")
+        t = pa.table({"c_count": pc.fill_null(c, 0)})
+        return t.group_by(["c_count"]).aggregate([("c_count", "count")])
+
+    partials = relops.drop_empty_blocks(
+        joined.map_batches(hist_partial, batch_format="pyarrow", zero_copy_batch=True),
+        pa.table(
+            {"c_count": pa.array([], pa.int64()), "c_count_count": pa.array([], pa.int64())}
+        ),
+    )
+    agg = partials.groupby("c_count").aggregate(
+        Sum("c_count_count", alias_name="custdist")
+    )
+    tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    return pa.table(
+        {
+            "c_count": pc.cast(tbl.column("c_count"), pa.int64()),
+            "custdist": pc.cast(tbl.column("custdist"), pa.int64()),
+        }
+    )
+
+
+Q13_SQL = """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c.c_custkey, count(o.o_custkey) AS c_count
+  FROM customer c LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey)
+GROUP BY c_count
+"""
+
+
+def q22_sales_opportunity(sf_dir: str):
+    """TPC-H Q22 shape: "rich but inactive" — customers whose balance
+    exceeds the positive-balance global average AND who placed no orders,
+    counted per nation ("no orders" = none since 2000-06-01, so the
+    result is non-degenerate on TPC-H-shaped data where every customer
+    has SOME order). The scalar subquery is two distributed partial sums
+    (one tiny row per block); the threshold compare runs in exact integer
+    arithmetic (cents·n > s, no float division) so the SQL twin is
+    bit-identical; the recency filter is the distinct-marker anti-join.
+    customer/orders never materialize on the driver."""
+    cust = scan(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def bal_partial(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch.column("c_acctbal"), 100)
+        pos = cents.filter(pc.greater(cents, 0))
+        s = pc.sum(pos).as_py() or 0
+        return pa.table(
+            {"s": pa.array([s], pa.int64()), "n": pa.array([len(pos)], pa.int64())}
+        )
+
+    stats = (
+        cust.map_batches(bal_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()  # one row per block — bounded by block count, not rows
+        .sum()
+    )
+    tot_s, tot_n = int(stats["s"]), int(stats["n"])
+
+    orders = scan(
+        sf_dir, "orders", columns=["o_custkey"],
+        filter=(pc.field("o_orderdate") >= np.datetime64("2000-06-01", "us")),
+    )
+
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": pc.unique(batch.column("o_custkey"))})
+
+    def bucket_distinct(group: pa.Table) -> pa.Table:
+        u = pc.unique(group.column("o_custkey"))
+        return pa.table(
+            {"o_custkey": u, "_has": pa.array(np.ones(len(u), dtype=np.int64))}
+        )
+
+    keys = relops.bucketed_groupby(
+        orders.map_batches(local_distinct, batch_format="pyarrow", zero_copy_batch=True),
+        ["o_custkey"], bucket_distinct,
+    )
+
+    def rich_only(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch.column("c_acctbal"), 100)
+        # cents/100 > s/(100·n)  ⟺  cents·n > s — exact, no float compare
+        keep = pc.greater(pc.multiply(cents, pa.scalar(tot_n, pa.int64())),
+                          pa.scalar(tot_s, pa.int64()))
+        t = batch.filter(keep)
+        return pa.table(
+            {
+                "c_custkey": t.column("c_custkey"),
+                "c_nationkey": t.column("c_nationkey"),
+                "bal_c": _cents(t.column("c_acctbal"), 100),
+            }
+        )
+
+    rich = cust.map_batches(rich_only, batch_format="pyarrow", zero_copy_batch=True)
+    n_parts = relops.choose_num_partitions(
+        relops.table_path(sf_dir, "customer"), relops.table_path(sf_dir, "orders")
+    )
+    joined = rich.join(
+        keys, "left_outer", num_partitions=n_parts,
+        on=("c_custkey",), right_on=("o_custkey",),
+    )
+
+    def inactive_partial(batch: pa.Table) -> pa.Table:
+        if "c_nationkey" not in batch.column_names:
+            # Ray joins emit schema-less empty blocks; return a typed partial
+            return pa.table(
+                {
+                    "c_nationkey": pa.array([], pa.int64()),
+                    "bal_c_sum": pa.array([], pa.int64()),
+                    "bal_c_count": pa.array([], pa.int64()),
+                }
+            )
+        if "_has" in batch.column_names:
+            batch = batch.filter(pc.is_null(batch.column("_has")))
+        t = batch.select(["c_nationkey", "bal_c"])
+        return t.group_by(["c_nationkey"]).aggregate(
+            [("bal_c", "sum"), ("bal_c", "count")]
+        )
+
+    partials = relops.drop_empty_blocks(
+        joined.map_batches(inactive_partial, batch_format="pyarrow", zero_copy_batch=True),
+        pa.table(
+            {
+                "c_nationkey": pa.array([], pa.int64()),
+                "bal_c_sum": pa.array([], pa.int64()),
+                "bal_c_count": pa.array([], pa.int64()),
+            }
+        ),
+    )
+    agg = partials.groupby("c_nationkey").aggregate(
+        Sum("bal_c_sum", alias_name="tot_c"),
+        Sum("bal_c_count", alias_name="numcust"),
+    )
+    tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    return pa.table(
+        {
+            "c_nationkey": tbl.column("c_nationkey"),
+            "numcust": pc.cast(tbl.column("numcust"), pa.int64()),
+            "totacctbal": pc.divide(pc.cast(tbl.column("tot_c"), pa.float64()), 100.0),
+        }
+    )
+
+
+Q22_SQL = """
+WITH pos AS (SELECT sum(CAST(round(c_acctbal*100) AS BIGINT)) AS s, count(*) AS n
+             FROM customer WHERE CAST(round(c_acctbal*100) AS BIGINT) > 0)
+SELECT c_nationkey, count(*) AS numcust,
+       sum(CAST(round(c_acctbal*100) AS BIGINT))/100.0 AS totacctbal
+FROM customer, pos
+WHERE CAST(round(c_acctbal*100) AS BIGINT) * pos.n > pos.s
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = customer.c_custkey
+                  AND o.o_orderdate >= DATE '2000-06-01')
+GROUP BY c_nationkey
+"""
+
+
+def q10_returned_items(sf_dir: str):
+    """TPC-H Q10 shape: top 20 customers by revenue lost to returns in one
+    quarter. Returned lineitems pre-aggregate per orderkey in-batch, join
+    the date-filtered orders (distributed, size-derived partitions),
+    re-aggregate per custkey through the bucketed groupby, then a
+    distributed top-k (ties broken by custkey) leaves 20 rows; ONLY those
+    20 keys fetch customer attributes back via a predicate-pushed scan —
+    the customer table itself is never read in full anywhere."""
+    li = scan(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=(pc.field("l_returnflag") == "R"),
+    )
+    orders = scan(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey"],
+        filter=(
+            (pc.field("o_orderdate") >= np.datetime64("1996-10-01", "us"))
+            & (pc.field("o_orderdate") < np.datetime64("1997-01-01", "us"))
+        ),
+    )
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            pc.cast(batch.column("l_extendedprice"), pa.float64()),
+            pc.subtract(1.0, pc.cast(batch.column("l_discount"), pa.float64())),
+        )
+        t = pa.table({"l_orderkey": batch.column("l_orderkey"), "rev_c": _cents(rev, 10_000)})
+        return t.group_by(["l_orderkey"]).aggregate([("rev_c", "sum")])
+
+    per_order = li.map_batches(rev_partial, batch_format="pyarrow", zero_copy_batch=True)
+    n_parts = relops.choose_num_partitions(
+        relops.table_path(sf_dir, "lineitem"), relops.table_path(sf_dir, "orders")
+    )
+    joined = per_order.join(
+        orders, "inner", num_partitions=n_parts,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def cust_partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(["o_custkey", "rev_c_sum"])
+        return t.group_by(["o_custkey"]).aggregate([("rev_c_sum", "sum")])
+
+    def bucket_sum(group: pa.Table) -> pa.Table:
+        g = group.group_by(["o_custkey"]).aggregate([("rev_c_sum_sum", "sum")])
+        return pa.table(
+            {
+                "c_custkey": g.column("o_custkey"),
+                "rev_c": g.column("rev_c_sum_sum_sum"),
+            }
+        )
+
+    per_cust = relops.bucketed_groupby(
+        joined.map_batches(cust_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["o_custkey"], bucket_sum,
+    )
+    top = relops.topk(
+        per_cust, [("rev_c", "descending"), ("c_custkey", "ascending")], 20
+    )
+    top_tbl = pa.Table.from_pandas(top.to_pandas(), preserve_index=False)
+    keys = top_tbl.column("c_custkey").to_pylist()
+
+    # attribute fetch for EXACTLY the 20 winners: predicate-pushed scan
+    attrs = (
+        scan(
+            sf_dir, "customer",
+            columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+            filter=pc.field("c_custkey").isin(keys),
+        )
+        .to_pandas()
+    )
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    out = (
+        top_tbl.to_pandas()
+        .merge(attrs, on="c_custkey")
+        .merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    )
+    out["revenue"] = out["rev_c"].astype(np.int64) / 10_000.0
+    out = out.sort_values(["revenue", "c_custkey"], ascending=[False, True])
+    return pa.Table.from_pandas(
+        out[["c_custkey", "c_name", "revenue", "c_acctbal", "n_name"]],
+        preserve_index=False,
+    )
+
+
+Q10_SQL = """
+SELECT c.c_custkey, c.c_name,
+       sum(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT))/10000.0 AS revenue,
+       c.c_acctbal, n.n_name
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= DATE '1996-10-01' AND o.o_orderdate < DATE '1997-01-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c.c_custkey LIMIT 20
+"""
+
+
+def q16_parts_supplier_counts(sf_dir: str):
+    """TPC-H Q16 shape: distinct suppliers per (brand, type, size) over
+    the part-supplier pairs observed in lineitem, with an exclusion
+    filter. Two-level distinct: (partkey, suppkey) pairs dedup through
+    the bucketed groupby, part attributes attach via the size-gated
+    dimension join, then (brand, type, size, suppkey) dedups the same
+    way; the final count per group is a per-batch partial over globally
+    distinct rows + a tiny groupby (brands × types × sizes groups)."""
+    li = scan(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    def pair_distinct(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["l_partkey", "l_suppkey"]).aggregate([])
+
+    def bucket_pair(group: pa.Table) -> pa.Table:
+        return group.group_by(["l_partkey", "l_suppkey"]).aggregate([])
+
+    pairs = relops.bucketed_groupby(
+        li.map_batches(pair_distinct, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_partkey", "l_suppkey"], bucket_pair,
+    )
+
+    part_small, part_ds = relops.small_side(
+        sf_dir, "part", ["p_partkey", "p_brand", "p_type", "p_size"]
+    )
+    if part_small is not None:
+        keep = pc.and_(
+            pc.not_equal(part_small.column("p_brand"), "Brand#13"),
+            pc.less_equal(part_small.column("p_size"), 25),
+        )
+        withpart = relops.broadcast_join(
+            pairs, part_small.filter(keep).rename_columns(
+                ["l_partkey", "p_brand", "p_type", "p_size"]
+            ), on="l_partkey",
+        )
+    else:
+        def _part_filter(t: pa.Table) -> pa.Table:
+            return t.filter(pc.and_(
+                pc.not_equal(t.column("p_brand"), "Brand#13"),
+                pc.less_equal(t.column("p_size"), 25),
+            ))
+
+        part_ds = part_ds.map_batches(
+            _part_filter, batch_format="pyarrow", zero_copy_batch=True
+        )
+        withpart = pairs.join(
+            part_ds, "inner",
+            num_partitions=relops.choose_num_partitions(
+                relops.table_path(sf_dir, "lineitem"), relops.table_path(sf_dir, "part")
+            ),
+            on=("l_partkey",), right_on=("p_partkey",),
+        )
+
+    gcols = ["p_brand", "p_type", "p_size", "l_suppkey"]
+
+    def quad_distinct(batch: pa.Table) -> pa.Table:
+        return batch.select(gcols).group_by(gcols).aggregate([])
+
+    def bucket_quad(group: pa.Table) -> pa.Table:
+        return group.group_by(gcols).aggregate([])
+
+    quads = relops.bucketed_groupby(
+        withpart.map_batches(quad_distinct, batch_format="pyarrow", zero_copy_batch=True),
+        gcols, bucket_quad,
+    )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["p_brand", "p_type", "p_size"]).aggregate(
+            [("l_suppkey", "count")]
+        )
+
+    agg = (
+        quads.map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["p_brand", "p_type", "p_size"])
+        .aggregate(Sum("l_suppkey_count", alias_name="supplier_cnt"))
+    )
+    tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    return pa.table(
+        {
+            "p_brand": tbl.column("p_brand"),
+            "p_type": tbl.column("p_type"),
+            "p_size": pc.cast(tbl.column("p_size"), pa.int64()),
+            "supplier_cnt": pc.cast(tbl.column("supplier_cnt"), pa.int64()),
+        }
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#13' AND p_size <= 25
+GROUP BY p_brand, p_type, p_size
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -2862,6 +3250,10 @@ REGISTRY: dict[str, tuple] = {
     "q4_priority_with_returns": (q4_priority_with_returns, Q4_SQL),
     "cheapest_supplier_per_part": (cheapest_supplier_per_part, CHEAPEST_SUPPLIER_SQL),
     "order_gap_days_per_customer": (order_gap_days_per_customer, ORDER_GAP_SQL),
+    "q13_customer_distribution": (q13_customer_distribution, Q13_SQL),
+    "q22_sales_opportunity": (q22_sales_opportunity, Q22_SQL),
+    "q10_returned_items": (q10_returned_items, Q10_SQL),
+    "q16_parts_supplier_counts": (q16_parts_supplier_counts, Q16_SQL),
     "rollup_events_daily": (rollup_events_daily, ROLLUP_EVENTS_SQL),
     "set_ops_customers": (set_ops_customers, SET_OPS_SQL),
     "corr_qty_price_by_flag": (corr_qty_price_by_flag, CORR_SQL),
