@@ -3207,6 +3207,252 @@ GROUP BY p_brand, p_type, p_size
 """
 
 
+def inverted_index_documents(sf_dir: str, cap: int = 100):
+    """Search-index build: word → document frequency + the first ``cap``
+    posting doc_ids (comma-joined, ascending). Each document lives wholly
+    in one batch, so per-batch distinct (word, doc_id) pairs are already
+    globally distinct — the shuffle moves one row per pair, and the
+    posting-list assembly runs per word inside the bucketed groupby
+    (word cardinality = vocabulary, heavy-tailed but ≪ corpus). The cap
+    bounds output row width no matter how common a word is."""
+    ds = scan(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        parent, flat, _ = _exploded_words(batch)
+        t = pa.table({"word": flat, "doc_id": pa.array(parent, pa.int64())})
+        return t.group_by(["word", "doc_id"]).aggregate([])
+
+    def bucket_postings(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values(["word", "doc_id"])
+        g = df.groupby("word", sort=False)
+        dfreq = g.size()
+        post = g["doc_id"].apply(lambda s: ",".join(s.head(cap).astype(str)))
+        return pa.table(
+            {
+                "word": pa.array(dfreq.index, pa.string()),
+                "df": pa.array(dfreq.to_numpy(), pa.int64()),
+                "postings": pa.array(post.to_numpy(), pa.string()),
+            }
+        )
+
+    return relops.bucketed_groupby(
+        ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True),
+        ["word"], bucket_postings,
+    )
+
+
+INVERTED_INDEX_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+r AS (SELECT word, doc_id,
+        row_number() OVER (PARTITION BY word ORDER BY doc_id) AS rn
+      FROM pairs)
+SELECT word, CAST(count(*) AS BIGINT) AS df,
+       string_agg(CASE WHEN rn <= 100 THEN CAST(doc_id AS VARCHAR) END,
+                  ',' ORDER BY doc_id) AS postings
+FROM r GROUP BY word
+"""
+
+
+def tfidf_top_terms_documents(sf_dir: str, k: int = 3):
+    """Per-document characteristic terms: top-k by term frequency with
+    rarer-corpus-wide terms breaking ties (tf desc, df asc, word asc —
+    integer sort keys, so the ranking is bit-deterministic), reported
+    with the tf·idf score. The document-frequency table is vocabulary-
+    sized, built from per-batch distinct pairs + one tiny groupby, then
+    broadcast once via ray.put; the scoring pass is doc-local with NO
+    corpus shuffle."""
+    ds = scan(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        parent, flat, _ = _exploded_words(batch)
+        t = pa.table({"word": flat, "doc_id": pa.array(parent, pa.int64())})
+        u = t.group_by(["word", "doc_id"]).aggregate([])
+        return u.group_by(["word"]).aggregate([("doc_id", "count")])
+
+    dfreq = (
+        relops.coalesce_partials(
+            ds.map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True)
+        )
+        .groupby("word")
+        .aggregate(Sum("doc_id_count", alias_name="df"))
+        .to_pandas()  # vocabulary-sized
+    )
+    n_docs = int(ds.count())
+    df_ref = ray.put(
+        dict(zip(dfreq["word"].tolist(), dfreq["df"].astype(np.int64).tolist()))
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        dfmap = ray.get(df_ref)
+        parent, flat, _ = _exploded_words(batch)
+        t = pa.table({"doc_id": pa.array(parent, pa.int64()), "word": flat})
+        tf = t.group_by(["doc_id", "word"]).aggregate([("word", "count")])
+        pdf = tf.to_pandas().rename(columns={"word_count": "tf"})
+        pdf["df"] = pdf["word"].map(dfmap).astype(np.int64)
+        pdf = pdf.sort_values(
+            ["doc_id", "tf", "df", "word"], ascending=[True, False, True, True]
+        )
+        pdf = pdf.groupby("doc_id", sort=False).head(k)
+        sc = pdf["tf"].to_numpy(np.float64) * np.log(
+            float(n_docs) / pdf["df"].to_numpy(np.float64)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(pdf["doc_id"].to_numpy(), pa.int64()),
+                "word": pa.array(pdf["word"].to_numpy(), pa.string()),
+                "score": round_away_arrow(pa.array(sc, pa.float64())),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+TFIDF_SQL = """
+WITH ws AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM ws GROUP BY doc_id, word),
+df AS (SELECT word, count(DISTINCT doc_id) AS df FROM ws GROUP BY word),
+n AS (SELECT count(*) AS n FROM documents),
+s AS (SELECT tf.doc_id, tf.word,
+        round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 4) AS score,
+        row_number() OVER (PARTITION BY tf.doc_id
+                           ORDER BY tf.tf DESC, df.df, tf.word) AS rn
+      FROM tf JOIN df USING (word), n)
+SELECT doc_id, word, score FROM s WHERE rn <= 3
+"""
+
+
+def redact_documents(sf_dir: str):
+    """PII-redaction shape: regex scrub over the corpus — every match of
+    the pattern is replaced with a fixed token and counted. Pure
+    vectorized RE2 kernels (`replace_substring_regex` /
+    `count_substring_regex`), embarrassingly parallel, no shuffle. (The
+    synthetic corpus has no real emails/phones, so the pattern targets
+    two vocabulary words; swap the regex for email/phone classes on real
+    data — the plumbing is identical.)"""
+    ds = scan(sf_dir, "documents", columns=["doc_id", "text"])
+    pattern = r"\b(customer|supplier)\b"
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        txt = batch.column("text")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "redacted": pc.replace_substring_regex(txt, pattern, "[X]"),
+                "n_hits": pc.cast(pc.count_substring_regex(txt, pattern), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(scrub, batch_format="pyarrow", zero_copy_batch=True)
+
+
+REDACT_SQL = r"""
+SELECT doc_id,
+       regexp_replace(text, '\b(customer|supplier)\b', '[X]', 'g') AS redacted,
+       CAST(len(regexp_extract_all(text, '\b(customer|supplier)\b')) AS BIGINT) AS n_hits
+FROM documents
+"""
+
+
+def funnel_events(sf_dir: str):
+    """Strict-sequence funnel: per user, the furthest stage reached in
+    view → click → purchase order (each later event must be strictly
+    after the chosen earlier one: first view, first click after it,
+    first purchase after that). user_id cardinality scales, so users
+    route through the bucketed groupby; inside a bucket the three stage
+    timestamps come from vectorized masked groupby-mins, no per-user
+    loop. Users with no view are omitted (stage 0)."""
+    ds = scan(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def prune(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.is_in(batch.column("event_type"), value_set=pa.array(["view", "click", "purchase"]))
+        )
+
+    def bucket_funnel(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        views = df[df["event_type"] == "view"].groupby("user_id")["ts"].min()
+        if views.empty:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "funnel_stage": pa.array([], pa.int64()),
+                }
+            )
+        clicks = df[df["event_type"] == "click"][["user_id", "ts"]].copy()
+        clicks["t1"] = clicks["user_id"].map(views)
+        t2 = clicks[clicks["ts"] > clicks["t1"]].groupby("user_id")["ts"].min()
+        buys = df[df["event_type"] == "purchase"][["user_id", "ts"]].copy()
+        buys["t2"] = buys["user_id"].map(t2)
+        t3 = buys[buys["ts"] > buys["t2"]].groupby("user_id")["ts"].min()
+        stage = pd.Series(1, index=views.index, dtype=np.int64)
+        stage[stage.index.isin(t2.index)] = 2
+        stage[stage.index.isin(t3.index)] = 3
+        return pa.table(
+            {
+                "user_id": pa.array(stage.index.to_numpy(), pa.int64()),
+                "funnel_stage": pa.array(stage.to_numpy(), pa.int64()),
+            }
+        )
+
+    return relops.bucketed_groupby(
+        ds.map_batches(prune, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"], bucket_funnel,
+    )
+
+
+FUNNEL_SQL = """
+WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+SELECT v.user_id,
+       CASE WHEN p.user_id IS NOT NULL THEN 3
+            WHEN c.user_id IS NOT NULL THEN 2 ELSE 1 END AS funnel_stage
+FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+"""
+
+
+def price_histogram_lineitem(sf_dir: str):
+    """Value-bucketed histogram: $10k price buckets with row count and
+    exact-cents revenue sum per bucket. Per-batch partials (one row per
+    occupied bucket per block cross the wire) + a tiny groupby — the
+    canonical distribution-profile pass over a fact table."""
+    ds = scan(sf_dir, "lineitem", columns=["l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch.column("l_extendedprice"), 100)
+        bucket = pc.divide(cents, pa.scalar(1_000_000, pa.int64()))
+        t = pa.table({"bucket": bucket, "cents": cents})
+        return t.group_by(["bucket"]).aggregate([("cents", "sum"), ("cents", "count")])
+
+    agg = (
+        relops.coalesce_partials(
+            ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        )
+        .groupby("bucket")
+        .aggregate(Sum("cents_sum", alias_name="tot_c"), Sum("cents_count", alias_name="n"))
+    )
+    tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    return pa.table(
+        {
+            "bucket": pc.cast(tbl.column("bucket"), pa.int64()),
+            "n": pc.cast(tbl.column("n"), pa.int64()),
+            "total": pc.divide(pc.cast(tbl.column("tot_c"), pa.float64()), 100.0),
+        }
+    )
+
+
+PRICE_HIST_SQL = """
+SELECT CAST(round(l_extendedprice*100) AS BIGINT) // 1000000 AS bucket,
+       count(*) AS n,
+       sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0 AS total
+FROM lineitem GROUP BY bucket
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -3251,6 +3497,11 @@ REGISTRY: dict[str, tuple] = {
     "cheapest_supplier_per_part": (cheapest_supplier_per_part, CHEAPEST_SUPPLIER_SQL),
     "order_gap_days_per_customer": (order_gap_days_per_customer, ORDER_GAP_SQL),
     "q13_customer_distribution": (q13_customer_distribution, Q13_SQL),
+    "inverted_index_documents": (inverted_index_documents, INVERTED_INDEX_SQL),
+    "tfidf_top_terms_documents": (tfidf_top_terms_documents, TFIDF_SQL),
+    "redact_documents": (redact_documents, REDACT_SQL),
+    "funnel_events": (funnel_events, FUNNEL_SQL),
+    "price_histogram_lineitem": (price_histogram_lineitem, PRICE_HIST_SQL),
     "q22_sales_opportunity": (q22_sales_opportunity, Q22_SQL),
     "q10_returned_items": (q10_returned_items, Q10_SQL),
     "q16_parts_supplier_counts": (q16_parts_supplier_counts, Q16_SQL),
