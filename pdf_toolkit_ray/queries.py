@@ -1796,6 +1796,9 @@ def anti_join_customers_no_orders(sf_dir: str):
     keys = relops.bucketed_groupby(
         orders.map_batches(local_distinct, batch_format="pyarrow", zero_copy_batch=True),
         ["o_custkey"], bucket_distinct,
+        empty=pa.table(
+            {"o_custkey": pa.array([], pa.int64()), "_has": pa.array([], pa.int64())}
+        ),
     )
     n_parts = relops.choose_num_partitions(
         relops.table_path(sf_dir, "customer"), relops.table_path(sf_dir, "orders")
@@ -2089,6 +2092,9 @@ def q17_small_quantity_revenue(sf_dir: str):
     avg = relops.bucketed_groupby(
         li.map_batches(qty_partial, batch_format="pyarrow", zero_copy_batch=True),
         ["l_partkey"], bucket_avg,
+        empty=pa.table(
+            {"ap_partkey": pa.array([], pa.int64()), "aq": pa.array([], pa.float64())}
+        ),
     )
 
     gate_ok = (
@@ -2172,6 +2178,9 @@ def q18_large_volume_orders(sf_dir: str):
     totals = relops.bucketed_groupby(
         li.map_batches(qty_partial, batch_format="pyarrow", zero_copy_batch=True),
         ["l_orderkey"], sum_and_have,
+        empty=pa.table(
+            {"l_orderkey": pa.array([], pa.int64()), "total_qty": pa.array([], pa.int64())}
+        ),
     )
     orders = scan(sf_dir, "orders",
                   columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
@@ -2233,6 +2242,7 @@ def q4_priority_with_returns(sf_dir: str):
     keys = relops.bucketed_groupby(
         li.map_batches(local_distinct, batch_format="pyarrow", zero_copy_batch=True),
         ["l_orderkey"], bucket_distinct,
+        empty=pa.table({"l_orderkey": pa.array([], pa.int64())}),
     )
     orders = scan(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
     joined = orders.join(
@@ -2843,6 +2853,9 @@ def q13_customer_distribution(sf_dir: str):
     counts = relops.bucketed_groupby(
         orders.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
         ["o_custkey"], bucket_sum,
+        empty=pa.table(
+            {"k_custkey": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+        ),
     )
     cust = scan(sf_dir, "customer", columns=["c_custkey"])
     n_parts = relops.choose_num_partitions(
@@ -2932,6 +2945,9 @@ def q22_sales_opportunity(sf_dir: str):
     keys = relops.bucketed_groupby(
         orders.map_batches(local_distinct, batch_format="pyarrow", zero_copy_batch=True),
         ["o_custkey"], bucket_distinct,
+        empty=pa.table(
+            {"o_custkey": pa.array([], pa.int64()), "_has": pa.array([], pa.int64())}
+        ),
     )
 
     def rich_only(batch: pa.Table) -> pa.Table:
@@ -2948,7 +2964,19 @@ def q22_sales_opportunity(sf_dir: str):
             }
         )
 
-    rich = cust.map_batches(rich_only, batch_format="pyarrow", zero_copy_batch=True)
+    # tiny inputs fragment the scan into schema-less empty read blocks
+    # that pass through map_batches untouched and crash the join's hash
+    # partitioner — strip them at the ref level
+    rich = relops.drop_empty_blocks(
+        cust.map_batches(rich_only, batch_format="pyarrow", zero_copy_batch=True),
+        pa.table(
+            {
+                "c_custkey": pa.array([], pa.int64()),
+                "c_nationkey": pa.array([], pa.int64()),
+                "bal_c": pa.array([], pa.int64()),
+            }
+        ),
+    )
     n_parts = relops.choose_num_partitions(
         relops.table_path(sf_dir, "customer"), relops.table_path(sf_dir, "orders")
     )
@@ -3040,7 +3068,12 @@ def q10_returned_items(sf_dir: str):
         t = pa.table({"l_orderkey": batch.column("l_orderkey"), "rev_c": _cents(rev, 10_000)})
         return t.group_by(["l_orderkey"]).aggregate([("rev_c", "sum")])
 
-    per_order = li.map_batches(rev_partial, batch_format="pyarrow", zero_copy_batch=True)
+    per_order = relops.drop_empty_blocks(
+        li.map_batches(rev_partial, batch_format="pyarrow", zero_copy_batch=True),
+        pa.table(
+            {"l_orderkey": pa.array([], pa.int64()), "rev_c_sum": pa.array([], pa.int64())}
+        ),
+    )
     n_parts = relops.choose_num_partitions(
         relops.table_path(sf_dir, "lineitem"), relops.table_path(sf_dir, "orders")
     )
@@ -3065,6 +3098,9 @@ def q10_returned_items(sf_dir: str):
     per_cust = relops.bucketed_groupby(
         joined.map_batches(cust_partial, batch_format="pyarrow", zero_copy_batch=True),
         ["o_custkey"], bucket_sum,
+        empty=pa.table(
+            {"c_custkey": pa.array([], pa.int64()), "rev_c": pa.array([], pa.int64())}
+        ),
     )
     top = relops.topk(
         per_cust, [("rev_c", "descending"), ("c_custkey", "ascending")], 20
@@ -3131,6 +3167,9 @@ def q16_parts_supplier_counts(sf_dir: str):
     pairs = relops.bucketed_groupby(
         li.map_batches(pair_distinct, batch_format="pyarrow", zero_copy_batch=True),
         ["l_partkey", "l_suppkey"], bucket_pair,
+        empty=pa.table(
+            {"l_partkey": pa.array([], pa.int64()), "l_suppkey": pa.array([], pa.int64())}
+        ),
     )
 
     part_small, part_ds = relops.small_side(
@@ -3175,6 +3214,14 @@ def q16_parts_supplier_counts(sf_dir: str):
     quads = relops.bucketed_groupby(
         withpart.map_batches(quad_distinct, batch_format="pyarrow", zero_copy_batch=True),
         gcols, bucket_quad,
+        empty=pa.table(
+            {
+                "p_brand": pa.array([], pa.string()),
+                "p_type": pa.array([], pa.string()),
+                "p_size": pa.array([], pa.int64()),
+                "l_suppkey": pa.array([], pa.int64()),
+            }
+        ),
     )
 
     def count_partial(batch: pa.Table) -> pa.Table:

@@ -263,6 +263,7 @@ def bucketed_groupby(
     keys: list[str],
     per_group: Callable[[pa.Table], pa.Table],
     num_buckets: int | None = None,
+    empty: pa.Table | None = None,
 ) -> ray.data.Dataset:
     """Exact groupby for HIGH-cardinality keys. Ray's sort-based
     ``groupby().aggregate()/map_groups`` pays per-group Python dispatch —
@@ -275,7 +276,10 @@ def bucketed_groupby(
     exact. B defaults to 4x cluster CPUs: per-bucket working set is
     rows/B — scale B with the cluster, or raise it for skewed giants.
     ``per_group`` receives the bucket's rows (bucket column dropped) and
-    must itself group by ``keys``."""
+    must itself group by ``keys``. Pass ``empty`` (a typed zero-row
+    table) when the RESULT feeds a ``Dataset.join``/``groupby``/``sort``:
+    empty buckets emit schema-less blocks that crash those consumers, and
+    ``drop_empty_blocks`` strips them at the ref level."""
     if num_buckets is None:
         num_buckets = 4 * int(ray.cluster_resources().get("CPU", 8))
 
@@ -293,7 +297,10 @@ def bucketed_groupby(
         return per_group(group.drop_columns(["_bucket"]))
 
     tagged = ds.map_batches(_tag, batch_format="pyarrow", zero_copy_batch=True)
-    return tagged.groupby("_bucket").map_groups(_run, batch_format="pyarrow")
+    out = tagged.groupby("_bucket").map_groups(_run, batch_format="pyarrow")
+    if empty is not None:
+        out = drop_empty_blocks(out, empty)
+    return out
 
 
 def topk(ds: ray.data.Dataset, sort_cols: list[tuple[str, str]], k: int) -> ray.data.Dataset:
