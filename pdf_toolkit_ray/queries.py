@@ -3500,6 +3500,410 @@ FROM lineitem GROUP BY bucket
 """
 
 
+def _nation_lookup(sf_dir: str) -> pd.DataFrame:
+    """nation joined to region — FIXED 25×5 rows by TPC-H spec, the one
+    dimension that is always driver-side closure state."""
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
+    return nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+
+
+def q7_volume_shipping(sf_dir: str):
+    """TPC-H Q7 shape: bilateral trade volume — revenue between two named
+    nations, by supplier-nation × customer-nation × ship year. The two
+    sf-scaling dimensions (customer, supplier) attach via size-gated
+    joins; the nation-pair filter and year extraction run in one
+    vectorized kernel; the final groupby has 2 × years rows."""
+    n1, n2 = "NATION_1", "NATION_2"
+    nat = _nation_lookup(sf_dir)
+    keys = {r["n_name"]: int(r["n_nationkey"]) for _, r in nat.iterrows()}
+    k1, k2 = keys[n1], keys[n2]
+
+    li = scan(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(
+            (pc.field("l_shipdate") >= np.datetime64("1996-01-01", "us"))
+            & (pc.field("l_shipdate") < np.datetime64("1998-01-01", "us"))
+        ),
+    )
+    orders = scan(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    n_parts = relops.choose_num_partitions(
+        relops.table_path(sf_dir, "lineitem"), relops.table_path(sf_dir, "orders")
+    )
+    joined = li.join(orders, "inner", num_partitions=n_parts,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    cust_small, cust_ds = relops.small_side(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    if cust_small is not None:
+        joined = relops.broadcast_join(
+            joined.map_batches(
+                lambda t: t.append_column("c_custkey", t.column("o_custkey")),
+                batch_format="pyarrow", zero_copy_batch=True,
+            ),
+            cust_small, on="c_custkey",
+        )
+    else:
+        joined = joined.join(
+            cust_ds, "inner",
+            num_partitions=relops.choose_num_partitions(
+                relops.table_path(sf_dir, "lineitem"), relops.table_path(sf_dir, "customer")
+            ),
+            on=("o_custkey",), right_on=("c_custkey",),
+        )
+
+    supp_small, supp_ds = relops.small_side(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    if supp_small is not None:
+        joined = relops.broadcast_join(
+            joined.map_batches(
+                lambda t: t.append_column("s_suppkey", t.column("l_suppkey")),
+                batch_format="pyarrow", zero_copy_batch=True,
+            ),
+            supp_small, on="s_suppkey",
+        )
+    else:
+        joined = joined.join(
+            supp_ds, "inner",
+            num_partitions=relops.choose_num_partitions(
+                relops.table_path(sf_dir, "lineitem"), relops.table_path(sf_dir, "supplier")
+            ),
+            on=("l_suppkey",), right_on=("s_suppkey",),
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sn = batch.column("s_nationkey").to_numpy(zero_copy_only=False)
+        cn = batch.column("c_nationkey").to_numpy(zero_copy_only=False)
+        keep = ((sn == k1) & (cn == k2)) | ((sn == k2) & (cn == k1))
+        batch = batch.filter(pa.array(keep))
+        sn = sn[keep]
+        rev = pc.multiply(
+            pc.cast(batch.column("l_extendedprice"), pa.float64()),
+            pc.subtract(1.0, pc.cast(batch.column("l_discount"), pa.float64())),
+        )
+        year = batch.column("l_shipdate").to_numpy(zero_copy_only=False).astype(
+            "datetime64[Y]"
+        ).astype(np.int64) + 1970
+        t = pa.table(
+            {
+                "supp_nation": pa.array(np.where(sn == k1, n1, n2)),
+                "cust_nation": pa.array(np.where(sn == k1, n2, n1)),
+                "l_year": pa.array(year, pa.int64()),
+                "rev_c": _cents(rev, 10_000),
+            }
+        )
+        return t.group_by(["supp_nation", "cust_nation", "l_year"]).aggregate(
+            [("rev_c", "sum")]
+        )
+
+    agg = (
+        relops.coalesce_partials(
+            joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        )
+        .groupby(["supp_nation", "cust_nation", "l_year"])
+        .aggregate(Sum("rev_c_sum", alias_name="rev_c"))
+    )
+    tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    return pa.table(
+        {
+            "supp_nation": tbl.column("supp_nation"),
+            "cust_nation": tbl.column("cust_nation"),
+            "l_year": tbl.column("l_year"),
+            "revenue": pc.divide(pc.cast(tbl.column("rev_c"), pa.float64()), 10_000.0),
+        }
+    )
+
+
+Q7_SQL = """
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+       sum(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT))/10000.0 AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'
+  AND ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+    OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q8_market_share(sf_dir: str):
+    """TPC-H Q8 shape: one nation's share of a region's import revenue by
+    order year. Both the numerator (supplier in NATION_2) and denominator
+    (customers in ASIA) accumulate as exact integer cents in ONE partial
+    pass over the joined stream; the share division happens once on the
+    years-sized result."""
+    nat = _nation_lookup(sf_dir)
+    asia_keys = set(nat[nat["r_name"] == "ASIA"]["n_nationkey"].astype(int))
+    target_key = int(nat[nat["n_name"] == "NATION_2"]["n_nationkey"].iloc[0])
+
+    orders = scan(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(
+            (pc.field("o_orderdate") >= np.datetime64("1996-01-01", "us"))
+            & (pc.field("o_orderdate") < np.datetime64("1998-01-01", "us"))
+        ),
+    )
+    cust_small, cust_ds = relops.small_side(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    if cust_small is not None:
+        orders = relops.broadcast_join(
+            orders.map_batches(
+                lambda t: t.append_column("c_custkey", t.column("o_custkey")),
+                batch_format="pyarrow", zero_copy_batch=True,
+            ),
+            cust_small, on="c_custkey",
+        )
+    else:
+        orders = orders.join(
+            cust_ds, "inner",
+            num_partitions=relops.choose_num_partitions(
+                relops.table_path(sf_dir, "orders"), relops.table_path(sf_dir, "customer")
+            ),
+            on=("o_custkey",), right_on=("c_custkey",),
+        )
+
+    asia_arr = pa.array(sorted(asia_keys), pa.int64())
+
+    def in_region(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_in(batch.column("c_nationkey"), value_set=asia_arr))
+        year = batch.column("o_orderdate").to_numpy(zero_copy_only=False).astype(
+            "datetime64[Y]"
+        ).astype(np.int64) + 1970
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey"),
+                "o_year": pa.array(year, pa.int64()),
+            }
+        )
+
+    orders = relops.drop_empty_blocks(
+        orders.map_batches(in_region, batch_format="pyarrow", zero_copy_batch=True),
+        pa.table({"o_orderkey": pa.array([], pa.int64()), "o_year": pa.array([], pa.int64())}),
+    )
+
+    li = scan(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    joined = li.join(
+        orders, "inner",
+        num_partitions=relops.choose_num_partitions(
+            relops.table_path(sf_dir, "lineitem"), relops.table_path(sf_dir, "orders")
+        ),
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    supp_small, supp_ds = relops.small_side(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    if supp_small is not None:
+        joined = relops.broadcast_join(
+            joined.map_batches(
+                lambda t: t.append_column("s_suppkey", t.column("l_suppkey")),
+                batch_format="pyarrow", zero_copy_batch=True,
+            ),
+            supp_small, on="s_suppkey",
+        )
+    else:
+        joined = joined.join(
+            supp_ds, "inner",
+            num_partitions=relops.choose_num_partitions(
+                relops.table_path(sf_dir, "lineitem"), relops.table_path(sf_dir, "supplier")
+            ),
+            on=("l_suppkey",), right_on=("s_suppkey",),
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            pc.cast(batch.column("l_extendedprice"), pa.float64()),
+            pc.subtract(1.0, pc.cast(batch.column("l_discount"), pa.float64())),
+        )
+        rev_c = _cents(rev, 10_000)
+        is_target = pc.equal(batch.column("s_nationkey"), pa.scalar(target_key, pa.int64()))
+        num = pc.if_else(is_target, rev_c, pa.scalar(0, pa.int64()))
+        t = pa.table({"o_year": batch.column("o_year"), "num_c": num, "den_c": rev_c})
+        return t.group_by(["o_year"]).aggregate([("num_c", "sum"), ("den_c", "sum")])
+
+    agg = (
+        relops.coalesce_partials(
+            joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        )
+        .groupby("o_year")
+        .aggregate(Sum("num_c_sum", alias_name="num_c"), Sum("den_c_sum", alias_name="den_c"))
+    )
+    tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    share = pc.divide(
+        pc.cast(tbl.column("num_c"), pa.float64()), pc.cast(tbl.column("den_c"), pa.float64())
+    )
+    return pa.table(
+        {
+            "o_year": pc.cast(tbl.column("o_year"), pa.int64()),
+            "mkt_share": round_away_arrow(share),
+        }
+    )
+
+
+Q8_SQL = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+  round(
+    CAST(sum(CASE WHEN s_nationkey = 2
+        THEN CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT) ELSE 0 END) AS DOUBLE)
+    / sum(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)), 4) AS mkt_share
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+JOIN region r  ON nc.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01'
+GROUP BY o_year
+"""
+
+
+def q15_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape: the supplier(s) with maximum revenue in a window
+    (ALL ties kept, per the spec). Per-supplier revenue flows through
+    per-batch partials + the bucketed groupby; the global max is a
+    scalar; the equality filter is one vectorized pass; only the
+    winners' keys fetch supplier attributes via a predicate-pushed
+    scan."""
+    li = scan(
+        sf_dir, "lineitem",
+        columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(
+            (pc.field("l_shipdate") >= np.datetime64("1996-01-01", "us"))
+            & (pc.field("l_shipdate") < np.datetime64("1996-07-01", "us"))
+        ),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            pc.cast(batch.column("l_extendedprice"), pa.float64()),
+            pc.subtract(1.0, pc.cast(batch.column("l_discount"), pa.float64())),
+        )
+        t = pa.table({"l_suppkey": batch.column("l_suppkey"), "rev_c": _cents(rev, 10_000)})
+        return t.group_by(["l_suppkey"]).aggregate([("rev_c", "sum")])
+
+    def bucket_sum(group: pa.Table) -> pa.Table:
+        g = group.group_by(["l_suppkey"]).aggregate([("rev_c_sum", "sum")])
+        return pa.table(
+            {"s_suppkey": g.column("l_suppkey"), "rev_c": g.column("rev_c_sum_sum")}
+        )
+
+    per_supp = relops.bucketed_groupby(
+        li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_suppkey"], bucket_sum,
+        empty=pa.table(
+            {"s_suppkey": pa.array([], pa.int64()), "rev_c": pa.array([], pa.int64())}
+        ),
+    )
+    best = int(per_supp.max("rev_c"))
+
+    def winners(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch.column("rev_c"), pa.scalar(best, pa.int64())))
+
+    top = per_supp.map_batches(winners, batch_format="pyarrow", zero_copy_batch=True)
+    top_tbl = pa.Table.from_pandas(top.to_pandas(), preserve_index=False)
+    attrs = scan(
+        sf_dir, "supplier", columns=["s_suppkey", "s_name"],
+        filter=pc.field("s_suppkey").isin(top_tbl.column("s_suppkey").to_pylist()),
+    ).to_pandas()
+    out = top_tbl.to_pandas().merge(attrs, on="s_suppkey").sort_values("s_suppkey")
+    out["total_rev"] = out["rev_c"].astype(np.int64) / 10_000.0
+    return pa.Table.from_pandas(
+        out[["s_suppkey", "s_name", "total_rev"]], preserve_index=False
+    )
+
+
+Q15_SQL = """
+WITH r AS (
+  SELECT l_suppkey AS s_suppkey,
+         sum(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS rev_c
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-07-01'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name, r.rev_c/10000.0 AS total_rev
+FROM supplier s JOIN r ON s.s_suppkey = r.s_suppkey
+WHERE r.rev_c = (SELECT max(rev_c) FROM r)
+ORDER BY s.s_suppkey
+"""
+
+
+def q12_late_shipments(sf_dir: str):
+    """TPC-H Q12 shape (adapted: no shipmode column in this schema): per
+    ship year, how many lineitems shipped more than 90 days after the
+    order date, split into high-priority (1-URGENT / 2-HIGH) and
+    low-priority orders. One big-big join, then a single vectorized
+    partial pass — date math, priority classes and both conditional
+    counts per batch; the final groupby is years-sized."""
+    li = scan(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    orders = scan(sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    joined = li.join(
+        orders, "inner",
+        num_partitions=relops.choose_num_partitions(
+            relops.table_path(sf_dir, "lineitem"), relops.table_path(sf_dir, "orders")
+        ),
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    day_us = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ship = batch.column("l_shipdate").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]"
+        ).astype(np.int64)
+        odate = batch.column("o_orderdate").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]"
+        ).astype(np.int64)
+        late = (ship - odate) > 90 * day_us
+        batch = batch.filter(pa.array(late))
+        ship = ship[late]
+        year = (ship // day_us).astype("timedelta64[D]").astype("datetime64[D]").astype(
+            "datetime64[Y]"
+        ).astype(np.int64) + 1970
+        prio = batch.column("o_orderpriority")
+        high = pc.is_in(prio, value_set=pa.array(["1-URGENT", "2-HIGH"]))
+        h = high.to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table(
+            {
+                "l_year": pa.array(year, pa.int64()),
+                "high_count": pa.array(h, pa.int64()),
+                "low_count": pa.array(1 - h, pa.int64()),
+            }
+        )
+        return t.group_by(["l_year"]).aggregate(
+            [("high_count", "sum"), ("low_count", "sum")]
+        )
+
+    agg = (
+        relops.coalesce_partials(
+            joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        )
+        .groupby("l_year")
+        .aggregate(
+            Sum("high_count_sum", alias_name="high_count"),
+            Sum("low_count_sum", alias_name="low_count"),
+        )
+    )
+    tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    return pa.table(
+        {
+            "l_year": pc.cast(tbl.column("l_year"), pa.int64()),
+            "high_count": pc.cast(tbl.column("high_count"), pa.int64()),
+            "low_count": pc.cast(tbl.column("low_count"), pa.int64()),
+        }
+    )
+
+
+Q12_SQL = """
+SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_count,
+  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+GROUP BY l_year
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -3544,6 +3948,10 @@ REGISTRY: dict[str, tuple] = {
     "cheapest_supplier_per_part": (cheapest_supplier_per_part, CHEAPEST_SUPPLIER_SQL),
     "order_gap_days_per_customer": (order_gap_days_per_customer, ORDER_GAP_SQL),
     "q13_customer_distribution": (q13_customer_distribution, Q13_SQL),
+    "q7_volume_shipping": (q7_volume_shipping, Q7_SQL),
+    "q8_market_share": (q8_market_share, Q8_SQL),
+    "q15_top_supplier": (q15_top_supplier, Q15_SQL),
+    "q12_late_shipments": (q12_late_shipments, Q12_SQL),
     "inverted_index_documents": (inverted_index_documents, INVERTED_INDEX_SQL),
     "tfidf_top_terms_documents": (tfidf_top_terms_documents, TFIDF_SQL),
     "redact_documents": (redact_documents, REDACT_SQL),
