@@ -3904,6 +3904,62 @@ GROUP BY l_year
 """
 
 
+def unigram_xent_documents(sf_dir: str):
+    """Model-based quality scoring shape (KenLM-style, one order): train a
+    corpus unigram LM with add-one smoothing, then score every document
+    by mean token cross-entropy (-ln p(w), nats). The LM is a
+    vocabulary-sized (word, count) table built from per-batch combiner
+    partials and broadcast once via ray.put; the scoring pass is
+    doc-local (pandas map = C-hash lookups, segment means), NO corpus
+    shuffle. Swap the unigram table for a real LM binary in the actor
+    __init__ and the plumbing is identical."""
+    ds = scan(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        _, flat, _ = _exploded_words(batch)
+        t = pa.table({"word": flat})
+        return t.group_by(["word"]).aggregate([("word", "count")])
+
+    counts = (
+        relops.coalesce_partials(
+            ds.map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
+        )
+        .groupby("word")
+        .aggregate(Sum("word_count", alias_name="n"))
+        .to_pandas()  # vocabulary-sized
+    )
+    total = int(counts["n"].sum())
+    vocab = len(counts)
+    lm_ref = ray.put(dict(zip(counts["word"].tolist(), counts["n"].astype(np.int64).tolist())))
+
+    def score(batch: pa.Table) -> pa.Table:
+        lm = ray.get(lm_ref)
+        parent, flat, _ = _exploded_words(batch)
+        n = pd.Series(flat.to_pandas()).map(lm).to_numpy(np.float64)
+        xent = -np.log((n + 1.0) / float(total + vocab))
+        out = (
+            pd.DataFrame({"doc_id": parent, "x": xent}).groupby("doc_id")["x"].mean()
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(out.index.to_numpy(), pa.int64()),
+                "xent": round_away_arrow(pa.array(out.to_numpy(), pa.float64())),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+UNIGRAM_XENT_SQL = """
+WITH ws AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+cnt AS (SELECT word, count(*) AS n FROM ws GROUP BY word),
+tot AS (SELECT sum(n) AS t, count(*) AS v FROM cnt)
+SELECT doc_id, round(avg(-ln((cnt.n + 1) / (tot.t + tot.v))), 4) AS xent
+FROM ws JOIN cnt USING (word), tot
+GROUP BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -3955,6 +4011,7 @@ REGISTRY: dict[str, tuple] = {
     "inverted_index_documents": (inverted_index_documents, INVERTED_INDEX_SQL),
     "tfidf_top_terms_documents": (tfidf_top_terms_documents, TFIDF_SQL),
     "redact_documents": (redact_documents, REDACT_SQL),
+    "unigram_xent_documents": (unigram_xent_documents, UNIGRAM_XENT_SQL),
     "funnel_events": (funnel_events, FUNNEL_SQL),
     "price_histogram_lineitem": (price_histogram_lineitem, PRICE_HIST_SQL),
     "q22_sales_opportunity": (q22_sales_opportunity, Q22_SQL),

@@ -14,8 +14,12 @@ layout) is real and tested. Decoders:
   ``functions/jpegx.py``, with a 4:4:4 encoder twin); progressive JPEG
   raises ``NotImplementedError``;
 * **WAV (PCM) audio** — decoded for real (stdlib ``wave`` + numpy);
-* **MP3/video codecs** — STUBBED: lossy audio and video containers need
-  ffmpeg-class decoders; :func:`decode_audio` /
+* **animated GIF "video"** — decoded for real from scratch
+  (``functions/gifx.py``: variable-width LZW, interlacing, local
+  palettes, transparency, disposal compositing) with an encoder twin;
+  frame sampling runs on it as a true container;
+* **MP3 / mp4-class video codecs** — STUBBED: lossy audio and real
+  video containers need ffmpeg-class decoders; :func:`decode_audio` /
   :func:`sample_video_frames` raise ``NotImplementedError`` for them.
   The deterministic fake generator below produces PPM/PNG/JPEG/WAV so
   the pipelines exercise the full decode path end-to-end.
@@ -63,6 +67,10 @@ def decode_image(payload: bytes) -> np.ndarray:
         from ..functions.jpegx import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload.startswith(b"GIF8"):
+        from ..functions.gifx import decode_gif
+
+        return decode_gif(payload)[0]
     raise NotImplementedError(f"unsupported image container: {payload[:4]!r}")
 
 
@@ -231,12 +239,21 @@ def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
 
 
 def sample_video_frames(payload: bytes, every_n: int = 10) -> list[bytes]:
-    """STUB for video frame sampling: no ffmpeg in this container.
+    """Video frame sampling over two REAL paths and one stub:
 
-    Our deterministic fake 'video' is a simple concatenation of length-
-    prefixed PPM frames, so the plumbing (split → per-frame decode) is
-    real; true containers raise NotImplementedError.
+    * **animated GIF** — decoded for real by the from-scratch GIF89a
+      codec (``functions/gifx.py``: LZW, interlace, transparency,
+      disposal compositing); every ``every_n``-th composited frame is
+      returned re-encoded as PPM bytes;
+    * the deterministic fake 'video' (length-prefixed PPM frames) keeps
+      exercising the split → per-frame-decode plumbing;
+    * true containers (mp4/webm/…) raise NotImplementedError — those
+      genuinely need ffmpeg-class decoders absent from this container.
     """
+    if payload.startswith(b"GIF8"):
+        from ..functions.gifx import decode_gif
+
+        return [encode_ppm(f) for f in decode_gif(payload)[::every_n]]
     if not payload.startswith(b"FAKEVID1"):
         raise NotImplementedError("real video containers require ffmpeg")
     frames, off = [], 8
