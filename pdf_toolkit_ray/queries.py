@@ -1541,6 +1541,19 @@ def multimodal_image_features(sf_dir: str):
     return image_features(ray.data.from_arrow(synthesize_media_table(64)))
 
 
+def multimodal_video_features(sf_dir: str):
+    """Rows-only: animated-GIF frame sampling + per-frame features over
+    the deterministic synthetic video table. The container decode is the
+    real from-scratch GIF89a codec (functions/gifx.py); each video
+    fans out to one row per sampled frame inside an actor-pool
+    map_batches stage."""
+    import ray.data
+
+    from .stages.multimodal import synthesize_video_table, video_frame_features
+
+    return video_frame_features(ray.data.from_arrow(synthesize_video_table(16)))
+
+
 def multimodal_audio_features(sf_dir: str):
     import ray.data
 
@@ -4042,6 +4055,7 @@ REGISTRY: dict[str, tuple] = {
     "embedding_near_dups_lsh": (embedding_near_dups_lsh, None),
     "multimodal_image_features": (multimodal_image_features, None),
     "multimodal_audio_features": (multimodal_audio_features, None),
+    "multimodal_video_features": (multimodal_video_features, None),
     "extract_transcripts": (extract_transcripts, None),
     "extract_kind_stats": (extract_kind_stats, None),
     "transcripts_conv_stats": (transcripts_conv_stats, None),

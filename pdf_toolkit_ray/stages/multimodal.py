@@ -316,6 +316,33 @@ def synthesize_media_table(n: int = 64, seed: int = 42) -> pa.Table:
     )
 
 
+def synthesize_video_table(n: int = 16, seed: int = 42) -> pa.Table:
+    """Deterministic animated-GIF rows (real container, real codec):
+    each video is 6–12 frames drawn from a ≤32-color palette."""
+    from ..functions.gifx import encode_gif
+
+    ids, payloads, metas = [], [], []
+    for i in range(n):
+        rng = np.random.RandomState(seed * 99_991 + i)
+        w, h = int(rng.randint(8, 24)), int(rng.randint(8, 24))
+        palette = rng.randint(0, 256, size=(32, 3)).astype(np.uint8)
+        n_frames = int(rng.randint(6, 13))
+        frames = [
+            palette[rng.randint(0, 32, size=(h, w))] for _ in range(n_frames)
+        ]
+        ids.append(i)
+        payloads.append(encode_gif(frames))
+        metas.append({"width": w, "height": h, "format": "gif"})
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(["video"] * n),
+            "payload": pa.array(payloads, pa.binary()),
+            "image_meta": pa.array(metas, IMAGE_META_TYPE),
+        }
+    )
+
+
 # --------------------------------------------------------------------------
 # actor-pool stages
 
@@ -396,5 +423,54 @@ def audio_features(ds: ray.data.Dataset, concurrency=(1, 4)) -> ray.data.Dataset
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=32,
+        concurrency=concurrency,
+    )
+
+
+class VideoFrameFeatures:
+    """Actor stage: container decode → frame sampling → per-frame
+    features. 1→N fan-out (one row per SAMPLED frame), the canonical
+    video-curation shape; the GIF decode path is real (functions/gifx)."""
+
+    def __init__(self, every_n: int = 2):
+        self.every_n = every_n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fidx, widths, heights, means, digests = [], [], [], [], [], []
+        for mid, payload in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            for j, ppm in enumerate(sample_video_frames(payload, self.every_n)):
+                img = _decode_ppm(ppm)
+                ids.append(mid)
+                fidx.append(j * self.every_n)
+                heights.append(img.shape[0])
+                widths.append(img.shape[1])
+                means.append([float(img[..., c].mean()) for c in range(3)])
+                digests.append(
+                    hashlib.blake2b(img.tobytes(), digest_size=8).hexdigest()
+                )
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(fidx, pa.int64()),
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
+                "channel_means": pa.array(means, pa.list_(pa.float64())),
+                "frame_digest": pa.array(digests),
+            }
+        )
+
+
+def video_frame_features(
+    ds: ray.data.Dataset, every_n: int = 2, concurrency=(1, 4)
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        VideoFrameFeatures,
+        fn_constructor_kwargs={"every_n": every_n},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=8,  # whole videos per row: smaller batches than images
         concurrency=concurrency,
     )

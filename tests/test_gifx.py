@@ -136,3 +136,37 @@ def test_decode_image_first_gif_frame():
 
     frame = np.full((5, 7, 3), 9, dtype=np.uint8)
     assert np.array_equal(decode_image(encode_gif([frame])), frame)
+
+
+def test_video_frame_features_stage_matches_direct(ray_session):
+    import ray
+
+    from pdf_toolkit_ray.stages.multimodal import (
+        _decode_ppm,
+        sample_video_frames,
+        synthesize_video_table,
+        video_frame_features,
+    )
+
+    tbl = synthesize_video_table(8)
+    out = (
+        video_frame_features(ray.data.from_arrow(tbl), every_n=2)
+        .to_pandas()
+        .sort_values(["media_id", "frame_idx"])
+        .reset_index(drop=True)
+    )
+    # direct single-process recomputation
+    rows = 0
+    for mid, payload in zip(
+        tbl.column("media_id").to_pylist(), tbl.column("payload").to_pylist()
+    ):
+        for j, ppm in enumerate(sample_video_frames(payload, 2)):
+            img = _decode_ppm(ppm)
+            r = out[(out["media_id"] == mid) & (out["frame_idx"] == 2 * j)]
+            assert len(r) == 1
+            assert r.iloc[0]["width"] == img.shape[1]
+            assert list(r.iloc[0]["channel_means"]) == [
+                float(img[..., c].mean()) for c in range(3)
+            ]
+            rows += 1
+    assert rows == len(out)

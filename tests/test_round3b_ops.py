@@ -227,3 +227,23 @@ def test_bucketed_groupby_matches_plain_groupby(ray_session):
         .groupby("k")["v"].sum().rename("s").reset_index().astype(np.int64)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_unigram_xent_smoothing(ray_session, tmp_path):
+    from pdf_toolkit_ray.queries import unigram_xent_documents
+
+    # corpus: "a a b" + "a" -> counts a:3, b:1; T=4, V=2
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["a a b", "a"]),
+        }
+    )
+    sf = _write(tmp_path, "documents", docs)
+    out = unigram_xent_documents(sf).to_pandas().set_index("doc_id")["xent"]
+    pa_ = (3 + 1) / (4 + 2)
+    pb = (1 + 1) / (4 + 2)
+    want1 = round(-(2 * np.log(pa_) + np.log(pb)) / 3, 4)
+    want2 = round(-np.log(pa_), 4)
+    assert out.loc[1] == want1
+    assert out.loc[2] == want2
