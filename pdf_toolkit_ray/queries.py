@@ -3973,6 +3973,316 @@ GROUP BY doc_id
 """
 
 
+def q9_profit_by_nation_year(sf_dir: str):
+    """TPC-H Q9 shape (adapted: no partsupp table, cost modeled as 80% of
+    p_retailprice): profit per supplier nation per order year. Exact
+    integer arithmetic — revenue and cost are EACH rounded to 1e-4
+    dollars per row on both sides, so distributed summation order cannot
+    flip the hash. Gated part + supplier attaches, one big orders join,
+    single partial pass, nations × years final groupby."""
+    nat = _nation_lookup(sf_dir)
+    nation_names = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+
+    li = scan(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+
+    part_small, part_ds = relops.small_side(sf_dir, "part", ["p_partkey", "p_retailprice"])
+    if part_small is not None:
+        li = relops.broadcast_join(
+            li.map_batches(
+                lambda t: t.append_column("p_partkey", t.column("l_partkey")),
+                batch_format="pyarrow", zero_copy_batch=True,
+            ),
+            part_small, on="p_partkey",
+        )
+    else:
+        li = li.join(
+            part_ds, "inner",
+            num_partitions=relops.choose_num_partitions(
+                relops.table_path(sf_dir, "lineitem"), relops.table_path(sf_dir, "part")
+            ),
+            on=("l_partkey",), right_on=("p_partkey",),
+        )
+
+    supp_small, supp_ds = relops.small_side(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    if supp_small is not None:
+        li = relops.broadcast_join(
+            li.map_batches(
+                lambda t: t.append_column("s_suppkey", t.column("l_suppkey")),
+                batch_format="pyarrow", zero_copy_batch=True,
+            ),
+            supp_small, on="s_suppkey",
+        )
+    else:
+        li = li.join(
+            supp_ds, "inner",
+            num_partitions=relops.choose_num_partitions(
+                relops.table_path(sf_dir, "lineitem"), relops.table_path(sf_dir, "supplier")
+            ),
+            on=("l_suppkey",), right_on=("s_suppkey",),
+        )
+
+    def profit_partial(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            pc.cast(batch.column("l_extendedprice"), pa.float64()),
+            pc.subtract(1.0, pc.cast(batch.column("l_discount"), pa.float64())),
+        )
+        cost = pc.multiply(
+            pc.multiply(
+                pc.cast(batch.column("l_quantity"), pa.float64()),
+                pc.cast(batch.column("p_retailprice"), pa.float64()),
+            ),
+            0.8,
+        )
+        profit_c = pc.subtract(_cents(rev, 10_000), _cents(cost, 10_000))
+        t = pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "s_nationkey": batch.column("s_nationkey"),
+                "profit_c": profit_c,
+            }
+        )
+        return t.group_by(["l_orderkey", "s_nationkey"]).aggregate([("profit_c", "sum")])
+
+    partials = relops.drop_empty_blocks(
+        li.map_batches(profit_partial, batch_format="pyarrow", zero_copy_batch=True),
+        pa.table(
+            {
+                "l_orderkey": pa.array([], pa.int64()),
+                "s_nationkey": pa.array([], pa.int64()),
+                "profit_c_sum": pa.array([], pa.int64()),
+            }
+        ),
+    )
+    orders = scan(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    joined = partials.join(
+        orders, "inner",
+        num_partitions=relops.choose_num_partitions(
+            relops.table_path(sf_dir, "lineitem"), relops.table_path(sf_dir, "orders")
+        ),
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def year_partial(batch: pa.Table) -> pa.Table:
+        year = batch.column("o_orderdate").to_numpy(zero_copy_only=False).astype(
+            "datetime64[Y]"
+        ).astype(np.int64) + 1970
+        t = pa.table(
+            {
+                "s_nationkey": batch.column("s_nationkey"),
+                "o_year": pa.array(year, pa.int64()),
+                "profit_c": batch.column("profit_c_sum"),
+            }
+        )
+        return t.group_by(["s_nationkey", "o_year"]).aggregate([("profit_c", "sum")])
+
+    agg = (
+        relops.coalesce_partials(
+            joined.map_batches(year_partial, batch_format="pyarrow", zero_copy_batch=True)
+        )
+        .groupby(["s_nationkey", "o_year"])
+        .aggregate(Sum("profit_c_sum", alias_name="profit_c"))
+    )
+    df = agg.to_pandas()
+    df["nation"] = df["s_nationkey"].astype(int).map(nation_names)
+    df["profit"] = df["profit_c"].astype(np.int64) / 10_000.0
+    df["o_year"] = df["o_year"].astype(np.int64)
+    return pa.Table.from_pandas(df[["nation", "o_year", "profit"]], preserve_index=False)
+
+
+Q9_SQL = """
+SELECT n.n_name AS nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       sum(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)
+         - CAST(round(l_quantity*p_retailprice*0.8*10000) AS BIGINT))/10000.0 AS profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN nation n ON s_nationkey = n.n_nationkey
+GROUP BY nation, o_year
+"""
+
+
+def q11_important_parts(sf_dir: str):
+    """TPC-H Q11 shape: parts whose inventory value exceeds a fixed
+    fraction (1/10000) of the global total. Per-part value through the
+    bucketed groupby; the global total is one scalar ``sum``; the
+    threshold compare is EXACT integers (value_c · 10000 > total_c), so
+    the SQL twin is bit-identical."""
+    li = scan(sf_dir, "lineitem", columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def val_partial(batch: pa.Table) -> pa.Table:
+        v = pc.multiply(
+            pc.cast(batch.column("l_quantity"), pa.float64()),
+            pc.cast(batch.column("l_extendedprice"), pa.float64()),
+        )
+        t = pa.table({"l_partkey": batch.column("l_partkey"), "value_c": _cents(v, 100)})
+        return t.group_by(["l_partkey"]).aggregate([("value_c", "sum")])
+
+    def bucket_sum(group: pa.Table) -> pa.Table:
+        g = group.group_by(["l_partkey"]).aggregate([("value_c_sum", "sum")])
+        return pa.table(
+            {"l_partkey": g.column("l_partkey"), "value_c": g.column("value_c_sum_sum")}
+        )
+
+    per_part = relops.bucketed_groupby(
+        li.map_batches(val_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_partkey"], bucket_sum,
+        empty=pa.table(
+            {"l_partkey": pa.array([], pa.int64()), "value_c": pa.array([], pa.int64())}
+        ),
+    )
+    total_c = int(per_part.sum("value_c"))
+
+    def keep_important(batch: pa.Table) -> pa.Table:
+        keep = pc.greater(
+            pc.multiply(batch.column("value_c"), pa.scalar(10_000, pa.int64())),
+            pa.scalar(total_c, pa.int64()),
+        )
+        t = batch.filter(keep)
+        return pa.table(
+            {
+                "l_partkey": t.column("l_partkey"),
+                "value": pc.divide(pc.cast(t.column("value_c"), pa.float64()), 100.0),
+            }
+        )
+
+    return per_part.map_batches(keep_important, batch_format="pyarrow", zero_copy_batch=True)
+
+
+Q11_SQL = """
+SELECT l_partkey,
+       sum(CAST(round(l_quantity*l_extendedprice*100) AS BIGINT))/100.0 AS value
+FROM lineitem GROUP BY l_partkey
+HAVING sum(CAST(round(l_quantity*l_extendedprice*100) AS BIGINT)) * 10000
+     > (SELECT sum(CAST(round(l_quantity*l_extendedprice*100) AS BIGINT)) FROM lineitem)
+"""
+
+
+def dominant_supplier_per_part(sf_dir: str):
+    """TPC-H Q20-ish shape: (part, supplier) pairs where one supplier
+    shipped MORE than 20% of the part's total quantity (ratio-to-group-
+    total filter). ONE shuffle: the bucketed groupby routes every row of
+    a part to one bucket, so both aggregation levels (per-pair and
+    per-part) and the ratio filter run vectorized inside the bucket."""
+    li = scan(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey", "l_quantity"])
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l_partkey": batch.column("l_partkey"),
+                "l_suppkey": batch.column("l_suppkey"),
+                "q": _cents(batch.column("l_quantity"), 100),
+            }
+        )
+        return t.group_by(["l_partkey", "l_suppkey"]).aggregate([("q", "sum")])
+
+    def bucket_majority(group: pa.Table) -> pa.Table:
+        ps = group.group_by(["l_partkey", "l_suppkey"]).aggregate([("q_sum", "sum")])
+        pt = ps.group_by(["l_partkey"]).aggregate([("q_sum_sum", "sum")])
+        df = ps.to_pandas().merge(pt.to_pandas(), on="l_partkey")
+        df = df[df["q_sum_sum"] * 5 > df["q_sum_sum_sum"]]
+        return pa.table(
+            {
+                "l_partkey": pa.array(df["l_partkey"].to_numpy(), pa.int64()),
+                "l_suppkey": pa.array(df["l_suppkey"].to_numpy(), pa.int64()),
+                "supp_qty": pa.array(df["q_sum_sum"].to_numpy() / 100.0, pa.float64()),
+                "part_qty": pa.array(df["q_sum_sum_sum"].to_numpy() / 100.0, pa.float64()),
+            }
+        )
+
+    return relops.bucketed_groupby(
+        li.map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_partkey"], bucket_majority,
+        empty=pa.table(
+            {
+                "l_partkey": pa.array([], pa.int64()),
+                "l_suppkey": pa.array([], pa.int64()),
+                "supp_qty": pa.array([], pa.float64()),
+                "part_qty": pa.array([], pa.float64()),
+            }
+        ),
+    )
+
+
+DOMINANT_SUPPLIER_SQL = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         sum(CAST(round(l_quantity*100) AS BIGINT)) AS q
+  FROM lineitem GROUP BY l_partkey, l_suppkey),
+pt AS (SELECT l_partkey, sum(q) AS tot FROM ps GROUP BY l_partkey)
+SELECT ps.l_partkey, ps.l_suppkey, ps.q/100.0 AS supp_qty, pt.tot/100.0 AS part_qty
+FROM ps JOIN pt USING (l_partkey)
+WHERE ps.q * 5 > pt.tot
+"""
+
+
+def embedding_pca_top_component(sf_dir: str):
+    """Distributed PCA (top principal component by power of the Gram
+    matrix): each batch contributes a d×d partial Gram X'X, a d-vector
+    column sum and a count — fixed-size partials, so the reduce moves
+    O(blocks · d²) floats no matter the corpus size; the d×d eigensolve
+    is driver-local. Sign fixed by making the largest-|loading|
+    component positive; checked full-value against a single-process
+    numpy oracle (PYTHON_ORACLES)."""
+    ds = scan(sf_dir, "embeddings", columns=["embedding"])
+
+    def gram_partial(batch: pa.Table) -> pa.Table:
+        flat = batch.column("embedding").combine_chunks().flatten().to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        m = flat.reshape(batch.num_rows, -1)
+        g = m.T @ m
+        return pa.table(
+            {
+                "gram": pa.array([g.reshape(-1)], pa.list_(pa.float64())),
+                "colsum": pa.array([m.sum(axis=0)], pa.list_(pa.float64())),
+                "n": pa.array([batch.num_rows], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(
+        gram_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()  # one row per block
+    return _pca_from_partials(
+        np.sum(np.stack(parts["gram"].to_numpy()), axis=0),
+        np.sum(np.stack(parts["colsum"].to_numpy()), axis=0),
+        int(parts["n"].sum()),
+    )
+
+
+def _pca_from_partials(gram_flat: np.ndarray, colsum: np.ndarray, n: int) -> pa.Table:
+    d = len(colsum)
+    gram = gram_flat.reshape(d, d)
+    mean = colsum / n
+    cov = gram / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)
+    top = vecs[:, -1]
+    top = top if top[np.argmax(np.abs(top))] > 0 else -top
+    evr = float(vals[-1] / vals.sum())
+    return pa.table(
+        {
+            "eigval": pa.array([round(float(vals[-1]), 6)], pa.float64()),
+            "explained_var_ratio": pa.array([round(evr, 6)], pa.float64()),
+            "component": pa.array([np.round(top, 6)], pa.list_(pa.float64())),
+        }
+    )
+
+
+def _oracle_pca(sf_dir: str) -> pa.Table:
+    """Single-process reference: same partial shapes, one numpy pass."""
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"])
+    flat = tbl.column("embedding").combine_chunks().flatten().to_numpy(
+        zero_copy_only=False
+    ).astype(np.float64)
+    m = flat.reshape(tbl.num_rows, -1)
+    return _pca_from_partials((m.T @ m).reshape(-1), m.sum(axis=0), len(m))
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -4021,6 +4331,10 @@ REGISTRY: dict[str, tuple] = {
     "q8_market_share": (q8_market_share, Q8_SQL),
     "q15_top_supplier": (q15_top_supplier, Q15_SQL),
     "q12_late_shipments": (q12_late_shipments, Q12_SQL),
+    "q9_profit_by_nation_year": (q9_profit_by_nation_year, Q9_SQL),
+    "q11_important_parts": (q11_important_parts, Q11_SQL),
+    "dominant_supplier_per_part": (dominant_supplier_per_part, DOMINANT_SUPPLIER_SQL),
+    "embedding_pca_top_component": (embedding_pca_top_component, None),
     "inverted_index_documents": (inverted_index_documents, INVERTED_INDEX_SQL),
     "tfidf_top_terms_documents": (tfidf_top_terms_documents, TFIDF_SQL),
     "redact_documents": (redact_documents, REDACT_SQL),
@@ -4098,4 +4412,5 @@ PYTHON_ORACLES: dict[str, Any] = {
     "extract_transcripts": _oracle_extract_df,
     "extract_kind_stats": _oracle_kind_stats,
     "embedding_kmeans": _oracle_kmeans,
+    "embedding_pca_top_component": _oracle_pca,
 }
