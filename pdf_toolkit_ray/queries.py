@@ -2197,6 +2197,13 @@ def q18_large_volume_orders(sf_dir: str):
     )
     orders = scan(sf_dir, "orders",
                   columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    # the HAVING leaves few qualifying orderkeys: a distributed-built
+    # Bloom filter (fixed 128 KB regardless of sf) drops ~99% of orders
+    # BEFORE the join shuffle; false positives only re-enter the exact
+    # join, so the result is unchanged (totals is already ref-level
+    # materialized by drop_empty_blocks — no recompute for the build)
+    bits_ref = relops.bloom_from_dataset(totals, "l_orderkey")
+    orders = relops.bloom_prefilter(orders, "o_orderkey", bits_ref)
     joined = orders.join(
         totals, "inner",
         num_partitions=relops.choose_num_partitions(
@@ -4283,6 +4290,43 @@ def _oracle_pca(sf_dir: str) -> pa.Table:
     return _pca_from_partials((m.T @ m).reshape(-1), m.sum(axis=0), len(m))
 
 
+def price_quantiles_approx(sf_dir: str):
+    """Approximate quantiles for CONTINUOUS columns via mergeable KLL
+    sketches (rows-only; rank-error pytest in tests/test_sketch.py).
+    The exact quantile operator (`token_quantiles_documents`) shuffles a
+    value histogram bounded by DISTINCT-value count — right for integer
+    stats, unbounded for doubles like prices. Here every block emits one
+    fixed-size sketch row (O(k log n/k) floats) and the driver folds
+    block-count sketches — the scale path when values don't repeat."""
+    from .stages.sketch import KLL
+
+    ds = scan(sf_dir, "lineitem", columns=["l_extendedprice"])
+
+    def sk_partial(batch: pa.Table) -> pa.Table:
+        sk = KLL(k=200, seed=0)
+        sk.update(batch.column("l_extendedprice").to_numpy(zero_copy_only=False))
+        row = sk.to_row()
+        return pa.table(
+            {
+                "n": pa.array([row["n"]], pa.int64()),
+                "k": pa.array([row["k"]], pa.int64()),
+                "lens": pa.array([row["lens"]], pa.list_(pa.int64())),
+                "data": pa.array([row["data"]], pa.list_(pa.float64())),
+            }
+        )
+
+    parts = ds.map_batches(
+        sk_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()  # one fixed-size row per block
+    merged = None
+    for _, r in parts.iterrows():
+        sk = KLL.from_row(r, seed=1)
+        merged = sk if merged is None else merged.merge(sk)
+    qs = [0.25, 0.5, 0.75, 0.99]
+    est = merged.quantiles(qs)
+    return pa.table({"q": pa.array(qs, pa.float64()), "est": pa.array(est, pa.float64())})
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -4335,6 +4379,7 @@ REGISTRY: dict[str, tuple] = {
     "q11_important_parts": (q11_important_parts, Q11_SQL),
     "dominant_supplier_per_part": (dominant_supplier_per_part, DOMINANT_SUPPLIER_SQL),
     "embedding_pca_top_component": (embedding_pca_top_component, None),
+    "price_quantiles_approx": (price_quantiles_approx, None),
     "inverted_index_documents": (inverted_index_documents, INVERTED_INDEX_SQL),
     "tfidf_top_terms_documents": (tfidf_top_terms_documents, TFIDF_SQL),
     "redact_documents": (redact_documents, REDACT_SQL),

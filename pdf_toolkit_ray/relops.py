@@ -303,6 +303,66 @@ def bucketed_groupby(
     return out
 
 
+def bloom_from_dataset(
+    ds: ray.data.Dataset, key: str, m_bits: int = 1 << 20, n_hashes: int = 4
+):
+    """Distributed Bloom-filter build over an int64 key column: one
+    fixed-size partial bitmap per batch, OR-merged by a TREE of Ray tasks
+    (fan-in 16), so neither the keys nor all partial bitmaps ever gather
+    in one process. Returns an object ref to the final bitmap — pass it
+    to :func:`bloom_prefilter` to drop probe-side rows BEFORE a join's
+    shuffle. False positives only admit extra rows into the (still
+    exact) join; nothing that should match is ever dropped."""
+    from .stages.sketch import bloom_build
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bits = bloom_build(
+            batch.column(key).to_numpy(zero_copy_only=False), m_bits, n_hashes
+        )
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    @ray.remote
+    def or_group(*blocks) -> bytes:
+        out = None
+        for b in blocks:
+            if isinstance(b, pa.Table):
+                arrs = [np.frombuffer(v.as_py(), dtype=np.uint8) for v in b.column("bits")]
+            else:
+                arrs = [np.frombuffer(b, dtype=np.uint8)]
+            for a in arrs:
+                out = a.copy() if out is None else out | a
+        return (out if out is not None else np.zeros(m_bits // 8, dtype=np.uint8)).tobytes()
+
+    refs = []
+    for bundle in parts.iter_internal_ref_bundles():
+        refs.extend(block_ref for block_ref, _ in bundle.blocks)
+    if not refs:
+        return ray.put(np.zeros(m_bits // 8, dtype=np.uint8).tobytes())
+    while len(refs) > 16:
+        refs = [or_group.remote(*refs[i : i + 16]) for i in range(0, len(refs), 16)]
+    # final fold also normalizes block tables into raw bitmap bytes
+    return or_group.remote(*refs)
+
+
+def bloom_prefilter(
+    ds: ray.data.Dataset, key: str, bits_ref, n_hashes: int = 4
+) -> ray.data.Dataset:
+    """Probe-side pre-filter: keep only rows whose key MIGHT be in the
+    Bloom filter (definite misses drop before the join shuffle)."""
+    from .stages.sketch import bloom_might_contain
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        bits = np.frombuffer(ray.get(bits_ref), dtype=np.uint8)
+        keep = bloom_might_contain(
+            bits, batch.column(key).to_numpy(zero_copy_only=False), n_hashes
+        )
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(_filter, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def topk(ds: ray.data.Dataset, sort_cols: list[tuple[str, str]], k: int) -> ray.data.Dataset:
     """Global top-k: per-batch head(k) prune, then exact sort+limit on the
     tiny survivor set (≤ k rows per batch reach the sort)."""

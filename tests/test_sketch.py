@@ -1,0 +1,73 @@
+"""Sketch tests: KLL rank-error bounds (single-stream and merged), Bloom
+no-false-negatives + bounded false-positive rate, and the distributed
+Bloom build/prefilter over a Ray dataset."""
+
+import numpy as np
+import pyarrow as pa
+
+from pdf_toolkit_ray.stages.sketch import (
+    KLL,
+    bloom_build,
+    bloom_might_contain,
+)
+
+
+def _rank_error(values: np.ndarray, est: np.ndarray, qs: list[float]) -> float:
+    s = np.sort(values)
+    worst = 0.0
+    for q, e in zip(qs, est):
+        true_rank = np.searchsorted(s, e, side="right") / len(s)
+        worst = max(worst, abs(true_rank - q))
+    return worst
+
+
+QS = [0.01, 0.25, 0.5, 0.75, 0.99]
+
+
+def test_kll_rank_error_single_stream():
+    rng = np.random.default_rng(5)
+    vals = rng.lognormal(3.0, 1.0, size=100_000)
+    sk = KLL(k=200, seed=0).update(vals)
+    assert _rank_error(vals, sk.quantiles(QS), QS) < 0.02
+
+
+def test_kll_merge_matches_bound():
+    rng = np.random.default_rng(6)
+    vals = rng.normal(0, 1, size=120_000)
+    parts = np.array_split(vals, 24)
+    merged = None
+    for i, p in enumerate(parts):
+        sk = KLL(k=200, seed=i).update(p)
+        # serialize/deserialize roundtrip, as the shuffle would
+        sk = KLL.from_row(sk.to_row(), seed=100 + i)
+        merged = sk if merged is None else merged.merge(sk)
+    assert merged.n == len(vals)
+    assert _rank_error(vals, merged.quantiles(QS), QS) < 0.03
+
+
+def test_bloom_no_false_negatives_and_low_fpr():
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 2**62, size=50_000)
+    bits = bloom_build(keys, m_bits=1 << 20)
+    assert bloom_might_contain(bits, keys).all()
+    probe = rng.integers(2**62, 2**63 - 1, size=50_000)
+    fpr = bloom_might_contain(bits, probe).mean()
+    assert fpr < 0.02  # theory ~0.24% at 21 bits/key, 4 hashes
+
+
+def test_bloom_from_dataset_prefilter(ray_session):
+    import ray
+
+    from pdf_toolkit_ray import relops
+
+    build = ray.data.from_arrow(
+        pa.table({"k": pa.array(np.arange(1000), pa.int64())})
+    ).repartition(7)
+    probe = ray.data.from_arrow(
+        pa.table({"k": pa.array(np.arange(2000), pa.int64())})
+    ).repartition(5)
+    bits_ref = relops.bloom_from_dataset(build, "k")
+    kept = relops.bloom_prefilter(probe, "k", bits_ref).to_pandas()["k"].to_numpy()
+    # every build key survives; non-members almost all drop
+    assert np.isin(np.arange(1000), kept).all()
+    assert len(kept) < 1100
