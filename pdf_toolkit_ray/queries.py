@@ -4252,13 +4252,27 @@ def embedding_pca_top_component(sf_dir: str):
             }
         )
 
-    parts = ds.map_batches(
-        gram_partial, batch_format="pyarrow", zero_copy_batch=True
-    ).to_pandas()  # one row per block
+    def combine(tables: list[pa.Table]) -> pa.Table:
+        grams = [np.asarray(v) for t in tables for v in t.column("gram").to_pylist()]
+        sums = [np.asarray(v) for t in tables for v in t.column("colsum").to_pylist()]
+        ns = [v for t in tables for v in t.column("n").to_pylist()]
+        return pa.table(
+            {
+                "gram": pa.array([np.sum(np.stack(grams), axis=0)], pa.list_(pa.float64())),
+                "colsum": pa.array([np.sum(np.stack(sums), axis=0)], pa.list_(pa.float64())),
+                "n": pa.array([int(sum(ns))], pa.int64()),
+            }
+        )
+
+    # fan-in tree fold: the driver sees ONE 32 KB row, not one per block
+    folded = relops.tree_fold(
+        ds.map_batches(gram_partial, batch_format="pyarrow", zero_copy_batch=True),
+        combine,
+    )
     return _pca_from_partials(
-        np.sum(np.stack(parts["gram"].to_numpy()), axis=0),
-        np.sum(np.stack(parts["colsum"].to_numpy()), axis=0),
-        int(parts["n"].sum()),
+        np.asarray(folded.column("gram")[0].as_py()),
+        np.asarray(folded.column("colsum")[0].as_py()),
+        int(folded.column("n")[0].as_py()),
     )
 
 
@@ -4315,13 +4329,31 @@ def price_quantiles_approx(sf_dir: str):
             }
         )
 
-    parts = ds.map_batches(
-        sk_partial, batch_format="pyarrow", zero_copy_batch=True
-    ).to_pandas()  # one fixed-size row per block
-    merged = None
-    for _, r in parts.iterrows():
-        sk = KLL.from_row(r, seed=1)
-        merged = sk if merged is None else merged.merge(sk)
+    def combine(tables: list[pa.Table]) -> pa.Table:
+        merged = None
+        for t in tables:
+            for i in range(t.num_rows):
+                row = {c: t.column(c)[i].as_py() for c in t.column_names}
+                sk = KLL.from_row(row, seed=1)
+                merged = sk if merged is None else merged.merge(sk)
+        row = merged.to_row()
+        return pa.table(
+            {
+                "n": pa.array([row["n"]], pa.int64()),
+                "k": pa.array([row["k"]], pa.int64()),
+                "lens": pa.array([row["lens"]], pa.list_(pa.int64())),
+                "data": pa.array([row["data"]], pa.list_(pa.float64())),
+            }
+        )
+
+    # fan-in tree fold: sketches merge in Ray tasks, the driver sees ONE
+    folded = relops.tree_fold(
+        ds.map_batches(sk_partial, batch_format="pyarrow", zero_copy_batch=True),
+        combine,
+    )
+    merged = KLL.from_row(
+        {c: folded.column(c)[0].as_py() for c in folded.column_names}, seed=1
+    )
     qs = [0.25, 0.5, 0.75, 0.99]
     est = merged.quantiles(qs)
     return pa.table({"q": pa.array(qs, pa.float64()), "est": pa.array(est, pa.float64())})

@@ -303,6 +303,27 @@ def bucketed_groupby(
     return out
 
 
+def tree_fold(ds: ray.data.Dataset, combine, fan_in: int = 16) -> pa.Table:
+    """Associative fold of a dataset's blocks through a fan-in tree of
+    Ray tasks: ``combine(list[pa.Table]) -> pa.Table`` (single row) runs
+    at every node, so the driver receives ONE combined table instead of
+    one row per block — the reduce for fixed-size partials (sketches,
+    Gram matrices, bitmaps) whose block count scales with the corpus."""
+
+    @ray.remote
+    def _node(*tables) -> pa.Table:
+        return combine([t for t in tables if t.num_rows])
+
+    refs = []
+    for bundle in ds.iter_internal_ref_bundles():
+        refs.extend(block_ref for block_ref, _ in bundle.blocks)
+    if not refs:
+        return combine([])
+    while len(refs) > fan_in:
+        refs = [_node.remote(*refs[i : i + fan_in]) for i in range(0, len(refs), fan_in)]
+    return ray.get(_node.remote(*refs))
+
+
 def bloom_from_dataset(
     ds: ray.data.Dataset, key: str, m_bits: int = 1 << 20, n_hashes: int = 4
 ):
