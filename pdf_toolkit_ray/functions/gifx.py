@@ -38,6 +38,10 @@ def _deinterlace_order(height: int) -> np.ndarray:
 def _lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> np.ndarray:
     """Variable-width LZW (GIF flavor): codes grow 3..12 bits, CLEAR
     resets the table, EOI ends the stream. Returns index array."""
+    if not 2 <= min_code_size <= 11:
+        # spec bound (codes cap at 12 bits); a corrupt byte here would
+        # otherwise size the root table as 2^255
+        raise ValueError(f"invalid GIF LZW minimum code size {min_code_size}")
     clear = 1 << min_code_size
     eoi = clear + 1
     # bit reader over the whole sub-block-joined byte stream (LSB first)

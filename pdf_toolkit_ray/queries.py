@@ -345,13 +345,30 @@ def join_orders_customer_top(sf_dir: str):
         )
         return t.group_by(["c_custkey"]).aggregate([("spend_c", "sum"), ("spend_c", "count")])
 
-    per_cust = (
-        relops.coalesce_partials(
-            orders.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    def bucket_sum(group: pa.Table) -> pa.Table:
+        g = group.group_by(["c_custkey"]).aggregate(
+            [("spend_c_sum", "sum"), ("spend_c_count", "sum")]
         )
-        .groupby("c_custkey")
-        .aggregate(Sum("spend_c_sum", alias_name="spend_c"),
-                   Sum("spend_c_count", alias_name="n_orders"))
+        return pa.table(
+            {
+                "c_custkey": g.column("c_custkey"),
+                "spend_c": g.column("spend_c_sum_sum"),
+                "n_orders": g.column("spend_c_count_sum"),
+            }
+        )
+
+    # custkey cardinality scales with sf: bucketed groupby (vectorized
+    # per-bucket Arrow aggregate) instead of Ray's per-group dispatch
+    per_cust = relops.bucketed_groupby(
+        orders.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["c_custkey"], bucket_sum,
+        empty=pa.table(
+            {
+                "c_custkey": pa.array([], pa.int64()),
+                "spend_c": pa.array([], pa.int64()),
+                "n_orders": pa.array([], pa.int64()),
+            }
+        ),
     )
     # customer scales with sf — size-gated: broadcast under the gate (one
     # driver read of a bounded table), distributed hash join above it

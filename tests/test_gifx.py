@@ -170,3 +170,34 @@ def test_video_frame_features_stage_matches_direct(ray_session):
             ]
             rows += 1
     assert rows == len(out)
+
+
+def test_gif_decoder_survives_mutations():
+    """Malformed inputs must fail fast (any exception) or decode — never
+    hang or loop: the LZW reader is bounded by n_pixels and bit length,
+    block walks by payload length."""
+    rng = np.random.RandomState(99)
+    palette = rng.randint(0, 256, size=(8, 3)).astype(np.uint8)
+    frames = [palette[rng.randint(0, 8, size=(9, 7))] for _ in range(3)]
+    base = bytearray(encode_gif(frames))
+    for trial in range(200):
+        buf = bytearray(base)
+        for _ in range(rng.randint(1, 6)):
+            buf[rng.randint(0, len(buf))] = rng.randint(0, 256)
+        try:
+            decode_gif(bytes(buf[: rng.randint(16, len(buf) + 1)]))
+        except Exception:
+            pass  # any clean failure is acceptable; hangs are not
+
+
+def test_gif_truncated_stream_pads():
+    frame = np.full((6, 6, 3), 33, dtype=np.uint8)
+    payload = bytearray(encode_gif([frame]))
+    # chop the trailer and half the data sub-blocks
+    cut = payload[: len(payload) - max(4, len(payload) // 3)]
+    try:
+        frames = decode_gif(bytes(cut))
+        for f in frames:
+            assert f.shape == (6, 6, 3)
+    except Exception:
+        pass
