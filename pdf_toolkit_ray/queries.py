@@ -4376,6 +4376,155 @@ def price_quantiles_approx(sf_dir: str):
     return pa.table({"q": pa.array(qs, pa.float64()), "est": pa.array(est, pa.float64())})
 
 
+def cube_events_daily(sf_dir: str):
+    """CUBE(event_type, day): all four grouping sets. Same re-aggregation
+    design as the ROLLUP — ONE distributed pass builds the finest level
+    (types × days rows regardless of input scale), every coarser set
+    derives from it driver-side in exact integer 1e-4 units."""
+    ds = scan(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "day": pc.strftime(
+                    pc.floor_temporal(batch.column("ts"), unit="day"), format="%Y-%m-%d"
+                ),
+                "v": _cents(batch.column("value"), 10_000),
+            }
+        )
+        return t.group_by(["event_type", "day"]).aggregate(
+            [("v", "sum"), ("v", "count")]
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "day"])
+        .aggregate(Sum("v_sum", alias_name="v"), Sum("v_count", alias_name="n"))
+    )
+    fine = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+
+    def level(keys: list[str]) -> pa.Table:
+        if keys:
+            g = fine.group_by(keys).aggregate([("n", "sum"), ("v", "sum")])
+            n, v = g.column("n_sum"), g.column("v_sum")
+        else:
+            g = pa.table({})
+            n = pa.array([pc.sum(fine.column("n")).as_py() or 0], pa.int64())
+            v = pa.array([pc.sum(fine.column("v")).as_py() or 0], pa.int64())
+        rows = len(n)
+        return pa.table(
+            {
+                "event_type": g.column("event_type") if "event_type" in keys
+                else pa.array(["__all__"] * rows),
+                "day": g.column("day") if "day" in keys
+                else pa.array(["__all__"] * rows),
+                "n": pc.cast(n, pa.int64()),
+                "sum_value": round_away_arrow(
+                    pc.divide(pc.cast(v, pa.float64()), 10_000.0)
+                ),
+            }
+        )
+
+    return pa.concat_tables(
+        [level(["event_type", "day"]), level(["event_type"]), level(["day"]), level([])]
+    )
+
+
+CUBE_EVENTS_SQL = """
+SELECT coalesce(event_type, '__all__') AS event_type,
+       coalesce(day, '__all__') AS day,
+       count(*) AS n,
+       round(sum(CAST(round(value*10000) AS BIGINT))/10000.0, 4) AS sum_value
+FROM (SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, value
+      FROM events)
+GROUP BY CUBE (event_type, day)
+"""
+
+
+def token_quantiles_cont_documents(sf_dir: str):
+    """Interpolated (quantile_cont) distributed quantiles over per-doc
+    token counts — the SAME mergeable value-histogram shuffle as the
+    quantile_disc operator, with linear interpolation at h = p·(n−1)
+    applied to the merged histogram. Both ranks come from integer
+    searchsorted; only the final lerp is float (rounded 4dp on both
+    sides)."""
+    ds = scan(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_value_length(pc.split_pattern(batch.column("text"), pattern=" "))
+        t = pa.table({"v": pc.cast(toks, pa.int64())})
+        return t.group_by(["v"]).aggregate([("v", "count")])
+
+    hist = (
+        relops.coalesce_partials(
+            ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        )
+        .groupby("v")
+        .aggregate(Sum("v_count", alias_name="cnt"))
+    )
+    h = hist.to_pandas().sort_values("v").reset_index(drop=True)
+    values = h["v"].to_numpy(dtype=np.int64)
+    cum = h["cnt"].to_numpy(dtype=np.int64).cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+
+    def value_at(rank0: int) -> float:
+        return float(values[int(np.searchsorted(cum, rank0 + 1))])
+
+    out_p, out_v = [], []
+    for p, _, _ in _QUANTILES:
+        pos = p * (n - 1)
+        lo = int(np.floor(pos))
+        hi = int(np.ceil(pos))
+        va, vb = value_at(lo), value_at(hi)
+        out_p.append(p)
+        out_v.append(round(va + (pos - lo) * (vb - va), 4))
+    return pa.table(
+        {"p": pa.array(out_p, pa.float64()), "n_tokens": pa.array(out_v, pa.float64())}
+    )
+
+
+TOKEN_QUANTILES_CONT_SQL = """
+WITH t AS (SELECT len(string_split(text, ' ')) AS v FROM documents)
+SELECT 0.25 AS p, round(quantile_cont(v, 0.25), 4) AS n_tokens FROM t
+UNION ALL SELECT 0.5, round(quantile_cont(v, 0.5), 4) FROM t
+UNION ALL SELECT 0.75, round(quantile_cont(v, 0.75), 4) FROM t
+UNION ALL SELECT 0.9, round(quantile_cont(v, 0.9), 4) FROM t
+UNION ALL SELECT 0.99, round(quantile_cont(v, 0.99), 4) FROM t
+"""
+
+
+def percent_rank_orders(sf_dir: str):
+    """percent_rank() OVER (PARTITION BY custkey ORDER BY totalprice):
+    (rank−1)/(n−1) with min-rank tie handling — rank ties on equal
+    VALUES, so the result is deterministic without a row tiebreak.
+    custkey cardinality scales with sf → bucketed groupby; one pandas
+    min-rank per bucket, vectorized."""
+    orders = scan(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def bucket_pr(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        g = df.groupby("o_custkey")["o_totalprice"]
+        rank = g.rank(method="min")
+        cnt = g.transform("size")
+        pr = np.where(cnt > 1, (rank - 1) / (cnt - 1), 0.0)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(df["o_orderkey"].to_numpy(), pa.int64()),
+                "pr": pa.array(np.round(pr, 4), pa.float64()),
+            }
+        )
+
+    return relops.bucketed_groupby(orders, ["o_custkey"], bucket_pr)
+
+
+PERCENT_RANK_SQL = """
+SELECT o_orderkey,
+       round(percent_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice), 4) AS pr
+FROM orders
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -4439,6 +4588,9 @@ REGISTRY: dict[str, tuple] = {
     "q10_returned_items": (q10_returned_items, Q10_SQL),
     "q16_parts_supplier_counts": (q16_parts_supplier_counts, Q16_SQL),
     "rollup_events_daily": (rollup_events_daily, ROLLUP_EVENTS_SQL),
+    "cube_events_daily": (cube_events_daily, CUBE_EVENTS_SQL),
+    "token_quantiles_cont_documents": (token_quantiles_cont_documents, TOKEN_QUANTILES_CONT_SQL),
+    "percent_rank_orders": (percent_rank_orders, PERCENT_RANK_SQL),
     "set_ops_customers": (set_ops_customers, SET_OPS_SQL),
     "corr_qty_price_by_flag": (corr_qty_price_by_flag, CORR_SQL),
     "mode_brand_per_type": (mode_brand_per_type, MODE_BRAND_SQL),
