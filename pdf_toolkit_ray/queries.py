@@ -4525,6 +4525,63 @@ FROM orders
 """
 
 
+def _part_supplier_edges(sf_dir: str):
+    """Symmetric bipartite edge list from lineitem co-occurrence:
+    part node = 2·partkey, supplier node = 2·suppkey + 1, both
+    directions, deduplicated through the bucketed groupby."""
+    li = scan(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    def pair_distinct(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["l_partkey", "l_suppkey"]).aggregate([])
+
+    def bucket_edges(group: pa.Table) -> pa.Table:
+        g = group.group_by(["l_partkey", "l_suppkey"]).aggregate([])
+        p = g.column("l_partkey").to_numpy(zero_copy_only=False) * 2
+        s = g.column("l_suppkey").to_numpy(zero_copy_only=False) * 2 + 1
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([p, s]), pa.int64()),
+                "dst": pa.array(np.concatenate([s, p]), pa.int64()),
+            }
+        )
+
+    return relops.bucketed_groupby(
+        li.map_batches(pair_distinct, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_partkey", "l_suppkey"], bucket_edges,
+        empty=pa.table(
+            {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+        ),
+    )
+
+
+def pagerank_part_supplier(sf_dir: str):
+    """Distributed PageRank over the part↔supplier co-occurrence graph
+    (iterative graph algorithm beside connected components / k-means).
+    Contributions are integer-quantized BEFORE the distributed sum, so
+    the whole trajectory is summation-order-independent and matches the
+    single-process numpy oracle bit-for-bit (PYTHON_ORACLES)."""
+    from .stages.graph import pagerank
+
+    return pagerank(_part_supplier_edges(sf_dir), iters=5)
+
+
+def _oracle_pagerank(sf_dir: str) -> pa.Table:
+    from .stages.graph import pagerank_numpy
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_partkey", "l_suppkey"]
+    )
+    df = tbl.to_pandas().drop_duplicates()
+    p = df["l_partkey"].to_numpy(np.int64) * 2
+    s = df["l_suppkey"].to_numpy(np.int64) * 2 + 1
+    src = np.concatenate([p, s])
+    dst = np.concatenate([s, p])
+    nodes, r = pagerank_numpy(src, dst, iters=5)
+    return pa.table(
+        {"node": pa.array(nodes, pa.int64()), "rank": pa.array(r, pa.float64())}
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -4578,6 +4635,7 @@ REGISTRY: dict[str, tuple] = {
     "dominant_supplier_per_part": (dominant_supplier_per_part, DOMINANT_SUPPLIER_SQL),
     "embedding_pca_top_component": (embedding_pca_top_component, None),
     "price_quantiles_approx": (price_quantiles_approx, None),
+    "pagerank_part_supplier": (pagerank_part_supplier, None),
     "inverted_index_documents": (inverted_index_documents, INVERTED_INDEX_SQL),
     "tfidf_top_terms_documents": (tfidf_top_terms_documents, TFIDF_SQL),
     "redact_documents": (redact_documents, REDACT_SQL),
@@ -4659,4 +4717,5 @@ PYTHON_ORACLES: dict[str, Any] = {
     "extract_kind_stats": _oracle_kind_stats,
     "embedding_kmeans": _oracle_kmeans,
     "embedding_pca_top_component": _oracle_pca,
+    "pagerank_part_supplier": _oracle_pagerank,
 }

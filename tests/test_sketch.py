@@ -71,3 +71,41 @@ def test_bloom_from_dataset_prefilter(ray_session):
     # every build key survives; non-members almost all drop
     assert np.isin(np.arange(1000), kept).all()
     assert len(kept) < 1100
+
+
+def test_pagerank_paths_agree_and_match_numpy(ray_session):
+    import ray
+
+    from pdf_toolkit_ray.stages.graph import pagerank, pagerank_numpy
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 40, size=300)
+    b = rng.integers(40, 90, size=300)
+    src = np.concatenate([a, b])
+    dst = np.concatenate([b, a])
+    # dedup like a caller would
+    pairs = np.unique(np.stack([src, dst], axis=1), axis=0)
+    edges_tbl = pa.table(
+        {"src": pa.array(pairs[:, 0], pa.int64()), "dst": pa.array(pairs[:, 1], pa.int64())}
+    )
+
+    def run(gate):
+        ds = ray.data.from_arrow(edges_tbl).repartition(6)
+        return (
+            pagerank(ds, iters=4, node_gate=gate)
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+
+    broadcast_path = run(10**9)
+    join_path = run(0)
+    assert (broadcast_path["node"] == join_path["node"]).all()
+    # identical quantized recurrence -> bit-for-bit equal
+    assert (broadcast_path["rank"].to_numpy() == join_path["rank"].to_numpy()).all()
+
+    nodes, r = pagerank_numpy(pairs[:, 0], pairs[:, 1], iters=4)
+    assert (broadcast_path["node"].to_numpy() == nodes).all()
+    assert (broadcast_path["rank"].to_numpy() == r).all()
+    # ranks form a probability-ish distribution (sums to ~1)
+    assert abs(broadcast_path["rank"].sum() - 1.0) < 1e-3
