@@ -4582,6 +4582,354 @@ def _oracle_pagerank(sf_dir: str) -> pa.Table:
     )
 
 
+def q19_disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19 shape: revenue under a DISJUNCTION of (brand, size,
+    quantity) clause groups. The predicate union is pushed to BOTH scans —
+    part reads only the three brands / size<=15, lineitem reads only
+    qty in [1,30] — then the per-clause conjunctions evaluate vectorized
+    after a size-gated join. (Testdata part has no p_container; the
+    container clauses map onto p_size bands, keeping the OR-of-ANDs
+    structure that makes Q19 a pushdown test.)"""
+    clauses = [  # (brand, size_hi, qty_lo, qty_hi)
+        ("Brand#1", 5, 1, 11),
+        ("Brand#2", 10, 10, 20),
+        ("Brand#3", 15, 20, 30),
+    ]
+    brands = [c[0] for c in clauses]
+    li = scan(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        filter=(
+            (pc.field("l_quantity") >= 1.0) & (pc.field("l_quantity") <= 30.0)
+        ),
+    )
+    part_small, _ = relops.small_side(
+        sf_dir, "part", ["p_partkey", "p_brand", "p_size"]
+    )
+    if part_small is not None:
+        mask = pc.and_(
+            pc.is_in(part_small.column("p_brand"), value_set=pa.array(brands)),
+            pc.less_equal(part_small.column("p_size"), 15),
+        )
+        li_keyed = li.map_batches(
+            lambda t: t.rename_columns(
+                ["p_partkey" if c == "l_partkey" else c for c in t.column_names]
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        joined = relops.broadcast_join(li_keyed, part_small.filter(mask), on="p_partkey")
+    else:
+        part_ds = scan(
+            sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"],
+            filter=(pc.field("p_brand").isin(brands) & (pc.field("p_size") <= 15)),
+        )
+        joined = li.join(
+            part_ds, "inner",
+            num_partitions=relops.choose_num_partitions(
+                relops.table_path(sf_dir, "lineitem"),
+                relops.table_path(sf_dir, "part"),
+            ),
+            on=("l_partkey",), right_on=("p_partkey",),
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qty = pc.cast(batch.column("l_quantity"), pa.float64())
+        size = batch.column("p_size")
+        brand = batch.column("p_brand")
+        keep = pa.array(np.zeros(batch.num_rows, dtype=bool))
+        for b, size_hi, qlo, qhi in clauses:
+            keep = pc.or_(
+                keep,
+                pc.and_(
+                    pc.and_(pc.equal(brand, b), pc.less_equal(size, size_hi)),
+                    pc.and_(pc.greater_equal(qty, float(qlo)),
+                            pc.less_equal(qty, float(qhi))),
+                ),
+            )
+        batch = batch.filter(keep)
+        rev = pc.multiply(
+            pc.cast(batch.column("l_extendedprice"), pa.float64()),
+            pc.subtract(1.0, pc.cast(batch.column("l_discount"), pa.float64())),
+        )
+        total = pc.sum(_cents(rev, 10_000)).as_py() or 0
+        return pa.table({"rev_c": pa.array([total], pa.int64())})
+
+    total_c = joined.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).sum("rev_c")
+    return pa.table(
+        {
+            "revenue": round_away_arrow(
+                pa.array([float(total_c) / 10_000.0], pa.float64())
+            )
+        }
+    )
+
+
+Q19_SQL = """
+SELECT round(CAST(sum(CAST(round(l.l_extendedprice*(1-l.l_discount)*10000) AS BIGINT)) AS DOUBLE)/10000.0, 4) AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5  AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q20_potential_promotion(sf_dir: str):
+    """TPC-H Q20 shape: suppliers whose shipped quantity of some 'red'
+    part exceeds a computed aggregate threshold (testdata has no partsupp
+    / ps_availqty, so the reference point is 2.5x the global mean
+    pair-sum — still a nested-aggregate semi-join: inner groupby, scalar
+    subquery, HAVING, distinct, outer join). The red-part key set
+    attaches size-gated; pair sums flow through the bucketed groupby;
+    the threshold is an exact int-sum / int-count double, bit-equal on
+    both sides."""
+    part_small, part_ds = relops.small_side(sf_dir, "part", ["p_partkey", "p_name"])
+    li = scan(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey", "l_quantity"])
+    if part_small is not None:
+        red = part_small.filter(
+            pc.starts_with(part_small.column("p_name"), "red")
+        ).select(["p_partkey"])
+        keys_ref = ray.put(red.column("p_partkey").combine_chunks())
+
+        def semi(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.is_in(batch.column("l_partkey"), value_set=ray.get(keys_ref))
+            )
+
+        red_li = li.map_batches(semi, batch_format="pyarrow", zero_copy_batch=True)
+    else:
+        red_parts = part_ds.map_batches(
+            lambda t: t.filter(pc.starts_with(t.column("p_name"), "red")).select(
+                ["p_partkey"]
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        red_li = li.join(
+            red_parts, "inner",
+            num_partitions=relops.choose_num_partitions(
+                relops.table_path(sf_dir, "lineitem"),
+                relops.table_path(sf_dir, "part"),
+            ),
+            on=("l_partkey",), right_on=("p_partkey",),
+        )
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l_suppkey": batch.column("l_suppkey"),
+                "l_partkey": batch.column("l_partkey"),
+                "q": pc.cast(pc.round(batch.column("l_quantity")), pa.int64()),
+            }
+        )
+        return t.group_by(["l_suppkey", "l_partkey"]).aggregate([("q", "sum")])
+
+    def bucket_sum(group: pa.Table) -> pa.Table:
+        g = group.group_by(["l_suppkey", "l_partkey"]).aggregate([("q_sum", "sum")])
+        return pa.table(
+            {
+                "l_suppkey": g.column("l_suppkey"),
+                "l_partkey": g.column("l_partkey"),
+                "s": pc.cast(g.column("q_sum_sum"), pa.int64()),
+            }
+        )
+
+    pairs = relops.bucketed_groupby(
+        red_li.map_batches(qty_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_suppkey", "l_partkey"], bucket_sum,
+        empty=pa.table(
+            {
+                "l_suppkey": pa.array([], pa.int64()),
+                "l_partkey": pa.array([], pa.int64()),
+                "s": pa.array([], pa.int64()),
+            }
+        ),
+    )
+    # scalar subquery: exact int sum / int count -> one double, identical
+    # on the SQL side (pairs is already ref-materialized by
+    # drop_empty_blocks inside bucketed_groupby, so the three consumers
+    # below don't recompute the shuffle)
+    total_s = pairs.sum("s")
+    n_pairs = pairs.count()
+    thr = 2.5 * (float(total_s) / float(n_pairs)) if n_pairs else float("inf")
+
+    def over(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.greater(pc.cast(batch.column("s"), pa.float64()), thr))
+        return pa.table({"s_suppkey": pc.unique(b.column("l_suppkey"))})
+
+    def bucket_distinct(group: pa.Table) -> pa.Table:
+        return pa.table({"s_suppkey": pc.unique(group.column("s_suppkey"))})
+
+    supps = relops.bucketed_groupby(
+        pairs.map_batches(over, batch_format="pyarrow", zero_copy_batch=True),
+        ["s_suppkey"], bucket_distinct,
+        empty=pa.table({"s_suppkey": pa.array([], pa.int64())}),
+    )
+    supp_small, supp_ds = relops.small_side(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    if supp_small is not None:
+        named = relops.broadcast_join(supps, supp_small, on="s_suppkey")
+    else:
+        named = supps.join(
+            supp_ds, "inner",
+            num_partitions=relops.choose_num_partitions_for(supps),
+            on=("s_suppkey",), right_on=("s_suppkey",),
+        )
+    out = pa.Table.from_pandas(
+        named.sort("s_suppkey").to_pandas(), preserve_index=False
+    )
+    return pa.table(
+        {
+            "s_suppkey": pc.cast(out.column("s_suppkey"), pa.int64()),
+            "s_name": out.column("s_name"),
+        }
+    )
+
+
+Q20_SQL = """
+WITH pairs AS (
+  SELECT l_suppkey, sum(CAST(round(l_quantity) AS BIGINT)) AS s
+  FROM lineitem l
+  WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+  GROUP BY l_suppkey, l_partkey
+),
+thr AS (SELECT 2.5 * CAST(sum(s) AS DOUBLE)/count(*) AS t FROM pairs)
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE s.s_suppkey IN (SELECT l_suppkey FROM pairs, thr WHERE pairs.s > thr.t)
+ORDER BY s.s_suppkey
+"""
+
+
+def q21_waiting_suppliers(sf_dir: str):
+    """TPC-H Q21 shape: the double-correlated EXISTS + NOT-EXISTS on the
+    same fact — suppliers who were the SOLE returner on a multi-supplier
+    finished order. (Testdata lineitem has no commit/receipt dates; the
+    'kept waiting' predicate maps onto l_returnflag='R', preserving the
+    exists-another-supplier / not-exists-another-failing-supplier
+    structure.) One bucketed groupby computes per-order distinct-supplier
+    and distinct-returning-supplier counts plus the unique culprit —
+    lineitem is never joined back to itself; only qualifying (orderkey,
+    culprit) rows join the status-filtered orders."""
+    li = scan(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_returnflag"])
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "l_suppkey": batch.column("l_suppkey"),
+                "is_r": pc.cast(
+                    pc.equal(batch.column("l_returnflag"), "R"), pa.int64()
+                ),
+            }
+        )
+        return t.group_by(["l_orderkey", "l_suppkey"]).aggregate([("is_r", "max")])
+
+    def bucket_orders(group: pa.Table) -> pa.Table:
+        pairs = group.group_by(["l_orderkey", "l_suppkey"]).aggregate(
+            [("is_r_max", "max")]
+        )
+        per = pairs.group_by(["l_orderkey"]).aggregate(
+            [("l_suppkey", "count"), ("is_r_max_max", "sum")]
+        )
+        r_rows = pairs.filter(pc.equal(pairs.column("is_r_max_max"), 1))
+        culprit = r_rows.group_by(["l_orderkey"]).aggregate([("l_suppkey", "min")])
+        per = per.join(culprit, keys=["l_orderkey"], join_type="inner")
+        per = per.filter(
+            pc.and_(
+                pc.greater(per.column("l_suppkey_count"), 1),
+                pc.equal(per.column("is_r_max_max_sum"), 1),
+            )
+        )
+        return pa.table(
+            {
+                "l_orderkey": per.column("l_orderkey"),
+                "culprit": pc.cast(per.column("l_suppkey_min"), pa.int64()),
+            }
+        )
+
+    qualifying = relops.bucketed_groupby(
+        li.map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_orderkey"], bucket_orders,
+        empty=pa.table(
+            {"l_orderkey": pa.array([], pa.int64()), "culprit": pa.array([], pa.int64())}
+        ),
+    )
+    f_orders = scan(
+        sf_dir, "orders", columns=["o_orderkey"],
+        filter=(pc.field("o_orderstatus") == "F"),
+    )
+    joined = qualifying.join(
+        f_orders, "inner",
+        num_partitions=relops.choose_num_partitions(
+            relops.table_path(sf_dir, "lineitem"),
+            relops.table_path(sf_dir, "orders"),
+        ),
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        return (
+            batch.select(["culprit"])
+            .group_by(["culprit"])
+            .aggregate([("culprit", "count")])
+        )
+
+    agg = (
+        joined.map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("culprit")
+        .aggregate(Sum("culprit_count", alias_name="numwait"))
+    )
+    per_supp = agg.map_batches(
+        lambda t: pa.table(
+            {
+                "s_suppkey": pc.cast(t.column("culprit"), pa.int64()),
+                "numwait": pc.cast(t.column("numwait"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    top = relops.topk(
+        per_supp, [("numwait", "descending"), ("s_suppkey", "ascending")], 20
+    )
+    top_tbl = pa.Table.from_pandas(top.to_pandas(), preserve_index=False)
+    # attribute fetch for exactly the <=20 winners
+    names = pq.read_table(
+        relops.table_path(sf_dir, "supplier"), columns=["s_suppkey", "s_name"],
+        filters=[("s_suppkey", "in", top_tbl.column("s_suppkey").to_pylist())],
+    )
+    out = (
+        top_tbl.join(names, keys=["s_suppkey"], join_type="inner")
+        .to_pandas()
+        .sort_values(["numwait", "s_suppkey"], ascending=[False, True])
+    )
+    return pa.table(
+        {
+            "s_suppkey": pa.array(out["s_suppkey"].to_numpy(np.int64), pa.int64()),
+            "s_name": pa.array(out["s_name"], pa.string()),
+            "numwait": pa.array(out["numwait"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
+Q21_SQL = """
+WITH per AS (
+  SELECT l.l_orderkey,
+         count(DISTINCT l.l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN l.l_returnflag='R' THEN l.l_suppkey END) AS n_r,
+         min(CASE WHEN l.l_returnflag='R' THEN l.l_suppkey END) AS culprit
+  FROM lineitem l GROUP BY l.l_orderkey
+)
+SELECT s.s_suppkey, s.s_name, count(*) AS numwait
+FROM per p
+JOIN orders o ON o.o_orderkey = p.l_orderkey AND o.o_orderstatus = 'F'
+JOIN supplier s ON s.s_suppkey = p.culprit
+WHERE p.n_supp > 1 AND p.n_r = 1
+GROUP BY s.s_suppkey, s.s_name
+ORDER BY numwait DESC, s.s_suppkey
+LIMIT 20
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -4643,6 +4991,9 @@ REGISTRY: dict[str, tuple] = {
     "funnel_events": (funnel_events, FUNNEL_SQL),
     "price_histogram_lineitem": (price_histogram_lineitem, PRICE_HIST_SQL),
     "q22_sales_opportunity": (q22_sales_opportunity, Q22_SQL),
+    "q19_disjunctive_revenue": (q19_disjunctive_revenue, Q19_SQL),
+    "q20_potential_promotion": (q20_potential_promotion, Q20_SQL),
+    "q21_waiting_suppliers": (q21_waiting_suppliers, Q21_SQL),
     "q10_returned_items": (q10_returned_items, Q10_SQL),
     "q16_parts_supplier_counts": (q16_parts_supplier_counts, Q16_SQL),
     "rollup_events_daily": (rollup_events_daily, ROLLUP_EVENTS_SQL),
