@@ -4930,6 +4930,296 @@ LIMIT 20
 """
 
 
+def dup_shingle_frac_documents(sf_dir: str):
+    """Cross-document duplicated-shingle fraction (the RefinedWeb /
+    Dolma 'duplicate n-gram' curation signal): for every document, the
+    fraction of its DISTINCT word-3-gram shingles that also occur in at
+    least one other document. Shingles travel as 64-bit hashes (never
+    text) through two bucketed groupbys: the first co-locates each
+    shingle's (doc, shingle) pairs to count containing docs AND fold the
+    dup flag back per-doc in the same pass (no Dataset.join); the second
+    sums the per-bucket doc partials. 64-bit hashes make a cross-doc
+    false positive ~n²/2⁶⁴ — negligible at test scale; the scale path
+    widens to a second independent hash column."""
+    from .functions.hashing import _shingle_hashes_batch, _WordHashCache
+
+    ds = scan(sf_dir, "documents", columns=["doc_id", "text"])
+    cache = _WordHashCache()
+
+    def pairs_fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        flat, offs = _shingle_hashes_batch(texts, 3, cache)
+        per_doc = [np.unique(flat[offs[i]: offs[i + 1]]) for i in range(len(texts))]
+        doc_rep = np.repeat(ids, [len(u) for u in per_doc])
+        sh = np.concatenate(per_doc) if per_doc else np.empty(0, np.uint64)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_rep, pa.int64()),
+                "sh": pa.array(sh.astype(np.int64), pa.int64()),
+            }
+        )
+
+    pairs = ds.map_batches(pairs_fn, batch_format="pyarrow", zero_copy_batch=True)
+
+    def bucket_count_and_fold(group: pa.Table) -> pa.Table:
+        # every row of a shingle is in this bucket: count containing docs,
+        # then fold the >1 flag back onto each (doc, shingle) pair and
+        # emit per-doc partials
+        nd = group.group_by(["sh"]).aggregate([("doc_id", "count")])
+        j = group.join(nd, keys=["sh"], join_type="inner")
+        t = pa.table(
+            {
+                "doc_id": j.column("doc_id"),
+                "one": pa.array(np.ones(j.num_rows, np.int64)),
+                "dup": pc.cast(pc.greater(j.column("doc_id_count"), 1), pa.int64()),
+            }
+        )
+        d = t.group_by(["doc_id"]).aggregate([("one", "sum"), ("dup", "sum")])
+        return pa.table(
+            {
+                "doc_id": d.column("doc_id"),
+                "n_sh": pc.cast(d.column("one_sum"), pa.int64()),
+                "n_dup": pc.cast(d.column("dup_sum"), pa.int64()),
+            }
+        )
+
+    partials = relops.bucketed_groupby(
+        pairs, ["sh"], bucket_count_and_fold,
+        empty=pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_sh": pa.array([], pa.int64()),
+                "n_dup": pa.array([], pa.int64()),
+            }
+        ),
+    )
+
+    def bucket_doc_sum(group: pa.Table) -> pa.Table:
+        g = group.group_by(["doc_id"]).aggregate([("n_sh", "sum"), ("n_dup", "sum")])
+        n = pc.cast(g.column("n_sh_sum"), pa.float64())
+        dup = pc.cast(g.column("n_dup_sum"), pa.float64())
+        return pa.table(
+            {
+                "doc_id": g.column("doc_id"),
+                "n_shingles": pc.cast(g.column("n_sh_sum"), pa.int64()),
+                "n_dup": pc.cast(g.column("n_dup_sum"), pa.int64()),
+                "dup_frac": round_away_arrow(pc.divide(dup, n)),
+            }
+        )
+
+    return relops.bucketed_groupby(
+        partials, ["doc_id"], bucket_doc_sum,
+        empty=pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_shingles": pa.array([], pa.int64()),
+                "n_dup": pa.array([], pa.int64()),
+                "dup_frac": pa.array([], pa.float64()),
+            }
+        ),
+    )
+
+
+DUP_SHINGLE_SQL = """
+WITH ws AS (
+  SELECT doc_id, unnest(string_split(text,' ')) AS word,
+         generate_subscripts(string_split(text,' '),1) AS idx
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+    word || ' ' || lead(word,1) OVER w || ' ' || lead(word,2) OVER w AS shingle
+  FROM ws WINDOW w AS (PARTITION BY doc_id ORDER BY idx)),
+sh2 AS (SELECT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+cnt AS (SELECT shingle, count(*) AS nd FROM sh2 GROUP BY shingle)
+SELECT s.doc_id, count(*) AS n_shingles,
+       sum(CASE WHEN c.nd > 1 THEN 1 ELSE 0 END) AS n_dup,
+       round(CAST(sum(CASE WHEN c.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)/count(*), 4) AS dup_frac
+FROM sh2 s JOIN cnt c USING (shingle)
+GROUP BY s.doc_id
+"""
+
+
+#: target language mixture for mixture_sample_documents (training-data
+#: mixing: en-heavy with equal tails). Bounded cardinality by design.
+_MIX_WEIGHTS = {"en": 0.4, "de": 0.15, "fr": 0.15, "es": 0.15, "zh": 0.15}
+
+
+def mixture_sample_documents(sf_dir: str):
+    """Capped stratified downsampling to a TARGET LANGUAGE MIXTURE (the
+    training-data mixing step): given weights w_l, the largest feasible
+    corpus is cap = min_l(n_l / w_l); keep the floor(w_l * cap) docs per
+    language with the smallest md5(doc_id) — deterministic on any engine
+    and layout, unlike seeded RNG sampling. One tiny counting pass fixes
+    the per-language quotas; the selection pass prunes each batch to its
+    local quota-head so the per-language exact selection (a bounded-
+    cardinality groupby: #languages groups) sees at most k_l rows per
+    language per batch."""
+    import hashlib
+
+    counts_ds = (
+        scan(sf_dir, "documents", columns=["lang"])
+        .map_batches(
+            lambda t: t.group_by(["lang"]).aggregate([("lang", "count")]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        .groupby("lang")
+        .aggregate(Sum("lang_count", alias_name="n"))
+    )
+    counts = {r["lang"]: int(r["n"]) for r in counts_ds.take_all()}
+    cap = min(
+        float(counts.get(lang, 0)) / w for lang, w in _MIX_WEIGHTS.items()
+    )
+    quotas = {lang: int(np.floor(w * cap)) for lang, w in _MIX_WEIGHTS.items()}
+
+    ds = scan(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def rank_and_prune(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        h = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        df = pd.DataFrame(
+            {"doc_id": ids, "lang": batch.column("lang").to_pylist(), "h": h}
+        ).sort_values(["lang", "h", "doc_id"])
+        kept = [
+            g.head(quotas.get(lang, 0)) for lang, g in df.groupby("lang", sort=False)
+        ]
+        out = pd.concat(kept) if kept else df.iloc[:0]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    pruned = ds.map_batches(rank_and_prune, batch_format="pyarrow", zero_copy_batch=True)
+
+    def pick(group: pd.DataFrame) -> pd.DataFrame:
+        k = quotas.get(group["lang"].iloc[0], 0) if len(group) else 0
+        return group.sort_values(["h", "doc_id"]).head(k)[["doc_id", "lang"]]
+
+    out = pruned.groupby("lang").map_groups(pick, batch_format="pandas")
+    tbl = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return pa.table(
+        {
+            "doc_id": pc.cast(tbl.column("doc_id"), pa.int64()),
+            "lang": pc.cast(tbl.column("lang"), pa.string()),
+        }
+    )
+
+
+MIXTURE_SAMPLE_SQL = """
+WITH counts AS (
+  SELECT lang, count(*) AS n,
+         CASE WHEN lang='en' THEN 0.4 ELSE 0.15 END AS w
+  FROM documents GROUP BY lang),
+t AS (SELECT min(CAST(n AS DOUBLE)/w) AS cap FROM counts),
+ks AS (SELECT lang, CAST(floor(w * t.cap) AS BIGINT) AS k FROM counts, t),
+ranked AS (
+  SELECT doc_id, lang,
+    row_number() OVER (PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents)
+SELECT r.doc_id, r.lang FROM ranked r JOIN ks USING (lang) WHERE r.rn <= ks.k
+"""
+
+
+def gopher_rules_documents(sf_dir: str):
+    """Gopher-style repetition/diversity quality rules per document:
+    word count, mean word length, distinct-required-stopword count and
+    the most-common-bigram coverage fraction, plus the combined keep
+    flag (n_words >= 40 AND >= 2 distinct stopwords AND top-bigram
+    coverage <= 10%). One vectorized explode pass per batch — no
+    shuffle, no cross-doc state; keep is decided on unrounded doubles
+    (identical arithmetic to the SQL twin)."""
+    ds = scan(sf_dir, "documents", columns=["doc_id", "text"])
+    stop_set = pa.array(["the", "a", "row", "value"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        parent, flat, lengths = _exploded_words(batch)
+        doc_ids = pa.array(parent, pa.int64())
+        # per-doc word count + mean word length + distinct stopwords
+        base = pa.table(
+            {
+                "doc_id": doc_ids,
+                "wlen": pc.cast(pc.utf8_length(flat), pa.int64()),
+            }
+        ).group_by(["doc_id"]).aggregate([("wlen", "count"), ("wlen", "sum")])
+        stop_mask = pc.is_in(flat, value_set=stop_set)
+        st = pa.table(
+            {"doc_id": doc_ids, "word": flat}
+        ).filter(stop_mask).group_by(["doc_id", "word"]).aggregate([("word", "count")])
+        nstop = st.group_by(["doc_id"]).aggregate([("word_count", "count")])
+        # per-doc top-bigram coverage: bigram = word[i] + ' ' + word[i+1]
+        # within one doc (mask out cross-doc seams), vectorized
+        w = flat.to_numpy(zero_copy_only=False)
+        if len(w) > 1:
+            seam_ok = parent[:-1] == parent[1:]
+            bg_doc = parent[:-1][seam_ok]
+            bg = np.char.add(
+                np.char.add(w[:-1][seam_ok].astype(str), " "),
+                w[1:][seam_ok].astype(str),
+            )
+        else:
+            bg_doc = np.empty(0, np.int64)
+            bg = np.empty(0, str)
+        bgt = pa.table(
+            {"doc_id": pa.array(bg_doc, pa.int64()), "bigram": pa.array(bg, pa.string())}
+        ).group_by(["doc_id", "bigram"]).aggregate([("bigram", "count")])
+        per_bg = bgt.group_by(["doc_id"]).aggregate(
+            [("bigram_count", "max"), ("bigram_count", "sum")]
+        )
+        out = base.join(nstop, keys=["doc_id"], join_type="left outer").join(
+            per_bg, keys=["doc_id"], join_type="left outer"
+        )
+        n_words = pc.cast(out.column("wlen_count"), pa.float64())
+        mean_wlen = pc.divide(pc.cast(out.column("wlen_sum"), pa.float64()), n_words)
+        n_stop = pc.fill_null(
+            pc.cast(out.column("word_count_count"), pa.int64()), 0
+        )
+        top_frac = pc.divide(
+            pc.cast(pc.fill_null(out.column("bigram_count_max"), 0), pa.float64()),
+            pc.cast(pc.fill_null(out.column("bigram_count_sum"), 1), pa.float64()),
+        )
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(out.column("wlen_count"), 40),
+                pc.greater_equal(n_stop, 2),
+            ),
+            pc.less_equal(top_frac, 0.1),
+        )
+        return pa.table(
+            {
+                "doc_id": out.column("doc_id"),
+                "n_words": pc.cast(out.column("wlen_count"), pa.int64()),
+                "mean_wlen": round_away_arrow(mean_wlen),
+                "n_distinct_stop": n_stop,
+                "top_bigram_frac": round_away_arrow(top_frac),
+                "keep": keep,
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+GOPHER_RULES_SQL = """
+WITH ws AS (
+  SELECT doc_id, unnest(string_split(text,' ')) AS word,
+         generate_subscripts(string_split(text,' '),1) AS idx
+  FROM documents),
+base AS (SELECT doc_id, count(*) AS n_words, sum(length(word)) AS n_chars FROM ws GROUP BY doc_id),
+stops AS (SELECT doc_id, count(DISTINCT word) AS n_stop FROM ws
+          WHERE word IN ('the','a','row','value') GROUP BY doc_id),
+bg AS (SELECT doc_id, word || ' ' || lead(word,1) OVER (PARTITION BY doc_id ORDER BY idx) AS bigram FROM ws),
+bgc AS (SELECT doc_id, bigram, count(*) AS c FROM bg WHERE bigram IS NOT NULL GROUP BY doc_id, bigram),
+per_bg AS (SELECT doc_id, max(c) AS maxc, sum(c) AS nbg FROM bgc GROUP BY doc_id)
+SELECT b.doc_id,
+  CAST(b.n_words AS BIGINT) AS n_words,
+  round(CAST(b.n_chars AS DOUBLE)/b.n_words, 4) AS mean_wlen,
+  CAST(coalesce(s.n_stop, 0) AS BIGINT) AS n_distinct_stop,
+  round(CAST(coalesce(p.maxc, 0) AS DOUBLE)/coalesce(p.nbg, 1), 4) AS top_bigram_frac,
+  (b.n_words >= 40 AND coalesce(s.n_stop, 0) >= 2
+   AND CAST(coalesce(p.maxc, 0) AS DOUBLE)/coalesce(p.nbg, 1) <= 0.1) AS keep
+FROM base b
+LEFT JOIN stops s USING (doc_id)
+LEFT JOIN per_bg p USING (doc_id)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -4994,6 +5284,9 @@ REGISTRY: dict[str, tuple] = {
     "q19_disjunctive_revenue": (q19_disjunctive_revenue, Q19_SQL),
     "q20_potential_promotion": (q20_potential_promotion, Q20_SQL),
     "q21_waiting_suppliers": (q21_waiting_suppliers, Q21_SQL),
+    "dup_shingle_frac_documents": (dup_shingle_frac_documents, DUP_SHINGLE_SQL),
+    "mixture_sample_documents": (mixture_sample_documents, MIXTURE_SAMPLE_SQL),
+    "gopher_rules_documents": (gopher_rules_documents, GOPHER_RULES_SQL),
     "q10_returned_items": (q10_returned_items, Q10_SQL),
     "q16_parts_supplier_counts": (q16_parts_supplier_counts, Q16_SQL),
     "rollup_events_daily": (rollup_events_daily, ROLLUP_EVENTS_SQL),
