@@ -4774,9 +4774,14 @@ def q20_potential_promotion(sf_dir: str):
             num_partitions=relops.choose_num_partitions_for(supps),
             on=("s_suppkey",), right_on=("s_suppkey",),
         )
-    out = pa.Table.from_pandas(
-        named.sort("s_suppkey").to_pandas(), preserve_index=False
-    )
+    df = named.sort("s_suppkey").to_pandas()
+    if df.empty:
+        # no supplier over threshold: Ray loses the schema on an empty
+        # dataset, so rebuild the typed empty result explicitly
+        return pa.table(
+            {"s_suppkey": pa.array([], pa.int64()), "s_name": pa.array([], pa.string())}
+        )
+    out = pa.Table.from_pandas(df, preserve_index=False)
     return pa.table(
         {
             "s_suppkey": pc.cast(out.column("s_suppkey"), pa.int64()),
@@ -4891,7 +4896,16 @@ def q21_waiting_suppliers(sf_dir: str):
     top = relops.topk(
         per_supp, [("numwait", "descending"), ("s_suppkey", "ascending")], 20
     )
-    top_tbl = pa.Table.from_pandas(top.to_pandas(), preserve_index=False)
+    top_df = top.to_pandas()
+    if top_df.empty:
+        return pa.table(
+            {
+                "s_suppkey": pa.array([], pa.int64()),
+                "s_name": pa.array([], pa.string()),
+                "numwait": pa.array([], pa.int64()),
+            }
+        )
+    top_tbl = pa.Table.from_pandas(top_df, preserve_index=False)
     # attribute fetch for exactly the <=20 winners
     names = pq.read_table(
         relops.table_path(sf_dir, "supplier"), columns=["s_suppkey", "s_name"],
@@ -5067,10 +5081,13 @@ def mixture_sample_documents(sf_dir: str):
         .aggregate(Sum("lang_count", alias_name="n"))
     )
     counts = {r["lang"]: int(r["n"]) for r in counts_ds.take_all()}
-    cap = min(
-        float(counts.get(lang, 0)) / w for lang, w in _MIX_WEIGHTS.items()
-    )
-    quotas = {lang: int(np.floor(w * cap)) for lang, w in _MIX_WEIGHTS.items()}
+    # cap over PRESENT languages only (the SQL twin's counts CTE sees no
+    # absent-language rows); unknown langs get the default tail weight
+    weights = {
+        lang: _MIX_WEIGHTS.get(lang, 0.15) for lang in counts
+    }
+    cap = min(float(counts[lang]) / w for lang, w in weights.items())
+    quotas = {lang: int(np.floor(w * cap)) for lang, w in weights.items()}
 
     ds = scan(sf_dir, "documents", columns=["doc_id", "lang"])
 
