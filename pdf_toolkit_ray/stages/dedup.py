@@ -570,49 +570,41 @@ def _bucket_candidate_pairs(
     exploded: ray.data.Dataset,
     id_col: str,
     id_type: pa.DataType,
-    num_partitions: int,
 ) -> ray.data.Dataset:
-    """Distinct unordered id pairs sharing an LSH band, via a vectorized
-    SELF-JOIN on band_key (Arrow hash-join kernels in C++) instead of
-    ``groupby(band).map_groups`` — with mostly-unique bands the per-group
-    Python dispatch dominated (150k+ empty-group calls measured 4.2s vs
-    2.9s for the join at sf0.1). A pathologically hot bucket of m members
-    still implies m^2 candidate rows — inherent to all-pairs-within-bucket
-    semantics; the downstream (a, b) dedup bounds what survives.
+    """Unordered id pairs sharing an LSH band, nearly distinct: ONE
+    bucketed sort-shuffle on the integer band_key co-locates every band,
+    then the all-pairs step is a vectorized Arrow self-join INSIDE the
+    bucket and pairs surfacing from several bands in the same bucket
+    dedup right there. Only CROSS-bucket duplicates (the same pair found
+    via bands that hashed to different buckets) survive — the caller's
+    size-gated global distinct removes those. A pathologically hot band
+    of m members still implies m² candidate rows — inherent to
+    all-pairs-within-bucket semantics.
 
-    Ray's hash-join and aggregate can emit schema-LESS empty blocks for
-    empty partitions; every stage here normalizes those to a typed empty
-    (a, b) table so downstream ``Dataset.join`` on ``a`` never sees a
-    block missing the key column (``id_type`` exists for exactly this)."""
+    History: a Dataset.join + global sort-groupby computed the same thing
+    with two all-to-alls plus per-join aggregator-actor startup, which
+    dominated at realistic candidate counts (2.4-2.8 s for 160k exploded
+    rows at sf0.1; this path measures ~0.8 s). Before that, a
+    ``groupby(band).map_groups`` paid ~80 µs Python dispatch per
+    mostly-unique band (4.2 s)."""
+    from ..relops import bucketed_groupby
+
     empty = pa.table(
         {"a": pa.array([], type=id_type), "b": pa.array([], type=id_type)}
     )
 
-    def _as_b(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {"band_key": batch.column("band_key"), "b": batch.column(id_col)}
+    def per_bucket(group: pa.Table) -> pa.Table:
+        right = pa.table(
+            {"band_key": group.column("band_key"), "b": group.column(id_col)}
         )
+        j = group.select(["band_key", id_col]).join(
+            right, keys=["band_key"], join_type="inner"
+        )
+        kept = j.filter(pc.less(j.column(id_col), j.column("b")))
+        t = pa.table({"a": kept.column(id_col), "b": kept.column("b")})
+        return t.group_by(["a", "b"]).aggregate([])
 
-    right = exploded.map_batches(_as_b, batch_format="pyarrow", zero_copy_batch=True)
-    joined = exploded.join(right, "inner", num_partitions=num_partitions, on=("band_key",))
-
-    def _ordered(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0 or id_col not in batch.column_names:
-            return empty
-        kept = batch.filter(pc.less(batch.column(id_col), batch.column("b")))
-        return pa.table({"a": kept.column(id_col), "b": kept.column("b")})
-
-    def _norm(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0 or "a" not in batch.column_names:
-            return empty
-        return batch.select(["a", "b"])
-
-    return (
-        joined.map_batches(_ordered, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["a", "b"])
-        .aggregate(Count(alias_name="_n"))
-        .map_batches(_norm, batch_format="pyarrow", zero_copy_batch=True)
-    )
+    return bucketed_groupby(exploded, ["band_key"], per_bucket, empty=empty)
 
 
 @ray.remote
@@ -693,7 +685,7 @@ def ngram_jaccard_pairs(
         {"a": pa.array([], type=id_type), "b": pa.array([], type=id_type)}
     )
     cand = drop_empty_blocks(
-        _bucket_candidate_pairs(exploded, id_col, id_type, num_partitions).materialize(),
+        _bucket_candidate_pairs(exploded, id_col, id_type).materialize(),
         empty_pairs,
     )
 
@@ -710,9 +702,15 @@ def ngram_jaccard_pairs(
                 }
             )
             return ray.data.from_arrow(empty)
-        pairs = pa.concat_tables(
-            [t.select(["a", "b"]) for t in pair_blocks]
-        ).combine_chunks()
+        # global distinct: the band-bucketed generator dedups within a
+        # bucket only, so the same pair found via bands in different
+        # buckets can still repeat here
+        pairs = (
+            pa.concat_tables([t.select(["a", "b"]) for t in pair_blocks])
+            .group_by(["a", "b"])
+            .aggregate([])
+            .combine_chunks()
+        )
         ids = pc.unique(
             pa.chunked_array(
                 [pairs.column("a").combine_chunks(), pairs.column("b").combine_chunks()]
@@ -748,7 +746,17 @@ def ngram_jaccard_pairs(
             _verify_broadcast, batch_format="pyarrow", zero_copy_batch=True
         )
 
-    # scale path: distributed text attach, one crossing per pair side
+    # scale path: global distinct of the cross-bucket pair duplicates
+    # first (a second bucketed shuffle over id-pair rows only), then
+    # distributed text attach, one crossing per pair side
+    from ..relops import bucketed_groupby
+
+    cand = bucketed_groupby(
+        cand, ["a", "b"],
+        lambda g: g.group_by(["a", "b"]).aggregate([]),
+        empty=empty_pairs,
+    )
+
     def _rename(side: str):
         def fn(batch: pa.Table) -> pa.Table:
             return pa.table(
