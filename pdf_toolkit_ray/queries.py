@@ -2176,6 +2176,13 @@ WHERE l.l_quantity < 0.2 * a.aq
 """
 
 
+#: row-count gate for q18's qualifying-order broadcast (ids+qty only;
+#: 500k rows ~ 8 MB in flight — same bounded-broadcast reasoning as
+#: relops.BROADCAST_GATE_BYTES, but the gated set is an aggregate whose
+#: size the on-disk table does not bound, so the gate is on ROWS)
+Q18_BROADCAST_ROWS = 500_000
+
+
 def q18_large_volume_orders(sf_dir: str):
     """TPC-H Q18 shape: HAVING on a big groupby, then join back to the
     fact's parent. The having-filtered aggregate (one row per qualifying
@@ -2214,20 +2221,37 @@ def q18_large_volume_orders(sf_dir: str):
     )
     orders = scan(sf_dir, "orders",
                   columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
-    # the HAVING leaves few qualifying orderkeys: a distributed-built
-    # Bloom filter (fixed 128 KB regardless of sf) drops ~99% of orders
-    # BEFORE the join shuffle; false positives only re-enter the exact
-    # join, so the result is unchanged (totals is already ref-level
-    # materialized by drop_empty_blocks — no recompute for the build)
-    bits_ref = relops.bloom_from_dataset(totals, "l_orderkey")
-    orders = relops.bloom_prefilter(orders, "o_orderkey", bits_ref)
-    joined = orders.join(
-        totals, "inner",
-        num_partitions=relops.choose_num_partitions(
-            relops.table_path(sf_dir, "lineitem"), relops.table_path(sf_dir, "orders")
-        ),
-        on=("o_orderkey",), right_on=("l_orderkey",),
-    )
+    # the HAVING leaves FEW qualifying orderkeys (ids+qty only, ~16
+    # bytes/row); under the gate they broadcast once and the orders scan
+    # joins per batch with zero shuffle. Above the gate: a
+    # distributed-built Bloom filter (fixed 128 KB regardless of sf)
+    # drops ~99% of orders BEFORE the hash-join shuffle; false positives
+    # only re-enter the exact join, so the result is unchanged (totals
+    # is ref-level materialized by drop_empty_blocks — no recompute)
+    if totals.count() <= Q18_BROADCAST_ROWS:
+        blocks = [t for t in ray.get(totals.to_arrow_refs()) if t.num_rows]
+        if not blocks:
+            return pa.table(
+                {
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "o_custkey": pa.array([], pa.int64()),
+                    "o_orderdate": pa.array([], pa.timestamp("us")),
+                    "o_totalprice": pa.array([], pa.float64()),
+                    "total_qty": pa.array([], pa.int64()),
+                }
+            )
+        small = pa.concat_tables(blocks).rename_columns(["o_orderkey", "total_qty"])
+        joined = relops.broadcast_join(orders, small, on="o_orderkey")
+    else:
+        bits_ref = relops.bloom_from_dataset(totals, "l_orderkey")
+        orders = relops.bloom_prefilter(orders, "o_orderkey", bits_ref)
+        joined = orders.join(
+            totals, "inner",
+            num_partitions=relops.choose_num_partitions(
+                relops.table_path(sf_dir, "lineitem"), relops.table_path(sf_dir, "orders")
+            ),
+            on=("o_orderkey",), right_on=("l_orderkey",),
+        )
 
     def finish(batch: pa.Table) -> pa.Table:
         return pa.table(

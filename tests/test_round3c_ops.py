@@ -239,3 +239,16 @@ def test_gopher_rules_flags(ray_session, tmp_path):
     _assert_matches_sql(
         gopher_rules_documents(sf), sf, GOPHER_RULES_SQL, ("documents",)
     )
+
+
+def test_q18_broadcast_and_join_paths_match(ray_session, monkeypatch):
+    """The row-count-gated broadcast of qualifying orders must equal the
+    bloom+hash-join scale path (gate forced to 0)."""
+    from pdf_toolkit_ray import queries
+
+    sf = "/root/testdata/sf0.001"
+    a = queries.q18_large_volume_orders(sf)
+    a = (a.to_pandas() if not isinstance(a, pd.DataFrame) else a)
+    monkeypatch.setattr(queries, "Q18_BROADCAST_ROWS", 0)
+    b = queries.q18_large_volume_orders(sf).to_pandas()
+    pd.testing.assert_frame_equal(_canon(a), _canon(b), check_dtype=False)
