@@ -5092,7 +5092,15 @@ def mixture_sample_documents(sf_dir: str):
     the per-language quotas; the selection pass prunes each batch to its
     local quota-head so the per-language exact selection (a bounded-
     cardinality groupby: #languages groups) sees at most k_l rows per
-    language per batch."""
+    language per batch.
+
+    Scale note: exact rank-based quotas make the final per-language
+    selection a top-k_l where k_l is the OUTPUT size — the per-language
+    reduce task must hold its kept sample (fine whenever the sample is
+    meant to be consumed; the per-batch prune bounds the reduce input to
+    k_l x #batches). For quotas near the corpus size, switch to
+    hash-THRESHOLD sampling (keep h < t_l with t_l a sampled quantile,
+    trim the boundary band exactly) — the stratified_sample_orders shape."""
     import hashlib
 
     counts_ds = (
