@@ -5269,6 +5269,225 @@ LEFT JOIN per_bg p USING (doc_id)
 """
 
 
+def full_outer_user_day(sf_dir: str):
+    """FULL OUTER join: per (user, day), error count vs purchase count —
+    on the fixture ~40% of rows exist on one side only, so every outer
+    branch is exercised. Each side pre-aggregates (one row per (user,
+    day) per block) through the bucketed groupby before the distributed
+    full_outer Dataset.join; the finisher coalesces keys and null-fills
+    counts vectorized."""
+
+    def side(ev: str, out: str, key_u: str, key_d: str):
+        ds = scan(
+            sf_dir, "events", columns=["ts", "user_id"],
+            filter=(pc.field("event_type") == ev),
+        )
+
+        def partial(batch: pa.Table) -> pa.Table:
+            t = pa.table(
+                {
+                    "u": batch.column("user_id"),
+                    "d": pc.strftime(batch.column("ts"), format="%Y-%m-%d"),
+                }
+            )
+            return t.group_by(["u", "d"]).aggregate([("d", "count")])
+
+        def bucket(group: pa.Table) -> pa.Table:
+            g = group.group_by(["u", "d"]).aggregate([("d_count", "sum")])
+            return pa.table(
+                {
+                    key_u: g.column("u"),
+                    key_d: g.column("d"),
+                    out: pc.cast(g.column("d_count_sum"), pa.int64()),
+                }
+            )
+
+        return relops.bucketed_groupby(
+            ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+            ["u", "d"], bucket,
+            empty=pa.table(
+                {
+                    key_u: pa.array([], pa.int64()),
+                    key_d: pa.array([], pa.string()),
+                    out: pa.array([], pa.int64()),
+                }
+            ),
+        )
+
+    errs = side("error", "n_err", "user_id", "d")
+    buys = side("purchase", "n_buy", "bu_user", "bu_d")
+    joined = errs.join(
+        buys, "full_outer",
+        num_partitions=relops.choose_num_partitions(relops.table_path(sf_dir, "events")),
+        on=("user_id", "d"), right_on=("bu_user", "bu_d"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cols = batch.column_names
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "day": pa.array([], pa.string()),
+                "n_err": pa.array([], pa.int64()),
+                "n_buy": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or "user_id" not in cols:
+            return empty
+        return pa.table(
+            {
+                "user_id": pc.coalesce(
+                    batch.column("user_id"), batch.column("bu_user")
+                ),
+                "day": pc.coalesce(batch.column("d"), batch.column("bu_d")),
+                "n_err": pc.fill_null(pc.cast(batch.column("n_err"), pa.int64()), 0),
+                "n_buy": pc.fill_null(pc.cast(batch.column("n_buy"), pa.int64()), 0),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+FULL_OUTER_SQL = """
+WITH a AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS d, count(*) AS n_err
+           FROM events WHERE event_type = 'error' GROUP BY 1, 2),
+     b AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS d, count(*) AS n_buy
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+SELECT coalesce(a.user_id, b.user_id) AS user_id,
+       coalesce(a.d, b.d) AS day,
+       CAST(coalesce(a.n_err, 0) AS BIGINT) AS n_err,
+       CAST(coalesce(a.n_buy, 0) AS BIGINT) AS n_buy
+FROM a FULL OUTER JOIN b ON a.user_id = b.user_id AND a.d = b.d
+"""
+
+
+def unpivot_events_daily(sf_dir: str):
+    """Melt (UNPIVOT): the day x type pivot back to long (day, type, n)
+    rows INCLUDING the zero cells the wide form materializes — the
+    reshaping inverse of pivot_events_daily. The melt itself runs on the
+    post-aggregation wide table (days x types — small by construction);
+    the Arrow column-to-rows expansion is one take/concat, no Python
+    row loop."""
+    wide = pivot_events_daily(sf_dir)
+    days = wide.column("d")
+    n_days = wide.num_rows
+    parts = []
+    for t in _EVENT_TYPES:
+        parts.append(
+            pa.table(
+                {
+                    "d": days,
+                    "event_type": pa.array([t] * n_days, pa.string()),
+                    "n": pc.cast(wide.column(f"n_{t}"), pa.int64()),
+                }
+            )
+        )
+    return pa.concat_tables(parts)
+
+
+UNPIVOT_SQL = """
+WITH days AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS d FROM events),
+     types AS (SELECT unnest(['click','error','purchase','signup','view']) AS event_type),
+     c AS (SELECT strftime(ts, '%Y-%m-%d') AS d, event_type, count(*) AS n
+           FROM events GROUP BY 1, 2)
+SELECT days.d, types.event_type, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+FROM days CROSS JOIN types
+LEFT JOIN c ON c.d = days.d AND c.event_type = types.event_type
+"""
+
+
+def vocab_entropy_by_lang(sf_dir: str):
+    """Shannon entropy of the word distribution per language (a corpus
+    diversity diagnostic): H = ln(n) - sum(c·ln c)/n over per-(lang,
+    word) counts. The explode emits (lang, word) count partials per
+    batch; the bucketed groupby makes the integer counts exact; only the
+    per-word c·ln(c) terms are floats, summed once per language (drift
+    ~1e-13 relative ≪ the 4-decimal grid — the corr_qty_price argument)."""
+    ds = scan(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(batch.column("text"), pattern=" ")
+        words = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+        lengths = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        langs = batch.column("lang").to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "lang": pa.array(np.repeat(langs, lengths), pa.string()),
+                "word": pc.list_flatten(words),
+            }
+        )
+        return t.group_by(["lang", "word"]).aggregate([("word", "count")])
+
+    def bucket_sum(group: pa.Table) -> pa.Table:
+        g = group.group_by(["lang", "word"]).aggregate([("word_count", "sum")])
+        return pa.table(
+            {
+                "lang": g.column("lang"),
+                "word": g.column("word"),
+                "c": pc.cast(g.column("word_count_sum"), pa.int64()),
+            }
+        )
+
+    counts = relops.bucketed_groupby(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["lang", "word"], bucket_sum,
+        empty=pa.table(
+            {
+                "lang": pa.array([], pa.string()),
+                "word": pa.array([], pa.string()),
+                "c": pa.array([], pa.int64()),
+            }
+        ),
+    )
+
+    def ent_partial(batch: pa.Table) -> pa.Table:
+        c = pc.cast(batch.column("c"), pa.float64())
+        t = pa.table(
+            {
+                "lang": batch.column("lang"),
+                "n": batch.column("c"),
+                "v": pa.array(np.ones(batch.num_rows, np.int64)),
+                "s": pc.multiply(c, pc.ln(c)),
+            }
+        )
+        return t.group_by(["lang"]).aggregate(
+            [("n", "sum"), ("v", "sum"), ("s", "sum")]
+        )
+
+    agg = (
+        counts.map_batches(ent_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .aggregate(
+            Sum("n_sum", alias_name="n_words"),
+            Sum("v_sum", alias_name="n_vocab"),
+            Sum("s_sum", alias_name="s"),
+        )
+    )
+    tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    n = pc.cast(tbl.column("n_words"), pa.float64())
+    ent = pc.subtract(pc.ln(n), pc.divide(tbl.column("s"), n))
+    return pa.table(
+        {
+            "lang": tbl.column("lang"),
+            "n_words": pc.cast(tbl.column("n_words"), pa.int64()),
+            "n_vocab": pc.cast(tbl.column("n_vocab"), pa.int64()),
+            "entropy": round_away_arrow(ent),
+        }
+    )
+
+
+VOCAB_ENTROPY_SQL = """
+WITH wc AS (
+  SELECT lang, word, count(*) AS c FROM (
+    SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
+  GROUP BY 1, 2),
+per AS (SELECT lang, sum(c) AS n, count(*) AS v, sum(c * ln(c)) AS s FROM wc GROUP BY lang)
+SELECT lang, CAST(n AS BIGINT) AS n_words, CAST(v AS BIGINT) AS n_vocab,
+       round(ln(n) - s/n, 4) AS entropy
+FROM per
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -5336,6 +5555,9 @@ REGISTRY: dict[str, tuple] = {
     "dup_shingle_frac_documents": (dup_shingle_frac_documents, DUP_SHINGLE_SQL),
     "mixture_sample_documents": (mixture_sample_documents, MIXTURE_SAMPLE_SQL),
     "gopher_rules_documents": (gopher_rules_documents, GOPHER_RULES_SQL),
+    "full_outer_user_day": (full_outer_user_day, FULL_OUTER_SQL),
+    "unpivot_events_daily": (unpivot_events_daily, UNPIVOT_SQL),
+    "vocab_entropy_by_lang": (vocab_entropy_by_lang, VOCAB_ENTROPY_SQL),
     "q10_returned_items": (q10_returned_items, Q10_SQL),
     "q16_parts_supplier_counts": (q16_parts_supplier_counts, Q16_SQL),
     "rollup_events_daily": (rollup_events_daily, ROLLUP_EVENTS_SQL),

@@ -252,3 +252,85 @@ def test_q18_broadcast_and_join_paths_match(ray_session, monkeypatch):
     monkeypatch.setattr(queries, "Q18_BROADCAST_ROWS", 0)
     b = queries.q18_large_volume_orders(sf).to_pandas()
     pd.testing.assert_frame_equal(_canon(a), _canon(b), check_dtype=False)
+
+
+def test_full_outer_one_sided_rows(ray_session, tmp_path):
+    """Users with only errors or only purchases appear with the other
+    count null-filled to 0; same-day same-user rows merge."""
+    from pdf_toolkit_ray.queries import FULL_OUTER_SQL, full_outer_user_day
+
+    ts = pa.array(
+        np.array(
+            ["2024-01-01T05:00", "2024-01-01T06:00", "2024-01-01T07:00",
+             "2024-01-02T05:00", "2024-01-01T08:00"],
+            dtype="datetime64[us]",
+        )
+    )
+    events = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "ts": ts,
+            "user_id": pa.array([1, 1, 2, 1, 3], pa.int64()),
+            # u1 d1: error+purchase (merged row); u2 d1: error only;
+            # u1 d2: purchase only; u3 d1: purchase only
+            "event_type": ["error", "purchase", "error", "purchase", "purchase"],
+        }
+    )
+    sf = _write_tables(tmp_path, events=events)
+    out = full_outer_user_day(sf).to_pandas()
+    got = {
+        (r.user_id, r.day): (r.n_err, r.n_buy) for r in out.itertuples()
+    }
+    assert got == {
+        (1, "2024-01-01"): (1, 1),
+        (2, "2024-01-01"): (1, 0),
+        (1, "2024-01-02"): (0, 1),
+        (3, "2024-01-01"): (0, 1),
+    }
+    _assert_matches_sql(full_outer_user_day(sf), sf, FULL_OUTER_SQL, ("events",))
+
+
+def test_unpivot_includes_zero_cells(ray_session, tmp_path):
+    """The melt emits a row for EVERY (day, type) cell of the wide pivot,
+    including types absent on a day (n=0)."""
+    from pdf_toolkit_ray.queries import UNPIVOT_SQL, unpivot_events_daily
+
+    ts = pa.array(
+        np.array(["2024-01-01T05:00", "2024-01-02T05:00"], dtype="datetime64[us]")
+    )
+    events = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": ts,
+            "user_id": pa.array([1, 1], pa.int64()),
+            "event_type": ["click", "view"],
+        }
+    )
+    sf = _write_tables(tmp_path, events=events)
+    out = unpivot_events_daily(sf)
+    assert out.num_rows == 2 * 5  # 2 days x 5 fixed types
+    df = out.to_pandas()
+    assert df[(df.d == "2024-01-01") & (df.event_type == "click")]["n"].iloc[0] == 1
+    assert df[(df.d == "2024-01-01") & (df.event_type == "view")]["n"].iloc[0] == 0
+    _assert_matches_sql(out, sf, UNPIVOT_SQL, ("events",))
+
+
+def test_vocab_entropy_matches_numpy(ray_session, tmp_path):
+    """Entropy equals the direct numpy computation on hand-built word
+    distributions (uniform -> ln(k), degenerate single word -> 0)."""
+    from pdf_toolkit_ray.queries import VOCAB_ENTROPY_SQL, vocab_entropy_by_lang
+
+    docs = _docs(
+        [
+            (1, "a b c d", "en"),       # uniform over 4 -> ln(4)
+            (2, "x x x x x", "de"),     # single word -> 0
+            (3, "p p q", "fr"),         # H = ln(3) - (2 ln 2)/3
+        ]
+    )
+    sf = _write_tables(tmp_path, documents=docs)
+    out = vocab_entropy_by_lang(sf).to_pandas().set_index("lang")
+    assert abs(out.loc["en", "entropy"] - round(np.log(4), 4)) < 1e-9
+    assert out.loc["de", "entropy"] == 0.0
+    assert abs(out.loc["fr", "entropy"] - round(np.log(3) - 2 * np.log(2) / 3, 4)) < 1e-9
+    assert out.loc["en", "n_vocab"] == 4 and out.loc["de", "n_words"] == 5
+    _assert_matches_sql(vocab_entropy_by_lang(sf), sf, VOCAB_ENTROPY_SQL, ("documents",))
