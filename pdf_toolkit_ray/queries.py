@@ -5334,12 +5334,19 @@ def full_outer_user_day(sf_dir: str):
         )
         if batch.num_rows == 0 or "user_id" not in cols:
             return empty
+        # Ray's hash join may either keep the right_on key columns
+        # (bu_user/bu_d, null on left-only rows) or coalesce them into the
+        # left key names and drop them — handle both block schemas.
+        u = batch.column("user_id")
+        if "bu_user" in cols:
+            u = pc.coalesce(u, batch.column("bu_user"))
+        d = batch.column("d")
+        if "bu_d" in cols:
+            d = pc.coalesce(d, batch.column("bu_d"))
         return pa.table(
             {
-                "user_id": pc.coalesce(
-                    batch.column("user_id"), batch.column("bu_user")
-                ),
-                "day": pc.coalesce(batch.column("d"), batch.column("bu_d")),
+                "user_id": u,
+                "day": d,
                 "n_err": pc.fill_null(pc.cast(batch.column("n_err"), pa.int64()), 0),
                 "n_buy": pc.fill_null(pc.cast(batch.column("n_buy"), pa.int64()), 0),
             }
@@ -5356,7 +5363,7 @@ WITH a AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS d, count(*) AS n_err
 SELECT coalesce(a.user_id, b.user_id) AS user_id,
        coalesce(a.d, b.d) AS day,
        CAST(coalesce(a.n_err, 0) AS BIGINT) AS n_err,
-       CAST(coalesce(a.n_buy, 0) AS BIGINT) AS n_buy
+       CAST(coalesce(b.n_buy, 0) AS BIGINT) AS n_buy
 FROM a FULL OUTER JOIN b ON a.user_id = b.user_id AND a.d = b.d
 """
 
