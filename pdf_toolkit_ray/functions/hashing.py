@@ -123,6 +123,28 @@ def _shingle_hashes_batch(
     return flat, offsets
 
 
+def _shingle_consts(n: int) -> np.ndarray:
+    """n odd position-weight multipliers (SplitMix64 of the position,
+    forced odd so every weight is invertible mod 2^64)."""
+    return _splitmix64(np.arange(1, n + 1, dtype=np.uint64)) | np.uint64(1)
+
+
+def shingle_hashes_pos(words: list[str], n: int, cache: _WordHashCache) -> np.ndarray:
+    """Positional word-n-gram hashes: out[i] hashes words[i:i+n] (empty
+    when len(words) < n, unlike ``_shingle_hashes_batch`` which emits a
+    degenerate whole-doc shingle). Position i aligns with token i, which
+    span-level ops (duplicated-span removal) rely on."""
+    if len(words) < n:
+        return np.empty(0, dtype=np.uint64)
+    wh = np.fromiter((cache[w] for w in words), dtype=np.uint64, count=len(words))
+    cs = _shingle_consts(n)
+    with np.errstate(over="ignore"):
+        acc = wh[: len(wh) - n + 1] * cs[0]
+        for j in range(1, n):
+            acc = acc + wh[j : len(wh) - n + 1 + j] * cs[j]
+    return _splitmix64(acc)
+
+
 class MinHasher:
     """Warmed MinHash state (permutation coefficients computed once) —
     use as actor-held state in map_batches stages.

@@ -5495,6 +5495,291 @@ FROM per
 """
 
 
+def dup_span_removal_documents(sf_dir: str, n: int = 5):
+    """Cross-document duplicated-SPAN removal (word-level ExactSubstr of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): every token covered by a word-5-gram occurring in >= 2
+    DISTINCT documents is dropped; the op returns the rewritten text plus
+    kept/removed counts per doc. Scale shape: spans travel as 64-bit
+    hashes with (doc_id, pos) — never text; detection AND the occurrence
+    filter fold into ONE shingle-bucketed shuffle (all rows of a shingle
+    share a bucket), position expansion + the per-doc removal list are
+    local to a doc-bucketed second pass whose output is one row per
+    AFFECTED doc (≪ corpus), and the corpus text joins back once via a
+    distributed left_outer join. Reference analog: the toolkit's
+    cross-page cleanup ops (pipeline.py render/cleanup stages) as a
+    corpus-level curation transform."""
+    from .functions.hashing import _WordHashCache, shingle_hashes_pos
+
+    ds = scan(sf_dir, "documents", columns=["doc_id", "text"])
+    cache = _WordHashCache()
+
+    def pos_pairs(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        hs: list[np.ndarray] = []
+        for t in texts:
+            # split(' ') (not .split()) so token positions match the SQL
+            # twin's string_split(text, ' ') indexing exactly
+            hs.append(shingle_hashes_pos((t or "").split(" "), n, cache))
+        lens = [len(h) for h in hs]
+        flat = np.concatenate(hs) if hs else np.empty(0, np.uint64)
+        pos = np.concatenate([np.arange(k, dtype=np.int64) for k in lens]) if hs else np.empty(0, np.int64)
+        return pa.table(
+            {
+                "sh": pa.array(flat.astype(np.int64), pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, lens), pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+            }
+        )
+
+    pairs = ds.map_batches(pos_pairs, batch_format="pyarrow", zero_copy_batch=True)
+
+    empty_dp = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "pos": pa.array([], pa.int64())}
+    )
+
+    def bucket_dup_occurrences(group: pa.Table) -> pa.Table:
+        # distinct docs per shingle, then keep every occurrence row of the
+        # shingles seen in >= 2 docs — detection + filter in one pass
+        dd = group.group_by(["sh", "doc_id"]).aggregate([])
+        nd = dd.group_by(["sh"]).aggregate([("doc_id", "count")])
+        dup = nd.filter(pc.greater_equal(nd.column("doc_id_count"), 2)).select(["sh"])
+        j = group.join(dup, keys=["sh"], join_type="inner")
+        return j.select(["doc_id", "pos"])
+
+    dup_occ = relops.bucketed_groupby(
+        pairs, ["sh"], bucket_dup_occurrences, empty=empty_dp
+    )
+
+    empty_rm = pa.table(
+        {"rm_doc": pa.array([], pa.int64()), "rm": pa.array([], pa.binary())}
+    )
+
+    def bucket_removal_lists(group: pa.Table) -> pa.Table:
+        doc = group.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = group.column("pos").to_numpy(zero_copy_only=False)
+        # expand each span start to its n covered positions, distinct per doc
+        j = np.repeat(pos, n) + np.tile(np.arange(n, dtype=np.int64), len(pos))
+        d = np.repeat(doc, n)
+        order = np.lexsort((j, d))
+        d, j = d[order], j[order]
+        keep = np.ones(len(d), bool)
+        keep[1:] = (d[1:] != d[:-1]) | (j[1:] != j[:-1])
+        d, j = d[keep], j[keep]
+        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        bounds = np.r_[starts, len(d)]
+        # positions ship as an int64-LE blob: Ray's hash join rejects
+        # list-typed payload columns, a binary one passes through
+        blobs = [j[a:b].tobytes() for a, b in zip(bounds[:-1], bounds[1:])]
+        return pa.table(
+            {
+                "rm_doc": pa.array(d[starts], pa.int64()),
+                "rm": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    rm_lists = relops.bucketed_groupby(
+        dup_occ, ["doc_id"], bucket_removal_lists, empty=empty_rm
+    )
+
+    joined = ds.join(
+        rm_lists,
+        "left_outer",
+        num_partitions=relops.choose_num_partitions(relops.table_path(sf_dir, "documents")),
+        on=("doc_id",),
+        right_on=("rm_doc",),
+    )
+
+    empty_out = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "n_removed": pa.array([], pa.int64()),
+            "kept_frac": pa.array([], pa.float64()),
+            "clean_text": pa.array([], pa.string()),
+        }
+    )
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        from .functions.rounding import round_away
+
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return empty_out
+        texts = batch.column("text").to_pylist()
+        rms = (
+            batch.column("rm").to_pylist()
+            if "rm" in batch.column_names
+            else [None] * batch.num_rows
+        )
+        n_tok = np.empty(len(texts), np.int64)
+        n_rm = np.zeros(len(texts), np.int64)
+        clean: list[str] = []
+        for i, (t, rm) in enumerate(zip(texts, rms)):
+            words = (t or "").split(" ")
+            n_tok[i] = len(words)
+            if not rm:
+                clean.append(t or "")
+            else:
+                rs = set(np.frombuffer(rm, np.int64))
+                n_rm[i] = len(rs)
+                clean.append(" ".join(w for k, w in enumerate(words) if k not in rs))
+        kept = (n_tok - n_rm).astype(np.float64) / n_tok
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_removed": pa.array(n_rm, pa.int64()),
+                "kept_frac": pa.array(round_away(kept, 4), pa.float64()),
+                "clean_text": pa.array(clean, pa.string()),
+            }
+        )
+
+    return joined.map_batches(rebuild, batch_format="pyarrow", zero_copy_batch=True)
+
+
+DUP_SPAN_REMOVAL_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+pos AS (
+  SELECT doc_id, i, w[i] AS tok,
+         CASE WHEN i + 4 <= len(w)
+              THEN w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4] END AS g
+  FROM toks, UNNEST(range(1, len(w) + 1)) AS t(i)
+),
+dup AS (SELECT g FROM pos WHERE g IS NOT NULL GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+cover AS (
+  SELECT DISTINCT p.doc_id, p.i + u.k AS j
+  FROM pos p JOIN dup USING (g), UNNEST(range(0, 5)) AS u(k)
+),
+flags AS (
+  SELECT p.doc_id, p.i, p.tok, (c.j IS NOT NULL) AS removed
+  FROM pos p LEFT JOIN cover c ON c.doc_id = p.doc_id AND c.j = p.i
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       CAST(coalesce(sum(CASE WHEN removed THEN 1 END), 0) AS BIGINT) AS n_removed,
+       round(CAST(count(*) - coalesce(sum(CASE WHEN removed THEN 1 END), 0) AS DOUBLE)
+             / count(*), 4) AS kept_frac,
+       coalesce(string_agg(tok, ' ' ORDER BY i) FILTER (WHERE NOT removed), '') AS clean_text
+FROM flags GROUP BY doc_id
+"""
+
+
+def source_overlap_documents(sf_dir: str):
+    """Pairwise distinct-3-gram Jaccard overlap between document SOURCES
+    (the cross-corpus contamination matrix: which training sources share
+    content). Scale shape: shingles travel as 64-bit hashes with their
+    source tag, per-batch locally deduped; ONE shingle-bucketed shuffle
+    computes in-bucket distinct (shingle, source) then folds BOTH the
+    per-source totals and the per-pair co-occurrence counts (an in-bucket
+    Arrow self-join, <= S^2 rows per bucket for S sources); the final
+    fold over <= buckets x S^2 partial rows is driver-side because the
+    result is S^2-sized by construction."""
+    from .functions.hashing import _WordHashCache, shingle_hashes_pos
+    from .functions.rounding import round_away
+
+    ds = scan(sf_dir, "documents", columns=["source", "text"])
+    cache = _WordHashCache()
+
+    def src_shingles(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        srcs = batch.column("source").to_pylist()
+        codes, uniq = pd.factorize(np.asarray(srcs, dtype=object))
+        hs = [shingle_hashes_pos((t or "").split(" "), 3, cache) for t in texts]
+        lens = [len(h) for h in hs]
+        flat = np.concatenate(hs) if hs else np.empty(0, np.uint64)
+        crep = np.repeat(codes.astype(np.int64), lens)
+        # local distinct (source, shingle) before the shuffle
+        order = np.lexsort((flat, crep))
+        c, f = crep[order], flat[order]
+        keep = np.ones(len(c), bool)
+        keep[1:] = (c[1:] != c[:-1]) | (f[1:] != f[:-1])
+        c, f = c[keep], f[keep]
+        return pa.table(
+            {
+                "sh": pa.array(f.astype(np.int64), pa.int64()),
+                "source": pa.array(uniq.take(c), pa.string()),
+            }
+        )
+
+    pairs = ds.map_batches(src_shingles, batch_format="pyarrow", zero_copy_batch=True)
+
+    empty_partial = pa.table(
+        {
+            "source_a": pa.array([], pa.string()),
+            "source_b": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def bucket_overlap(group: pa.Table) -> pa.Table:
+        t = group.group_by(["sh", "source"]).aggregate([])
+        tot = t.group_by(["source"]).aggregate([("sh", "count")])
+        ones = pa.nulls(tot.num_rows, pa.string())
+        totals = pa.table(
+            {
+                "source_a": tot.column("source"),
+                "source_b": ones,
+                "n": pc.cast(tot.column("sh_count"), pa.int64()),
+            }
+        )
+        j = t.join(t, keys=["sh"], join_type="inner", right_suffix="_r")
+        j = j.filter(pc.less(j.column("source"), j.column("source_r")))
+        pr = j.group_by(["source", "source_r"]).aggregate([("sh", "count")])
+        pair_rows = pa.table(
+            {
+                "source_a": pr.column("source"),
+                "source_b": pr.column("source_r"),
+                "n": pc.cast(pr.column("sh_count"), pa.int64()),
+            }
+        )
+        return pa.concat_tables([totals, pair_rows])
+
+    partials = relops.bucketed_groupby(
+        pairs, ["sh"], bucket_overlap, empty=empty_partial
+    ).to_pandas()
+
+    tot = (
+        partials[partials.source_b.isna()]
+        .groupby("source_a", as_index=False)["n"].sum()
+        .set_index("source_a")["n"]
+    )
+    pr = (
+        partials[partials.source_b.notna()]
+        .groupby(["source_a", "source_b"], as_index=False)["n"].sum()
+        .sort_values(["source_a", "source_b"])
+        .reset_index(drop=True)
+    )
+    na = tot.reindex(pr.source_a).to_numpy(np.int64)
+    nb = tot.reindex(pr.source_b).to_numpy(np.int64)
+    inter = pr.n.to_numpy(np.int64)
+    jac = round_away(inter.astype(np.float64) / (na + nb - inter), 4)
+    return pa.table(
+        {
+            "source_a": pa.array(pr.source_a, pa.string()),
+            "source_b": pa.array(pr.source_b, pa.string()),
+            "n_a": pa.array(na, pa.int64()),
+            "n_b": pa.array(nb, pa.int64()),
+            "n_common": pa.array(inter, pa.int64()),
+            "jaccard": pa.array(jac, pa.float64()),
+        }
+    )
+
+
+SOURCE_OVERLAP_SQL = """
+WITH ws AS (SELECT doc_id, source, string_split(text,' ') AS w FROM documents),
+sh AS (SELECT DISTINCT source, w[i]||' '||w[i+1]||' '||w[i+2] AS g
+       FROM ws, UNNEST(range(1, len(w) - 1)) AS t(i)),
+tot AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+pairs AS (SELECT a.source AS sa, b.source AS sb, count(*) AS inter
+          FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source GROUP BY 1, 2)
+SELECT sa AS source_a, sb AS source_b, ta.n AS n_a, tb.n AS n_b,
+       CAST(inter AS BIGINT) AS n_common,
+       round(CAST(inter AS DOUBLE) / (ta.n + tb.n - inter), 4) AS jaccard
+FROM pairs JOIN tot ta ON ta.source = sa JOIN tot tb ON tb.source = sb
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -5560,6 +5845,8 @@ REGISTRY: dict[str, tuple] = {
     "q20_potential_promotion": (q20_potential_promotion, Q20_SQL),
     "q21_waiting_suppliers": (q21_waiting_suppliers, Q21_SQL),
     "dup_shingle_frac_documents": (dup_shingle_frac_documents, DUP_SHINGLE_SQL),
+    "dup_span_removal_documents": (dup_span_removal_documents, DUP_SPAN_REMOVAL_SQL),
+    "source_overlap_documents": (source_overlap_documents, SOURCE_OVERLAP_SQL),
     "mixture_sample_documents": (mixture_sample_documents, MIXTURE_SAMPLE_SQL),
     "gopher_rules_documents": (gopher_rules_documents, GOPHER_RULES_SQL),
     "full_outer_user_day": (full_outer_user_day, FULL_OUTER_SQL),

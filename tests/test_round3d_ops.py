@@ -1,0 +1,107 @@
+"""Edge-case tests for the span-removal and source-overlap curation
+ops: exact removal semantics (cross-doc only, overlapping spans, short
+docs untouched), hand-checkable Jaccard values, and the no-text-on-the-
+shuffle scale invariant for the span explode."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _docs(tmp_path, texts, sources=None):
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(sources or ["s0"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    return str(tmp_path)
+
+
+def test_dup_span_removal_semantics(ray_session, tmp_path):
+    from pdf_toolkit_ray.queries import dup_span_removal_documents
+
+    shared = "a b c d e"  # the only cross-doc 5-gram
+    texts = [
+        f"x1 x2 {shared} y1 y2",       # tokens 2..6 removed
+        f"{shared} z1 z2 z3 z4 z5",    # tokens 0..4 removed
+        "a b c d",                     # < 5 tokens: untouched
+        "w1 w2 w3 w4 w5 w1 w2 w3 w4 w5",  # within-doc repeat only: untouched
+    ]
+    sf = _docs(tmp_path, texts)
+    out = (
+        dup_span_removal_documents(sf)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, "clean_text"] == "x1 x2 y1 y2"
+    assert out.loc[0, "n_removed"] == 5 and out.loc[0, "n_tokens"] == 9
+    assert out.loc[1, "clean_text"] == "z1 z2 z3 z4 z5"
+    assert out.loc[2, "clean_text"] == "a b c d" and out.loc[2, "n_removed"] == 0
+    # duplicated only WITHIN one doc -> not cross-doc, kept whole
+    assert out.loc[3, "n_removed"] == 0
+    assert abs(out.loc[0, "kept_frac"] - round(4 / 9, 4)) < 1e-12
+
+
+def test_dup_span_removal_overlapping_spans(ray_session, tmp_path):
+    from pdf_toolkit_ray.queries import dup_span_removal_documents
+
+    # two docs share a 6-token run -> two overlapping dup 5-grams in each;
+    # covered positions must be the distinct union (6 tokens, not 10)
+    run = "a b c d e f"
+    sf = _docs(tmp_path, [f"p1 {run} q1", f"r1 r2 {run}"])
+    out = dup_span_removal_documents(sf).to_pandas().set_index("doc_id")
+    assert out.loc[0, "n_removed"] == 6
+    assert out.loc[0, "clean_text"] == "p1 q1"
+    assert out.loc[1, "clean_text"] == "r1 r2"
+
+
+def test_span_explode_carries_no_text(ray_session, tmp_path):
+    # the scale invariant: what enters the shingle shuffle is (hash,
+    # doc, pos) — document text must never be a column of the explode
+    import pdf_toolkit_ray.queries as q
+    import inspect
+
+    src = inspect.getsource(q.dup_span_removal_documents)
+    # the explode emits exactly these columns
+    assert '"sh": pa.array' in src and '"pos": pa.array' in src
+    assert '"text"' not in src.split("def bucket_dup_occurrences")[0].split("return pa.table")[1]
+
+
+def test_source_overlap_handchecked(ray_session, tmp_path):
+    from pdf_toolkit_ray.queries import source_overlap_documents
+
+    # srcA docs: shingles {a b c, b c d} and {e f g}; srcB: {a b c, e f g, f g h}
+    texts = ["a b c d", "e f g", "a b c", "e f g h"]
+    sources = ["A", "A", "B", "B"]
+    sf = _docs(tmp_path, texts, sources)
+    out = source_overlap_documents(sf).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    # A: {abc, bcd, efg} (3); B: {abc, efg, fgh} (3); common {abc, efg} (2)
+    assert (r.source_a, r.source_b) == ("A", "B")
+    assert (r.n_a, r.n_b, r.n_common) == (3, 3, 2)
+    assert abs(r.jaccard - round(2 / 4, 4)) < 1e-12
+
+
+def test_shingle_hashes_pos_alignment():
+    from pdf_toolkit_ray.functions.hashing import (
+        _WordHashCache,
+        shingle_hashes_pos,
+    )
+
+    cache = _WordHashCache()
+    words = "w0 w1 w2 w3 w4 w5 w6".split()
+    h = shingle_hashes_pos(words, 5, cache)
+    assert len(h) == 3
+    # position i hashes words[i:i+5]: shifting the window by one changes it
+    assert h[0] != h[1]
+    # same 5 words elsewhere hash identically (position-independent content)
+    h2 = shingle_hashes_pos(["z"] + words[:5], 5, cache)
+    assert h2[1] == h[0]
+    assert len(shingle_hashes_pos(["a", "b"], 5, cache)) == 0
