@@ -5780,6 +5780,183 @@ FROM pairs JOIN tot ta ON ta.source = sa JOIN tot tb ON tb.source = sb
 """
 
 
+def dsir_weights_documents(sf_dir: str, target_source: str = "src0"):
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every document
+    by its log-likelihood ratio under a TARGET-domain unigram LM (docs of
+    one source) vs the RAW-corpus LM, add-one smoothing over the shared
+    corpus vocabulary. Selection for a target mix is then just a
+    filter/top-quota over the weight column (see
+    ``mixture_sample_documents`` for the quota machinery). Scale shape:
+    both LMs are vocabulary-sized (word, count) tables from per-batch
+    combiner partials; the target LM reuses the same pass with a
+    predicate-pushed source filter; both broadcast once via ``ray.put``
+    and the scoring pass is doc-local — NO corpus shuffle."""
+    ds = scan(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        _, flat, _ = _exploded_words(batch)
+        t = pa.table({"word": flat})
+        return t.group_by(["word"]).aggregate([("word", "count")])
+
+    raw = (
+        relops.coalesce_partials(
+            ds.map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
+        )
+        .groupby("word")
+        .aggregate(Sum("word_count", alias_name="n"))
+        .to_pandas()  # vocabulary-sized
+    )
+    tgt_ds = scan(
+        sf_dir, "documents", columns=["doc_id", "text"],
+        filter=(pc.field("source") == target_source),
+    )
+    tgt = (
+        relops.coalesce_partials(
+            tgt_ds.map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
+        )
+        .groupby("word")
+        .aggregate(Sum("word_count", alias_name="n"))
+        .to_pandas()
+    )
+    vocab = len(raw)  # shared vocabulary: every corpus word
+    total_raw = int(raw["n"].sum())
+    total_tgt = int(tgt["n"].sum())
+    raw_ref = ray.put(dict(zip(raw["word"].tolist(), raw["n"].astype(np.int64).tolist())))
+    tgt_ref = ray.put(dict(zip(tgt["word"].tolist(), tgt["n"].astype(np.int64).tolist())))
+
+    def score(batch: pa.Table) -> pa.Table:
+        raw_lm, tgt_lm = ray.get(raw_ref), ray.get(tgt_ref)
+        parent, flat, _ = _exploded_words(batch)
+        w = pd.Series(flat.to_pandas())
+        nr = w.map(raw_lm).to_numpy(np.float64)  # every corpus word is in raw
+        nt = w.map(tgt_lm).fillna(0.0).to_numpy(np.float64)
+        lr = np.log((nt + 1.0) / float(total_tgt + vocab)) - np.log(
+            (nr + 1.0) / float(total_raw + vocab)
+        )
+        g = pd.DataFrame({"doc_id": parent, "lr": lr}).groupby("doc_id")["lr"]
+        out = g.sum()
+        cnt = g.count()
+        return pa.table(
+            {
+                "doc_id": pa.array(out.index.to_numpy(), pa.int64()),
+                "n_words": pa.array(cnt.to_numpy(np.int64), pa.int64()),
+                "logratio": round_away_arrow(pa.array(out.to_numpy(), pa.float64())),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+DSIR_WEIGHTS_SQL = """
+WITH ws AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS word FROM documents),
+v AS (SELECT count(DISTINCT word) AS v FROM ws),
+tgt AS (SELECT word, count(*) AS n FROM ws WHERE source = 'src0' GROUP BY word),
+tott AS (SELECT coalesce(sum(n), 0) AS t FROM tgt),
+raw AS (SELECT word, count(*) AS n FROM ws GROUP BY word),
+totr AS (SELECT sum(n) AS t FROM raw)
+SELECT ws.doc_id, count(*) AS n_words,
+       round(sum(ln((coalesce(tgt.n, 0) + 1.0) / (tott.t + v.v))
+                 - ln((raw.n + 1.0) / (totr.t + v.v))), 4) AS logratio
+FROM ws LEFT JOIN tgt USING (word) JOIN raw USING (word), tott, totr, v
+GROUP BY ws.doc_id
+"""
+
+
+#: sequence-packing window (tokens) — the training-batch assembly shape
+PACK_CAP = 256
+
+
+def pack_sequences_documents(sf_dir: str, cap: int = PACK_CAP, shard_docs: int = 1000):
+    """Greedy sequence PACKING (training-batch assembly: concatenate docs
+    into fixed-token windows, the fill-or-open-new-pack rule of T5 /
+    GPT-style pretraining loaders). Deterministic and distributed: docs
+    pack per (lang, shard) stream — shard = doc_id // shard_docs — in
+    doc_id order; a doc longer than the cap gets a pack alone. One
+    groupby((lang, shard)) shuffle of (doc_id, lang, n_tokens) triples
+    (never text); each stream's greedy scan is a tiny numpy loop. Output:
+    the pack assignment (pack_id unique per stream, pos_in_pack, running
+    fill). Full-value-checked against a single-process python oracle
+    (PYTHON_ORACLES)."""
+    ds = scan(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def tok_counts(batch: pa.Table) -> pa.Table:
+        toks = pc.list_value_length(pc.split_pattern(batch.column("text"), pattern=" "))
+        doc = batch.column("doc_id")
+        return pa.table(
+            {
+                "doc_id": doc,
+                "lang": batch.column("lang"),
+                "n_tokens": pc.cast(toks, pa.int64()),
+                "shard": pc.cast(
+                    pc.divide(doc, pa.scalar(shard_docs, pa.int64())), pa.int64()
+                ),
+            }
+        )
+
+    triples = ds.map_batches(tok_counts, batch_format="pyarrow", zero_copy_batch=True)
+
+    def pack_stream(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        n = group.column("n_tokens").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids, n = ids[order], n[order]
+        pack = np.empty(len(ids), np.int64)
+        pos = np.empty(len(ids), np.int64)
+        fill = np.empty(len(ids), np.int64)
+        p, cur, k = 0, 0, 0
+        for i in range(len(ids)):
+            if k > 0 and cur + n[i] > cap:
+                p += 1
+                cur, k = 0, 0
+            cur += n[i]
+            pack[i], pos[i], fill[i] = p, k, cur
+            k += 1
+        lang = group.column("lang").take(pa.array(order))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "lang": lang,
+                "n_tokens": pa.array(n, pa.int64()),
+                "shard": group.column("shard").take(pa.array(order)),
+                "pack_id": pa.array(pack, pa.int64()),
+                "pos_in_pack": pa.array(pos, pa.int64()),
+                "pack_fill": pa.array(fill, pa.int64()),
+            }
+        )
+
+    return triples.groupby(["lang", "shard"]).map_groups(
+        pack_stream, batch_format="pyarrow"
+    )
+
+
+def _oracle_pack_sequences(
+    sf_dir: str, cap: int = PACK_CAP, shard_docs: int = 1000
+) -> pa.Table:
+    """Single-process reference: same greedy rule over pandas groups."""
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang", "text"]
+    ).to_pandas()
+    tbl["n_tokens"] = tbl["text"].map(lambda t: len((t or "").split(" ")))
+    tbl["shard"] = tbl["doc_id"] // shard_docs
+    rows = []
+    for (lang, shard), g in tbl.groupby(["lang", "shard"]):
+        g = g.sort_values("doc_id")
+        p, cur, k = 0, 0, 0
+        for _, r in g.iterrows():
+            if k > 0 and cur + r.n_tokens > cap:
+                p += 1
+                cur, k = 0, 0
+            cur += r.n_tokens
+            rows.append((r.doc_id, lang, r.n_tokens, shard, p, k, cur))
+            k += 1
+    out = pd.DataFrame(
+        rows,
+        columns=["doc_id", "lang", "n_tokens", "shard", "pack_id", "pos_in_pack", "pack_fill"],
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -5847,6 +6024,8 @@ REGISTRY: dict[str, tuple] = {
     "dup_shingle_frac_documents": (dup_shingle_frac_documents, DUP_SHINGLE_SQL),
     "dup_span_removal_documents": (dup_span_removal_documents, DUP_SPAN_REMOVAL_SQL),
     "source_overlap_documents": (source_overlap_documents, SOURCE_OVERLAP_SQL),
+    "dsir_weights_documents": (dsir_weights_documents, DSIR_WEIGHTS_SQL),
+    "pack_sequences_documents": (pack_sequences_documents, None),
     "mixture_sample_documents": (mixture_sample_documents, MIXTURE_SAMPLE_SQL),
     "gopher_rules_documents": (gopher_rules_documents, GOPHER_RULES_SQL),
     "full_outer_user_day": (full_outer_user_day, FULL_OUTER_SQL),
@@ -5923,6 +6102,7 @@ def _oracle_kind_stats(sf_dir: str) -> pa.Table:
 #: tools/check_queries.py for full-value equality (driver sees rows-only)
 PYTHON_ORACLES: dict[str, Any] = {
     "extract_transcripts": _oracle_extract_df,
+    "pack_sequences_documents": _oracle_pack_sequences,
     "extract_kind_stats": _oracle_kind_stats,
     "embedding_kmeans": _oracle_kmeans,
     "embedding_pca_top_component": _oracle_pca,

@@ -105,3 +105,71 @@ def test_shingle_hashes_pos_alignment():
     h2 = shingle_hashes_pos(["z"] + words[:5], 5, cache)
     assert h2[1] == h[0]
     assert len(shingle_hashes_pos(["a", "b"], 5, cache)) == 0
+
+
+def test_pack_sequences_edges(ray_session, tmp_path):
+    from pdf_toolkit_ray.queries import pack_sequences_documents
+
+    # cap=256; doc1 has 300 tokens (> cap: its own pack); docs of 100
+    # tokens pack 2-per-window; shard boundary at doc_id 1000 restarts
+    texts = {
+        0: "w " * 99 + "w",          # 100 tokens
+        1: "w " * 299 + "w",         # 300 tokens > cap
+        2: "w " * 99 + "w",
+        3: "w " * 99 + "w",
+        1000: "w " * 99 + "w",       # next shard: pack ids restart at 0
+    }
+    ids = sorted(texts)
+    sf = _docs_ids(tmp_path, ids, [texts[i] for i in ids])
+    out = (
+        pack_sequences_documents(sf)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # doc0 opens pack 0 (fill 100); doc1 (300 > cap) forces pack 1 alone;
+    # doc2+doc3 share pack 2 (fill 100, 200)
+    assert out.loc[0, ["pack_id", "pos_in_pack", "pack_fill"]].tolist() == [0, 0, 100]
+    assert out.loc[1, ["pack_id", "pos_in_pack", "pack_fill"]].tolist() == [1, 0, 300]
+    assert out.loc[2, ["pack_id", "pos_in_pack", "pack_fill"]].tolist() == [2, 0, 100]
+    assert out.loc[3, ["pack_id", "pos_in_pack", "pack_fill"]].tolist() == [2, 1, 200]
+    assert out.loc[1000, ["shard", "pack_id", "pos_in_pack"]].tolist() == [1, 0, 0]
+
+
+def _docs_ids(tmp_path, ids, texts):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(ids), pa.string()),
+            "source": pa.array(["s0"] * len(ids), pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    return str(tmp_path)
+
+
+def test_dsir_weights_handchecked(ray_session, tmp_path):
+    import math
+
+    from pdf_toolkit_ray.queries import dsir_weights_documents
+
+    # target source 'src0' = {a a b}; corpus = {a a b, b c}
+    # vocab V=3; raw totals: a=2,b=2,c=1 (T=5); tgt: a=2,b=1 (t=3)
+    sf = _docs(tmp_path, ["a a b", "b c"], ["src0", "src1"])
+    out = dsir_weights_documents(sf).to_pandas().set_index("doc_id")
+
+    def lr(word):
+        tgt = {"a": 2, "b": 1}.get(word, 0)
+        raw = {"a": 2, "b": 2, "c": 1}[word]
+        return math.log((tgt + 1) / (3 + 3)) - math.log((raw + 1) / (5 + 3))
+
+    want0 = round(lr("a") * 2 + lr("b"), 4)
+    want1 = round(lr("b") + lr("c"), 4)
+    assert abs(out.loc[0, "logratio"] - want0) < 1e-9
+    assert abs(out.loc[1, "logratio"] - want1) < 1e-9
+    assert out.loc[0, "n_words"] == 3 and out.loc[1, "n_words"] == 2
