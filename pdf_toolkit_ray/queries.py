@@ -5957,6 +5957,134 @@ def _oracle_pack_sequences(
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def jsonl_roundtrip_documents(sf_dir: str):
+    """JSONL sink + source fidelity (sources/jsonl.py): stream documents
+    to sharded JSON-lines (one part per block, distributed write), read
+    them back through the schema-pinned JSONL source, and aggregate
+    per-lang counts / code-point totals / id checksums — any row loss,
+    text corruption or dtype drift in the roundtrip flips the hash
+    against the ORIGINAL parquet oracle. The scratch directory holds the
+    corpus once (same footprint class as any sink test); rows never pass
+    through the driver in either direction."""
+    import shutil
+    import tempfile
+
+    from .sources.jsonl import read_jsonl, write_jsonl
+
+    ds = scan(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    out_dir = tempfile.mkdtemp(prefix="graft_jsonl_", dir="/tmp")
+    try:
+        write_jsonl(ds, out_dir)
+        back = read_jsonl(
+            out_dir,
+            pa.schema(
+                [("doc_id", pa.int64()), ("text", pa.string()), ("lang", pa.string())]
+            ),
+        )
+
+        def partial(batch: pa.Table) -> pa.Table:
+            t = pa.table(
+                {
+                    "lang": batch.column("lang"),
+                    "chars": pc.cast(pc.utf8_length(batch.column("text")), pa.int64()),
+                    "doc_id": batch.column("doc_id"),
+                }
+            )
+            g = t.group_by(["lang"]).aggregate(
+                [("chars", "sum"), ("doc_id", "count"), ("doc_id", "sum")]
+            )
+            return g.rename_columns(["lang", "chars", "n", "idsum"])
+
+        agg = (
+            back.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("lang")
+            .aggregate(
+                Sum("chars", alias_name="total_chars"),
+                Sum("n", alias_name="n_docs"),
+                Sum("idsum", alias_name="sum_doc_id"),
+            )
+            .to_pandas()  # lang-count-sized
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    agg = agg.sort_values("lang").reset_index(drop=True)
+    return pa.table(
+        {
+            "lang": pa.array(agg.lang, pa.string()),
+            "n_docs": pa.array(agg.n_docs.to_numpy(np.int64), pa.int64()),
+            "total_chars": pa.array(agg.total_chars.to_numpy(np.int64), pa.int64()),
+            "sum_doc_id": pa.array(agg.sum_doc_id.to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
+JSONL_ROUNDTRIP_SQL = """
+SELECT lang, count(*) AS n_docs, sum(length(text)) AS total_chars,
+       sum(doc_id) AS sum_doc_id
+FROM documents GROUP BY lang
+"""
+
+
+def hopping_window_events(sf_dir: str, size_s: int = 3600, hop_s: int = 1800):
+    """Hopping (overlapping) event-time windows — the streaming window
+    shape sessions/sliding-avg don't cover: window length ``size_s``,
+    hop ``hop_s`` (size = k·hop, so every event lands in exactly k
+    windows). Per-batch: vectorized k-way window-start explode + local
+    (window, type) partials; ONE small global groupby over
+    windows × types. Window starts are epoch seconds (BIGINT) so both
+    engines agree without timezone semantics."""
+    ds = scan(sf_dir, "events", columns=["ts", "event_type", "value"])
+    if size_s % hop_s:
+        raise ValueError("size_s must be a multiple of hop_s")
+    k = size_s // hop_s
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts_us = pc.cast(batch.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        slot = (ts_us // 1_000_000) // hop_s * hop_s
+        starts = np.concatenate([slot - i * hop_s for i in range(k)])
+        et = batch.column("event_type")
+        cents = _cents(batch.column("value"), 10_000).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "window_start_s": pa.array(starts, pa.int64()),
+                "event_type": pa.concat_arrays([et.combine_chunks()] * k),
+                "v_c": pa.array(np.tile(cents, k), pa.int64()),
+            }
+        )
+        g = t.group_by(["window_start_s", "event_type"]).aggregate(
+            [("v_c", "sum"), ("v_c", "count")]
+        )
+        return g.rename_columns(["window_start_s", "event_type", "v_c", "n"])
+
+    agg = relops.coalesce_partials(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    ).groupby(["window_start_s", "event_type"]).aggregate(
+        Sum("v_c", alias_name="v_c"), Sum("n", alias_name="n_events")
+    )
+    tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    return pa.table(
+        {
+            "window_start_s": tbl.column("window_start_s"),
+            "event_type": tbl.column("event_type"),
+            "n_events": pc.cast(tbl.column("n_events"), pa.int64()),
+            "total_value": pc.divide(pc.cast(tbl.column("v_c"), pa.float64()), 10_000.0),
+        }
+    )
+
+
+HOPPING_WINDOW_SQL = """
+WITH e AS (
+  SELECT event_type,
+         CAST(round(value * 10000) AS BIGINT) AS v_c,
+         CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 AS slot
+  FROM events),
+x AS (SELECT event_type, v_c, unnest([slot, slot - 1800]) AS window_start_s FROM e)
+SELECT window_start_s, event_type, count(*) AS n_events,
+       CAST(sum(v_c) AS DOUBLE) / 10000.0 AS total_value
+FROM x GROUP BY window_start_s, event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -6026,6 +6154,8 @@ REGISTRY: dict[str, tuple] = {
     "source_overlap_documents": (source_overlap_documents, SOURCE_OVERLAP_SQL),
     "dsir_weights_documents": (dsir_weights_documents, DSIR_WEIGHTS_SQL),
     "pack_sequences_documents": (pack_sequences_documents, None),
+    "jsonl_roundtrip_documents": (jsonl_roundtrip_documents, JSONL_ROUNDTRIP_SQL),
+    "hopping_window_events": (hopping_window_events, HOPPING_WINDOW_SQL),
     "mixture_sample_documents": (mixture_sample_documents, MIXTURE_SAMPLE_SQL),
     "gopher_rules_documents": (gopher_rules_documents, GOPHER_RULES_SQL),
     "full_outer_user_day": (full_outer_user_day, FULL_OUTER_SQL),

@@ -173,3 +173,51 @@ def test_dsir_weights_handchecked(ray_session, tmp_path):
     assert abs(out.loc[0, "logratio"] - want0) < 1e-9
     assert abs(out.loc[1, "logratio"] - want1) < 1e-9
     assert out.loc[0, "n_words"] == 3 and out.loc[1, "n_words"] == 2
+
+
+def test_hopping_window_membership(ray_session, tmp_path):
+    from pdf_toolkit_ray.queries import hopping_window_events
+
+    # one event at t=4000s, hop=1800, size=3600: slot=3600 -> windows
+    # starting 3600 and 1800 (each covers [start, start+3600))
+    events = pa.table(
+        {
+            "event_id": pa.array([1], pa.int64()),
+            "ts": pa.array(np.array([4000], "datetime64[s]").astype("datetime64[us]")),
+            "user_id": pa.array([7], pa.int64()),
+            "event_type": pa.array(["view"], pa.string()),
+            "value": pa.array([2.5], pa.float64()),
+            "props": pa.array(["{}"], pa.string()),
+        }
+    )
+    pq.write_table(events, tmp_path / "events.parquet")
+    out = hopping_window_events(str(tmp_path)).to_pandas()
+    assert sorted(out.window_start_s) == [1800, 3600]
+    assert (out.n_events == 1).all() and (out.total_value == 2.5).all()
+
+
+def test_jsonl_roundtrip_unicode_and_schema_pin(ray_session, tmp_path):
+    import ray
+    from pdf_toolkit_ray.sources.jsonl import read_jsonl, write_jsonl
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["héllo wörld ✓", ""], pa.string()),
+            "lang": pa.array(["de", None], pa.string()),
+        }
+    )
+    out_dir = tmp_path / "jl"
+    write_jsonl(ray.data.from_arrow(tbl), str(out_dir))
+    back = (
+        read_jsonl(str(out_dir), tbl.schema)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert back.loc[0, "text"] == "héllo wörld ✓"
+    assert back.loc[1, "text"] == "" or back.loc[1, "text"] is None
+    # a column absent from every JSON row still lands typed
+    extra = tbl.schema.append(pa.field("missing", pa.float64()))
+    back2 = read_jsonl(str(out_dir), extra).to_pandas()
+    assert back2["missing"].isna().all()
