@@ -3663,7 +3663,19 @@ def q7_volume_shipping(sf_dir: str):
         .groupby(["supp_nation", "cust_nation", "l_year"])
         .aggregate(Sum("rev_c_sum", alias_name="rev_c"))
     )
-    tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    df = agg.to_pandas()
+    if df.empty:
+        # tiny inputs can filter to zero nation-pair rows; an empty Ray
+        # aggregate loses its schema, so return the typed empty directly
+        return pa.table(
+            {
+                "supp_nation": pa.array([], pa.string()),
+                "cust_nation": pa.array([], pa.string()),
+                "l_year": pa.array([], pa.int64()),
+                "revenue": pa.array([], pa.float64()),
+            }
+        )
+    tbl = pa.Table.from_pandas(df, preserve_index=False)
     return pa.table(
         {
             "supp_nation": tbl.column("supp_nation"),
@@ -6085,6 +6097,137 @@ FROM x GROUP BY window_start_s, event_type
 """
 
 
+def _apply_merges(symbols: list[str], merges: list[tuple[str, str]]) -> list[str]:
+    """Apply learned BPE merges in rank order (Sennrich et al. 2016
+    apply rule: each merge greedily collapses every adjacent occurrence
+    left-to-right before the next rank)."""
+    for left, right in merges:
+        if len(symbols) < 2:
+            break
+        out = []
+        i = 0
+        while i < len(symbols):
+            if i + 1 < len(symbols) and symbols[i] == left and symbols[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(symbols[i])
+                i += 1
+        symbols = out
+    return symbols
+
+
+def _bpe_pair_counts(words: list[str], counts: np.ndarray, merges) -> dict:
+    acc: dict[tuple[str, str], int] = {}
+    for w, c in zip(words, counts):
+        syms = _apply_merges(list(w) + ["</w>"], merges)
+        for a, b in zip(syms, syms[1:]):
+            acc[(a, b)] = acc.get((a, b), 0) + int(c)
+    return acc
+
+
+def bpe_merges_documents(sf_dir: str, k: int = 8):
+    """Distributed BPE tokenizer training (Sennrich et al. 2016), the
+    first ``k`` merges: word frequencies come from ONE corpus groupby
+    (per-batch combiner partials — the corpus text is touched exactly
+    once); each merge iteration then runs over the VOCAB table only
+    (map_batches pair-count partials with the merges-so-far applied, a
+    symbol-pair-sized groupby, deterministic argmax: max count then
+    lexicographically smallest pair). The corpus is never re-shuffled —
+    iteration cost scales with vocabulary, not tokens, which is what
+    makes BPE trainable at 100 TB. Full-value-checked against a
+    single-process python oracle (PYTHON_ORACLES)."""
+    ds = scan(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        _, flat, _ = _exploded_words(batch)
+        t = pa.table({"word": flat})
+        return t.group_by(["word"]).aggregate([("word", "count")])
+
+    vocab = relops.coalesce_partials(
+        ds.map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
+    ).groupby("word").aggregate(Sum("word_count", alias_name="n")).materialize()
+
+    merges: list[tuple[str, str]] = []
+    rows = []
+    for rank in range(k):
+        cur = tuple(merges)
+
+        def pair_partial(batch: pa.Table, _m=cur) -> pa.Table:
+            acc = _bpe_pair_counts(
+                batch.column("word").to_pylist(),
+                batch.column("n").to_numpy(zero_copy_only=False),
+                _m,
+            )
+            if not acc:
+                return pa.table(
+                    {
+                        "left": pa.array([], pa.string()),
+                        "right": pa.array([], pa.string()),
+                        "c": pa.array([], pa.int64()),
+                    }
+                )
+            ks = list(acc)
+            return pa.table(
+                {
+                    "left": pa.array([a for a, _ in ks], pa.string()),
+                    "right": pa.array([b for _, b in ks], pa.string()),
+                    "c": pa.array([acc[p] for p in ks], pa.int64()),
+                }
+            )
+
+        pairs = (
+            vocab.map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(["left", "right"])
+            .aggregate(Sum("c", alias_name="n"))
+            .to_pandas()  # symbol-pair-sized
+        )
+        if pairs.empty:
+            break
+        best = pairs.sort_values(
+            ["n", "left", "right"], ascending=[False, True, True]
+        ).iloc[0]
+        merges.append((best.left, best.right))
+        rows.append((rank, best.left, best.right, int(best.n)))
+
+    return pa.table(
+        {
+            "rank": pa.array([r[0] for r in rows], pa.int64()),
+            "left": pa.array([r[1] for r in rows], pa.string()),
+            "right": pa.array([r[2] for r in rows], pa.string()),
+            "pair_count": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+def _oracle_bpe(sf_dir: str, k: int = 8) -> pa.Table:
+    """Single-process reference: same counts, same tie-break."""
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
+    wc: dict[str, int] = {}
+    for t in tbl.column("text").to_pylist():
+        for w in (t or "").split(" "):
+            wc[w] = wc.get(w, 0) + 1
+    words = list(wc)
+    counts = np.array([wc[w] for w in words], np.int64)
+    merges: list[tuple[str, str]] = []
+    rows = []
+    for rank in range(k):
+        acc = _bpe_pair_counts(words, counts, merges)
+        if not acc:
+            break
+        best = min(acc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append(best[0])
+        rows.append((rank, best[0][0], best[0][1], best[1]))
+    return pa.table(
+        {
+            "rank": pa.array([r[0] for r in rows], pa.int64()),
+            "left": pa.array([r[1] for r in rows], pa.string()),
+            "right": pa.array([r[2] for r in rows], pa.string()),
+            "pair_count": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -6156,6 +6299,7 @@ REGISTRY: dict[str, tuple] = {
     "pack_sequences_documents": (pack_sequences_documents, None),
     "jsonl_roundtrip_documents": (jsonl_roundtrip_documents, JSONL_ROUNDTRIP_SQL),
     "hopping_window_events": (hopping_window_events, HOPPING_WINDOW_SQL),
+    "bpe_merges_documents": (bpe_merges_documents, None),
     "mixture_sample_documents": (mixture_sample_documents, MIXTURE_SAMPLE_SQL),
     "gopher_rules_documents": (gopher_rules_documents, GOPHER_RULES_SQL),
     "full_outer_user_day": (full_outer_user_day, FULL_OUTER_SQL),
@@ -6233,6 +6377,7 @@ def _oracle_kind_stats(sf_dir: str) -> pa.Table:
 PYTHON_ORACLES: dict[str, Any] = {
     "extract_transcripts": _oracle_extract_df,
     "pack_sequences_documents": _oracle_pack_sequences,
+    "bpe_merges_documents": _oracle_bpe,
     "extract_kind_stats": _oracle_kind_stats,
     "embedding_kmeans": _oracle_kmeans,
     "embedding_pca_top_component": _oracle_pca,

@@ -221,3 +221,37 @@ def test_jsonl_roundtrip_unicode_and_schema_pin(ray_session, tmp_path):
     extra = tbl.schema.append(pa.field("missing", pa.float64()))
     back2 = read_jsonl(str(out_dir), extra).to_pandas()
     assert back2["missing"].isna().all()
+
+
+def test_bpe_merges_handchecked(ray_session, tmp_path):
+    from pdf_toolkit_ray.queries import bpe_merges_documents
+
+    # corpus: "low low low lower" -> word counts {low:3, lower:1}
+    # symbols: l o w </w> (x3) and l o w e r </w>
+    # pair counts r0: (l,o)=4 (o,w)=4 (w,</w>)=3 (w,e)=1 (e,r)=1 (r,</w>)=1
+    # tie 4/4 -> lexicographically smallest = (l,o)
+    sf = _docs(tmp_path, ["low low low lower"])
+    out = bpe_merges_documents(sf, k=3).to_pandas()
+    assert out.loc[0, ["left", "right", "pair_count"]].tolist() == ["l", "o", 4]
+    # after merge 0: lo w </w> x3, lo w e r </w>: (lo,w)=4 wins
+    assert out.loc[1, ["left", "right", "pair_count"]].tolist() == ["lo", "w", 4]
+    # after merge 1: low </w> x3, low e r </w>: (low,</w>)=3 wins
+    assert out.loc[2, ["left", "right", "pair_count"]].tolist() == ["low", "</w>", 3]
+
+
+def test_bpe_apply_merges_greedy_leftmost():
+    from pdf_toolkit_ray.queries import _apply_merges
+
+    # greedy left-to-right within one rank: "aaa" with merge (a,a)
+    # collapses the FIRST pair -> ["aa", "a"]
+    assert _apply_merges(["a", "a", "a"], [("a", "a")]) == ["aa", "a"]
+    # rank order is applied sequentially, later merges see earlier output
+    assert _apply_merges(list("abab"), [("a", "b"), ("ab", "ab")]) == ["abab"]
+
+
+def test_q7_empty_result_typed(ray_session):
+    from pdf_toolkit_ray.queries import q7_volume_shipping
+
+    out = q7_volume_shipping("/root/testdata/sf0.001")
+    assert out.num_rows == 0
+    assert out.schema.names == ["supp_nation", "cust_nation", "l_year", "revenue"]
