@@ -6228,6 +6228,60 @@ def _oracle_bpe(sf_dir: str, k: int = 8) -> pa.Table:
     )
 
 
+def chunk_documents(sf_dir: str, size: int = 200, step: int = 150):
+    """Overlapping-window document CHUNKING (RAG / context-window prep:
+    fixed-size character windows, 50-char overlap, offsets preserved so
+    chunks map back to source spans). The 1→many explode runs inside
+    map_batches (rows out ≈ chars/step × rows in — Ray's streaming
+    executor re-blocks the amplified output, nothing accumulates on the
+    driver); empty docs still yield one empty chunk so every doc_id
+    survives the transform."""
+    ds = scan(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n_chunks = np.array(
+            [max(1, -(-len(t or "") // step) if (t or "") else 1) for t in texts],
+            np.int64,
+        )
+        # starts 0, step, 2·step, … while start < len (one chunk when empty)
+        doc_rep = np.repeat(ids, n_chunks)
+        idx = np.concatenate([np.arange(k, dtype=np.int64) for k in n_chunks])
+        starts = idx * step
+        chunks: list[str] = []
+        ends = np.empty(len(starts), np.int64)
+        p = 0
+        for t, k in zip(texts, n_chunks):
+            t = t or ""
+            for i in range(k):
+                s = i * step
+                chunks.append(t[s : s + size])
+                ends[p] = min(s + size, len(t))
+                p += 1
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_rep, pa.int64()),
+                "chunk_idx": pa.array(idx, pa.int64()),
+                "start": pa.array(starts, pa.int64()),
+                "chunk_end": pa.array(ends, pa.int64()),
+                "chunk_text": pa.array(chunks, pa.string()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+CHUNK_DOCUMENTS_SQL = """
+WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+c AS (SELECT doc_id, text, n, unnest(range(0, greatest(n, 1), 150)) AS start FROM d)
+SELECT doc_id, CAST(start / 150 AS BIGINT) AS chunk_idx, start,
+       least(start + 200, n) AS chunk_end,
+       substr(text, CAST(start + 1 AS BIGINT), 200) AS chunk_text
+FROM c
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -6300,6 +6354,7 @@ REGISTRY: dict[str, tuple] = {
     "jsonl_roundtrip_documents": (jsonl_roundtrip_documents, JSONL_ROUNDTRIP_SQL),
     "hopping_window_events": (hopping_window_events, HOPPING_WINDOW_SQL),
     "bpe_merges_documents": (bpe_merges_documents, None),
+    "chunk_documents": (chunk_documents, CHUNK_DOCUMENTS_SQL),
     "mixture_sample_documents": (mixture_sample_documents, MIXTURE_SAMPLE_SQL),
     "gopher_rules_documents": (gopher_rules_documents, GOPHER_RULES_SQL),
     "full_outer_user_day": (full_outer_user_day, FULL_OUTER_SQL),

@@ -255,3 +255,23 @@ def test_q7_empty_result_typed(ray_session):
     out = q7_volume_shipping("/root/testdata/sf0.001")
     assert out.num_rows == 0
     assert out.schema.names == ["supp_nation", "cust_nation", "l_year", "revenue"]
+
+
+def test_chunk_documents_edges(ray_session, tmp_path):
+    from pdf_toolkit_ray.queries import chunk_documents
+
+    texts = ["", "x" * 150, "x" * 151, "a" * 400]
+    sf = _docs(tmp_path, texts)
+    out = chunk_documents(sf).to_pandas().sort_values(["doc_id", "chunk_idx"])
+    by = {d: g for d, g in out.groupby("doc_id")}
+    # empty doc -> exactly one empty chunk (doc_id survives)
+    assert len(by[0]) == 1 and by[0].iloc[0].chunk_text == "" and by[0].iloc[0].chunk_end == 0
+    # len == step -> single chunk
+    assert len(by[1]) == 1 and by[1].iloc[0].chunk_end == 150
+    # len == step+1 -> two chunks, second is the 1-char overlap tail
+    assert len(by[2]) == 2 and by[2].iloc[1].start == 150 and by[2].iloc[1].chunk_text == "x"
+    # 400 chars, size 200/step 150: chunks at 0,150,300; overlap region shared
+    g = by[3]
+    assert g.start.tolist() == [0, 150, 300]
+    assert g.chunk_end.tolist() == [200, 350, 400]
+    assert g.iloc[0].chunk_text[-50:] == g.iloc[1].chunk_text[:50]
