@@ -6282,6 +6282,70 @@ FROM c
 """
 
 
+def role_bigram_transcripts(sf_dir: str):
+    """Turn-taking structure of the flagship transcripts table: corpus
+    counts of role→role transitions between consecutive turns of each
+    conversation (the conversation-shape signal agent-trace curation
+    filters on). One conv-bucketed shuffle of (conv_id, turn_idx, role)
+    triples; each bucket dedups exact turn repeats (the raw feed carries
+    them — role is functionally turn-dependent), lexsorts its convs once
+    and counts transitions vectorized; the final groupby is
+    roles²-sized."""
+    ds = ray.data.read_parquet(
+        _transcripts_path(sf_dir), columns=["conv_id", "turn_idx", "role"]
+    )
+
+    empty = pa.table(
+        {
+            "prev_role": pa.array([], pa.string()),
+            "role": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def bucket_fn(group: pa.Table) -> pa.Table:
+        t = group.group_by(["conv_id", "turn_idx", "role"]).aggregate([])
+        conv = pd.factorize(t.column("conv_id").to_pandas())[0]
+        turn = t.column("turn_idx").to_numpy(zero_copy_only=False)
+        order = np.lexsort((turn, conv))
+        conv = conv[order]
+        roles = t.column("role").to_pandas().to_numpy()[order]
+        same = conv[1:] == conv[:-1]
+        if not same.any():
+            return empty
+        df = pd.DataFrame({"prev_role": roles[:-1][same], "role": roles[1:][same]})
+        g = df.groupby(["prev_role", "role"], as_index=False).size()
+        return pa.table(
+            {
+                "prev_role": pa.array(g.prev_role, pa.string()),
+                "role": pa.array(g.role, pa.string()),
+                "n": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    partials = relops.bucketed_groupby(ds, ["conv_id"], bucket_fn, empty=empty)
+    agg = partials.groupby(["prev_role", "role"]).aggregate(Sum("n", alias_name="n"))
+    tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    idx = tbl.schema.get_field_index("n")
+    return tbl.set_column(idx, "n", pc.cast(tbl.column("n"), pa.int64()))
+
+
+def role_bigram_transcripts_sql(sf_dir: str | None = None) -> str:
+    from .sources.fixtures import transcripts_path_for
+
+    size = _sf_to_fixture_size(sf_dir) if sf_dir else "correctness"
+    path = transcripts_path_for(size)
+    return f"""
+WITH t AS (SELECT DISTINCT conv_id, turn_idx, role FROM read_parquet('{path}')),
+w AS (SELECT conv_id, role,
+             lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+      FROM t)
+SELECT prev_role, role, count(*) AS n
+FROM w WHERE prev_role IS NOT NULL
+GROUP BY prev_role, role
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -6394,12 +6458,14 @@ REGISTRY: dict[str, tuple] = {
     "extract_transcripts": (extract_transcripts, None),
     "extract_kind_stats": (extract_kind_stats, None),
     "transcripts_conv_stats": (transcripts_conv_stats, None),
+    "role_bigram_transcripts": (role_bigram_transcripts, None),
 }
 
 #: oracle SQL that must be built lazily (embeds a generated-on-demand
 #: fixture path); merged into the static REGISTRY by __ray_entry__.oracle_sql
 LAZY_SQL: dict[str, Any] = {
     "transcripts_conv_stats": transcripts_conv_stats_sql,
+    "role_bigram_transcripts": role_bigram_transcripts_sql,
 }
 
 

@@ -275,3 +275,30 @@ def test_chunk_documents_edges(ray_session, tmp_path):
     assert g.start.tolist() == [0, 150, 300]
     assert g.chunk_end.tolist() == [200, 350, 400]
     assert g.iloc[0].chunk_text[-50:] == g.iloc[1].chunk_text[:50]
+
+
+def test_role_bigram_dedups_repeated_turns(ray_session, tmp_path):
+    import ray as _ray
+    from pdf_toolkit_ray import queries as q
+
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(["c1"] * 4 + ["c2"] * 2, pa.string()),
+            "turn_idx": pa.array([0, 1, 1, 2, 0, 1], pa.int32()),
+            "role": pa.array(["user", "assistant", "assistant", "user", "user", "tool"]),
+            "text": pa.array(["x"] * 6),
+            "tool": pa.array([""] * 6),
+            "ts": pa.array(np.zeros(6, "datetime64[us]")),
+        }
+    )
+    p = tmp_path / "t.parquet"
+    pq.write_table(tbl, p)
+    orig = q._transcripts_path
+    q._transcripts_path = lambda sf: str(p)
+    try:
+        out = q.role_bigram_transcripts("ignored").to_pandas()
+    finally:
+        q._transcripts_path = orig
+    got = {(r.prev_role, r.role): r.n for r in out.itertuples()}
+    # duplicated (c1, turn 1) collapses: user->assistant->user, plus c2 user->tool
+    assert got == {("user", "assistant"): 1, ("assistant", "user"): 1, ("user", "tool"): 1}
