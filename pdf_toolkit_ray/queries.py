@@ -1614,10 +1614,7 @@ def transcripts_conv_stats_sql(sf_dir: str | None = None) -> str:
     driver runs the SQL. ``sf_dir`` (local check_queries only — the driver
     contract passes nothing and always runs sf0.01) re-points the twin at
     the fixture size the Ray side resolves for that sf."""
-    from .sources.fixtures import transcripts_path_for
-
-    size = _sf_to_fixture_size(sf_dir) if sf_dir else "correctness"
-    path = transcripts_path_for(size)
+    path = _transcripts_sql_source(sf_dir)
     return f"""
 SELECT conv_id,
   count(DISTINCT turn_idx) AS n_turns,
@@ -6330,11 +6327,19 @@ def role_bigram_transcripts(sf_dir: str):
     return tbl.set_column(idx, "n", pc.cast(tbl.column("n"), pa.int64()))
 
 
-def role_bigram_transcripts_sql(sf_dir: str | None = None) -> str:
+def _transcripts_sql_source(sf_dir: str | None) -> str:
+    """read_parquet-able path for the fixture at this sf: the bench-size
+    fixture is a DIRECTORY of shards (smoke/correctness are single
+    files), and DuckDB needs the glob spelled out."""
     from .sources.fixtures import transcripts_path_for
 
     size = _sf_to_fixture_size(sf_dir) if sf_dir else "correctness"
     path = transcripts_path_for(size)
+    return f"{path}/*.parquet" if os.path.isdir(path) else path
+
+
+def role_bigram_transcripts_sql(sf_dir: str | None = None) -> str:
+    path = _transcripts_sql_source(sf_dir)
     return f"""
 WITH t AS (SELECT DISTINCT conv_id, turn_idx, role FROM read_parquet('{path}')),
 w AS (SELECT conv_id, role,
