@@ -60,6 +60,12 @@ def _build_parser() -> argparse.ArgumentParser:
     qry.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     qry.add_argument("--limit", type=int, default=20)
     qry.add_argument("--num-cpus", type=int, default=None)
+    qry.add_argument(
+        "--stats", action="store_true",
+        help="print Ray Data per-stage execution stats after the result "
+        "(Dataset results only; the per-operator wall/cpu/blocks table "
+        "drives the measure-then-iterate perf loop)",
+    )
     return parser
 
 
@@ -142,14 +148,24 @@ def main(argv: list[str] | None = None) -> int:
             import pandas as pd
             import pyarrow as pa
 
+            stats_src = None
             if isinstance(result, pa.Table):
                 df = result.to_pandas()
             elif isinstance(result, pd.DataFrame):
                 df = result
             else:
+                if args.stats:
+                    result = result.materialize()
+                    stats_src = result
                 df = result.limit(args.limit).to_pandas()
             with pd.option_context("display.width", 200, "display.max_columns", 50):
                 print(df.head(args.limit).to_string(index=False))
+            if args.stats:
+                print(
+                    stats_src.stats()
+                    if stats_src is not None
+                    else "(no Dataset stats: query returns a driver-side table)"
+                )
             ray.shutdown()
             return 0
         raise UserError(f"unknown command {args.command!r}")

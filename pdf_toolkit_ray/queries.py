@@ -6338,6 +6338,70 @@ def _transcripts_sql_source(sf_dir: str | None) -> str:
     return f"{path}/*.parquet" if os.path.isdir(path) else path
 
 
+def tool_usage_transcripts(sf_dir: str):
+    """Tool-call profile of the agent traces: per (role, tool) distinct-
+    turn counts plus each tool's share of its role's tool calls (which
+    tools dominate which roles — the trace-curation signal for filtering
+    degenerate tool loops). Per-batch distinct partials, one
+    roles×tools-sized groupby, share computed exactly from int64 counts."""
+    ds = ray.data.read_parquet(
+        _transcripts_path(sf_dir), columns=["conv_id", "turn_idx", "role", "tool"]
+    )
+
+    # distinct turns need co-location per (conv, turn) — the raw feed can
+    # repeat a turn across blocks — so: per-batch local distinct, one
+    # bucketed groupby on (conv_id, turn_idx) for the exact global
+    # distinct, roles×tools partials folded in the same bucket pass
+    pairs = ds.map_batches(
+        lambda b: b.filter(
+            pc.and_(pc.is_valid(b.column("tool")), pc.not_equal(b.column("tool"), ""))
+        ).group_by(["conv_id", "turn_idx", "role", "tool"]).aggregate([]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    def bucket_fn(group: pa.Table) -> pa.Table:
+        d = group.group_by(["conv_id", "turn_idx", "role", "tool"]).aggregate([])
+        g = d.group_by(["role", "tool"]).aggregate([("conv_id", "count")])
+        return g.rename_columns(["role", "tool", "n"])
+
+    empty = pa.table(
+        {
+            "role": pa.array([], pa.string()),
+            "tool": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+    partials = relops.bucketed_groupby(pairs, ["conv_id", "turn_idx"], bucket_fn, empty=empty)
+    agg = partials.groupby(["role", "tool"]).aggregate(Sum("n", alias_name="n")).to_pandas()
+    agg = agg.sort_values(["role", "tool"]).reset_index(drop=True)
+    tot = agg.groupby("role")["n"].transform("sum").to_numpy(np.float64)
+    from .functions.rounding import round_away
+
+    return pa.table(
+        {
+            "role": pa.array(agg.role, pa.string()),
+            "tool": pa.array(agg.tool, pa.string()),
+            "n": pa.array(agg.n.to_numpy(np.int64), pa.int64()),
+            "role_share": pa.array(
+                round_away(agg.n.to_numpy(np.float64) / tot, 4), pa.float64()
+            ),
+        }
+    )
+
+
+def tool_usage_transcripts_sql(sf_dir: str | None = None) -> str:
+    path = _transcripts_sql_source(sf_dir)
+    return f"""
+WITH t AS (SELECT DISTINCT conv_id, turn_idx, role, tool
+           FROM read_parquet('{path}')
+           WHERE tool IS NOT NULL AND tool <> ''),
+g AS (SELECT role, tool, count(*) AS n FROM t GROUP BY role, tool)
+SELECT role, tool, n,
+       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY role), 4) AS role_share
+FROM g
+"""
+
+
 def role_bigram_transcripts_sql(sf_dir: str | None = None) -> str:
     path = _transcripts_sql_source(sf_dir)
     return f"""
@@ -6464,6 +6528,7 @@ REGISTRY: dict[str, tuple] = {
     "extract_kind_stats": (extract_kind_stats, None),
     "transcripts_conv_stats": (transcripts_conv_stats, None),
     "role_bigram_transcripts": (role_bigram_transcripts, None),
+    "tool_usage_transcripts": (tool_usage_transcripts, None),
 }
 
 #: oracle SQL that must be built lazily (embeds a generated-on-demand
@@ -6471,6 +6536,7 @@ REGISTRY: dict[str, tuple] = {
 LAZY_SQL: dict[str, Any] = {
     "transcripts_conv_stats": transcripts_conv_stats_sql,
     "role_bigram_transcripts": role_bigram_transcripts_sql,
+    "tool_usage_transcripts": tool_usage_transcripts_sql,
 }
 
 
