@@ -6415,6 +6415,128 @@ GROUP BY prev_role, role
 """
 
 
+def split_assign_documents(sf_dir: str):
+    """Deterministic train/val/test assignment by content-independent
+    identity hash (the leakage-safe dataset-split step): md5 of the
+    doc_id string, first-byte thresholds 'e6'/'f3' ≈ 89.8 / 4.9 / 5.3 %.
+    Pure per-row map — layout-independent, reproducible on any cluster,
+    NO shuffle; downstream selection is a pushed-down filter on the
+    split column."""
+    ds = scan(sf_dir, "documents", columns=["doc_id"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        ids = batch.column("doc_id").to_pylist()
+        hs = [hashlib.md5(str(i).encode()).hexdigest()[:2] for i in ids]
+        split = ["train" if h < "e6" else ("val" if h < "f3" else "test") for h in hs]
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "split": pa.array(split, pa.string())}
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SPLIT_ASSIGN_SQL = """
+SELECT doc_id,
+  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+       ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def dedup_near_keep_best(sf_dir: str):
+    """End-to-end near-dup CANONICALIZATION (the step after clustering
+    that real curation pipelines ship): MinHash-LSH candidates → exact
+    trigram-Jaccard ≥ 0.8 verify → connected components → keep ONE doc
+    per cluster, the longest (max n_chars, tie → min doc_id), with the
+    cluster size kept for audit. Cluster ids are high-cardinality, so
+    the per-cluster argmax runs as one bucketed groupby (vectorized
+    in-bucket sort + first-per-cluster), not per-group dispatch."""
+    ds = scan(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = dedup_mod.ngram_jaccard_pairs(ds, "doc_id", "text", threshold=0.8)
+    labels = dedup_mod.connected_components(pairs)
+    meta = scan(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    with_cluster = dedup_mod.attach_cluster_ids(
+        meta, labels, "doc_id", keep_columns=["n_chars"]
+    )
+
+    empty = pa.table(
+        {
+            "cluster_id": pa.array([], pa.int64()),
+            "kept_doc_id": pa.array([], pa.int64()),
+            "n_chars": pa.array([], pa.int64()),
+            "cluster_size": pa.array([], pa.int64()),
+        }
+    )
+
+    def bucket_best(group: pa.Table) -> pa.Table:
+        cl = group.column("cluster_id").to_numpy(zero_copy_only=False)
+        nc = group.column("n_chars").to_numpy(zero_copy_only=False)
+        did = group.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, -nc, cl))
+        cl, nc, did = cl[order], nc[order], did[order]
+        first = np.r_[True, cl[1:] != cl[:-1]]
+        sizes = np.diff(np.r_[np.flatnonzero(first), len(cl)])
+        return pa.table(
+            {
+                "cluster_id": pa.array(cl[first], pa.int64()),
+                "kept_doc_id": pa.array(did[first], pa.int64()),
+                "n_chars": pa.array(nc[first], pa.int64()),
+                "cluster_size": pa.array(sizes, pa.int64()),
+            }
+        )
+
+    return relops.bucketed_groupby(with_cluster, ["cluster_id"], bucket_best, empty=empty)
+
+
+# same cluster CTEs as MINHASH_CLUSTERS_SQL, finished with the argmax
+DEDUP_KEEP_BEST_SQL = """
+WITH RECURSIVE w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+g AS (
+  SELECT doc_id,
+    CASE WHEN len(words) >= 3 THEN
+      list_distinct(list_transform(
+        range(1, len(words) - 1),
+        i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+    ELSE [array_to_string(words, ' ')]
+    END AS grams
+  FROM w
+),
+p AS (
+  SELECT a, b FROM (
+    SELECT x.doc_id AS a, y.doc_id AS b,
+      CAST(len(list_intersect(x.grams, y.grams)) AS DOUBLE) /
+        (len(x.grams) + len(y.grams) - len(list_intersect(x.grams, y.grams))) AS j
+    FROM g x JOIN g y ON x.doc_id < y.doc_id
+  ) WHERE j >= 0.8
+),
+e AS (
+  SELECT a AS src, b AS dst FROM p UNION ALL SELECT b AS src, a AS dst FROM p
+),
+reach AS (
+  SELECT src AS node, src AS lbl FROM e
+  UNION
+  SELECT e.dst AS node, r.lbl AS lbl FROM reach r JOIN e ON e.src = r.node
+),
+c AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+cl AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+  FROM documents d LEFT JOIN c ON d.doc_id = c.node
+)
+SELECT cluster_id, doc_id AS kept_doc_id, n_chars, cluster_size FROM (
+  SELECT cluster_id, doc_id, n_chars,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+  FROM cl
+) WHERE rn = 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -6488,6 +6610,8 @@ REGISTRY: dict[str, tuple] = {
     "hopping_window_events": (hopping_window_events, HOPPING_WINDOW_SQL),
     "bpe_merges_documents": (bpe_merges_documents, None),
     "chunk_documents": (chunk_documents, CHUNK_DOCUMENTS_SQL),
+    "split_assign_documents": (split_assign_documents, SPLIT_ASSIGN_SQL),
+    "dedup_near_keep_best": (dedup_near_keep_best, DEDUP_KEEP_BEST_SQL),
     "mixture_sample_documents": (mixture_sample_documents, MIXTURE_SAMPLE_SQL),
     "gopher_rules_documents": (gopher_rules_documents, GOPHER_RULES_SQL),
     "full_outer_user_day": (full_outer_user_day, FULL_OUTER_SQL),

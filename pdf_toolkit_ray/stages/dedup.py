@@ -19,6 +19,8 @@ list itself is big. Cluster ids re-attach via broadcast map or
 
 from __future__ import annotations
 
+from typing import Sequence
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -426,15 +428,19 @@ def attach_cluster_ids(
     *,
     broadcast_limit: int = 5_000_000,
     num_partitions: int | None = None,
+    keep_columns: Sequence[str] = (),
 ) -> ray.data.Dataset:
-    """(id, cluster_id) for EVERY corpus row; rows in no component keep
-    their own id. The label map (duplicate-involved nodes only) is
-    broadcast when small, else joined; corpus ids never hit the driver."""
-    ids_only = ds.select_columns([id_col])
+    """(id, cluster_id[, keep_columns…]) for EVERY corpus row; rows in no
+    component keep their own id. The label map (duplicate-involved nodes
+    only) is broadcast when small, else joined; corpus ids never hit the
+    driver. ``keep_columns`` carries payload columns of ``ds`` through
+    (e.g. the quality column a keep-best canonicalization ranks on)."""
+    keep = list(keep_columns)
+    slim = ds.select_columns([id_col, *keep])
     if num_partitions is None:
         from ..relops import choose_num_partitions_for
 
-        num_partitions = choose_num_partitions_for(ids_only)
+        num_partitions = choose_num_partitions_for(slim)
     if labels.count() <= broadcast_limit:
         # broadcast the label map as an ARROW table (zero-copy plasma get
         # per task, no per-actor dict rebuild, no per-row python lookup):
@@ -450,10 +456,13 @@ def attach_cluster_ids(
                 join_type="left outer",
             )
             cluster = pc.coalesce(joined.column("label"), joined.column(id_col))
-            return pa.table({id_col: joined.column(id_col), "cluster_id": cluster})
+            cols = {id_col: joined.column(id_col), "cluster_id": cluster}
+            for c in keep:
+                cols[c] = joined.column(c)
+            return pa.table(cols)
 
-        return ids_only.map_batches(_attach, batch_format="pyarrow", zero_copy_batch=True)
-    joined = ids_only.join(
+        return slim.map_batches(_attach, batch_format="pyarrow", zero_copy_batch=True)
+    joined = slim.join(
         labels, "left_outer", num_partitions=num_partitions,
         on=(id_col,), right_on=("node",),
     )
@@ -462,7 +471,10 @@ def attach_cluster_ids(
         import pyarrow.compute as pc
 
         lbl = pc.coalesce(batch.column("label"), batch.column(id_col))
-        return pa.table({id_col: batch.column(id_col), "cluster_id": lbl})
+        cols = {id_col: batch.column(id_col), "cluster_id": lbl}
+        for c in keep:
+            cols[c] = batch.column(c)
+        return pa.table(cols)
 
     return joined.map_batches(_coalesce, batch_format="pyarrow", zero_copy_batch=True)
 

@@ -302,3 +302,36 @@ def test_role_bigram_dedups_repeated_turns(ray_session, tmp_path):
     got = {(r.prev_role, r.role): r.n for r in out.itertuples()}
     # duplicated (c1, turn 1) collapses: user->assistant->user, plus c2 user->tool
     assert got == {("user", "assistant"): 1, ("assistant", "user"): 1, ("user", "tool"): 1}
+
+
+def test_dedup_near_keep_best_semantics(ray_session, tmp_path):
+    from pdf_toolkit_ray.queries import dedup_near_keep_best
+
+    # docs 0/1 near-identical (jaccard 1.0 on trigrams), doc 2 unique;
+    # doc 1 longer -> kept; singleton cluster keeps itself with size 1
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    texts = [base, base + " x", "совершенно other words entirely different content here now"]
+    sf = _docs(tmp_path, texts)
+    out = dedup_near_keep_best(sf).to_pandas().set_index("cluster_id").sort_index()
+    assert out.loc[0, "kept_doc_id"] == 1 and out.loc[0, "cluster_size"] == 2
+    assert out.loc[2, "kept_doc_id"] == 2 and out.loc[2, "cluster_size"] == 1
+
+
+def test_attach_cluster_ids_keep_columns(ray_session, tmp_path):
+    import ray as _ray
+    from pdf_toolkit_ray.stages import dedup as dedup_mod
+
+    ds = _ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "n_chars": pa.array([10, 20, 30], pa.int64())})
+    )
+    labels = _ray.data.from_arrow(
+        pa.table({"node": pa.array([2, 3], pa.int64()),
+                  "label": pa.array([2, 2], pa.int64())})
+    )
+    out = (
+        dedup_mod.attach_cluster_ids(ds, labels, "doc_id", keep_columns=["n_chars"])
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out.cluster_id.tolist() == [1, 2, 2]
+    assert out.n_chars.tolist() == [10, 20, 30]
