@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     "embedding_topk",
     "q18_large_volume_orders",
     "ttr_documents",
+    "dup_span_removal_documents",
+    "dsir_weights_documents",
 ]
 
 
