@@ -6537,6 +6537,172 @@ SELECT cluster_id, doc_id AS kept_doc_id, n_chars, cluster_size FROM (
 """
 
 
+def curate_documents(sf_dir: str):
+    """The composed end-to-end CURATION decision — the pipeline a corpus
+    actually ships through, as one auditable per-doc verdict: quality
+    gate (>=10 words, mean word length in [2,12]) → exact dedup (md5
+    digest groups keep min doc_id) → near-dup canonicalization (verified
+    trigram-Jaccard clusters keep the longest doc). Output: (doc_id,
+    keep, reason) with reason = the FIRST failing stage in pipeline
+    order. Scale shape: quality is per-row; exact flags come from one
+    digest-bucketed groupby emitting a flag for EVERY row (no kept-set
+    broadcast — the kept set is corpus-sized); near flags likewise from
+    one cluster-bucketed argmax pass; the three corpus-sized flag
+    columns combine through distributed joins on doc_id."""
+    from .functions.hashing import md5_hex
+
+    ds = scan(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+
+    # --- stage flags -----------------------------------------------------
+    def quality_and_digest(batch: pa.Table) -> pa.Table:
+        n_words = pc.list_value_length(
+            pc.split_pattern(batch.column("text"), pattern=" ")
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        chars = pc.utf8_length(batch.column("text")).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        mwl = (chars - (n_words - 1)) / n_words  # single-space corpus
+        q = (n_words >= 10) & (mwl >= 2) & (mwl <= 12)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "digest": pa.array(md5_hex(batch.column("text").to_pylist())),
+                "quality_keep": pa.array(q),
+            }
+        )
+
+    qd = ds.map_batches(quality_and_digest, batch_format="pyarrow", zero_copy_batch=True)
+
+    empty_ex = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "exact_keep": pa.array([], pa.bool_()),
+         "quality_keep": pa.array([], pa.bool_())}
+    )
+
+    def bucket_exact(group: pa.Table) -> pa.Table:
+        mins = group.group_by(["digest"]).aggregate([("doc_id", "min")])
+        j = group.join(mins, keys=["digest"], join_type="inner")
+        return pa.table(
+            {
+                "doc_id": j.column("doc_id"),
+                "exact_keep": pc.equal(j.column("doc_id"), j.column("doc_id_min")),
+                "quality_keep": j.column("quality_keep"),
+            }
+        )
+
+    exact_flags = relops.bucketed_groupby(qd, ["digest"], bucket_exact, empty=empty_ex)
+
+    pairs = dedup_mod.ngram_jaccard_pairs(ds, "doc_id", "text", threshold=0.8)
+    labels = dedup_mod.connected_components(pairs)
+    with_cluster = dedup_mod.attach_cluster_ids(
+        ds.select_columns(["doc_id", "n_chars"]), labels, "doc_id",
+        keep_columns=["n_chars"],
+    )
+
+    empty_nr = pa.table(
+        {"nr_doc": pa.array([], pa.int64()), "near_keep": pa.array([], pa.bool_())}
+    )
+
+    def bucket_near(group: pa.Table) -> pa.Table:
+        cl = group.column("cluster_id").to_numpy(zero_copy_only=False)
+        nc = group.column("n_chars").to_numpy(zero_copy_only=False)
+        did = group.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, -nc, cl))
+        first = np.empty(len(cl), bool)
+        first[order] = np.r_[True, cl[order][1:] != cl[order][:-1]]
+        return pa.table(
+            {"nr_doc": pa.array(did, pa.int64()), "near_keep": pa.array(first)}
+        )
+
+    near_flags = relops.bucketed_groupby(
+        with_cluster, ["cluster_id"], bucket_near, empty=empty_nr
+    )
+
+    # --- combine ----------------------------------------------------------
+    n_parts = relops.choose_num_partitions(relops.table_path(sf_dir, "documents"))
+    joined = exact_flags.join(
+        near_flags, "inner", num_partitions=n_parts, on=("doc_id",), right_on=("nr_doc",)
+    )
+
+    def verdict(batch: pa.Table) -> pa.Table:
+        q = batch.column("quality_keep").to_numpy(zero_copy_only=False)
+        ex = batch.column("exact_keep").to_numpy(zero_copy_only=False)
+        nr = batch.column("near_keep").to_numpy(zero_copy_only=False)
+        reason = np.where(~q, "quality", np.where(~ex, "exact_dup", np.where(~nr, "near_dup", "")))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "keep": pa.array(q & ex & nr),
+                "reason": pa.array(reason.astype(object), pa.string()),
+            }
+        )
+
+    return joined.map_batches(verdict, batch_format="pyarrow", zero_copy_batch=True)
+
+
+CURATE_SQL = """
+WITH RECURSIVE w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+g AS (
+  SELECT doc_id,
+    CASE WHEN len(words) >= 3 THEN
+      list_distinct(list_transform(
+        range(1, len(words) - 1),
+        i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+    ELSE [array_to_string(words, ' ')]
+    END AS grams
+  FROM w
+),
+p AS (
+  SELECT a, b FROM (
+    SELECT x.doc_id AS a, y.doc_id AS b,
+      CAST(len(list_intersect(x.grams, y.grams)) AS DOUBLE) /
+        (len(x.grams) + len(y.grams) - len(list_intersect(x.grams, y.grams))) AS j
+    FROM g x JOIN g y ON x.doc_id < y.doc_id
+  ) WHERE j >= 0.8
+),
+e AS (SELECT a AS src, b AS dst FROM p UNION ALL SELECT b AS src, a AS dst FROM p),
+reach AS (
+  SELECT src AS node, src AS lbl FROM e
+  UNION
+  SELECT e.dst AS node, r.lbl AS lbl FROM reach r JOIN e ON e.src = r.node
+),
+c AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+cl AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+  FROM documents d LEFT JOIN c ON d.doc_id = c.node
+),
+nr AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id ASC) = 1 AS near_keep
+  FROM cl
+),
+ex AS (
+  SELECT doc_id,
+         doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS exact_keep
+  FROM documents
+),
+q AS (
+  SELECT doc_id,
+         (n_words >= 10 AND mwl >= 2 AND mwl <= 12) AS quality_keep
+  FROM (
+    SELECT doc_id, len(string_split(text, ' ')) AS n_words,
+           CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+             / len(string_split(text, ' ')) AS mwl
+    FROM documents)
+)
+SELECT d.doc_id,
+       (q.quality_keep AND ex.exact_keep AND nr.near_keep) AS keep,
+       CASE WHEN NOT q.quality_keep THEN 'quality'
+            WHEN NOT ex.exact_keep THEN 'exact_dup'
+            WHEN NOT nr.near_keep THEN 'near_dup'
+            ELSE '' END AS reason
+FROM documents d
+JOIN q USING (doc_id) JOIN ex USING (doc_id) JOIN nr USING (doc_id)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -6612,6 +6778,7 @@ REGISTRY: dict[str, tuple] = {
     "chunk_documents": (chunk_documents, CHUNK_DOCUMENTS_SQL),
     "split_assign_documents": (split_assign_documents, SPLIT_ASSIGN_SQL),
     "dedup_near_keep_best": (dedup_near_keep_best, DEDUP_KEEP_BEST_SQL),
+    "curate_documents": (curate_documents, CURATE_SQL),
     "mixture_sample_documents": (mixture_sample_documents, MIXTURE_SAMPLE_SQL),
     "gopher_rules_documents": (gopher_rules_documents, GOPHER_RULES_SQL),
     "full_outer_user_day": (full_outer_user_day, FULL_OUTER_SQL),
