@@ -5592,13 +5592,35 @@ def dup_span_removal_documents(sf_dir: str, n: int = 5):
         dup_occ, ["doc_id"], bucket_removal_lists, empty=empty_rm
     )
 
-    joined = ds.join(
-        rm_lists,
-        "left_outer",
-        num_partitions=relops.choose_num_partitions(relops.table_path(sf_dir, "documents")),
-        on=("doc_id",),
-        right_on=("rm_doc",),
+    # rm_lists is one row per AFFECTED doc but each row carries a position
+    # blob, so the gate must be on BYTES, not rows. bucketed_groupby's
+    # output is ref-backed (drop_empty_blocks), so this stats pass and a
+    # later ref pull reuse the same blocks — nothing recomputes. Under the
+    # gate the corpus scan attaches removal lists per batch with zero
+    # shuffle; above it, the distributed left_outer hash join (measured:
+    # the join was ~2 s of fixed hash-shuffle overhead at sf0.1 for a
+    # 4 KB small side).
+    def _block_stats(b: pa.Table) -> pa.Table:
+        return pa.table({"nbytes": pa.array([b.nbytes], pa.int64())})
+
+    rm_bytes = int(
+        rm_lists.map_batches(_block_stats, batch_format="pyarrow")
+        .to_pandas()["nbytes"].sum()  # one row per block, bounded by block count
     )
+    if rm_bytes <= relops.BROADCAST_GATE_BYTES:
+        blocks = [t for t in ray.get(rm_lists.to_arrow_refs()) if t.num_rows]
+        small = pa.concat_tables(blocks) if blocks else empty_rm
+        joined = relops.broadcast_join(
+            ds, small.rename_columns(["doc_id", "rm"]), on="doc_id", how="left"
+        )
+    else:
+        joined = ds.join(
+            rm_lists,
+            "left_outer",
+            num_partitions=relops.choose_num_partitions(relops.table_path(sf_dir, "documents")),
+            on=("doc_id",),
+            right_on=("rm_doc",),
+        )
 
     empty_out = pa.table(
         {

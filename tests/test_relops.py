@@ -179,3 +179,24 @@ def test_kmeans_quantized_recurrence_is_layout_independent(ray_session):
     pd.testing.assert_frame_equal(outs[0], outs[1])
     # sanity: uses more than one cluster
     assert outs[0]["cluster"].nunique() > 1
+
+
+def test_span_removal_above_gate_matches_broadcast(ray_session, monkeypatch):
+    """dup_span_removal's removal lists attach via broadcast under the
+    byte gate and via distributed left_outer Dataset.join above it; both
+    paths must agree row-for-row."""
+    import pandas as pd
+
+    from pdf_toolkit_ray import queries, relops
+
+    sf = "/root/testdata/sf0.001"
+
+    def run():
+        df = queries.dup_span_removal_documents(sf)
+        df = df.to_pandas() if not isinstance(df, pd.DataFrame) else df
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    broadcast = run()
+    monkeypatch.setattr(relops, "BROADCAST_GATE_BYTES", 0)
+    joined = run()
+    pd.testing.assert_frame_equal(broadcast, joined, check_dtype=False)
