@@ -1876,6 +1876,68 @@ def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 5):
     return ann_mod.kmeans_assign(ds, _kmeans_init(sf_dir, k), iters=iters)
 
 
+def semdedup_embeddings(sf_dir: str, k: int = 8, iters: int = 5, eps: float = 0.45):
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate pruning —
+    k-means clusters over the embedding space, then within each cluster
+    drop every item whose cosine similarity to a higher-keep-priority
+    item (farther from the centroid) exceeds eps. Output is the per-item
+    audit verdict (cluster, max_prior_sim, keep). Composes the
+    full-value-checked kmeans recurrence with one cluster-bucketed
+    pruning pass — the corpus crosses exactly one extra shuffle, keyed by
+    cluster. Checked full-value against a single-process numpy oracle
+    (PYTHON_ORACLES); eps=0.45 sits below the synthetic fixture's max
+    pairwise cosine (~0.51) so removals are non-trivial at every sf."""
+    ds = scan(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    assigned = ann_mod.kmeans_assign(
+        ds, _kmeans_init(sf_dir, k), iters=iters, keep_embedding=True
+    )
+    return ann_mod.semdedup_prune(
+        assigned, eps=eps, bucketed_groupby=relops.bucketed_groupby
+    )
+
+
+def _oracle_semdedup(sf_dir: str, k: int = 8, iters: int = 5, eps: float = 0.45):
+    """Single-process SemDeDup: the checked kmeans oracle's assignment,
+    then the identical per-cluster triangular-max pruning (same row
+    ordering, same masking, same 6dp rounding)."""
+    assign = _oracle_kmeans(sf_dir, k, iters)
+    ids = assign.column("vec_id").to_numpy(zero_copy_only=False)
+    cl = assign.column("cluster").to_numpy(zero_copy_only=False)
+    d2 = assign.column("dist2").to_numpy(zero_copy_only=False)
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    tids = tbl.column("vec_id").to_numpy(zero_copy_only=False)
+    flat = tbl.column("embedding").combine_chunks().flatten().to_numpy(
+        zero_copy_only=False
+    ).astype(np.float64)
+    m_all = flat.reshape(len(tids), -1)
+    by_id = np.argsort(tids, kind="stable")
+    m = m_all[by_id[np.searchsorted(tids[by_id], ids)]]  # align rows to `ids`
+    order = np.lexsort((ids, -d2, cl))
+    ids, cl, m = ids[order], cl[order], m[order]
+    m = m / np.maximum(np.sqrt((m * m).sum(axis=1)), 1e-12)[:, None]
+    starts = np.flatnonzero(np.r_[True, cl[1:] != cl[:-1]])
+    bounds = np.r_[starts, len(cl)]
+    mx = np.full(len(cl), -1.0)
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        c = b - a
+        if c < 2:
+            continue
+        s = m[a:b] @ m[a:b].T
+        s = np.where(np.tril(np.ones((c, c), bool), k=-1), s, -1.0)
+        mx[a:b] = s.max(axis=1)
+    mx = np.round(mx, 6)
+    return pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "cluster": pa.array(cl, pa.int64()),
+            "max_prior_sim": pa.array(mx),
+            "keep": pa.array(mx < eps),
+        }
+    )
+
+
 def _oracle_kmeans(sf_dir: str, k: int = 8, iters: int = 5, quant: float = 1e-4):
     """Single-process reference: same quantized Lloyd recurrence, same
     distance expansion and tie-breaking, one numpy pass per iteration."""
@@ -6820,6 +6882,7 @@ REGISTRY: dict[str, tuple] = {
     "c4_filter_documents": (c4_filter_documents, C4_FILTER_SQL),
     "decontaminate_documents": (decontaminate_documents, DECONTAMINATE_SQL),
     "embedding_kmeans": (embedding_kmeans, None),
+    "semdedup_embeddings": (semdedup_embeddings, None),
     "bpe_token_count_documents": (bpe_token_count_documents, BPE_TOKEN_COUNT_SQL),
     "textnorm_documents": (textnorm_documents, TEXTNORM_SQL),
     "quality_documents": (quality_documents, QUALITY_SQL),
@@ -6885,6 +6948,7 @@ PYTHON_ORACLES: dict[str, Any] = {
     "bpe_merges_documents": _oracle_bpe,
     "extract_kind_stats": _oracle_kind_stats,
     "embedding_kmeans": _oracle_kmeans,
+    "semdedup_embeddings": _oracle_semdedup,
     "embedding_pca_top_component": _oracle_pca,
     "pagerank_part_supplier": _oracle_pagerank,
 }

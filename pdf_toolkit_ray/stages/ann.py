@@ -411,6 +411,7 @@ def kmeans_assign(
     *,
     iters: int = 5,
     quant: float = 1e-4,
+    keep_embedding: bool = False,
 ) -> ray.data.Dataset:
     """Distributed Lloyd k-means over the embedding column.
 
@@ -485,12 +486,83 @@ def kmeans_assign(
         )
         a = np.argmin(d2, axis=1)
         dist2 = np.round(d2[np.arange(len(a)), a], 6)
+        cols = {
+            "vec_id": batch.column("vec_id"),
+            "cluster": pa.array(a.astype(np.int64)),
+            "dist2": pa.array(dist2),
+        }
+        if keep_embedding:
+            cols["embedding"] = batch.column("embedding")
+        return pa.table(cols)
+
+    return work.map_batches(_assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def semdedup_prune(
+    assigned: ray.data.Dataset,
+    *,
+    eps: float,
+    bucketed_groupby,
+) -> ray.data.Dataset:
+    """SemDeDup within-cluster pruning (Abbas et al. 2023, "SemDeDup:
+    Data-efficient learning at web-scale through semantic deduplication").
+
+    Input: (vec_id, cluster, dist2, embedding) from ``kmeans_assign(...,
+    keep_embedding=True)``. Per cluster, items are ordered by keep
+    priority — farthest from the centroid first (dist2 DESC, vec_id ASC,
+    matching the paper's "keep the point with the lowest similarity to
+    the centroid") — and item i is REMOVED when its max cosine similarity
+    to any higher-priority item exceeds ``eps``. The triangular-max form
+    is one vectorized matmul per cluster; both the engine and the
+    single-process oracle assemble each cluster matrix in the identical
+    row order, so the arithmetic is bit-identical (similarities rounded
+    to 6dp before the threshold compare, like every float gate here).
+
+    Scale shape: clusters are hash-bucketed (every cluster wholly in one
+    bucket); within-cluster work is O(c²) in cluster size — the method's
+    own cost model. At corpus scale c is held near corpus/k by RAISING k
+    (the paper runs k=50k on LAION); a pathologically skewed cluster is
+    the operator's documented limit, not a silent failure (memory is
+    bounded by the bucket, and k is the valve)."""
+
+    empty = pa.table(
+        {
+            "vec_id": pa.array([], pa.int64()),
+            "cluster": pa.array([], pa.int64()),
+            "max_prior_sim": pa.array([], pa.float64()),
+            "keep": pa.array([], pa.bool_()),
+        }
+    )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        ids = group.column("vec_id").to_numpy(zero_copy_only=False)
+        cl = group.column("cluster").to_numpy(zero_copy_only=False)
+        d2 = group.column("dist2").to_numpy(zero_copy_only=False)
+        m = _matrix(group.column("embedding"))
+        order = np.lexsort((ids, -d2, cl))  # cluster, dist2 DESC, vec_id ASC
+        ids, cl, m = ids[order], cl[order], m[order]
+        norms = np.sqrt((m * m).sum(axis=1))
+        m = m / np.maximum(norms, 1e-12)[:, None]
+        starts = np.flatnonzero(np.r_[True, cl[1:] != cl[:-1]])
+        bounds = np.r_[starts, len(cl)]
+        mx = np.full(len(cl), -1.0)  # highest-priority item has no prior
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            c = b - a
+            if c < 2:
+                continue
+            s = m[a:b] @ m[a:b].T
+            # row i may only see higher-priority columns j < i; sims can be
+            # negative, so mask with -1 (the cosine floor), not zeros
+            s = np.where(np.tril(np.ones((c, c), bool), k=-1), s, -1.0)
+            mx[a:b] = s.max(axis=1)
+        mx = np.round(mx, 6)
         return pa.table(
             {
-                "vec_id": batch.column("vec_id"),
-                "cluster": pa.array(a.astype(np.int64)),
-                "dist2": pa.array(dist2),
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster": pa.array(cl, pa.int64()),
+                "max_prior_sim": pa.array(mx),
+                "keep": pa.array(mx < eps),
             }
         )
 
-    return work.map_batches(_assign, batch_format="pyarrow", zero_copy_batch=True)
+    return bucketed_groupby(assigned, ["cluster"], per_bucket, empty=empty)

@@ -356,3 +356,41 @@ def test_ngram_pairs_join_path_matches_broadcast(ray_session):
     )
     assert len(default) > 0
     assert default.equals(joined)
+
+
+def test_semdedup_prune_semantics(ray_session):
+    """SemDeDup keep rules on a constructed cluster: the
+    farthest-from-centroid duplicate survives, its near-twin is removed,
+    an orthogonal item is kept, and a singleton cluster reports
+    max_prior_sim = -1."""
+    import ray.data
+
+    from pdf_toolkit_ray import relops
+    from pdf_toolkit_ray.stages.ann import semdedup_prune
+
+    # cluster 0: v0 and v1 nearly parallel (cos ~ 1), v2 orthogonal.
+    # dist2 makes v1 the higher-priority (farther) twin. cluster 1: one item.
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "cluster": pa.array([0, 0, 0, 1], pa.int64()),
+            "dist2": pa.array([0.1, 0.9, 0.5, 0.2]),
+            "embedding": pa.array(
+                [[1.0, 0.0], [0.999, 0.01], [0.0, 1.0], [5.0, 5.0]],
+                type=pa.list_(pa.float32()),
+            ),
+        }
+    )
+    out = (
+        semdedup_prune(
+            ray.data.from_arrow(tbl), eps=0.9,
+            bucketed_groupby=relops.bucketed_groupby,
+        )
+        .to_pandas().set_index("vec_id").sort_index()
+    )
+    assert bool(out.loc[1, "keep"])          # farthest twin kept
+    assert not bool(out.loc[0, "keep"])      # near-duplicate removed
+    assert bool(out.loc[2, "keep"])          # orthogonal item kept
+    assert bool(out.loc[3, "keep"])          # singleton cluster kept
+    assert out.loc[3, "max_prior_sim"] == -1.0
+    assert out.loc[0, "max_prior_sim"] > 0.99
