@@ -429,7 +429,6 @@ def kmeans_assign(
     computing the same quantized recurrence. Empty clusters keep their
     previous centroid; ``np.argmin`` ties resolve to the lowest cluster
     index on both sides. The final pass emits (vec_id, cluster, dist2)."""
-    from ray.data.aggregate import Sum
 
     cents = np.round(init_centroids.astype(np.float64) / quant) * quant
     k, d = cents.shape
@@ -459,18 +458,48 @@ def kmeans_assign(
 
         return _partial
 
+    # every partial is the SAME k*d rows in the same (cluster, dim)
+    # construction order, so the reduce is an elementwise sum — a tree
+    # fold of fixed-size tables (fan-in 16), not a sort-groupby. One
+    # Ray sort-groupby per Lloyd iteration was ~0.7 s of fixed pipeline
+    # overhead x iters at any data size; the fold is O(log blocks) tasks
+    # moving k*d-row tables. Quantization after each update keeps the
+    # trajectory independent of the fold's summation order (same
+    # argument as for the previous distributed Sum).
+    def _sum_partials(tables):
+        if not tables:
+            return pa.table(
+                {
+                    "cluster": pa.array(np.repeat(np.arange(k, dtype=np.int64), d)),
+                    "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), k)),
+                    "s": pa.array(np.zeros(k * d)),
+                    "n": pa.array(np.zeros(k * d, np.int64)),
+                }
+            )
+        s = np.zeros(k * d, np.float64)
+        n = np.zeros(k * d, np.int64)
+        for t in tables:
+            s += t.column("s").to_numpy(zero_copy_only=False)
+            n += t.column("n").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "cluster": tables[0].column("cluster"),
+                "dim": tables[0].column("dim"),
+                "s": pa.array(s),
+                "n": pa.array(n),
+            }
+        )
+
+    from ..relops import tree_fold
+
     for _ in range(iters):
         ref = ray.put(cents)
-        merged = (
-            work.map_batches(
-                _partial_for(ref), batch_format="pyarrow", zero_copy_batch=True
-            )
-            .groupby(["cluster", "dim"])
-            .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+        partials = work.map_batches(
+            _partial_for(ref), batch_format="pyarrow", zero_copy_batch=True
         )
-        h = merged.to_pandas().sort_values(["cluster", "dim"])
-        sums = h["s"].to_numpy(dtype=np.float64).reshape(k, d)
-        counts = h[h["dim"] == 0]["n"].to_numpy(dtype=np.int64)
+        h = tree_fold(partials, _sum_partials)  # rows already (cluster, dim)-ordered
+        sums = h.column("s").to_numpy(zero_copy_only=False).reshape(k, d)
+        counts = h.column("n").to_numpy(zero_copy_only=False).reshape(k, d)[:, 0]
         new = np.where(counts[:, None] > 0, sums / np.maximum(counts[:, None], 1), cents)
         cents = np.round(new / quant) * quant
 
