@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "ttr_documents",
     "dup_span_removal_documents",
     "dsir_weights_documents",
+    "curate_documents",
+    "semdedup_embeddings",
 ]
 
 

@@ -6309,6 +6309,82 @@ def _oracle_bpe(sf_dir: str, k: int = 8) -> pa.Table:
     )
 
 
+def bpe_encode_documents(sf_dir: str, k: int = 8):
+    """Tokenizer APPLY: encode every document with the k learned BPE
+    merges (completing the train→encode story of
+    ``bpe_merges_documents``). Output per doc: the BPE token count and an
+    md5 digest of the full token sequence — the digest pins the entire
+    encoding, so the full-value python-oracle check fails on any
+    divergence in merge order, word splitting or end-of-word handling.
+    Scale shape: training iterates over the vocab table only (see
+    bpe_merges_documents); the k-merge list is broadcast once via
+    ray.put and the corpus is encoded in ONE map_batches pass with a
+    per-batch word→tokens memo (words repeat heavily, so the apply cost
+    is ~vocab-sized per batch, not token-sized)."""
+    import hashlib
+
+    merges_tbl = bpe_merges_documents(sf_dir, k)
+    merges = list(
+        zip(merges_tbl.column("left").to_pylist(), merges_tbl.column("right").to_pylist())
+    )
+    merges_ref = ray.put(merges)
+    ds = scan(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def encode(batch: pa.Table) -> pa.Table:
+        m = ray.get(merges_ref)  # zero-copy plasma, µs once worker-local
+        memo: dict[str, list[str]] = {}
+        n_out = np.empty(batch.num_rows, np.int64)
+        digests = []
+        for i, t in enumerate(batch.column("text").to_pylist()):
+            toks: list[str] = []
+            for w in (t or "").split(" "):
+                got = memo.get(w)
+                if got is None:
+                    got = memo[w] = _apply_merges(list(w) + ["</w>"], m)
+                toks.extend(got)
+            n_out[i] = len(toks)
+            digests.append(hashlib.md5(" ".join(toks).encode()).hexdigest()[:16])
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_bpe_tokens": pa.array(n_out, pa.int64()),
+                "token_digest": pa.array(digests, pa.string()),
+            }
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _oracle_bpe_encode(sf_dir: str, k: int = 8) -> pa.Table:
+    """Single-process reference: oracle-trained merges + the same
+    per-word greedy apply and digesting."""
+    import hashlib
+
+    mt = _oracle_bpe(sf_dir, k)
+    merges = list(zip(mt.column("left").to_pylist(), mt.column("right").to_pylist()))
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    memo: dict[str, list[str]] = {}
+    n_out, digests = [], []
+    for t in tbl.column("text").to_pylist():
+        toks: list[str] = []
+        for w in (t or "").split(" "):
+            got = memo.get(w)
+            if got is None:
+                got = memo[w] = _apply_merges(list(w) + ["</w>"], merges)
+            toks.extend(got)
+        n_out.append(len(toks))
+        digests.append(hashlib.md5(" ".join(toks).encode()).hexdigest()[:16])
+    return pa.table(
+        {
+            "doc_id": tbl.column("doc_id"),
+            "n_bpe_tokens": pa.array(n_out, pa.int64()),
+            "token_digest": pa.array(digests, pa.string()),
+        }
+    )
+
+
 def chunk_documents(sf_dir: str, size: int = 200, step: int = 150):
     """Overlapping-window document CHUNKING (RAG / context-window prep:
     fixed-size character windows, 50-char overlap, offsets preserved so
@@ -6859,6 +6935,7 @@ REGISTRY: dict[str, tuple] = {
     "jsonl_roundtrip_documents": (jsonl_roundtrip_documents, JSONL_ROUNDTRIP_SQL),
     "hopping_window_events": (hopping_window_events, HOPPING_WINDOW_SQL),
     "bpe_merges_documents": (bpe_merges_documents, None),
+    "bpe_encode_documents": (bpe_encode_documents, None),
     "chunk_documents": (chunk_documents, CHUNK_DOCUMENTS_SQL),
     "split_assign_documents": (split_assign_documents, SPLIT_ASSIGN_SQL),
     "dedup_near_keep_best": (dedup_near_keep_best, DEDUP_KEEP_BEST_SQL),
@@ -6946,6 +7023,7 @@ PYTHON_ORACLES: dict[str, Any] = {
     "extract_transcripts": _oracle_extract_df,
     "pack_sequences_documents": _oracle_pack_sequences,
     "bpe_merges_documents": _oracle_bpe,
+    "bpe_encode_documents": _oracle_bpe_encode,
     "extract_kind_stats": _oracle_kind_stats,
     "embedding_kmeans": _oracle_kmeans,
     "semdedup_embeddings": _oracle_semdedup,

@@ -335,3 +335,22 @@ def test_attach_cluster_ids_keep_columns(ray_session, tmp_path):
     )
     assert out.cluster_id.tolist() == [1, 2, 2]
     assert out.n_chars.tolist() == [10, 20, 30]
+
+
+def test_bpe_encode_handchecked(ray_session, tmp_path):
+    """k=1 on {ab, ab, abc}: the top pair is (a,b); encoding applies it
+    greedily, and the digest pins the exact token sequence."""
+    import hashlib
+
+    from pdf_toolkit_ray.queries import bpe_encode_documents
+
+    sf = _docs(tmp_path, ["ab ab abc", "ab"])
+    out = (
+        bpe_encode_documents(sf, k=1)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    # "ab" -> [ab, </w>]; "abc" -> [ab, c, </w>]
+    assert out.loc[0, "n_bpe_tokens"] == 7
+    assert out.loc[1, "n_bpe_tokens"] == 2
+    seq0 = "ab </w> ab </w> ab c </w>"
+    assert out.loc[0, "token_digest"] == hashlib.md5(seq0.encode()).hexdigest()[:16]
