@@ -5941,6 +5941,154 @@ def dsir_weights_documents(sf_dir: str, target_source: str = "src0"):
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def nb_lang_classifier_documents(sf_dir: str):
+    """Distributed Naive-Bayes classifier train→apply (the CCNet /
+    GPT-3-style quality/domain-classifier filtering shape): train a
+    unigram NB lang model on the even-doc_id half of the corpus, score
+    the held-out odd half, emit (doc_id, true_lang, pred_lang, correct).
+
+    Determinism: every log-probability is quantized to an int64 grid
+    (round(ln(p)·1e6)) BEFORE summation, so the per-doc score is an exact
+    integer sum — independent of summation order on both the Ray side
+    and the DuckDB twin (same trick as pagerank's quantized
+    contributions). Ties break to the lexicographically smallest lang.
+
+    Scale shape: training is ONE (lang, word)-bucketed count groupby —
+    vocabulary-sized output, corpus touched once; per-lang totals fall
+    out of the same table; the model broadcasts once via ``ray.put``
+    (vocab × langs, the same bounded-broadcast argument as the DSIR
+    LMs) and scoring is doc-local with NO corpus shuffle."""
+    import math
+
+    train = scan(
+        sf_dir, "documents", columns=["doc_id", "lang", "text"],
+        filter=(pc.bit_wise_and(pc.field("doc_id"), 1) == 0),
+    )
+    test = scan(
+        sf_dir, "documents", columns=["doc_id", "lang", "text"],
+        filter=(pc.bit_wise_and(pc.field("doc_id"), 1) == 1),
+    )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        _, flat, _ = _exploded_words(batch)
+        lang = pa.array(
+            np.repeat(
+                batch.column("lang").to_numpy(zero_copy_only=False),
+                pc.list_value_length(
+                    pc.split_pattern(batch.column("text"), pattern=" ")
+                ).to_numpy(zero_copy_only=False),
+            )
+        )
+        t = pa.table({"lang": lang, "word": flat})
+        return t.group_by(["lang", "word"]).aggregate([("word", "count")])
+
+    counts = (
+        relops.coalesce_partials(
+            train.map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
+        )
+        .groupby(["lang", "word"])
+        .aggregate(Sum("word_count", alias_name="c"))
+        .to_pandas()  # vocabulary x langs — the broadcast model
+    )
+
+    def doc_partial(batch: pa.Table) -> pa.Table:
+        return (
+            pa.table({"lang": batch.column("lang")})
+            .group_by(["lang"]).aggregate([("lang", "count")])
+        )
+
+    docs_per_lang = (
+        relops.coalesce_partials(
+            train.map_batches(doc_partial, batch_format="pyarrow", zero_copy_batch=True)
+        )
+        .groupby("lang")
+        .aggregate(Sum("lang_count", alias_name="d"))
+        .to_pandas()
+    )
+
+    langs = sorted(docs_per_lang["lang"].tolist())
+    lidx = {l: i for i, l in enumerate(langs)}
+    d_l = np.zeros(len(langs), np.int64)
+    for l, d in zip(docs_per_lang["lang"], docs_per_lang["d"]):
+        d_l[lidx[l]] = d
+    big_d = int(d_l.sum())
+    n_l = np.zeros(len(langs), np.int64)
+    for l, c in zip(counts["lang"], counts["c"]):
+        n_l[lidx[l]] += int(c)
+    vocab_words = sorted(set(counts["word"].tolist()))
+    widx = {w: i for i, w in enumerate(vocab_words)}
+    v = len(vocab_words)
+
+    # quantized log model: rows = vocab + 1 (last row = OOV, c=0), cols = langs
+    like_q = np.empty((v + 1, len(langs)), np.int64)
+    for j in range(len(langs)):
+        like_q[:, j] = int(round(math.log(1.0 / (n_l[j] + v)) * 1e6))
+    for l, w, c in zip(counts["lang"], counts["word"], counts["c"]):
+        like_q[widx[w], lidx[l]] = int(
+            round(math.log((int(c) + 1.0) / (n_l[lidx[l]] + v)) * 1e6)
+        )
+    prior_q = np.array(
+        [int(round(math.log(d / big_d) * 1e6)) for d in d_l], np.int64
+    )
+    model_ref = ray.put((widx, like_q, prior_q, langs))
+
+    def score(batch: pa.Table) -> pa.Table:
+        widx_, like, prior, langs_ = ray.get(model_ref)
+        parent, flat, lens = _exploded_words(batch)
+        rows = np.fromiter(
+            (widx_.get(w, len(widx_)) for w in flat.to_pylist()),
+            np.int64, count=len(parent),
+        )
+        starts = np.r_[0, np.cumsum(lens)]
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        true_lang = batch.column("lang").to_pylist()
+        preds = []
+        for i in range(batch.num_rows):
+            q = prior + like[rows[starts[i]:starts[i + 1]]].sum(axis=0)
+            best = int(np.argmax(q))  # argmax ties -> lowest index = smallest lang
+            preds.append(langs_[best])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "true_lang": batch.column("lang"),
+                "pred_lang": pa.array(preds, pa.string()),
+                "correct": pa.array([p == t for p, t in zip(preds, true_lang)]),
+            }
+        )
+
+    return test.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+NB_LANG_SQL = """
+WITH train AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 0),
+test AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 1),
+ttok AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM train),
+c AS (SELECT lang, w, count(*) AS c FROM ttok GROUP BY lang, w),
+nl AS (SELECT lang, count(*) AS n FROM ttok GROUP BY lang),
+dl AS (SELECT lang, count(*) AS d FROM train GROUP BY lang),
+v AS (SELECT count(DISTINCT w) AS v FROM ttok),
+bigd AS (SELECT sum(d) AS bd FROM dl),
+stok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM test),
+scores AS (
+  SELECT s.doc_id, l.lang,
+         CAST(round(ln(l.d * 1.0 / (SELECT bd FROM bigd)) * 1e6) AS BIGINT)
+         + sum(CAST(round(ln((coalesce(c.c, 0) + 1.0) / (l.n + (SELECT v FROM v))) * 1e6) AS BIGINT)) AS q
+  FROM stok s
+  CROSS JOIN (SELECT nl.lang, nl.n, dl.d FROM nl JOIN dl USING (lang)) l
+  LEFT JOIN c ON c.lang = l.lang AND c.w = s.w
+  GROUP BY s.doc_id, l.lang, l.d, l.n
+),
+pred AS (
+  SELECT doc_id, lang AS pred_lang,
+         row_number() OVER (PARTITION BY doc_id ORDER BY q DESC, lang ASC) AS rn
+  FROM scores
+)
+SELECT t.doc_id, t.lang AS true_lang, p.pred_lang,
+       (t.lang = p.pred_lang) AS correct
+FROM test t JOIN pred p ON p.doc_id = t.doc_id AND p.rn = 1
+"""
+
+
 DSIR_WEIGHTS_SQL = """
 WITH ws AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS word FROM documents),
 v AS (SELECT count(DISTINCT word) AS v FROM ws),
@@ -6931,6 +7079,7 @@ REGISTRY: dict[str, tuple] = {
     "dup_span_removal_documents": (dup_span_removal_documents, DUP_SPAN_REMOVAL_SQL),
     "source_overlap_documents": (source_overlap_documents, SOURCE_OVERLAP_SQL),
     "dsir_weights_documents": (dsir_weights_documents, DSIR_WEIGHTS_SQL),
+    "nb_lang_classifier_documents": (nb_lang_classifier_documents, NB_LANG_SQL),
     "pack_sequences_documents": (pack_sequences_documents, None),
     "jsonl_roundtrip_documents": (jsonl_roundtrip_documents, JSONL_ROUNDTRIP_SQL),
     "hopping_window_events": (hopping_window_events, HOPPING_WINDOW_SQL),

@@ -354,3 +354,36 @@ def test_bpe_encode_handchecked(ray_session, tmp_path):
     assert out.loc[1, "n_bpe_tokens"] == 2
     seq0 = "ab </w> ab </w> ab c </w>"
     assert out.loc[0, "token_digest"] == hashlib.md5(seq0.encode()).hexdigest()[:16]
+
+
+def test_nb_classifier_handchecked(ray_session, tmp_path):
+    """Even docs train (aa says x, bb says y); odd docs must classify by
+    their dominant word. Ties and priors are exercised by the driver-gate
+    SQL twin; this pins the basic decision rule."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_toolkit_ray.queries import nb_lang_classifier_documents
+
+    texts = ["x x x", "y x x", "y y y", "x y y", "x q", "y q"]
+    langs = ["aa", "aa", "bb", "bb", "aa", "bb"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(6), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "source": pa.array(["s0"] * 6, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = (
+        nb_lang_classifier_documents(str(tmp_path))
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    assert list(out.index) == [1, 3, 5]       # odd ids only (held-out half)
+    assert out.loc[1, "pred_lang"] == "aa"    # x-dominant -> aa
+    assert out.loc[3, "pred_lang"] == "bb"    # y-dominant -> bb
+    assert bool(out.loc[1, "correct"]) and bool(out.loc[3, "correct"])
+    # doc 5 "y q": y favors bb, q unseen in train (OOV term equal) -> bb
+    assert out.loc[5, "pred_lang"] == "bb"
