@@ -504,6 +504,18 @@ JOIN (SELECT md5(text) AS digest, min(doc_id) AS doc_id
 """
 
 
+def dedup_exact_online_documents(sf_dir: str):
+    """Keep-rows exact dedup through the SHARED MUTABLE INDEX path (raw
+    digest-sharded Ray actors — see stages/dedup.py::exact_dedup_online).
+    Keep-min is order-independent, so the groupby dedup's SQL twin
+    verifies this execution shape too."""
+    ds = scan(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    out = dedup_mod.exact_dedup_online(ds, "doc_id", "text")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False).select(
+        ["doc_id", "text", "lang"]
+    )
+
+
 def token_count_documents(sf_dir: str):
     ds = scan(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -7040,6 +7052,7 @@ REGISTRY: dict[str, tuple] = {
     "json_props_events": (json_props_events, JSON_PROPS_SQL),
     "dedup_exact_documents": (dedup_exact_documents, DEDUP_EXACT_SQL),
     "dedup_exact_keep_rows": (dedup_exact_keep_rows, DEDUP_KEEP_SQL),
+    "dedup_exact_online": (dedup_exact_online_documents, DEDUP_KEEP_SQL),
     "token_count_documents": (token_count_documents, TOKEN_COUNT_SQL),
     "token_quantiles_documents": (token_quantiles_documents, TOKEN_QUANTILES_SQL),
     "top_words_documents": (top_words_documents, TOP_WORDS_SQL),

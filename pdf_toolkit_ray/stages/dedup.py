@@ -84,6 +84,105 @@ def exact_dedup(
     return joined.drop_columns(["digest"])
 
 
+@ray.remote(num_cpus=0)
+class _DigestShardActor:
+    """One shard of a cluster-wide SHARED MUTABLE digest index
+    (digest → min id). num_cpus=0: the actor is a memory cell that
+    serves µs-scale dict updates — it must never hold a CPU slot that
+    the routing tasks need (a reservation here deadlocks small
+    sessions, the same lesson as relops.broadcast_join's task form)."""
+
+    def __init__(self) -> None:
+        self._min: dict[str, int] = {}
+
+    def offer(self, digests: list[str], ids: list[int]) -> int:
+        m = self._min
+        for d, i in zip(digests, ids):
+            cur = m.get(d)
+            if cur is None or i < cur:
+                m[d] = i
+        return len(m)
+
+    def size(self) -> int:
+        return len(self._min)
+
+    def kept_table(self, id_col: str) -> pa.Table:
+        return pa.table(
+            {id_col: pa.array(list(self._min.values()), pa.int64())}
+        )
+
+
+def exact_dedup_online(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    num_shards: int | None = None,
+) -> ray.data.Dataset:
+    """Keep-min exact dedup through a shared mutable index — the operator
+    shape the Dataset API genuinely cannot express (SURVEY §2 custom-op
+    rule (c)): raw Ray actors hold a digest-hash-sharded ``digest →
+    min id`` map that every routing task updates in place. Because the
+    kept id is the MIN per digest, the result is order-independent and
+    identical to :func:`exact_dedup` — one SQL twin verifies both. The
+    groupby/join path stays the engine default; this is the
+    ONLINE/incremental variant for streaming ingest or cross-job dedup,
+    where the index must outlive a single dataset pass.
+
+    Scale shape: the index is sharded by digest prefix across actors
+    (per-actor memory = distinct digests / shards × ~60 B — shard count,
+    not corpus size, is the valve); each routing task sends every
+    (digest, id) pair over the wire exactly once, batched per
+    (block × shard), and blocks on its own offers so the index is
+    complete when the routed pass finishes. Kept ids come back as
+    per-shard Arrow tables assembled into a Dataset via object refs —
+    never gathered on the driver — and the corpus joins them
+    distributed."""
+    if num_shards is None:
+        num_shards = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    shards = [_DigestShardActor.remote() for _ in range(num_shards)]
+
+    keyed = add_digest(ds.select_columns([id_col, text_col]), text_col)
+
+    def route(batch: pa.Table) -> pa.Table:
+        digests = batch.column("digest").to_pylist()
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        per_shard_d: list[list[str]] = [[] for _ in range(num_shards)]
+        per_shard_i: list[list[int]] = [[] for _ in range(num_shards)]
+        for d, i in zip(digests, ids):
+            s = int(d[:8], 16) % num_shards
+            per_shard_d[s].append(d)
+            per_shard_i[s].append(int(i))
+        refs = [
+            shards[s].offer.remote(per_shard_d[s], per_shard_i[s])
+            for s in range(num_shards)
+            if per_shard_d[s]
+        ]
+        ray.get(refs)  # offers land before this task reports done
+        return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
+
+    # consume the routed pass (output is one count row per block)
+    keyed.map_batches(route, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    # assemble ONLY non-empty shard tables: Ray's JoinOperator crashes on
+    # empty blocks reaching a join side (the drop_empty_blocks failure
+    # mode), and shard emptiness is knowable for free from the index
+    sizes = ray.get([s.size.remote() for s in shards])
+    refs = [
+        s.kept_table.remote(id_col) for s, n in zip(shards, sizes) if n
+    ]
+    if not refs:
+        return ds.limit(0)
+    kept = ray.data.from_arrow_refs(refs)
+    from ..relops import choose_num_partitions_for
+
+    return ds.join(
+        kept, "inner",
+        num_partitions=choose_num_partitions_for(ds),
+        on=(id_col,),
+    )
+
+
 class _MinHashStage:
     """Actor-pool stage: per-row MinHash signature + LSH band keys.
 

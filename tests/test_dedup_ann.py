@@ -394,3 +394,31 @@ def test_semdedup_prune_semantics(ray_session):
     assert bool(out.loc[3, "keep"])          # singleton cluster kept
     assert out.loc[3, "max_prior_sim"] == -1.0
     assert out.loc[0, "max_prior_sim"] > 0.99
+
+
+def test_exact_dedup_online_matches_groupby(ray_session):
+    """The shared-mutable-index dedup (sharded digest actors, keep-min)
+    must equal the groupby/join dedup on any shard count — and must not
+    deadlock in a small CPU session (the actors hold num_cpus=0)."""
+    import ray.data
+
+    from pdf_toolkit_ray.stages.dedup import exact_dedup, exact_dedup_online
+
+    texts = ["aa", "bb", "aa", "cc", "bb", "aa", "dd"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([5, 1, 2, 9, 4, 0, 7], pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    want = (
+        exact_dedup(ray.data.from_arrow(tbl)).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    for shards in (1, 5):
+        got = (
+            exact_dedup_online(ray.data.from_arrow(tbl), num_shards=shards)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert got.equals(want), (shards, got, want)
+    assert set(want["doc_id"]) == {0, 1, 7, 9}  # min id per distinct text
