@@ -145,18 +145,26 @@ def exact_dedup_online(
     keyed = add_digest(ds.select_columns([id_col, text_col]), text_col)
 
     def route(batch: pa.Table) -> pa.Table:
-        digests = batch.column("digest").to_pylist()
+        import pandas as pd
+
+        # vectorized shard assignment (same siphash as bucketed_groupby);
+        # keep-min makes the result independent of the assignment, the
+        # hash only has to put equal digests on one shard
+        h = pd.util.hash_pandas_object(
+            batch.column("digest").to_pandas(), index=False
+        ).to_numpy(dtype=np.uint64)
+        shard_of = (h % num_shards).astype(np.int64)
+        order = np.argsort(shard_of, kind="stable")
+        sorted_shards = shard_of[order]
+        starts = np.flatnonzero(np.r_[True, sorted_shards[1:] != sorted_shards[:-1]])
+        bounds = np.r_[starts, len(order)]
+        digests = np.asarray(batch.column("digest").to_numpy(zero_copy_only=False))
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        per_shard_d: list[list[str]] = [[] for _ in range(num_shards)]
-        per_shard_i: list[list[int]] = [[] for _ in range(num_shards)]
-        for d, i in zip(digests, ids):
-            s = int(d[:8], 16) % num_shards
-            per_shard_d[s].append(d)
-            per_shard_i[s].append(int(i))
         refs = [
-            shards[s].offer.remote(per_shard_d[s], per_shard_i[s])
-            for s in range(num_shards)
-            if per_shard_d[s]
+            shards[int(sorted_shards[a])].offer.remote(
+                digests[order[a:b]].tolist(), ids[order[a:b]].tolist()
+            )
+            for a, b in zip(bounds[:-1], bounds[1:])
         ]
         ray.get(refs)  # offers land before this task reports done
         return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
