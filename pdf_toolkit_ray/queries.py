@@ -6046,25 +6046,25 @@ def nb_lang_classifier_documents(sf_dir: str):
 
     def score(batch: pa.Table) -> pa.Table:
         widx_, like, prior, langs_ = ray.get(model_ref)
-        parent, flat, lens = _exploded_words(batch)
-        rows = np.fromiter(
-            (widx_.get(w, len(widx_)) for w in flat.to_pylist()),
-            np.int64, count=len(parent),
-        )
+        _, flat, lens = _exploded_words(batch)
+        oov = len(widx_)
+        rows = (
+            pd.Series(flat.to_pandas()).map(widx_).fillna(oov).to_numpy(np.int64)
+        )  # vectorized word→model-row lookup (OOV → the c=0 row)
         starts = np.r_[0, np.cumsum(lens)]
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        true_lang = batch.column("lang").to_pylist()
-        preds = []
-        for i in range(batch.num_rows):
-            q = prior + like[rows[starts[i]:starts[i + 1]]].sum(axis=0)
-            best = int(np.argmax(q))  # argmax ties -> lowest index = smallest lang
-            preds.append(langs_[best])
+        # per-doc integer score vectors in ONE segmented sum over the batch
+        # (every doc has >= 1 token — ''.split(' ') is [''] — so no empty
+        # reduceat segments)
+        q = prior[None, :] + np.add.reduceat(like[rows], starts[:-1], axis=0)
+        best = np.argmax(q, axis=1)  # ties -> lowest index = smallest lang
+        preds = np.asarray(langs_, dtype=object)[best]
+        true_lang = batch.column("lang").to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
+                "doc_id": batch.column("doc_id"),
                 "true_lang": batch.column("lang"),
                 "pred_lang": pa.array(preds, pa.string()),
-                "correct": pa.array([p == t for p, t in zip(preds, true_lang)]),
+                "correct": pa.array(preds == true_lang),
             }
         )
 
