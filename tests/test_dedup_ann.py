@@ -422,3 +422,60 @@ def test_exact_dedup_online_matches_groupby(ray_session):
         )
         assert got.equals(want), (shards, got, want)
     assert set(want["doc_id"]) == {0, 1, 7, 9}  # min id per distinct text
+
+
+def test_semdedup_invariants_random(ray_session):
+    """On random vectors: (1) any two KEPT items in one cluster have
+    cosine < eps (greedy soundness — each kept item checked against all
+    prior kept); (2) every REMOVED item has some higher-priority item
+    with cosine >= eps (no spurious removals)."""
+    rng = np.random.RandomState(11)
+    n, d, k, eps = 60, 6, 3, 0.92
+    m = rng.normal(size=(n, d))
+    # plant duplicates so removals actually happen
+    for src, dst in [(0, 7), (3, 19), (3, 33), (10, 41)]:
+        m[dst] = m[src] + rng.normal(scale=1e-3, size=d)
+    import ray.data
+
+    from pdf_toolkit_ray import relops
+    from pdf_toolkit_ray.stages.ann import semdedup_prune
+
+    cl = rng.randint(0, k, size=n)
+    cl[[0, 7, 3, 19, 33, 10, 41]] = [0, 0, 1, 1, 1, 2, 2]  # twins share clusters
+    d2 = np.round(rng.uniform(0.1, 5.0, size=n), 6)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "cluster": pa.array(cl, pa.int64()),
+            "dist2": pa.array(d2),
+            "embedding": pa.array(
+                [list(map(float, r)) for r in m], type=pa.list_(pa.float32())
+            ),
+        }
+    )
+    out = (
+        semdedup_prune(
+            ray.data.from_arrow(tbl), eps=eps,
+            bucketed_groupby=relops.bucketed_groupby,
+        )
+        .to_pandas().set_index("vec_id").sort_index()
+    )
+    assert not out["keep"].all() and out["keep"].any()
+    mf = m.astype(np.float32).astype(np.float64)  # same precision path as the op
+    mn = mf / np.maximum(np.sqrt((mf * mf).sum(axis=1)), 1e-12)[:, None]
+    sims = mn @ mn.T
+    order_key = {int(i): (float(d2[i]), -int(i)) for i in range(n)}
+    for c in range(k):
+        ids = [i for i in range(n) if cl[i] == c]
+        kept = [i for i in ids if out.loc[i, "keep"]]
+        removed = [i for i in ids if not out.loc[i, "keep"]]
+        for a in kept:
+            for b in kept:
+                if a < b:
+                    assert round(sims[a, b], 6) < eps, (a, b, sims[a, b])
+        for r in removed:
+            priors = [
+                j for j in ids
+                if (order_key[j] > order_key[r])  # farther (or same dist2, lower id)
+            ]
+            assert any(round(sims[r, j], 6) >= eps for j in priors), r
