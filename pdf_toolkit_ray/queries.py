@@ -571,6 +571,116 @@ GROUP BY word ORDER BY n DESC, word ASC LIMIT 25
 """
 
 
+def _mg_reduce(words: list, counts: np.ndarray, k: int):
+    """Misra-Gries reduction to <= k counters: subtract the (k+1)-th
+    largest count from all, keep positives. Under-counts any item by at
+    most total/(k+1) (Agarwal et al. 2012, Mergeable Summaries)."""
+    if len(words) <= k:
+        return words, counts
+    m = np.partition(counts, len(counts) - k - 1)[len(counts) - k - 1]
+    keep = counts > m
+    return [w for w, f in zip(words, keep) if f], counts[keep] - m
+
+
+def heavy_hitters_documents(sf_dir: str, counters: int = 256, frac: int = 32):
+    """EXACT heavy hitters (every word with count > total/frac) through a
+    Misra-Gries sketch + exact verification — the scale-right alternative
+    to ``top_words_documents``' shuffle of every distinct (word, batch)
+    partial: here the corpus words NEVER shuffle. Each batch emits a
+    <=`counters`-row MG summary; summaries merge through a tree fold
+    (MG summation is mergeable with the same error bound); since the MG
+    under-count is <= total/(counters+1) < total/frac, every true heavy
+    hitter is among the <= `counters` candidates. The candidates then
+    broadcast and ONE vectorized ``pc.is_in`` pass counts them exactly —
+    so the output is exact and the DuckDB twin (plain GROUP BY/HAVING)
+    hash-matches. The threshold compare is integer (n·frac > total)."""
+    assert counters + 1 >= frac, "MG guarantee needs counters+1 >= frac"
+    ds = scan(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def mg_partial(batch: pa.Table) -> pa.Table:
+        _, flat, _ = _exploded_words(batch)
+        t = pa.table({"word": flat}).group_by(["word"]).aggregate([("word", "count")])
+        words = t.column("word").to_pylist()
+        c = t.column("word_count").to_numpy(zero_copy_only=False).astype(np.int64)
+        total = int(c.sum())
+        words, c = _mg_reduce(words, c, counters)
+        # word=NULL row carries the batch token total through the fold
+        return pa.table(
+            {
+                "word": pa.array(list(words) + [None], pa.string()),
+                "c": pa.array(np.r_[c, total], pa.int64()),
+            }
+        )
+
+    def mg_combine(tables):
+        if not tables:
+            return pa.table(
+                {"word": pa.array([None], pa.string()), "c": pa.array([0], pa.int64())}
+            )
+        t = pa.concat_tables(tables).combine_chunks()
+        null_mask = pc.is_null(t.column("word"))
+        total = int(pc.sum(t.filter(null_mask).column("c")).as_py() or 0)
+        g = (
+            t.filter(pc.invert(null_mask))
+            .group_by(["word"]).aggregate([("c", "sum")])
+        )
+        words = g.column("word").to_pylist()
+        c = g.column("c_sum").to_numpy(zero_copy_only=False).astype(np.int64)
+        words, c = _mg_reduce(words, c, counters)
+        return pa.table(
+            {
+                "word": pa.array(list(words) + [None], pa.string()),
+                "c": pa.array(np.r_[c, total], pa.int64()),
+            }
+        )
+
+    sketch = relops.tree_fold(
+        ds.map_batches(mg_partial, batch_format="pyarrow", zero_copy_batch=True),
+        mg_combine,
+    )
+    null_mask = pc.is_null(sketch.column("word"))
+    total = int(pc.sum(sketch.filter(null_mask).column("c")).as_py() or 0)
+    cand = sketch.filter(pc.invert(null_mask)).column("word").combine_chunks()
+    if len(cand) == 0 or total == 0:
+        return pa.table(
+            {"word": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        )
+    cand_ref = ray.put(cand)
+
+    def exact_partial(batch: pa.Table) -> pa.Table:
+        _, flat, _ = _exploded_words(batch)
+        flat = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
+        hits = flat.filter(pc.is_in(flat, value_set=ray.get(cand_ref)))
+        return pa.table({"word": hits}).group_by(["word"]).aggregate([("word", "count")])
+
+    counts = (
+        relops.coalesce_partials(
+            ds.map_batches(exact_partial, batch_format="pyarrow", zero_copy_batch=True)
+        )
+        .groupby("word")
+        .aggregate(Sum("word_count", alias_name="n"))
+        .to_pandas()  # <= `counters` rows
+    )
+    counts = counts[counts["n"].astype(np.int64) * frac > total]
+    counts = counts.sort_values(["n", "word"], ascending=[False, True])
+    return pa.table(
+        {
+            "word": pa.array(counts["word"].tolist(), pa.string()),
+            "n": pa.array(counts["n"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
+HEAVY_HITTERS_SQL = """
+WITH t AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+tot AS (SELECT count(*) AS total FROM t)
+SELECT word, CAST(count(*) AS BIGINT) AS n
+FROM t GROUP BY word
+HAVING count(*) * 32 > (SELECT total FROM tot)
+ORDER BY n DESC, word ASC
+"""
+
+
 _QUANTILES = ((0.25, 1, 4), (0.5, 1, 2), (0.75, 3, 4), (0.9, 9, 10), (0.99, 99, 100))
 
 
@@ -7056,6 +7166,7 @@ REGISTRY: dict[str, tuple] = {
     "token_count_documents": (token_count_documents, TOKEN_COUNT_SQL),
     "token_quantiles_documents": (token_quantiles_documents, TOKEN_QUANTILES_SQL),
     "top_words_documents": (top_words_documents, TOP_WORDS_SQL),
+    "heavy_hitters_documents": (heavy_hitters_documents, HEAVY_HITTERS_SQL),
     "rank_orders_per_customer": (rank_orders_per_customer, RANK_ORDERS_SQL),
     "stratified_sample_orders": (stratified_sample_orders, STRATIFIED_SAMPLE_SQL),
     "pivot_events_daily": (pivot_events_daily, PIVOT_EVENTS_SQL),

@@ -387,3 +387,54 @@ def test_nb_classifier_handchecked(ray_session, tmp_path):
     assert bool(out.loc[1, "correct"]) and bool(out.loc[3, "correct"])
     # doc 5 "y q": y favors bb, q unseen in train (OOV term equal) -> bb
     assert out.loc[5, "pred_lang"] == "bb"
+
+
+def test_heavy_hitters_decrement_path(ray_session, tmp_path):
+    """Vocab >> counter budget: the MG summaries must decrement, yet the
+    exact-verify pass still returns precisely the brute-force heavy-hitter
+    set (the sketch only PRUNES candidates, never the answer)."""
+    import collections
+
+    import numpy as np
+
+    from pdf_toolkit_ray.queries import heavy_hitters_documents
+
+    rng = np.random.RandomState(3)
+    # 3 heavy words + 500 rare words, shuffled into 40 docs
+    tokens = ["hot1"] * 300 + ["hot2"] * 250 + ["hot3"] * 200 + [
+        f"rare{i}" for i in range(500)
+    ]
+    rng.shuffle(tokens)
+    docs = [" ".join(tokens[i::40]) for i in range(40)]
+    sf = _docs(tmp_path, docs)
+    out = (
+        heavy_hitters_documents(sf, counters=16, frac=8)
+        .to_pandas().set_index("word")["n"].to_dict()
+    )
+    counts = collections.Counter(tokens)
+    total = sum(counts.values())
+    want = {w: c for w, c in counts.items() if c * 8 > total}
+    assert out == want and set(want) == {"hot1", "hot2", "hot3"}
+
+
+def test_mg_reduce_guarantee():
+    """_mg_reduce under-counts any item by at most the subtracted pivot,
+    and every item above total/(k+1) survives."""
+    import numpy as np
+
+    from pdf_toolkit_ray.queries import _mg_reduce
+
+    rng = np.random.RandomState(5)
+    counts = rng.randint(1, 50, size=200).astype(np.int64)
+    counts[:4] += 500  # four giants
+    words = [f"w{i}" for i in range(200)]
+    total = int(counts.sum())
+    k = 10
+    kept_w, kept_c = _mg_reduce(words, counts, k)
+    assert len(kept_w) <= k
+    kept = dict(zip(kept_w, kept_c))
+    for i in range(200):
+        if counts[i] * (k + 1) > total:
+            assert words[i] in kept
+        if words[i] in kept:
+            assert 0 < kept[words[i]] <= counts[i]
