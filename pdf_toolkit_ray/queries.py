@@ -681,6 +681,61 @@ ORDER BY n DESC, word ASC
 """
 
 
+def weighted_sample_documents(sf_dir: str, k: int = 50):
+    """Weighted sampling without replacement (Efraimidis & Spirakis 2006
+    priority sampling — the training-mix shape "sample k docs with
+    probability ∝ quality weight"): per row, u = md5-derived uniform in
+    (0,1], priority = ln(u)/w (equivalent order to the paper's u^(1/w)),
+    keep the top k priorities. Deterministic on any layout: u comes from
+    the doc_id's md5 (no RNG stream), and the priority is quantized to an
+    int64 grid before comparison so the Ray and DuckDB sides order
+    identically (the nb-classifier trick); ties break on doc_id. Scale
+    shape: priorities are computed in-batch and only per-batch top-k rows
+    reach the final k-row reduce (relops.topk prunes per block)."""
+    ds = scan(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def prio(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        w = np.maximum(
+            batch.column("n_chars").to_numpy(zero_copy_only=False).astype(np.float64),
+            1.0,
+        )
+        h = np.fromiter(
+            (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) for i in ids),
+            np.float64, count=len(ids),
+        )
+        u = (h + 1.0) / 4294967296.0  # (0, 1]
+        key_q = np.round(np.log(u) / w * 1e12)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_chars": batch.column("n_chars"),
+                "priority_q": pa.array(key_q.astype(np.int64), pa.int64()),
+            }
+        )
+
+    scored = ds.map_batches(prio, batch_format="pyarrow", zero_copy_batch=True)
+    out = relops.topk(
+        scored, [("priority_q", "descending"), ("doc_id", "ascending")], k
+    )
+    return out if isinstance(out, pa.Table) else pa.Table.from_pandas(
+        out.to_pandas(), preserve_index=False
+    )
+
+
+WEIGHTED_SAMPLE_SQL = """
+SELECT doc_id, n_chars,
+       CAST(round(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) + 1.0)
+                     / 4294967296.0)
+                  / greatest(n_chars, 1) * 1e12) AS BIGINT) AS priority_q
+FROM documents
+ORDER BY priority_q DESC, doc_id ASC
+LIMIT 50
+"""
+
+
 _QUANTILES = ((0.25, 1, 4), (0.5, 1, 2), (0.75, 3, 4), (0.9, 9, 10), (0.99, 99, 100))
 
 
@@ -7167,6 +7222,7 @@ REGISTRY: dict[str, tuple] = {
     "token_quantiles_documents": (token_quantiles_documents, TOKEN_QUANTILES_SQL),
     "top_words_documents": (top_words_documents, TOP_WORDS_SQL),
     "heavy_hitters_documents": (heavy_hitters_documents, HEAVY_HITTERS_SQL),
+    "weighted_sample_documents": (weighted_sample_documents, WEIGHTED_SAMPLE_SQL),
     "rank_orders_per_customer": (rank_orders_per_customer, RANK_ORDERS_SQL),
     "stratified_sample_orders": (stratified_sample_orders, STRATIFIED_SAMPLE_SQL),
     "pivot_events_daily": (pivot_events_daily, PIVOT_EVENTS_SQL),

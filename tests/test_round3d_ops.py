@@ -438,3 +438,34 @@ def test_mg_reduce_guarantee():
             assert words[i] in kept
         if words[i] in kept:
             assert 0 < kept[words[i]] <= counts[i]
+
+
+def test_weighted_sample_prefers_heavy_weights(ray_session, tmp_path):
+    """ES priority sampling: with weight ratio 5000:1, the heavy docs
+    must dominate the sample (deterministic md5 priorities, so this is a
+    pinned outcome, not a flaky statistical assertion)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_toolkit_ray.queries import weighted_sample_documents
+
+    n = 100
+    heavy = set(range(0, n, 10))  # 10 heavy docs
+    texts = ["x" * (5000 if i in heavy else 1) for i in range(n)]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+            "source": pa.array(["s0"] * n, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = weighted_sample_documents(str(tmp_path), k=20).to_pandas()
+    got_heavy = sum(1 for d in out["doc_id"] if d in heavy)
+    assert len(out) == 20
+    assert got_heavy == 10  # every heavy doc sampled
+    # priorities are sorted descending with doc_id tiebreak
+    p = out["priority_q"].to_numpy()
+    assert (p[:-1] >= p[1:]).all()
