@@ -6443,6 +6443,71 @@ FROM documents GROUP BY lang
 """
 
 
+def csv_roundtrip_documents(sf_dir: str):
+    """CSV sink + source fidelity through Ray's native distributed CSV
+    I/O (``write_csv`` → sharded parts, ``read_csv`` with pinned Arrow
+    column types): the same per-lang count / code-point / id-checksum
+    aggregate as the JSONL roundtrip, hashed against the ORIGINAL
+    parquet oracle — quoting, escaping or dtype drift in either
+    direction flips the hash. Rows never pass through the driver."""
+    import shutil
+    import tempfile
+
+    from pyarrow import csv as pacsv
+
+    ds = scan(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    out_dir = tempfile.mkdtemp(prefix="graft_csv_", dir="/tmp")
+    try:
+        ds.write_csv(out_dir)
+        back = ray.data.read_csv(
+            out_dir,
+            convert_options=pacsv.ConvertOptions(
+                column_types={
+                    "doc_id": pa.int64(), "text": pa.string(), "lang": pa.string()
+                },
+                strings_can_be_null=False,
+            ),
+        )
+
+        def partial(batch: pa.Table) -> pa.Table:
+            text = batch.column("text")
+            if text.null_count:  # empty strings round-trip as CSV nulls
+                text = pc.fill_null(text, "")
+            t = pa.table(
+                {
+                    "lang": batch.column("lang"),
+                    "chars": pc.cast(pc.utf8_length(text), pa.int64()),
+                    "doc_id": batch.column("doc_id"),
+                }
+            )
+            g = t.group_by(["lang"]).aggregate(
+                [("chars", "sum"), ("doc_id", "count"), ("doc_id", "sum")]
+            )
+            return g.rename_columns(["lang", "chars", "n", "idsum"])
+
+        agg = (
+            back.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("lang")
+            .aggregate(
+                Sum("chars", alias_name="total_chars"),
+                Sum("n", alias_name="n_docs"),
+                Sum("idsum", alias_name="sum_doc_id"),
+            )
+            .to_pandas()  # lang-count-sized
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    agg = agg.sort_values("lang").reset_index(drop=True)
+    return pa.table(
+        {
+            "lang": pa.array(agg.lang, pa.string()),
+            "n_docs": pa.array(agg.n_docs.to_numpy(np.int64), pa.int64()),
+            "total_chars": pa.array(agg.total_chars.to_numpy(np.int64), pa.int64()),
+            "sum_doc_id": pa.array(agg.sum_doc_id.to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
 def hopping_window_events(sf_dir: str, size_s: int = 3600, hop_s: int = 1800):
     """Hopping (overlapping) event-time windows — the streaming window
     shape sessions/sliding-avg don't cover: window length ``size_s``,
@@ -7262,6 +7327,7 @@ REGISTRY: dict[str, tuple] = {
     "nb_lang_classifier_documents": (nb_lang_classifier_documents, NB_LANG_SQL),
     "pack_sequences_documents": (pack_sequences_documents, None),
     "jsonl_roundtrip_documents": (jsonl_roundtrip_documents, JSONL_ROUNDTRIP_SQL),
+    "csv_roundtrip_documents": (csv_roundtrip_documents, JSONL_ROUNDTRIP_SQL),
     "hopping_window_events": (hopping_window_events, HOPPING_WINDOW_SQL),
     "bpe_merges_documents": (bpe_merges_documents, None),
     "bpe_encode_documents": (bpe_encode_documents, None),

@@ -469,3 +469,35 @@ def test_weighted_sample_prefers_heavy_weights(ray_session, tmp_path):
     # priorities are sorted descending with doc_id tiebreak
     p = out["priority_q"].to_numpy()
     assert (p[:-1] >= p[1:]).all()
+
+
+def test_csv_roundtrip_hostile_content(ray_session, tmp_path):
+    """Commas, quotes, embedded newlines, unicode and empty strings must
+    survive the distributed CSV write→read roundtrip byte-for-byte (the
+    aggregate checks chars per lang; a quoting bug changes the counts)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_toolkit_ray.queries import csv_roundtrip_documents
+
+    texts = ['a,b', 'say "hi"', 'line1\nline2', '', 'héllo🙂', ' lead and trail ']
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en", "en", "de", "de", "fr", "fr"], pa.string()),
+            "source": pa.array(["s0"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = csv_roundtrip_documents(str(tmp_path)).to_pandas().set_index("lang")
+    want = {
+        "en": (2, len("a,b") + len('say "hi"'), 0 + 1),
+        "de": (2, len("line1\nline2") + 0, 2 + 3),
+        "fr": (2, len("héllo🙂") + len(" lead and trail "), 4 + 5),
+    }
+    for lang, (n, chars, idsum) in want.items():
+        assert out.loc[lang, "n_docs"] == n
+        assert out.loc[lang, "total_chars"] == chars, lang
+        assert out.loc[lang, "sum_doc_id"] == idsum
