@@ -887,6 +887,20 @@ def ngram_jaccard_pairs(
     texts_a = texts_ds.map_batches(_rename("a"), batch_format="pyarrow", zero_copy_batch=True)
     texts_b = texts_ds.map_batches(_rename("b"), batch_format="pyarrow", zero_copy_batch=True)
     cand = cand.join(texts_a, "inner", num_partitions=num_partitions, on=("a",))
+    # a join emits schema-LESS zero-row blocks for its empty partitions;
+    # feeding them into the second join crashes pyarrow ("No match or
+    # multiple matches for key field reference") whenever the pair-hash
+    # distribution leaves a partition empty — strip at the ref level
+    cand = drop_empty_blocks(
+        cand,
+        pa.table(
+            {
+                "a": pa.array([], type=id_type),
+                "b": pa.array([], type=id_type),
+                "text_a": pa.array([], type=pa.string()),
+            }
+        ),
+    )
     cand = cand.join(texts_b, "inner", num_partitions=num_partitions, on=("b",))
 
     def _verify(batch: pa.Table) -> pa.Table:
