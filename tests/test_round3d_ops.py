@@ -501,3 +501,46 @@ def test_csv_roundtrip_hostile_content(ray_session, tmp_path):
         assert out.loc[lang, "n_docs"] == n
         assert out.loc[lang, "total_chars"] == chars, lang
         assert out.loc[lang, "sum_doc_id"] == idsum
+
+
+def test_heavy_hitters_layout_independent(ray_session, tmp_path):
+    """The MG candidate SET may vary with block layout, but the verified
+    output may not: same content in reversed row order and different
+    row-group sizes must produce identical heavy hitters."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_toolkit_ray.queries import heavy_hitters_documents
+
+    rng = np.random.RandomState(9)
+    tokens = ["big1"] * 400 + ["big2"] * 350 + [f"r{i}" for i in range(300)]
+    rng.shuffle(tokens)
+    docs = [" ".join(tokens[i::30]) for i in range(30)]
+
+    def write(path, order, row_group_size):
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(order, pa.int64()),
+                "text": pa.array([docs[i] for i in order], pa.string()),
+                "lang": pa.array(["en"] * len(order), pa.string()),
+                "source": pa.array(["s0"] * len(order), pa.string()),
+                "n_chars": pa.array([len(docs[i]) for i in order], pa.int64()),
+            }
+        )
+        path.mkdir()
+        pq.write_table(tbl, path / "documents.parquet", row_group_size=row_group_size)
+        return str(path)
+
+    a = write(tmp_path / "a", list(range(30)), 30)
+    b = write(tmp_path / "b", list(reversed(range(30))), 4)
+    out_a = (
+        heavy_hitters_documents(a, counters=8, frac=4)
+        .to_pandas().sort_values("word").reset_index(drop=True)
+    )
+    out_b = (
+        heavy_hitters_documents(b, counters=8, frac=4)
+        .to_pandas().sort_values("word").reset_index(drop=True)
+    )
+    assert out_a.equals(out_b)
+    assert set(out_a["word"]) == {"big1", "big2"}
