@@ -7168,10 +7168,33 @@ def curate_documents(sf_dir: str):
     )
 
     # --- combine ----------------------------------------------------------
-    n_parts = relops.choose_num_partitions(relops.table_path(sf_dir, "documents"))
-    joined = exact_flags.join(
-        near_flags, "inner", num_partitions=n_parts, on=("doc_id",), right_on=("nr_doc",)
+    # both flag tables are corpus-sized but NARROW (~17 B/row); under the
+    # byte gate the near flags broadcast and attach per batch with zero
+    # shuffle (removes ~2 s of fixed hash-join cost at bench scale), above
+    # it the distributed join remains the scale path (same gate pattern as
+    # dup_span_removal's join-back; both bucketed-groupby outputs are
+    # ref-backed, so the probe and the later pull reuse the same blocks)
+    def _block_bytes(b: pa.Table) -> pa.Table:
+        return pa.table({"nbytes": pa.array([b.nbytes], pa.int64())})
+
+    nr_bytes = int(
+        near_flags.map_batches(_block_bytes, batch_format="pyarrow")
+        .to_pandas()["nbytes"].sum()
     )
+    if nr_bytes <= relops.BROADCAST_GATE_BYTES:
+        blocks = [t for t in ray.get(near_flags.to_arrow_refs()) if t.num_rows]
+        small = (
+            pa.concat_tables(blocks).rename_columns(["doc_id", "near_keep"])
+            if blocks
+            else empty_nr.rename_columns(["doc_id", "near_keep"])
+        )
+        joined = relops.broadcast_join(exact_flags, small, on="doc_id")
+    else:
+        n_parts = relops.choose_num_partitions(relops.table_path(sf_dir, "documents"))
+        joined = exact_flags.join(
+            near_flags, "inner", num_partitions=n_parts,
+            on=("doc_id",), right_on=("nr_doc",),
+        )
 
     def verdict(batch: pa.Table) -> pa.Table:
         q = batch.column("quality_keep").to_numpy(zero_copy_only=False)

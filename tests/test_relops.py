@@ -200,3 +200,23 @@ def test_span_removal_above_gate_matches_broadcast(ray_session, monkeypatch):
     monkeypatch.setattr(relops, "BROADCAST_GATE_BYTES", 0)
     joined = run()
     pd.testing.assert_frame_equal(broadcast, joined, check_dtype=False)
+
+
+def test_curate_above_gate_matches_broadcast(ray_session, monkeypatch):
+    """curate's near-flag attach broadcasts under the byte gate and hash-
+    joins above it; both paths must agree."""
+    import pandas as pd
+
+    from pdf_toolkit_ray import queries, relops
+
+    sf = "/root/testdata/sf0.001"
+
+    def run():
+        df = queries.curate_documents(sf)
+        df = df.to_pandas() if not isinstance(df, pd.DataFrame) else df
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    broadcast = run()
+    monkeypatch.setattr(relops, "BROADCAST_GATE_BYTES", 0)
+    joined = run()
+    pd.testing.assert_frame_equal(broadcast, joined, check_dtype=False)
