@@ -66,6 +66,12 @@ def _build_parser() -> argparse.ArgumentParser:
         "(Dataset results only; the per-operator wall/cpu/blocks table "
         "drives the measure-then-iterate perf loop)",
     )
+    qry.add_argument(
+        "--out", default=None, metavar="DIR",
+        help="write the FULL result to DIR as parquet instead of printing "
+        "rows (Dataset results stream via write_parquet — sharded, never "
+        "through the driver; table results write one file)",
+    )
     return parser
 
 
@@ -148,6 +154,25 @@ def main(argv: list[str] | None = None) -> int:
             import pandas as pd
             import pyarrow as pa
 
+            if args.out:
+                import os as _os
+
+                import pyarrow.parquet as _pq
+
+                if isinstance(result, pd.DataFrame):
+                    result = pa.Table.from_pandas(result, preserve_index=False)
+                if isinstance(result, pa.Table):
+                    _os.makedirs(args.out, exist_ok=True)
+                    _pq.write_table(
+                        result, _os.path.join(args.out, "result.parquet")
+                    )
+                    n = result.num_rows
+                else:  # Dataset: sharded distributed write, never the driver
+                    result.write_parquet(args.out)
+                    n = None
+                print(f"wrote {args.out}" + (f" ({n} rows)" if n is not None else ""))
+                ray.shutdown()
+                return 0
             stats_src = None
             if isinstance(result, pa.Table):
                 df = result.to_pandas()

@@ -77,3 +77,22 @@ def test_cli_extract_end_to_end(tmp_path):
     assert summary["rows_written"] > 0
     assert summary["action_counts"]["written"] == summary["written_partitions"]
     assert os.path.exists(os.path.join(out, "_job_manifest.json"))
+
+
+def test_query_out_writes_parquet(tmp_path):
+    """query --out writes the FULL result as parquet (table result: one
+    file; Dataset result: sharded write) instead of printing rows."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "res")
+    r = _run(
+        "query", "groupby_events", "--sf-dir", "/root/testdata/sf0.001",
+        "--num-cpus", "4", "--out", out,
+    )
+    assert r.returncode == 0, r.stderr
+    assert f"wrote {out}" in r.stdout
+    files = glob.glob(out + "/*.parquet")
+    assert files
+    assert sum(pq.read_metadata(f).num_rows for f in files) == 5
