@@ -220,3 +220,38 @@ def test_single_slot_exchange_both_levels(ray_session, smoke_parquet):
     s = _sorted(single)
     t = _sorted(two)
     assert (s["extracted_text"].values == t["extracted_text"].values).all()
+
+
+def test_resume_after_simulated_crash_artifacts(ray_session, smoke_parquet, oracle_df, tmp_path):
+    """A SIGKILLed run leaves exactly these artifacts: orphan *.tmp.<pid>
+    files, a part dir with garbage data.parquet but NO manifest, and a
+    part dir with only the directory created. Resume must reprocess all
+    of them (manifest is the sole commit marker) and converge to the
+    same oracle-equal output; orphan tmp files must not be mistaken for
+    data."""
+    out = str(tmp_path / "job")
+    summary = run_extract_job(smoke_parquet, out, CFG)
+    parts = sorted(glob.glob(out + "/part-*"))
+    assert len(parts) >= 3
+
+    # crash artifact 1: data written, manifest never committed (garbage bytes)
+    os.remove(os.path.join(parts[0], "manifest.json"))
+    with open(os.path.join(parts[0], "data.parquet"), "wb") as fh:
+        fh.write(b"not parquet at all")
+    # crash artifact 2: orphan tmp from a killed writer pid
+    os.remove(os.path.join(parts[1], "manifest.json"))
+    os.remove(os.path.join(parts[1], "data.parquet"))
+    with open(os.path.join(parts[1], "data.parquet.tmp.99999"), "wb") as fh:
+        fh.write(b"half-written")
+    # crash artifact 3: directory created, nothing else
+    os.remove(os.path.join(parts[2], "manifest.json"))
+    os.remove(os.path.join(parts[2], "data.parquet"))
+
+    summary2 = run_extract_job(smoke_parquet, out, CFG)
+    assert summary2["written_partitions"] == 3
+    back = read_extracted(out).to_pandas()
+    assert_matches_oracle(back, oracle_df)
+    # the orphan tmp is at worst inert; committed data is valid parquet
+    for p in parts[:3]:
+        assert os.path.exists(os.path.join(p, "manifest.json"))
+        pq.read_table(os.path.join(p, "data.parquet"))
