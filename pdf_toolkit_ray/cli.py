@@ -55,6 +55,17 @@ def _build_parser() -> argparse.ArgumentParser:
                      help="rewrite ranges that already have a committed manifest")
     spl.add_argument("--num-cpus", type=int, default=None)
 
+    cmp_ = sub.add_parser(
+        "compact",
+        help="compact many small committed partitions into ~target-size "
+             "ones (small-files maintenance for long-lived corpora)",
+    )
+    cmp_.add_argument("--input", required=True, help="job output dir (part-* partitions)")
+    cmp_.add_argument("--out", required=True, help="compacted output directory")
+    cmp_.add_argument("--target-mb", type=int, default=128)
+    cmp_.add_argument("--overwrite", action="store_true")
+    cmp_.add_argument("--num-cpus", type=int, default=None)
+
     qry = sub.add_parser("query", help="run a registry query")
     qry.add_argument("name", nargs="?", help="query name (omit to list)")
     qry.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -122,6 +133,17 @@ def main(argv: list[str] | None = None) -> int:
             summary = run_extract_job(
                 args.input, args.out, cfg,
                 resume=not args.no_resume, turns=args.turns, dry_run=args.dry_run,
+            )
+            print(json.dumps(summary, indent=1))
+            ray.shutdown()
+            return 0
+        if args.command == "compact":
+            ray = _ray_session(args.num_cpus)
+            from .pipelines.extract import run_compact_job
+
+            summary = run_compact_job(
+                args.input, args.out,
+                target_mb=args.target_mb, overwrite=args.overwrite,
             )
             print(json.dumps(summary, indent=1))
             ray.shutdown()

@@ -40,6 +40,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from .. import UserError
 from ..config import ExtractConfig
 from ..schema import validate_transcripts_schema
 from ..state import manifest as manifest_mod
@@ -546,6 +547,121 @@ def run_split_job(
         "out_dir": out_dir,
         "ranges": [[int(a), int(b)] for a, b in ranges],
         "config_hash": range_hash,
+        "rows_written": int(rows_written),
+        "action_counts": manifest_mod.summarize_actions(actions),
+        "actions": actions,
+        "wall_sec": round(time.time() - t_start, 3),
+    }
+    manifest_mod.write_job_manifest(out_dir, summary)
+    return summary
+
+
+@ray.remote
+def _compact_group_task(
+    files: list[str], out_dir: str, gid: int, job_hash: str, inputs: list[str]
+) -> int:
+    """One output group: read its input partition files, write ONE atomic
+    committed partition — entirely inside this task (group bytes are
+    bounded by target_mb, so task memory is bounded by construction)."""
+    import pyarrow.parquet as _pq
+
+    tbl = pa.concat_tables([_pq.read_table(f) for f in files])
+    manifest_mod.write_partition(
+        out_dir, gid, 0, tbl,
+        lineage={"config_hash": job_hash, "inputs": inputs},
+        metrics={"rows": int(tbl.num_rows), "input_parts": len(files)},
+    )
+    return int(tbl.num_rows)
+
+
+def run_compact_job(
+    input_dir: str,
+    out_dir: str,
+    *,
+    target_mb: int = 128,
+    overwrite: bool = False,
+) -> dict[str, Any]:
+    """Compact many small committed partitions into ~``target_mb`` ones —
+    the operational dual of ``run_split_job`` (a resumable job run's
+    output is many part dirs; long-lived corpora need periodic small-file
+    compaction or the NEXT job's scan pays per-file costs).
+
+    Committed input partitions (manifest present — uncommitted crash
+    leftovers are ignored, same rule as resume) are greedily packed in
+    sorted-name order into groups of at most ``target_mb`` on-disk bytes;
+    each group is one independent Ray task reading its inputs and writing
+    one atomic partition (tmp → rename → manifest last). Resume identity:
+    the job hash covers the ordered (name, size) list and the target, and
+    a committed output group is skipped only when its lineage.inputs
+    equals the group currently assigned to that idx (the lineage-verified
+    skip rule from the split job)."""
+    import hashlib as _hl
+
+    t_start = time.time()
+    if not os.path.isdir(input_dir):
+        raise UserError(f"input dir not found: {input_dir}")
+    parts = sorted(
+        name for name in os.listdir(input_dir)
+        if name.startswith("part-")
+        and manifest_mod.load_manifest(os.path.join(input_dir, name)) is not None
+    )
+    if not parts:
+        raise UserError(f"no committed partitions under {input_dir}")
+    sizes = {
+        name: os.path.getsize(os.path.join(input_dir, name, "data.parquet"))
+        for name in parts
+    }
+    target_bytes = int(target_mb) << 20
+    groups: list[list[str]] = [[]]
+    acc = 0
+    for name in parts:
+        if groups[-1] and acc + sizes[name] > target_bytes:
+            groups.append([])
+            acc = 0
+        groups[-1].append(name)
+        acc += sizes[name]
+
+    job_hash = _hl.sha256(
+        f"{input_dir}|{[(n, sizes[n]) for n in parts]}|{target_mb}".encode()
+    ).hexdigest()[:16]
+    os.makedirs(out_dir, exist_ok=True)
+    done = (
+        manifest_mod.completed_partitions(out_dir, job_hash) if not overwrite else set()
+    )
+    now = manifest_mod._utcnow()
+    actions: list[dict[str, Any]] = []
+    rows_written = 0
+    pending: list[tuple[int, list[str], Any]] = []
+    for gid, group in enumerate(groups):
+        if (gid, 0) in done:
+            committed = manifest_mod.load_manifest(
+                manifest_mod.partition_dir(out_dir, gid, 0)
+            )
+            if (committed or {}).get("lineage", {}).get("inputs") == group:
+                actions.append(
+                    {"timestamp": now, "action": "compact_group", "status": "skipped",
+                     "part_id": gid, "inputs": group}
+                )
+                continue
+        files = [os.path.join(input_dir, n, "data.parquet") for n in group]
+        pending.append(
+            (gid, group, _compact_group_task.remote(files, out_dir, gid, job_hash, group))
+        )
+    for gid, group, ref in pending:
+        n_rows = ray.get(ref)
+        rows_written += n_rows
+        actions.append(
+            {"timestamp": now, "action": "compact_group", "status": "written",
+             "part_id": gid, "inputs": group, "rows": int(n_rows)}
+        )
+    actions.sort(key=lambda a: a["part_id"])
+    summary = {
+        "input": str(input_dir),
+        "out_dir": out_dir,
+        "target_mb": int(target_mb),
+        "n_input_parts": len(parts),
+        "n_groups": len(groups),
+        "config_hash": job_hash,
         "rows_written": int(rows_written),
         "action_counts": manifest_mod.summarize_actions(actions),
         "actions": actions,

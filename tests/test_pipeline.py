@@ -255,3 +255,39 @@ def test_resume_after_simulated_crash_artifacts(ray_session, smoke_parquet, orac
     for p in parts[:3]:
         assert os.path.exists(os.path.join(p, "manifest.json"))
         pq.read_table(os.path.join(p, "data.parquet"))
+
+
+def test_compact_job(ray_session, smoke_parquet, oracle_df, tmp_path):
+    """Compaction merges many small committed partitions into ~target-size
+    ones with identical content; reruns skip committed groups; uncommitted
+    input leftovers are ignored."""
+    from pdf_toolkit_ray.pipelines.extract import run_compact_job
+
+    src = str(tmp_path / "job")
+    run_extract_job(smoke_parquet, src, CFG)
+    n_src = len(glob.glob(src + "/part-*"))
+    assert n_src >= 3
+
+    # an uncommitted crash leftover in the input must be ignored
+    stray = os.path.join(src, "part-99999-s00000")
+    os.makedirs(stray)
+    with open(os.path.join(stray, "data.parquet"), "wb") as fh:
+        fh.write(b"garbage")
+
+    out = str(tmp_path / "compacted")
+    summary = run_compact_job(src, out, target_mb=1)
+    assert 1 <= summary["n_groups"] < n_src  # actually merged something
+    back = read_extracted(out).to_pandas()
+    assert_matches_oracle(back, oracle_df)
+
+    # rerun: everything skipped
+    summary2 = run_compact_job(src, out, target_mb=1)
+    assert summary2["rows_written"] == 0
+    assert summary2["action_counts"].get("skipped") == summary["n_groups"]
+
+    # knock out one group -> only it is rewritten, content unchanged
+    a_part = sorted(glob.glob(out + "/part-*"))[0]
+    os.remove(os.path.join(a_part, "manifest.json"))
+    summary3 = run_compact_job(src, out, target_mb=1)
+    assert summary3["action_counts"].get("written") == 1
+    assert_matches_oracle(read_extracted(out).to_pandas(), oracle_df)
