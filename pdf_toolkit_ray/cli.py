@@ -66,6 +66,14 @@ def _build_parser() -> argparse.ArgumentParser:
     cmp_.add_argument("--overwrite", action="store_true")
     cmp_.add_argument("--num-cpus", type=int, default=None)
 
+    val = sub.add_parser(
+        "validate",
+        help="audit a job output: every committed partition's data file "
+             "must parse and match its manifest row count (footer-only)",
+    )
+    val.add_argument("--out", required=True, help="job output directory")
+    val.add_argument("--num-cpus", type=int, default=None)
+
     qry = sub.add_parser("query", help="run a registry query")
     qry.add_argument("name", nargs="?", help="query name (omit to list)")
     qry.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -148,6 +156,14 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(summary, indent=1))
             ray.shutdown()
             return 0
+        if args.command == "validate":
+            ray = _ray_session(args.num_cpus)
+            from .pipelines.extract import run_validate_job
+
+            summary = run_validate_job(args.out)
+            print(json.dumps(summary, indent=1))
+            ray.shutdown()
+            return 0 if summary["ok"] else 1
         if args.command == "split":
             from .functions.turnspec import parse_turn_ranges
 

@@ -671,6 +671,81 @@ def run_compact_job(
     return summary
 
 
+@ray.remote
+def _validate_parts_task(out_dir: str, names: list[str]) -> list[dict[str, Any]]:
+    """Audit a batch of partitions: manifest present, data file parses,
+    footer row count equals the manifest's written rows."""
+    import pyarrow.parquet as _pq
+
+    findings = []
+    for name in names:
+        pdir = os.path.join(out_dir, name)
+        manifest = manifest_mod.load_manifest(pdir)
+        if manifest is None:
+            findings.append({"partition": name, "status": "uncommitted"})
+            continue
+        data = os.path.join(pdir, "data.parquet")
+        try:
+            n = _pq.ParquetFile(data).metadata.num_rows
+        except Exception as exc:  # missing or corrupt
+            findings.append(
+                {"partition": name, "status": "corrupt", "error": str(exc)[:200]}
+            )
+            continue
+        want = manifest.get("metrics", {}).get("rows")
+        if want is None:
+            want = next(
+                (a.get("rows") for a in manifest.get("actions", []) if "rows" in a),
+                None,
+            )
+        if want is not None and int(want) != int(n):
+            findings.append(
+                {"partition": name, "status": "row_mismatch",
+                 "manifest_rows": int(want), "file_rows": int(n)}
+            )
+        else:
+            findings.append({"partition": name, "status": "ok", "rows": int(n)})
+    return findings
+
+
+def run_validate_job(out_dir: str) -> dict[str, Any]:
+    """Audit every partition of a job output: batched Ray tasks check that
+    each committed partition's data file parses and its footer row count
+    matches the manifest (footer-only — no data bytes read), and flag
+    uncommitted leftovers. The operational complement of resume: resume
+    trusts the manifest-last protocol; validate detects post-commit
+    corruption (disk faults, partial copies between stores)."""
+    t_start = time.time()
+    if not os.path.isdir(out_dir):
+        raise UserError(f"output dir not found: {out_dir}")
+    names = sorted(
+        n for n in os.listdir(out_dir)
+        if n.startswith("part-") and os.path.isdir(os.path.join(out_dir, n))
+    )
+    findings = [
+        f
+        for part in ray.get(
+            [
+                _validate_parts_task.remote(out_dir, chunk)
+                for chunk in _chunked(names, _FOOTER_FILES_PER_TASK)
+            ]
+        )
+        for f in part
+    ]
+    by_status: dict[str, int] = {}
+    for f in findings:
+        by_status[f["status"]] = by_status.get(f["status"], 0) + 1
+    return {
+        "out_dir": out_dir,
+        "n_partitions": len(names),
+        "status_counts": by_status,
+        "ok": by_status.get("ok", 0) == len(names),
+        "problems": [f for f in findings if f["status"] != "ok"],
+        "total_rows": sum(f.get("rows", 0) for f in findings),
+        "wall_sec": round(time.time() - t_start, 3),
+    }
+
+
 def read_extracted(out_dir: str) -> ray.data.Dataset:
     """Read a job's committed output back as a Dataset."""
     paths = [

@@ -291,3 +291,26 @@ def test_compact_job(ray_session, smoke_parquet, oracle_df, tmp_path):
     summary3 = run_compact_job(src, out, target_mb=1)
     assert summary3["action_counts"].get("written") == 1
     assert_matches_oracle(read_extracted(out).to_pandas(), oracle_df)
+
+
+def test_validate_job(ray_session, smoke_parquet, tmp_path):
+    """validate flags corrupt data, manifest/file row mismatches and
+    uncommitted leftovers; a clean job validates ok."""
+    from pdf_toolkit_ray.pipelines.extract import run_validate_job
+
+    out = str(tmp_path / "job")
+    run_extract_job(smoke_parquet, out, CFG)
+    rep = run_validate_job(out)
+    assert rep["ok"] and not rep["problems"]
+    assert rep["total_rows"] > 0
+
+    parts = sorted(glob.glob(out + "/part-*"))
+    with open(os.path.join(parts[0], "data.parquet"), "wb") as fh:
+        fh.write(b"corrupted")  # manifest still claims rows
+    stray = os.path.join(out, "part-99999-s00000")
+    os.makedirs(stray)
+    rep2 = run_validate_job(out)
+    assert not rep2["ok"]
+    statuses = {p["partition"]: p["status"] for p in rep2["problems"]}
+    assert statuses[os.path.basename(parts[0])] == "corrupt"
+    assert statuses["part-99999-s00000"] == "uncommitted"
