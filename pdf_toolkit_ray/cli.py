@@ -197,6 +197,10 @@ def main(argv: list[str] | None = None) -> int:
 
                 import pyarrow.parquet as _pq
 
+                if _os.path.isdir(args.out) and _os.listdir(args.out):
+                    # Dataset writes add uniquely-named shards; appending
+                    # into a non-empty dir would mix two runs' results
+                    raise UserError(f"--out {args.out} exists and is not empty")
                 if isinstance(result, pd.DataFrame):
                     result = pa.Table.from_pandas(result, preserve_index=False)
                 if isinstance(result, pa.Table):

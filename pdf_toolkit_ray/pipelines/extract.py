@@ -625,6 +625,35 @@ def run_compact_job(
         f"{input_dir}|{[(n, sizes[n]) for n in parts]}|{target_mb}".encode()
     ).hexdigest()[:16]
     os.makedirs(out_dir, exist_ok=True)
+    # STALE-OUTPUT guard: a committed partition from a DIFFERENT job
+    # identity (other inputs / other target) or beyond the current group
+    # count would silently duplicate rows on read-back (read_extracted
+    # loads every manifested part dir). Refuse unless --overwrite, which
+    # removes them.
+    stale = []
+    for name in sorted(os.listdir(out_dir)):
+        pdir = os.path.join(out_dir, name)
+        if not name.startswith("part-") or not os.path.isdir(pdir):
+            continue
+        m = manifest_mod.load_manifest(pdir)
+        if m is None:
+            continue
+        if (
+            m.get("lineage", {}).get("config_hash") != job_hash
+            or int(m.get("part_id", -1)) >= len(groups)
+        ):
+            stale.append(name)
+    if stale:
+        if not overwrite:
+            raise UserError(
+                f"{out_dir} holds {len(stale)} committed partition(s) from a "
+                f"different compact job (e.g. {stale[0]}); reading the mix "
+                "would duplicate rows — rerun with overwrite=True to replace"
+            )
+        import shutil as _sh
+
+        for name in stale:
+            _sh.rmtree(os.path.join(out_dir, name))
     done = (
         manifest_mod.completed_partitions(out_dir, job_hash) if not overwrite else set()
     )
@@ -739,7 +768,9 @@ def run_validate_job(out_dir: str) -> dict[str, Any]:
         "out_dir": out_dir,
         "n_partitions": len(names),
         "status_counts": by_status,
-        "ok": by_status.get("ok", 0) == len(names),
+        # zero partitions is NOT a clean pass — a typo'd or never-written
+        # job dir must not satisfy an audit gate
+        "ok": len(names) > 0 and by_status.get("ok", 0) == len(names),
         "problems": [f for f in findings if f["status"] != "ok"],
         "total_rows": sum(f.get("rows", 0) for f in findings),
         "wall_sec": round(time.time() - t_start, 3),

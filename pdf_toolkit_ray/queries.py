@@ -5832,34 +5832,16 @@ def dup_span_removal_documents(sf_dir: str, n: int = 5):
     )
 
     # rm_lists is one row per AFFECTED doc but each row carries a position
-    # blob, so the gate must be on BYTES, not rows. bucketed_groupby's
-    # output is ref-backed (drop_empty_blocks), so this stats pass and a
-    # later ref pull reuse the same blocks — nothing recomputes. Under the
-    # gate the corpus scan attaches removal lists per batch with zero
-    # shuffle; above it, the distributed left_outer hash join (measured:
-    # the join was ~2 s of fixed hash-shuffle overhead at sf0.1 for a
-    # 4 KB small side).
-    def _block_stats(b: pa.Table) -> pa.Table:
-        return pa.table({"nbytes": pa.array([b.nbytes], pa.int64())})
-
-    rm_bytes = int(
-        rm_lists.map_batches(_block_stats, batch_format="pyarrow")
-        .to_pandas()["nbytes"].sum()  # one row per block, bounded by block count
+    # blob, so the gate is on BYTES (measured: the distributed left_outer
+    # join was ~2 s of fixed hash-shuffle overhead at sf0.1 for a 4 KB
+    # small side; under the gate the corpus scan attaches removal lists
+    # per batch with zero shuffle)
+    joined = relops.size_gated_join(
+        ds, rm_lists, on="doc_id", right_on="rm_doc", how="left",
+        num_partitions=relops.choose_num_partitions(
+            relops.table_path(sf_dir, "documents")
+        ),
     )
-    if rm_bytes <= relops.BROADCAST_GATE_BYTES:
-        blocks = [t for t in ray.get(rm_lists.to_arrow_refs()) if t.num_rows]
-        small = pa.concat_tables(blocks) if blocks else empty_rm
-        joined = relops.broadcast_join(
-            ds, small.rename_columns(["doc_id", "rm"]), on="doc_id", how="left"
-        )
-    else:
-        joined = ds.join(
-            rm_lists,
-            "left_outer",
-            num_partitions=relops.choose_num_partitions(relops.table_path(sf_dir, "documents")),
-            on=("doc_id",),
-            right_on=("rm_doc",),
-        )
 
     empty_out = pa.table(
         {
@@ -6147,14 +6129,9 @@ def nb_lang_classifier_documents(sf_dir: str):
     )
 
     def count_partial(batch: pa.Table) -> pa.Table:
-        _, flat, _ = _exploded_words(batch)
+        _, flat, lens = _exploded_words(batch)  # lens: words per doc, reused
         lang = pa.array(
-            np.repeat(
-                batch.column("lang").to_numpy(zero_copy_only=False),
-                pc.list_value_length(
-                    pc.split_pattern(batch.column("text"), pattern=" ")
-                ).to_numpy(zero_copy_only=False),
-            )
+            np.repeat(batch.column("lang").to_numpy(zero_copy_only=False), lens)
         )
         t = pa.table({"lang": lang, "word": flat})
         return t.group_by(["lang", "word"]).aggregate([("word", "count")])
@@ -6375,6 +6352,49 @@ def _oracle_pack_sequences(
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def _roundtrip_checksum(back) -> pa.Table:
+    """Per-lang doc count / code-point total / doc_id checksum over a
+    read-back dataset — the shared fidelity aggregate for the source/sink
+    roundtrip queries (any row loss, text corruption or dtype drift in
+    the roundtrip flips the hash against the parquet oracle)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if text.null_count:  # e.g. empty strings round-trip as CSV nulls
+            text = pc.fill_null(text, "")
+        t = pa.table(
+            {
+                "lang": batch.column("lang"),
+                "chars": pc.cast(pc.utf8_length(text), pa.int64()),
+                "doc_id": batch.column("doc_id"),
+            }
+        )
+        g = t.group_by(["lang"]).aggregate(
+            [("chars", "sum"), ("doc_id", "count"), ("doc_id", "sum")]
+        )
+        return g.rename_columns(["lang", "chars", "n", "idsum"])
+
+    agg = (
+        back.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .aggregate(
+            Sum("chars", alias_name="total_chars"),
+            Sum("n", alias_name="n_docs"),
+            Sum("idsum", alias_name="sum_doc_id"),
+        )
+        .to_pandas()  # lang-count-sized
+    )
+    agg = agg.sort_values("lang").reset_index(drop=True)
+    return pa.table(
+        {
+            "lang": pa.array(agg.lang, pa.string()),
+            "n_docs": pa.array(agg.n_docs.to_numpy(np.int64), pa.int64()),
+            "total_chars": pa.array(agg.total_chars.to_numpy(np.int64), pa.int64()),
+            "sum_doc_id": pa.array(agg.sum_doc_id.to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
 def jsonl_roundtrip_documents(sf_dir: str):
     """JSONL sink + source fidelity (sources/jsonl.py): stream documents
     to sharded JSON-lines (one part per block, distributed write), read
@@ -6399,41 +6419,9 @@ def jsonl_roundtrip_documents(sf_dir: str):
                 [("doc_id", pa.int64()), ("text", pa.string()), ("lang", pa.string())]
             ),
         )
-
-        def partial(batch: pa.Table) -> pa.Table:
-            t = pa.table(
-                {
-                    "lang": batch.column("lang"),
-                    "chars": pc.cast(pc.utf8_length(batch.column("text")), pa.int64()),
-                    "doc_id": batch.column("doc_id"),
-                }
-            )
-            g = t.group_by(["lang"]).aggregate(
-                [("chars", "sum"), ("doc_id", "count"), ("doc_id", "sum")]
-            )
-            return g.rename_columns(["lang", "chars", "n", "idsum"])
-
-        agg = (
-            back.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby("lang")
-            .aggregate(
-                Sum("chars", alias_name="total_chars"),
-                Sum("n", alias_name="n_docs"),
-                Sum("idsum", alias_name="sum_doc_id"),
-            )
-            .to_pandas()  # lang-count-sized
-        )
+        return _roundtrip_checksum(back)
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
-    agg = agg.sort_values("lang").reset_index(drop=True)
-    return pa.table(
-        {
-            "lang": pa.array(agg.lang, pa.string()),
-            "n_docs": pa.array(agg.n_docs.to_numpy(np.int64), pa.int64()),
-            "total_chars": pa.array(agg.total_chars.to_numpy(np.int64), pa.int64()),
-            "sum_doc_id": pa.array(agg.sum_doc_id.to_numpy(np.int64), pa.int64()),
-        }
-    )
 
 
 JSONL_ROUNDTRIP_SQL = """
@@ -6469,43 +6457,9 @@ def csv_roundtrip_documents(sf_dir: str):
             ),
         )
 
-        def partial(batch: pa.Table) -> pa.Table:
-            text = batch.column("text")
-            if text.null_count:  # empty strings round-trip as CSV nulls
-                text = pc.fill_null(text, "")
-            t = pa.table(
-                {
-                    "lang": batch.column("lang"),
-                    "chars": pc.cast(pc.utf8_length(text), pa.int64()),
-                    "doc_id": batch.column("doc_id"),
-                }
-            )
-            g = t.group_by(["lang"]).aggregate(
-                [("chars", "sum"), ("doc_id", "count"), ("doc_id", "sum")]
-            )
-            return g.rename_columns(["lang", "chars", "n", "idsum"])
-
-        agg = (
-            back.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby("lang")
-            .aggregate(
-                Sum("chars", alias_name="total_chars"),
-                Sum("n", alias_name="n_docs"),
-                Sum("idsum", alias_name="sum_doc_id"),
-            )
-            .to_pandas()  # lang-count-sized
-        )
+        return _roundtrip_checksum(back)
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
-    agg = agg.sort_values("lang").reset_index(drop=True)
-    return pa.table(
-        {
-            "lang": pa.array(agg.lang, pa.string()),
-            "n_docs": pa.array(agg.n_docs.to_numpy(np.int64), pa.int64()),
-            "total_chars": pa.array(agg.total_chars.to_numpy(np.int64), pa.int64()),
-            "sum_doc_id": pa.array(agg.sum_doc_id.to_numpy(np.int64), pa.int64()),
-        }
-    )
 
 
 def hopping_window_events(sf_dir: str, size_s: int = 3600, hop_s: int = 1800):
@@ -7171,30 +7125,13 @@ def curate_documents(sf_dir: str):
     # both flag tables are corpus-sized but NARROW (~17 B/row); under the
     # byte gate the near flags broadcast and attach per batch with zero
     # shuffle (removes ~2 s of fixed hash-join cost at bench scale), above
-    # it the distributed join remains the scale path (same gate pattern as
-    # dup_span_removal's join-back; both bucketed-groupby outputs are
-    # ref-backed, so the probe and the later pull reuse the same blocks)
-    def _block_bytes(b: pa.Table) -> pa.Table:
-        return pa.table({"nbytes": pa.array([b.nbytes], pa.int64())})
-
-    nr_bytes = int(
-        near_flags.map_batches(_block_bytes, batch_format="pyarrow")
-        .to_pandas()["nbytes"].sum()
+    # it the distributed join remains the scale path
+    joined = relops.size_gated_join(
+        exact_flags, near_flags, on="doc_id", right_on="nr_doc", how="inner",
+        num_partitions=relops.choose_num_partitions(
+            relops.table_path(sf_dir, "documents")
+        ),
     )
-    if nr_bytes <= relops.BROADCAST_GATE_BYTES:
-        blocks = [t for t in ray.get(near_flags.to_arrow_refs()) if t.num_rows]
-        small = (
-            pa.concat_tables(blocks).rename_columns(["doc_id", "near_keep"])
-            if blocks
-            else empty_nr.rename_columns(["doc_id", "near_keep"])
-        )
-        joined = relops.broadcast_join(exact_flags, small, on="doc_id")
-    else:
-        n_parts = relops.choose_num_partitions(relops.table_path(sf_dir, "documents"))
-        joined = exact_flags.join(
-            near_flags, "inner", num_partitions=n_parts,
-            on=("doc_id",), right_on=("nr_doc",),
-        )
 
     def verdict(batch: pa.Table) -> pa.Table:
         q = batch.column("quality_keep").to_numpy(zero_copy_only=False)

@@ -203,6 +203,56 @@ def broadcast_join(
     return ds.map_batches(_join, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def size_gated_join(
+    ds: ray.data.Dataset,
+    side: ray.data.Dataset,
+    *,
+    on: str,
+    right_on: str | None = None,
+    how: str = "inner",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Attach a NARROW ref-backed ``side`` to ``ds``: while the side's
+    measured block bytes are under :data:`BROADCAST_GATE_BYTES` it
+    broadcasts once and joins per batch with zero shuffle; above the gate
+    a distributed ``Dataset.join`` runs. The gate is on BYTES because a
+    flag/blob side's size is not bounded by its row count.
+
+    ``side`` should be ref-backed (e.g. ``bucketed_groupby`` output with
+    ``empty=``) so the size probe and the later ref pull reuse the same
+    blocks — nothing recomputes. ``right_on`` (if given) is renamed to
+    ``on`` for the broadcast path and passed through for the join path.
+    ``how`` is "inner" or "left" (big side preserved)."""
+
+    def _block_bytes(b: pa.Table) -> pa.Table:
+        return pa.table({"nbytes": pa.array([b.nbytes], pa.int64())})
+
+    total = int(
+        side.map_batches(_block_bytes, batch_format="pyarrow")
+        .to_pandas()["nbytes"].sum()  # one row per block, bounded by block count
+    )
+    if total <= BROADCAST_GATE_BYTES:
+        blocks = [t for t in ray.get(side.to_arrow_refs()) if t.num_rows]
+        if blocks:
+            small = pa.concat_tables(blocks)
+        else:
+            schema = side.schema()
+            schema = getattr(schema, "base_schema", schema)
+            small = pa.table({f.name: pa.array([], f.type) for f in schema})
+        if right_on and right_on != on:
+            small = small.rename_columns(
+                [on if c == right_on else c for c in small.column_names]
+            )
+        return broadcast_join(ds, small, on=on, how=how)
+    if num_partitions is None:
+        num_partitions = choose_num_partitions_for(ds)
+    join_type = {"inner": "inner", "left": "left_outer"}[how]
+    return ds.join(
+        side, join_type, num_partitions=num_partitions,
+        on=(on,), right_on=(right_on or on,),
+    )
+
+
 def semi_join_filter(ds: ray.data.Dataset, key: str, keys) -> ray.data.Dataset:
     """Semi-join by broadcasting the key set and filtering per batch with one
     vectorized ``pc.is_in`` kernel (no per-row Python; ~40x faster than the

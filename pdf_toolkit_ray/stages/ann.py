@@ -467,24 +467,22 @@ def kmeans_assign(
     # trajectory independent of the fold's summation order (same
     # argument as for the previous distributed Sum).
     def _sum_partials(tables):
-        if not tables:
-            return pa.table(
-                {
-                    "cluster": pa.array(np.repeat(np.arange(k, dtype=np.int64), d)),
-                    "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), k)),
-                    "s": pa.array(np.zeros(k * d)),
-                    "n": pa.array(np.zeros(k * d, np.int64)),
-                }
-            )
+        # row-robust: a block may hold SEVERAL concatenated k*d partials
+        # (Ray's output buffer merges small batches into one block), so
+        # accumulate by (cluster, dim) index rather than assuming shape
         s = np.zeros(k * d, np.float64)
         n = np.zeros(k * d, np.int64)
         for t in tables:
-            s += t.column("s").to_numpy(zero_copy_only=False)
-            n += t.column("n").to_numpy(zero_copy_only=False)
+            idx = (
+                t.column("cluster").to_numpy(zero_copy_only=False) * d
+                + t.column("dim").to_numpy(zero_copy_only=False)
+            )
+            np.add.at(s, idx, t.column("s").to_numpy(zero_copy_only=False))
+            np.add.at(n, idx, t.column("n").to_numpy(zero_copy_only=False))
         return pa.table(
             {
-                "cluster": tables[0].column("cluster"),
-                "dim": tables[0].column("dim"),
+                "cluster": pa.array(np.repeat(np.arange(k, dtype=np.int64), d)),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), k)),
                 "s": pa.array(s),
                 "n": pa.array(n),
             }

@@ -479,3 +479,40 @@ def test_semdedup_invariants_random(ray_session):
                 if (order_key[j] > order_key[r])  # farther (or same dist2, lower id)
             ]
             assert any(round(sims[r, j], 6) >= eps for j in priors), r
+
+
+def test_kmeans_fold_handles_merged_partial_blocks(ray_session, tmp_path):
+    """Ray's output buffer can concatenate several k*d partial tables into
+    ONE block (small files -> multi-batch read tasks); the tree-fold
+    combiner must accumulate by (cluster, dim) index, not assume one
+    partial per block. Result must equal the single-block run."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from pdf_toolkit_ray.stages.ann import kmeans_assign
+
+    rng = np.random.RandomState(2)
+    emb = rng.normal(size=(120, 4))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(120), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in emb],
+                                  type=pa.list_(pa.float32())),
+        }
+    )
+    many = tmp_path / "many"
+    many.mkdir()
+    for i in range(12):  # 12 tiny files -> few read tasks, many batches each
+        pq.write_table(tbl.slice(i * 10, 10), many / f"{i:02d}.parquet")
+    init = np.asarray(
+        [np.asarray(v, np.float64) for v in tbl.column("embedding")[:3].to_pylist()]
+    )
+    a = (
+        kmeans_assign(ray.data.read_parquet(str(many), override_num_blocks=2), init, iters=3)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    b = (
+        kmeans_assign(ray.data.from_arrow(tbl), init, iters=3)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    assert a.equals(b)

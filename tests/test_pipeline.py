@@ -314,3 +314,35 @@ def test_validate_job(ray_session, smoke_parquet, tmp_path):
     statuses = {p["partition"]: p["status"] for p in rep2["problems"]}
     assert statuses[os.path.basename(parts[0])] == "corrupt"
     assert statuses["part-99999-s00000"] == "uncommitted"
+
+
+def test_compact_refuses_stale_output(ray_session, smoke_parquet, oracle_df, tmp_path):
+    """Re-compacting into an out_dir that holds partitions from a
+    different job identity must refuse (mixed read-back would duplicate
+    rows) unless overwrite, which replaces them."""
+    import pytest
+
+    from pdf_toolkit_ray import UserError
+    from pdf_toolkit_ray.pipelines.extract import run_compact_job
+
+    src = str(tmp_path / "job")
+    run_extract_job(smoke_parquet, src, CFG)
+    out = str(tmp_path / "compacted")
+    run_compact_job(src, out, target_mb=1)
+
+    with pytest.raises(UserError, match="different compact job"):
+        run_compact_job(src, out, target_mb=999)  # other identity, no overwrite
+
+    summary = run_compact_job(src, out, target_mb=999, overwrite=True)
+    assert summary["n_groups"] == 1
+    assert len(glob.glob(out + "/part-*")) == 1  # stale groups removed
+    assert_matches_oracle(read_extracted(out).to_pandas(), oracle_df)
+
+
+def test_validate_empty_dir_not_ok(ray_session, tmp_path):
+    from pdf_toolkit_ray.pipelines.extract import run_validate_job
+
+    empty = tmp_path / "never_written"
+    empty.mkdir()
+    rep = run_validate_job(str(empty))
+    assert rep["n_partitions"] == 0 and not rep["ok"]
