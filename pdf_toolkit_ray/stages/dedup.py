@@ -95,12 +95,21 @@ class _DigestShardActor:
     def __init__(self) -> None:
         self._min: dict[str, int] = {}
 
-    def offer(self, digests: list[str], ids: list[int]) -> int:
+    def offer(self, digests: list[str], ids: list[int], first_wins: bool = False) -> int:
+        """``first_wins=False`` (single-job): keep the MIN id per digest —
+        order-independent, so the result is deterministic. ``first_wins=
+        True`` (cross-job ingestion): an id already in the index is never
+        displaced — a later job cannot retract rows an earlier job
+        already shipped."""
         m = self._min
-        for d, i in zip(digests, ids):
-            cur = m.get(d)
-            if cur is None or i < cur:
-                m[d] = i
+        if first_wins:
+            for d, i in zip(digests, ids):
+                m.setdefault(d, i)
+        else:
+            for d, i in zip(digests, ids):
+                cur = m.get(d)
+                if cur is None or i < cur:
+                    m[d] = i
         return len(m)
 
     def size(self) -> int:
@@ -112,12 +121,25 @@ class _DigestShardActor:
         )
 
 
+def make_digest_index(num_shards: int | None = None) -> list:
+    """Create a persistent sharded digest index (list of actor handles)
+    to pass as ``shards=`` across several :func:`exact_dedup_online`
+    calls — cross-job / streaming-ingestion dedup, where the index must
+    outlive a single dataset pass. Pair with ``first_wins=True`` so a
+    later job can never retract rows an earlier job already shipped."""
+    if num_shards is None:
+        num_shards = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    return [_DigestShardActor.remote() for _ in range(num_shards)]
+
+
 def exact_dedup_online(
     ds: ray.data.Dataset,
     id_col: str = "doc_id",
     text_col: str = "text",
     *,
     num_shards: int | None = None,
+    shards: list | None = None,
+    first_wins: bool = False,
 ) -> ray.data.Dataset:
     """Keep-min exact dedup through a shared mutable index — the operator
     shape the Dataset API genuinely cannot express (SURVEY §2 custom-op
@@ -138,9 +160,9 @@ def exact_dedup_online(
     per-shard Arrow tables assembled into a Dataset via object refs —
     never gathered on the driver — and the corpus joins them
     distributed."""
-    if num_shards is None:
-        num_shards = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
-    shards = [_DigestShardActor.remote() for _ in range(num_shards)]
+    if shards is None:
+        shards = make_digest_index(num_shards)
+    num_shards = len(shards)
 
     keyed = add_digest(ds.select_columns([id_col, text_col]), text_col)
 
@@ -162,7 +184,7 @@ def exact_dedup_online(
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         refs = [
             shards[int(sorted_shards[a])].offer.remote(
-                digests[order[a:b]].tolist(), ids[order[a:b]].tolist()
+                digests[order[a:b]].tolist(), ids[order[a:b]].tolist(), first_wins
             )
             for a, b in zip(bounds[:-1], bounds[1:])
         ]

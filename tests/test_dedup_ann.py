@@ -516,3 +516,37 @@ def test_kmeans_fold_handles_merged_partial_blocks(ray_session, tmp_path):
         .to_pandas().sort_values("vec_id").reset_index(drop=True)
     )
     assert a.equals(b)
+
+
+def test_online_dedup_across_jobs(ray_session):
+    """The digest index outlives one dataset pass: job B's duplicates of
+    content already shipped by job A are dropped, while B's genuinely new
+    content survives (first_wins — a later job can never retract rows an
+    earlier job already emitted)."""
+    import ray.data
+
+    from pdf_toolkit_ray.stages.dedup import exact_dedup_online, make_digest_index
+
+    index = make_digest_index(3)
+    job_a = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["aa", "bb", "cc"], pa.string()),
+        }
+    )
+    job_b = pa.table(
+        {
+            # 10/12 duplicate A's content (even with SMALLER-than-nothing ids
+            # they must lose: A already shipped); 11 is new
+            "doc_id": pa.array([10, 11, 12], pa.int64()),
+            "text": pa.array(["aa", "dd", "cc"], pa.string()),
+        }
+    )
+    kept_a = exact_dedup_online(
+        ray.data.from_arrow(job_a), shards=index, first_wins=True
+    ).to_pandas()
+    assert sorted(kept_a["doc_id"]) == [0, 1, 2]
+    kept_b = exact_dedup_online(
+        ray.data.from_arrow(job_b), shards=index, first_wins=True
+    ).to_pandas()
+    assert sorted(kept_b["doc_id"]) == [11]
