@@ -6906,6 +6906,85 @@ FROM g
 """
 
 
+def conv_signals_transcripts(sf_dir: str):
+    """Per-conversation trace-shape signals (turn counts per role,
+    tool-call turns, first/last role) — the conversation-level curation
+    features for filtering degenerate agent traces (e.g. tool loops,
+    assistant-only fragments). Per-batch local distinct on the turn key
+    collapses the feed's exact-duplicate rows, then ONE conv-bucketed
+    groupby computes every signal vectorized per bucket; output is one
+    row per conversation."""
+    ds = ray.data.read_parquet(
+        _transcripts_path(sf_dir), columns=["conv_id", "turn_idx", "role", "tool"]
+    )
+
+    pairs = ds.map_batches(
+        lambda b: b.group_by(["conv_id", "turn_idx", "role", "tool"]).aggregate([]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    empty = pa.table(
+        {
+            "conv_id": pa.array([], pa.string()),
+            "n_turns": pa.array([], pa.int64()),
+            "n_user": pa.array([], pa.int64()),
+            "n_assistant": pa.array([], pa.int64()),
+            "n_tool": pa.array([], pa.int64()),
+            "first_role": pa.array([], pa.string()),
+            "last_role": pa.array([], pa.string()),
+        }
+    )
+
+    def bucket_fn(group: pa.Table) -> pa.Table:
+        d = group.group_by(["conv_id", "turn_idx", "role", "tool"]).aggregate([])
+        conv = np.asarray(d.column("conv_id").to_numpy(zero_copy_only=False))
+        turn = d.column("turn_idx").to_numpy(zero_copy_only=False)
+        role = np.asarray(d.column("role").to_numpy(zero_copy_only=False))
+        tool = d.column("tool").to_pylist()
+        order = np.lexsort((turn, conv))
+        conv, turn, role = conv[order], turn[order], role[order]
+        tool_flag = np.asarray(
+            [1 if (t is not None and t != "") else 0 for t in tool], np.int64
+        )[order]
+        starts = np.flatnonzero(np.r_[True, conv[1:] != conv[:-1]])
+        bounds = np.r_[starts, len(conv)]
+        is_user = (role == "user").astype(np.int64)
+        is_asst = (role == "assistant").astype(np.int64)
+        cs_u = np.r_[0, np.cumsum(is_user)]
+        cs_a = np.r_[0, np.cumsum(is_asst)]
+        cs_t = np.r_[0, np.cumsum(tool_flag)]
+        return pa.table(
+            {
+                "conv_id": pa.array(conv[starts]),
+                "n_turns": pa.array(bounds[1:] - bounds[:-1], pa.int64()),
+                "n_user": pa.array(cs_u[bounds[1:]] - cs_u[bounds[:-1]], pa.int64()),
+                "n_assistant": pa.array(cs_a[bounds[1:]] - cs_a[bounds[:-1]], pa.int64()),
+                "n_tool": pa.array(cs_t[bounds[1:]] - cs_t[bounds[:-1]], pa.int64()),
+                "first_role": pa.array(role[bounds[:-1]]),
+                "last_role": pa.array(role[bounds[1:] - 1]),
+            }
+        )
+
+    out = relops.bucketed_groupby(pairs, ["conv_id"], bucket_fn, empty=empty)
+    df = out.to_pandas().sort_values("conv_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def conv_signals_transcripts_sql(sf_dir: str | None = None) -> str:
+    path = _transcripts_sql_source(sf_dir)
+    return f"""
+WITH t AS (SELECT DISTINCT conv_id, turn_idx, role, tool FROM read_parquet('{path}'))
+SELECT conv_id,
+       count(*) AS n_turns,
+       sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS n_user,
+       sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS n_assistant,
+       sum(CASE WHEN tool IS NOT NULL AND tool <> '' THEN 1 ELSE 0 END) AS n_tool,
+       arg_min(role, turn_idx) AS first_role,
+       arg_max(role, turn_idx) AS last_role
+FROM t GROUP BY conv_id
+"""
+
+
 def role_bigram_transcripts_sql(sf_dir: str | None = None) -> str:
     path = _transcripts_sql_source(sf_dir)
     return f"""
@@ -7337,6 +7416,7 @@ REGISTRY: dict[str, tuple] = {
     "transcripts_conv_stats": (transcripts_conv_stats, None),
     "role_bigram_transcripts": (role_bigram_transcripts, None),
     "tool_usage_transcripts": (tool_usage_transcripts, None),
+    "conv_signals_transcripts": (conv_signals_transcripts, None),
 }
 
 #: oracle SQL that must be built lazily (embeds a generated-on-demand
@@ -7345,6 +7425,7 @@ LAZY_SQL: dict[str, Any] = {
     "transcripts_conv_stats": transcripts_conv_stats_sql,
     "role_bigram_transcripts": role_bigram_transcripts_sql,
     "tool_usage_transcripts": tool_usage_transcripts_sql,
+    "conv_signals_transcripts": conv_signals_transcripts_sql,
 }
 
 
