@@ -544,3 +544,46 @@ def test_heavy_hitters_layout_independent(ray_session, tmp_path):
     )
     assert out_a.equals(out_b)
     assert set(out_a["word"]) == {"big1", "big2"}
+
+
+def test_conv_signals_handchecked(ray_session, tmp_path):
+    """Duplicate feed rows collapse; single-turn convs report themselves
+    as both first and last role; tool turns counted once per turn."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_toolkit_ray.queries import conv_signals_transcripts
+
+    rows = [
+        ("c1", 0, "user", ""), ("c1", 1, "assistant", "search"),
+        ("c1", 1, "assistant", "search"),  # exact duplicate row
+        ("c1", 2, "user", ""),
+        ("c2", 0, "assistant", ""),        # single-turn conv
+    ]
+    tbl = pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array([r[2] for r in rows], pa.string()),
+            "tool": pa.array([r[3] for r in rows], pa.string()),
+            "text": pa.array(["x"] * len(rows), pa.string()),
+            "ts": pa.array([0] * len(rows), pa.timestamp("us")),
+        }
+    )
+    d = tmp_path / "transcripts"
+    d.mkdir()
+    pq.write_table(tbl, d / "part.parquet")
+    # point the fixture-path resolver at our dir
+    import unittest.mock as mock
+
+    import pdf_toolkit_ray.queries as Q
+
+    with mock.patch.object(Q, "_transcripts_path", lambda sf: str(d)):
+        out = Q.conv_signals_transcripts("ignored").to_pandas().set_index("conv_id")
+    assert out.loc["c1", "n_turns"] == 3
+    assert out.loc["c1", "n_user"] == 2 and out.loc["c1", "n_assistant"] == 1
+    assert out.loc["c1", "n_tool"] == 1  # dup row counted once
+    assert out.loc["c1", "first_role"] == "user" and out.loc["c1", "last_role"] == "user"
+    assert out.loc["c2", "n_turns"] == 1
+    assert out.loc["c2", "first_role"] == "assistant"
+    assert out.loc["c2", "last_role"] == "assistant"
