@@ -7292,6 +7292,89 @@ JOIN q USING (doc_id) JOIN ex USING (doc_id) JOIN nr USING (doc_id)
 """
 
 
+def curation_report_documents(sf_dir: str):
+    """The one-call corpus health report: the composed curation verdicts
+    joined back to language and rolled up into a lang × decision matrix
+    (counts + exact within-lang shares in basis points — integer, so no
+    float-rounding hash risk). The per-doc verdicts come from
+    :func:`curate_documents` unchanged; the lang attach is a size-gated
+    join (documents' (doc_id, lang) is narrow), and the final groupby is
+    langs × reasons — report-sized."""
+    verdicts = curate_documents(sf_dir)
+    lang_side = scan(sf_dir, "documents", columns=["doc_id", "lang"])
+    # verdicts is the big streaming side; lang is narrow — broadcast it
+    # under the gate (on-disk size bounds it) rather than probing blocks
+    if (
+        os.path.getsize(relops.table_path(sf_dir, "documents"))
+        <= relops.BROADCAST_GATE_BYTES
+    ):
+        small = pq.read_table(
+            relops.table_path(sf_dir, "documents"), columns=["doc_id", "lang"]
+        )
+        joined = relops.broadcast_join(verdicts, small, on="doc_id")
+    else:
+        joined = verdicts.join(
+            lang_side, "inner",
+            num_partitions=relops.choose_num_partitions(
+                relops.table_path(sf_dir, "documents")
+            ),
+            on=("doc_id",),
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        decision = pc.if_else(
+            batch.column("keep"), pa.scalar("keep"), batch.column("reason")
+        )
+        t = pa.table({"lang": batch.column("lang"), "decision": decision})
+        g = t.group_by(["lang", "decision"]).aggregate([("decision", "count")])
+        return g.rename_columns(["lang", "decision", "n"])
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lang", "decision"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # langs x decisions — report-sized
+    )
+    agg = agg.sort_values(["lang", "decision"]).reset_index(drop=True)
+    tot = agg.groupby("lang")["n"].transform("sum").to_numpy(np.int64)
+    n = agg["n"].to_numpy(np.int64)
+    return pa.table(
+        {
+            "lang": pa.array(agg.lang, pa.string()),
+            "decision": pa.array(agg.decision, pa.string()),
+            "n": pa.array(n, pa.int64()),
+            "share_bp": pa.array(n * 10000 // tot, pa.int64()),  # exact integer bp
+        }
+    )
+
+
+CURATION_REPORT_SQL = (
+    CURATE_SQL.rstrip()
+    .replace(
+        """SELECT d.doc_id,
+       (q.quality_keep AND ex.exact_keep AND nr.near_keep) AS keep,
+       CASE WHEN NOT q.quality_keep THEN 'quality'
+            WHEN NOT ex.exact_keep THEN 'exact_dup'
+            WHEN NOT nr.near_keep THEN 'near_dup'
+            ELSE '' END AS reason
+FROM documents d
+JOIN q USING (doc_id) JOIN ex USING (doc_id) JOIN nr USING (doc_id)""",
+        """, verdicts AS (
+  SELECT d.doc_id, d.lang,
+         CASE WHEN NOT q.quality_keep THEN 'quality'
+              WHEN NOT ex.exact_keep THEN 'exact_dup'
+              WHEN NOT nr.near_keep THEN 'near_dup'
+              ELSE 'keep' END AS decision
+  FROM documents d
+  JOIN q USING (doc_id) JOIN ex USING (doc_id) JOIN nr USING (doc_id)
+)
+SELECT lang, decision, count(*) AS n,
+       count(*) * 10000 // sum(count(*)) OVER (PARTITION BY lang) AS share_bp
+FROM verdicts GROUP BY lang, decision""",
+    )
+)
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -7374,6 +7457,7 @@ REGISTRY: dict[str, tuple] = {
     "split_assign_documents": (split_assign_documents, SPLIT_ASSIGN_SQL),
     "dedup_near_keep_best": (dedup_near_keep_best, DEDUP_KEEP_BEST_SQL),
     "curate_documents": (curate_documents, CURATE_SQL),
+    "curation_report_documents": (curation_report_documents, CURATION_REPORT_SQL),
     "mixture_sample_documents": (mixture_sample_documents, MIXTURE_SAMPLE_SQL),
     "gopher_rules_documents": (gopher_rules_documents, GOPHER_RULES_SQL),
     "full_outer_user_day": (full_outer_user_day, FULL_OUTER_SQL),
