@@ -332,14 +332,15 @@ def ivf_topk(
     return candidates.groupby("query_id").map_groups(_final_topk(k), batch_format="pyarrow")
 
 
-def cosine_near_dup_pairs(ds: ray.data.Dataset, threshold: float = 0.99) -> ray.data.Dataset:
+def cosine_near_dup_pairs_exact(ds: ray.data.Dataset, threshold: float = 0.99) -> ray.data.Dataset:
     """All pairs (a < b) with cosine ≥ threshold — EXACT.
 
     Distributed block-pair cross products: the corpus streams into B
     Arrow blocks (object store, never the driver) and each of the
     B·(B+1)/2 block pairs is one Ray task doing a single matmul. Exact
-    all-pairs is inherently O(N²) compute — use
-    ``cosine_near_dup_pairs_lsh`` as the sub-quadratic scale path."""
+    all-pairs is inherently O(N²) compute — callers should go through the
+    size-gated :func:`cosine_near_dup_pairs` so corpora above the gate
+    route to the sub-quadratic LSH path automatically."""
     refs = ds.select_columns(["vec_id", "embedding"]).to_arrow_refs()
     tasks = [
         _block_pair_task.remote(refs[i], refs[j], threshold, i == j)
@@ -347,6 +348,48 @@ def cosine_near_dup_pairs(ds: ray.data.Dataset, threshold: float = 0.99) -> ray.
         for j in range(i, len(refs))
     ]
     return ray.data.from_arrow_refs(tasks)
+
+
+def cosine_near_dup_pairs(
+    ds: ray.data.Dataset,
+    threshold: float = 0.99,
+    *,
+    gate_bytes: int | None = None,
+    n_tables: int | None = None,
+    n_planes: int | None = None,
+    seed: int = 7,
+) -> ray.data.Dataset:
+    """Size-gated near-duplicate pair finder — THE entry point.
+
+    Measures the (vec_id, embedding) projection's in-memory bytes (the
+    same measured-block-bytes convention as ``relops.size_gated_join``)
+    and dispatches: at or under the gate the exact O(N²) block-pair
+    product runs (bit-identical to the SQL oracle); above it the
+    random-hyperplane LSH path runs so no caller can launch a quadratic
+    scan over a 100-TB corpus. The projection is materialized ONCE and
+    both paths consume those same blocks — the probe costs no second
+    pass. LSH parameters default to a threshold-adaptive choice: per-table
+    collision prob for a boundary pair is p = 1 - acos(t)/pi; n_planes is
+    sized so p^H stays meaningful and n_tables so boundary recall
+    1-(1-p^H)^L >= ~0.95."""
+    from .. import relops
+
+    gate = relops.BROADCAST_GATE_BYTES if gate_bytes is None else gate_bytes
+    proj = ds.select_columns(["vec_id", "embedding"]).materialize()
+    total = int(proj.size_bytes() or 0)
+    if total <= gate:
+        return cosine_near_dup_pairs_exact(proj, threshold)
+    if n_planes is None or n_tables is None:
+        p = max(1e-6, 1.0 - float(np.arccos(min(1.0, max(-1.0, threshold)))) / np.pi)
+        if n_planes is None:
+            # keep per-table boundary collision prob p^H around ~0.15-0.5
+            n_planes = max(2, min(16, int(round(np.log(0.2) / np.log(p)))))
+        if n_tables is None:
+            ph = p ** n_planes
+            n_tables = max(4, min(64, int(np.ceil(np.log(0.05) / np.log(max(1e-9, 1.0 - ph))))))
+    return cosine_near_dup_pairs_lsh(
+        proj, threshold, n_tables=n_tables, n_planes=n_planes, seed=seed
+    )
 
 
 def cosine_near_dup_pairs_lsh(

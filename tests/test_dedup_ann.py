@@ -283,6 +283,44 @@ def test_cosine_near_dup_pairs_exact_and_lsh(ray_session):
     assert len(found) >= 0.9 * len(want)  # high recall at high threshold
 
 
+def test_cosine_near_dup_pairs_size_gate(ray_session):
+    """The gated entry point auto-dispatches: forcing gate_bytes=0 routes
+    through the threshold-adaptive LSH path, and on the jittered fixture
+    the two paths agree pair-for-pair with identical sims (deterministic:
+    fixed data seed + fixed LSH seed)."""
+    import ray.data
+
+    from pdf_toolkit_ray.stages.ann import cosine_near_dup_pairs
+
+    rng = np.random.RandomState(9)
+    base = rng.normal(size=(40, 16))
+    jit = base + rng.normal(scale=0.05, size=base.shape)
+    mat = np.vstack([base, jit])
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(80), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in mat],
+                                  type=pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    exact = (
+        cosine_near_dup_pairs(ds, threshold=0.98)  # tiny -> exact path
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    forced = (
+        cosine_near_dup_pairs(ds, threshold=0.98, gate_bytes=0)  # -> LSH path
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    assert len(exact) >= 30
+    exact_pairs = {(int(a), int(b)) for a, b in zip(exact["a"], exact["b"])}
+    forced_pairs = {(int(a), int(b)) for a, b in zip(forced["a"], forced["b"])}
+    assert forced_pairs <= exact_pairs  # in-bucket exact verify: no false positives
+    assert len(forced_pairs) >= 0.95 * len(exact_pairs)
+    merged = forced.merge(exact, on=["a", "b"], suffixes=("_lsh", "_exact"))
+    assert (merged["sim_lsh"] == merged["sim_exact"]).all()
+
+
 def test_ivf_topk_probe_tradeoff(ray_session):
     """IVF: probing all cells equals brute force; probing few cells still
     recalls each query's own cell (the self-hit)."""
