@@ -294,8 +294,24 @@ def window_topk_per_key(
     by = [c for c, _ in sort_cols]
     asc = [d == "ascending" for _, d in sort_cols]
 
-    def _combine(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(by, ascending=asc).groupby(key, sort=False).head(k)
+    def _combine(batch: pa.Table) -> pa.Table:
+        # Arrow-native per-batch prune: one multi-key sort, then keep the
+        # first k rows of each consecutive key run (cumcount < k) — no
+        # Arrow→pandas conversion in the hot combiner.
+        if batch.num_rows == 0:
+            return batch
+        idx = pc.sort_indices(batch, sort_keys=[(key, "ascending"), *sort_cols])
+        t = batch.take(idx)
+        codes = pc.dictionary_encode(t.column(key).combine_chunks()).indices
+        c = codes.to_numpy(zero_copy_only=False).astype(np.float64)
+        c = np.where(np.isnan(c), -1.0, c).astype(np.int64)  # null keys = own run
+        new = np.empty(len(c), dtype=bool)
+        new[0] = True
+        new[1:] = c[1:] != c[:-1]
+        starts = np.flatnonzero(new)
+        run_len = np.diff(np.append(starts, len(c)))
+        cum = np.arange(len(c)) - np.repeat(starts, run_len)
+        return t.filter(pa.array(cum < k))
 
     def _final_bucket(group: pa.Table) -> pa.Table:
         # every key in the bucket at once: one sort, grouped head + rank
@@ -304,7 +320,7 @@ def window_topk_per_key(
         out[rank_col] = (out.groupby(key, sort=False).cumcount() + 1).astype(np.int64)
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    pruned = ds.map_batches(_combine, batch_format="pandas")
+    pruned = ds.map_batches(_combine, batch_format="pyarrow", zero_copy_batch=True)
     return bucketed_groupby(pruned, [key], _final_bucket)
 
 
