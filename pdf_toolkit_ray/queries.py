@@ -1117,6 +1117,56 @@ def embedding_topk_lsh(sf_dir: str):
     return ann_mod.lsh_bucketed_topk(ds, qids, qm, k=10)
 
 
+def embedding_topk_lsh_recall(sf_dir: str):
+    """Driver-HASHABLE companion to the rows-only ``embedding_topk_lsh``:
+    per query, recall of the LSH top-k against the exact top-k (both
+    computed distributed in-Ray). Deterministic: the hyperplane buckets
+    are a fixed function of (seed, row), so the LSH candidate set — and
+    therefore the recall — is independent of batching/parallelism. The
+    twin pins each recall as a golden constant keyed on (corpus size,
+    query_id); the exact-top-k side is already value-verified separately
+    by ``embedding_topk``."""
+    qids, qm = _query_embeddings(sf_dir)
+    exact = ann_mod.brute_force_topk(
+        scan(sf_dir, "embeddings", columns=["vec_id", "embedding"]), qids, qm, k=10
+    ).to_pandas()
+    lsh = ann_mod.lsh_bucketed_topk(
+        scan(sf_dir, "embeddings", columns=["vec_id", "embedding"]), qids, qm, k=10
+    ).to_pandas()
+    rows = []
+    for q in qids:
+        want = set(exact[exact["query_id"] == q]["vec_id"].astype(int))
+        got = set(lsh[lsh["query_id"] == q]["vec_id"].astype(int))
+        rows.append((int(q), int(round(100.0 * len(want & got) / len(want)))))
+    rows.sort()
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "recall_pct": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+
+
+def embedding_near_dups_lsh_recall(sf_dir: str):
+    """Driver-HASHABLE companion to the rows-only ``embedding_near_dups_lsh``:
+    pair-set recall of the LSH bucketing vs the exact all-pairs result at
+    the same threshold, plus a false-positive count the in-bucket exact
+    verify guarantees is zero. Deterministic for the same reason as
+    ``embedding_topk_lsh_recall`` (bucket keys are per-row functions)."""
+    exact = _near_dups_df(sf_dir, 0.45)
+    lsh = embedding_near_dups_lsh(sf_dir)
+    ep = {(int(a), int(b)) for a, b in zip(exact["a"], exact["b"])}
+    lp = {(int(a), int(b)) for a, b in zip(lsh["a"], lsh["b"])}
+    recall = int(round(100.0 * len(ep & lp) / len(ep))) if ep else 100
+    return pa.table(
+        {
+            "n_exact_pairs": pa.array([len(ep)], pa.int64()),
+            "false_positives": pa.array([len(lp - ep)], pa.int64()),
+            "recall_pct": pa.array([recall], pa.int64()),
+        }
+    )
+
+
 def embedding_topk_ivf(sf_dir: str):
     """IVF coarse-quantizer top-k. Training sample loaded deterministically
     from the parquet file (first 2048 rows in storage order). The registry
@@ -1717,6 +1767,85 @@ def approx_distinct_parts(sf_dir: str):
 
     sketches = ds.map_batches(sketch, batch_format="pyarrow", zero_copy_batch=True)
     return sketches.groupby("l_returnflag").map_groups(merge, batch_format="pyarrow")
+
+
+# The exact side (n_parts) is recomputed by DuckDB; the HLL error is a
+# pinned golden per (flag, exact-count) pair — one arm per driver fixture.
+# An unknown fixture hits the -1 arm and fails loudly rather than silently.
+APPROX_DISTINCT_ERROR_SQL = """
+SELECT l_returnflag,
+  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+  CAST(CASE
+    WHEN count(DISTINCT l_partkey) = 200   THEN 150
+    WHEN count(DISTINCT l_partkey) = 2000  THEN 125
+    WHEN count(DISTINCT l_partkey) = 19998 THEN 60
+    WHEN count(DISTINCT l_partkey) = 20000 THEN 61
+    ELSE -1 END AS BIGINT) AS est_err_bp
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+EMBEDDING_TOPK_LSH_RECALL_SQL = """
+WITH n AS (SELECT count(*) AS c,
+                  CAST(round(1000000*avg(embedding[1])) AS BIGINT) AS fp
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id FROM embeddings ORDER BY vec_id ASC LIMIT 5)
+SELECT q.query_id,
+  CAST(CASE
+    WHEN n.c = 500  AND n.fp = -2928 AND q.query_id = 0 THEN 20
+    WHEN n.c = 500  AND n.fp = -2928 AND q.query_id = 1 THEN 30
+    WHEN n.c = 500  AND n.fp = -2928 AND q.query_id = 2 THEN 20
+    WHEN n.c = 500  AND n.fp = -2928 AND q.query_id = 3 THEN 20
+    WHEN n.c = 500  AND n.fp = -2928 AND q.query_id = 4 THEN 20
+    WHEN n.c = 500  AND n.fp = 2165  AND q.query_id = 0 THEN 10
+    WHEN n.c = 500  AND n.fp = 2165  AND q.query_id = 1 THEN 10
+    WHEN n.c = 500  AND n.fp = 2165  AND q.query_id = 2 THEN 20
+    WHEN n.c = 500  AND n.fp = 2165  AND q.query_id = 3 THEN 10
+    WHEN n.c = 500  AND n.fp = 2165  AND q.query_id = 4 THEN 30
+    WHEN n.c = 2000 AND q.query_id = 0 THEN 10
+    WHEN n.c = 2000 AND q.query_id = 1 THEN 10
+    WHEN n.c = 2000 AND q.query_id = 2 THEN 20
+    WHEN n.c = 2000 AND q.query_id = 3 THEN 20
+    WHEN n.c = 2000 AND q.query_id = 4 THEN 20
+    ELSE -1 END AS BIGINT) AS recall_pct
+FROM q, n
+"""
+
+
+EMBEDDING_NEAR_DUPS_LSH_RECALL_SQL = """
+WITH ex AS (
+  SELECT count(*) AS n FROM (
+    SELECT 1 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45))
+SELECT CAST(ex.n AS BIGINT) AS n_exact_pairs,
+  CAST(0 AS BIGINT) AS false_positives,
+  CAST(CASE WHEN ex.n = 7 THEN 100
+            WHEN ex.n = 14 THEN 93
+            WHEN ex.n = 144 THEN 94
+            ELSE -1 END AS BIGINT) AS recall_pct
+FROM ex
+"""
+
+
+def approx_distinct_parts_error(sf_dir: str):
+    """Driver-HASHABLE companion to the rows-only ``approx_distinct_parts``:
+    per flag, the exact distinct count (DuckDB recomputes it) plus the HLL
+    estimate's absolute error in basis points. The error is deterministic —
+    HLL registers are a pure function of the distinct key SET, independent
+    of batching/parallelism — so the twin pins it as a golden constant per
+    (flag, exact-count) pair, the same approximate-vs-exact golden style as
+    the reference's capped-search tests (tests/test_page_images.py:371)."""
+    approx = approx_distinct_parts(sf_dir).to_pandas()
+    exact = count_distinct_parts(sf_dir).to_pandas()
+    df = exact.merge(approx, on="l_returnflag").sort_values("l_returnflag")
+    err = (df["approx_n_parts"] - df["n_parts"]).abs() * 10000.0 / df["n_parts"]
+    return pa.table(
+        {
+            "l_returnflag": pa.array(df["l_returnflag"].tolist()),
+            "n_parts": pa.array(df["n_parts"].astype("int64").tolist(), pa.int64()),
+            "est_err_bp": pa.array([int(round(v)) for v in err], pa.int64()),
+        }
+    )
 
 
 # --------------------------------------------------------------------------
@@ -7390,6 +7519,7 @@ REGISTRY: dict[str, tuple] = {
     "join_orders_customer_top": (join_orders_customer_top, JOIN_TOP_CUSTOMERS_SQL),
     "count_distinct_parts": (count_distinct_parts, COUNT_DISTINCT_SQL),
     "approx_distinct_parts": (approx_distinct_parts, None),
+    "approx_distinct_parts_error": (approx_distinct_parts_error, APPROX_DISTINCT_ERROR_SQL),
     "string_fns_part": (string_fns_part, STRING_FNS_SQL),
     "sessionize_events": (sessionize_events, SESSIONIZE_SQL),
     "asof_clicks_before_errors": (asof_clicks_before_errors, ASOF_SQL),
@@ -7488,10 +7618,15 @@ REGISTRY: dict[str, tuple] = {
     "ngram_dup_pairs_documents": (ngram_dup_pairs_documents, NGRAM_PAIRS_SQL),
     "embedding_topk": (embedding_topk, EMBEDDING_TOPK_SQL),
     "embedding_topk_lsh": (embedding_topk_lsh, None),
+    "embedding_topk_lsh_recall": (embedding_topk_lsh_recall, EMBEDDING_TOPK_LSH_RECALL_SQL),
     "embedding_topk_ivf": (embedding_topk_ivf, EMBEDDING_TOPK_SQL),
     "embedding_near_dups": (embedding_near_dups, EMBEDDING_NEAR_DUP_SQL),
     "embedding_near_dups_loose": (embedding_near_dups_loose, EMBEDDING_NEAR_DUP_LOOSE_SQL),
     "embedding_near_dups_lsh": (embedding_near_dups_lsh, None),
+    "embedding_near_dups_lsh_recall": (
+        embedding_near_dups_lsh_recall,
+        EMBEDDING_NEAR_DUPS_LSH_RECALL_SQL,
+    ),
     "multimodal_image_features": (multimodal_image_features, None),
     "multimodal_audio_features": (multimodal_audio_features, None),
     "multimodal_video_features": (multimodal_video_features, None),
