@@ -19,6 +19,7 @@ list itself is big. Cluster ids re-attach via broadcast map or
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 import numpy as np
@@ -90,17 +91,73 @@ class _DigestShardActor:
     (digest → min id). num_cpus=0: the actor is a memory cell that
     serves µs-scale dict updates — it must never hold a CPU slot that
     the routing tasks need (a reservation here deadlocks small
-    sessions, the same lesson as relops.broadcast_join's task form)."""
+    sessions, the same lesson as relops.broadcast_join's task form).
 
-    def __init__(self) -> None:
+    RAM budget: ``max_entries`` bounds the in-actor dict. When an offer
+    pushes past it, the dict is flushed to a sub-bucketed parquet RUN
+    under ``spill_dir`` and cleared — steady-state actor RAM is one
+    budget's worth of entries regardless of how many billions of digests
+    a 100-TB ingest streams through. Merge-on-read keeps exactness:
+
+    * keep-min — global min per digest across all runs + the live dict
+      (order-independent, so spill timing can't change the answer);
+    * first-wins — runs merge in temporal order, earliest occurrence
+      wins, live dict last (a later job can never displace an id an
+      earlier flush recorded).
+
+    The merge itself is bounded too: runs are hash-split into
+    ``sub_buckets`` files at flush time and merged one sub-bucket at a
+    time (peak = distinct-per-sub + run-per-sub), and ``kept_table(sub=)``
+    lets the consumer pull per-sub tables so no single actor response
+    carries the whole shard."""
+
+    def __init__(
+        self,
+        max_entries: int | None = None,
+        spill_dir: str | None = None,
+        sub_buckets: int = 8,
+    ) -> None:
+        import tempfile
+        import uuid
+
         self._min: dict[str, int] = {}
+        self._max = int(max_entries) if max_entries else None
+        self._subs = max(1, int(sub_buckets))
+        base = spill_dir or os.path.join(tempfile.gettempdir(), "pdf_toolkit_ray_spill")
+        self._dir = os.path.join(base, uuid.uuid4().hex)
+        self._runs = 0  # flushed run count (run index = temporal order)
+        self._spilled_rows = 0
+
+    def _sub_of(self, digest: str) -> int:
+        # cheap stable sub-bucket: first hex byte of the digest string
+        return hash(digest) % self._subs if self._subs > 1 else 0
+
+    def _flush(self) -> None:
+        import pyarrow.parquet as pq
+
+        os.makedirs(self._dir, exist_ok=True)
+        by_sub: list[tuple[list[str], list[int]]] = [([], []) for _ in range(self._subs)]
+        for d, i in self._min.items():
+            ds_, is_ = by_sub[self._sub_of(d)]
+            ds_.append(d)
+            is_.append(i)
+        for j, (ds_, is_) in enumerate(by_sub):
+            if not ds_:
+                continue
+            pq.write_table(
+                pa.table({"digest": pa.array(ds_), "id": pa.array(is_, pa.int64())}),
+                os.path.join(self._dir, f"run{self._runs:06d}_sub{j:04d}.parquet"),
+            )
+        self._spilled_rows += len(self._min)
+        self._runs += 1
+        self._min = {}
 
     def offer(self, digests: list[str], ids: list[int], first_wins: bool = False) -> int:
         """``first_wins=False`` (single-job): keep the MIN id per digest —
         order-independent, so the result is deterministic. ``first_wins=
         True`` (cross-job ingestion): an id already in the index is never
         displaced — a later job cannot retract rows an earlier job
-        already shipped."""
+        already shipped (the merge honors this across spilled runs)."""
         m = self._min
         if first_wins:
             for d, i in zip(digests, ids):
@@ -110,26 +167,109 @@ class _DigestShardActor:
                 cur = m.get(d)
                 if cur is None or i < cur:
                     m[d] = i
+        if self._max is not None and len(m) > self._max:
+            self._flush()
         return len(m)
 
     def size(self) -> int:
-        return len(self._min)
+        """Distinct-digest UPPER BOUND (exact when nothing spilled): a
+        digest flushed in several runs counts once per run. Zero iff the
+        shard saw no offers — the only property consumers rely on."""
+        return len(self._min) + self._spilled_rows
 
-    def kept_table(self, id_col: str) -> pa.Table:
-        return pa.table(
-            {id_col: pa.array(list(self._min.values()), pa.int64())}
-        )
+    def spilled_runs(self) -> int:
+        return self._runs
+
+    def _run_files(self, sub: int) -> list[str]:
+        if not self._runs:
+            return []
+        names = [
+            f"run{r:06d}_sub{sub:04d}.parquet" for r in range(self._runs)
+        ]
+        return [
+            p for p in (os.path.join(self._dir, n) for n in names) if os.path.exists(p)
+        ]
+
+    def _merged_sub(self, sub: int, first_wins: bool) -> tuple[list[str], list[int]]:
+        import pyarrow.parquet as pq
+
+        acc: dict[str, int] = {}
+        for path in self._run_files(sub):  # temporal order by filename
+            t = pq.read_table(path)
+            for d, i in zip(t.column("digest").to_pylist(), t.column("id").to_pylist()):
+                if first_wins:
+                    acc.setdefault(d, i)
+                else:
+                    cur = acc.get(d)
+                    if cur is None or i < cur:
+                        acc[d] = i
+        # live dict merges LAST: for first-wins an already-flushed digest
+        # keeps its earlier id; for keep-min order is irrelevant anyway
+        for d, i in self._min.items():
+            if self._sub_of(d) != sub:
+                continue
+            if first_wins:
+                acc.setdefault(d, i)
+            else:
+                cur = acc.get(d)
+                if cur is None or i < cur:
+                    acc[d] = i
+        return list(acc.keys()), list(acc.values())
+
+    def kept_table(
+        self, id_col: str, sub: int | None = None, first_wins: bool = False
+    ) -> pa.Table:
+        if not self._runs:  # fast path: pure-RAM shard, as before
+            return pa.table(
+                {id_col: pa.array(list(self._min.values()), pa.int64())}
+            )
+        subs = range(self._subs) if sub is None else [sub]
+        ids: list[int] = []
+        for j in subs:
+            ids.extend(self._merged_sub(j, first_wins)[1])
+        return pa.table({id_col: pa.array(ids, pa.int64())})
+
+    def kept_sub_refs(self, id_col: str, first_wins: bool = False) -> list:
+        """Merged kept-id tables, one OBJECT REF per non-empty sub-bucket:
+        the actor holds one merged sub at a time (budget-bounded) and the
+        consumer assembles the refs into a Dataset without any whole-shard
+        table ever existing in actor or driver memory."""
+        out = []
+        for j in range(self._subs):
+            ids = self._merged_sub(j, first_wins)[1]
+            if ids:
+                out.append(ray.put(pa.table({id_col: pa.array(ids, pa.int64())})))
+        return out
+
+    def cleanup(self) -> None:
+        import shutil
+
+        shutil.rmtree(self._dir, ignore_errors=True)
 
 
-def make_digest_index(num_shards: int | None = None) -> list:
+def make_digest_index(
+    num_shards: int | None = None,
+    *,
+    max_entries_per_shard: int | None = None,
+    spill_dir: str | None = None,
+) -> list:
     """Create a persistent sharded digest index (list of actor handles)
     to pass as ``shards=`` across several :func:`exact_dedup_online`
     calls — cross-job / streaming-ingestion dedup, where the index must
     outlive a single dataset pass. Pair with ``first_wins=True`` so a
-    later job can never retract rows an earlier job already shipped."""
+    later job can never retract rows an earlier job already shipped.
+    ``max_entries_per_shard`` caps each actor's RAM: past it, entries
+    spill to sub-bucketed parquet runs under ``spill_dir`` and are
+    merged back exactly on read — a 100-TB ingest needs shard COUNT
+    sized for throughput only, not for index bytes."""
     if num_shards is None:
         num_shards = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
-    return [_DigestShardActor.remote() for _ in range(num_shards)]
+    return [
+        _DigestShardActor.remote(
+            max_entries=max_entries_per_shard, spill_dir=spill_dir
+        )
+        for _ in range(num_shards)
+    ]
 
 
 def exact_dedup_online(
@@ -196,11 +336,21 @@ def exact_dedup_online(
 
     # assemble ONLY non-empty shard tables: Ray's JoinOperator crashes on
     # empty blocks reaching a join side (the drop_empty_blocks failure
-    # mode), and shard emptiness is knowable for free from the index
+    # mode), and shard emptiness is knowable for free from the index.
+    # Spilled shards are pulled one sub-bucket per ref so no single actor
+    # response carries the whole shard (merge peak stays budget-bounded).
     sizes = ray.get([s.size.remote() for s in shards])
-    refs = [
-        s.kept_table.remote(id_col) for s, n in zip(shards, sizes) if n
-    ]
+    runs = ray.get([s.spilled_runs.remote() for s in shards])
+    refs = []
+    for s, n, r in zip(shards, sizes, runs):
+        if not n:
+            continue
+        if r:
+            # list of object refs, one per NON-EMPTY sub-bucket (empty
+            # blocks must never reach the join side)
+            refs.extend(ray.get(s.kept_sub_refs.remote(id_col, first_wins)))
+        else:
+            refs.append(s.kept_table.remote(id_col))
     if not refs:
         return ds.limit(0)
     kept = ray.data.from_arrow_refs(refs)

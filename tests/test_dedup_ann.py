@@ -462,6 +462,75 @@ def test_exact_dedup_online_matches_groupby(ray_session):
     assert set(want["doc_id"]) == {0, 1, 7, 9}  # min id per distinct text
 
 
+def test_exact_dedup_online_spills_under_budget(ray_session):
+    """Forcing a tiny per-shard RAM budget makes the digest index spill
+    to parquet runs — verified via spilled_runs() — and the merged result
+    still equals the groupby/join dedup exactly (keep-min is
+    order-independent, so spill timing cannot change the answer)."""
+    import ray
+    import ray.data
+
+    from pdf_toolkit_ray.stages.dedup import (
+        exact_dedup,
+        exact_dedup_online,
+        make_digest_index,
+    )
+
+    rng = np.random.RandomState(3)
+    n = 400
+    texts = [f"doc-{int(v):03d}" for v in rng.randint(0, 120, size=n)]
+    ids = rng.permutation(10 * n)[:n].astype(np.int64)
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+    want = (
+        exact_dedup(ray.data.from_arrow(tbl)).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    index = make_digest_index(2, max_entries_per_shard=8)
+    got = (
+        exact_dedup_online(ray.data.from_arrow(tbl).repartition(8), shards=index)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert sum(ray.get([s.spilled_runs.remote() for s in index])) > 0  # really spilled
+    assert got.equals(want)
+    for s in index:
+        ray.get(s.cleanup.remote())
+
+
+def test_exact_dedup_online_spill_first_wins(ray_session):
+    """first_wins survives spilling: a digest flushed to disk in job A
+    keeps A's id even when job B re-offers it with a smaller id after
+    the flush (earliest RUN wins in the merge)."""
+    import ray
+    import ray.data
+
+    from pdf_toolkit_ray.stages.dedup import exact_dedup_online, make_digest_index
+
+    index = make_digest_index(1, max_entries_per_shard=2)
+    job_a = pa.table(
+        {
+            "doc_id": pa.array([50, 51, 52, 53], pa.int64()),
+            "text": pa.array(["aa", "bb", "cc", "dd"]),
+        }
+    )
+    kept_a = exact_dedup_online(
+        ray.data.from_arrow(job_a), shards=index, first_wins=True
+    ).to_pandas()
+    assert sorted(kept_a["doc_id"]) == [50, 51, 52, 53]
+    assert ray.get(index[0].spilled_runs.remote()) > 0
+    job_b = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),  # smaller ids must LOSE
+            "text": pa.array(["aa", "dd", "ee"]),
+        }
+    )
+    kept_b = exact_dedup_online(
+        ray.data.from_arrow(job_b), shards=index, first_wins=True
+    ).to_pandas()
+    assert sorted(kept_b["doc_id"]) == [3]  # only the new content survives
+    for s in index:
+        ray.get(s.cleanup.remote())
+
+
 def test_semdedup_invariants_random(ray_session):
     """On random vectors: (1) any two KEPT items in one cluster have
     cosine < eps (greedy soundness — each kept item checked against all
