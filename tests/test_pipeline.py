@@ -140,6 +140,29 @@ def test_two_level_auto_trigger_above_slot_limit(ray_session, smoke_parquet, ora
     assert (df["extracted_text"].values == oracle_df["extracted_text"].values).all()
 
 
+def test_exchange_stress_2k_slots_parity_with_sort(ray_session, smoke_parquet):
+    """Regression guard for the documented 10^12-turn shape: at
+    n_parts x salts >= 2k slots the (auto-engaged) two-level wave-merge
+    exchange must agree row-for-row with the pure-Dataset sort path on
+    the same config — including per-slot grouping columns, not just the
+    extracted text."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, n_parts=2048, exchange_wave=4)
+    from pdf_toolkit_ray.stages.exchange import exchange_slots
+    from pdf_toolkit_ray.pipelines.extract import compute_heavy
+
+    heavy = compute_heavy(smoke_parquet, cfg)
+    assert len(exchange_slots(cfg, heavy)) >= 2048  # really >=2k slots
+    got = _sorted(extract_dataset(smoke_parquet, cfg).to_pandas())
+    want = _sorted(
+        extract_dataset(smoke_parquet, dataclasses.replace(cfg, exchange="sort")).to_pandas()
+    )
+    assert len(got) == len(want)
+    for col in ("conv_id", "turn_idx", "extracted_text", "part_id", "salt"):
+        assert (got[col].values == want[col].values).all(), col
+
+
 def test_schema_validation_rejects_wrong_table(ray_session):
     import ray.data
     from pdf_toolkit_ray import UserError
