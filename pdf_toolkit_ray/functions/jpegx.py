@@ -1,13 +1,19 @@
-"""From-scratch baseline JPEG codec (pure stdlib + numpy).
+"""From-scratch JPEG codec (pure stdlib + numpy).
 
-Decoder: baseline sequential DCT (SOF0), 8-bit, grayscale or YCbCr with
-sampling factors up to 2x2 (4:4:4 / 4:2:2 / 4:2:0), restart markers,
-standard zigzag/dequantize/IDCT pipeline (ITU T.81). Progressive (SOF2)
-and arithmetic coding are out of scope and raise ``NotImplementedError``.
+Decoder: baseline sequential DCT (SOF0) and progressive DCT (SOF2),
+8-bit, grayscale or YCbCr with sampling factors up to 2x2 (4:4:4 /
+4:2:2 / 4:2:0), restart markers, standard zigzag/dequantize/IDCT
+pipeline (ITU T.81). Progressive scans implement full Annex G:
+spectral selection plus successive approximation (DC first/refine, AC
+first/refine with EOB runs). Arithmetic coding is out of scope and
+raises ``NotImplementedError``.
 
-Encoder: minimal baseline writer used as the decoder's test twin —
-4:4:4 (no subsampling), the T.81 Annex K example quantization tables
-scaled by a quality factor, and the Annex K standard Huffman tables.
+Encoders: minimal baseline writer plus a progressive (SOF2) writer,
+both used as the decoder's test twins — 4:4:4 (no subsampling), the
+T.81 Annex K example quantization tables scaled by a quality factor,
+and the Annex K standard Huffman tables. They share one quantized-
+coefficient front half, so baseline and progressive encodings of the
+same image must decode pixel-identically.
 
 Everything here is textbook public-domain JPEG structure; no external
 codec libraries are involved (the container has no Pillow/libjpeg).
@@ -222,7 +228,7 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG bytes → (H, W, 3) uint8 RGB."""
+    """JPEG bytes (baseline SOF0 or progressive SOF2) → (H, W, 3) uint8 RGB."""
     if not payload.startswith(b"\xff\xd8"):
         raise ValueError("not a JPEG stream")
     pos = 2
@@ -231,6 +237,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff_ac: dict[int, dict] = {}
     frame = None
     restart_interval = 0
+    coef_store: dict | None = None
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             pos += 1
@@ -260,7 +267,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 table = _build_decode_table(bits, vals)
                 (huff_dc if tc == 0 else huff_ac)[th] = table
                 off += 17 + nvals
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             precision, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if precision != 8:
                 raise NotImplementedError("only 8-bit precision")
@@ -268,25 +275,59 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for i in range(nc):
                 cid, sampling, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
                 comps.append({"id": cid, "h": sampling >> 4, "v": sampling & 0xF, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise NotImplementedError("only baseline sequential JPEG (SOF0) supported")
+            frame = {"h": h, "w": w, "comps": comps, "progressive": marker == 0xC2}
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError(
+                "only baseline (SOF0) and progressive (SOF2) JPEG supported"
+            )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xD9:  # EOI
+            break
         elif marker == 0xDA:  # SOS
             if frame is None:
-                raise ValueError("SOS before SOF0")
+                raise ValueError("SOS before SOF")
             ns = seg[0]
             scan_comps = []
             for i in range(ns):
                 cs, tables = seg[1 + 2 * i], seg[2 + 2 * i]
-                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                matches = [c for c in frame["comps"] if c["id"] == cs]
+                if not matches:
+                    raise ValueError(f"SOS references unknown component id {cs}")
+                comp = matches[0]
                 scan_comps.append(
-                    {**comp, "dc": huff_dc[tables >> 4], "ac": huff_ac[tables & 0xF]}
+                    {
+                        **comp,
+                        "dc": huff_dc.get(tables >> 4),
+                        "ac": huff_ac.get(tables & 0xF),
+                    }
                 )
             data_start = pos + 2 + seg_len
-            return _decode_scan(payload, data_start, frame, scan_comps, qt, restart_interval)
+            if not frame["progressive"]:
+                return _decode_scan(
+                    payload, data_start, frame, scan_comps, qt, restart_interval
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            if coef_store is None:
+                coef_store = _alloc_coef_store(frame)
+            end = _decode_progressive_scan(
+                payload,
+                data_start,
+                frame,
+                scan_comps,
+                coef_store,
+                ss,
+                se,
+                ahal >> 4,
+                ahal & 0xF,
+                restart_interval,
+            )
+            pos = end
+            continue
         pos += 2 + seg_len
+    if frame is not None and frame.get("progressive") and coef_store is not None:
+        return _finish_progressive(frame, coef_store, qt)
     raise ValueError("no SOS segment found")
 
 
@@ -342,7 +383,11 @@ def _decode_scan(payload, start, frame, comps, qt, restart_interval) -> np.ndarr
                         x0 = (mx * c["h"] + bx) * 8
                         planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = pix
             mcu_count += 1
-    # upsample to full resolution and convert
+    return _planes_to_rgb(comps, planes, h, w, hmax, vmax)
+
+
+def _planes_to_rgb(comps, planes, h, w, hmax, vmax) -> np.ndarray:
+    """Upsample component planes to full resolution and color-convert."""
     full = []
     for c in comps:
         p = planes[c["id"]]
@@ -358,6 +403,207 @@ def _decode_scan(payload, start, frame, comps, qt, restart_interval) -> np.ndarr
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
     return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
+# progressive (SOF2) decoding — T.81 Annex G: every scan deposits into a
+# per-component coefficient buffer (zigzag index space); dequantize + IDCT
+# happen once at EOI.
+
+
+def _alloc_coef_store(frame) -> dict:
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcus_x = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+    store = {}
+    for c in frame["comps"]:
+        store[c["id"]] = np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int64)
+    store["_mcus"] = (mcus_y, mcus_x)
+    store["_max"] = (hmax, vmax)
+    return store
+
+
+def _find_scan_end(payload: bytes, start: int) -> int:
+    """Index of the first marker after a scan's entropy data (skips byte
+    stuffing 0xFF00 and restart markers)."""
+    pos = start
+    n = len(payload)
+    while pos + 1 < n:
+        if payload[pos] == 0xFF:
+            nxt = payload[pos + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                pos += 2
+                continue
+            return pos
+        pos += 1
+    return n
+
+
+def _comp_block_grid(frame, c, store) -> tuple[int, int]:
+    """Non-interleaved scans cover the component's OWN sampled block grid
+    (T.81 A.2.2), which can be smaller than the padded MCU grid."""
+    hmax, vmax = store["_max"]
+    cw = -(-frame["w"] * c["h"] // hmax)  # ceil(w * h_i / hmax)
+    ch = -(-frame["h"] * c["v"] // vmax)
+    return (-(-ch // 8), -(-cw // 8))
+
+
+def _decode_progressive_scan(
+    payload, start, frame, comps, store, ss, se, ah, al, restart_interval
+) -> int:
+    reader = _BitReader(payload, start)
+    if ss == 0:  # DC scan (interleaved over MCUs when ns > 1)
+        if se != 0:
+            raise ValueError("DC progressive scan must have Se=0")
+        _decode_dc_scan(reader, frame, comps, store, ah, al, restart_interval)
+    else:  # AC scan: always single-component, non-interleaved
+        if len(comps) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        _decode_ac_scan(reader, frame, comps[0], store, ss, se, ah, al, restart_interval)
+    return _find_scan_end(payload, start)
+
+
+def _decode_dc_scan(reader, frame, comps, store, ah, al, restart_interval) -> None:
+    mcus_y, mcus_x = store["_mcus"]
+    pred = {c["id"]: 0 for c in comps}
+    if len(comps) == 1:
+        c = comps[0]
+        rows, cols = _comp_block_grid(frame, c, store)
+        units = [(c, by, bx) for by in range(rows) for bx in range(cols)]
+        groups = [[u] for u in units]  # one block per restart unit
+    else:
+        groups = []
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                g = []
+                for c in comps:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            g.append((c, my * c["v"] + by, mx * c["h"] + bx))
+                groups.append(g)
+    count = 0
+    for g in groups:
+        if restart_interval and count and count % restart_interval == 0:
+            reader.sync_restart()
+            pred = {c["id"]: 0 for c in comps}
+        for c, by, bx in g:
+            coef = store[c["id"]]
+            if ah == 0:  # first scan: Huffman diff of (DC >> Al)
+                t = reader.decode_huff(c["dc"])
+                diff = _extend(reader.read_bits(t), t)
+                pred[c["id"]] += diff
+                coef[by, bx, 0] = pred[c["id"]] << al
+            else:  # refinement: one raw bit appends precision (G.1.2.1)
+                if reader.read_bit():
+                    coef[by, bx, 0] |= 1 << al
+        count += 1
+
+
+def _decode_ac_scan(reader, frame, c, store, ss, se, ah, al, restart_interval) -> None:
+    coef = store[c["id"]]
+    rows, cols = _comp_block_grid(frame, c, store)
+    eobrun = 0
+    count = 0
+    for by in range(rows):
+        for bx in range(cols):
+            if restart_interval and count and count % restart_interval == 0:
+                reader.sync_restart()
+                eobrun = 0
+            if ah == 0:
+                eobrun = _ac_first_block(reader, c["ac"], coef[by, bx], ss, se, al, eobrun)
+            else:
+                eobrun = _ac_refine_block(reader, c["ac"], coef[by, bx], ss, se, al, eobrun)
+            count += 1
+
+
+def _ac_first_block(reader, ac_table, blk, ss, se, al, eobrun) -> int:
+    """T.81 G.1.2.2: spectral band [ss..se], magnitudes shifted by Al."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.decode_huff(ac_table)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL: skip 16 zeros
+                k += 16
+                continue
+            return (1 << r) + reader.read_bits(r) - 1  # EOBn: this block done
+        k += r
+        if k > se:
+            raise ValueError("AC run past end of band")
+        blk[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(reader, ac_table, blk, ss, se, al, eobrun) -> int:
+    """T.81 G.1.2.3: correction bits for already-nonzero coefficients,
+    sign-coded newly-significant ones, EOB absorbs the band remainder."""
+    p1 = 1 << al
+    m1 = -1 << al
+
+    def correct(k: int) -> None:
+        if reader.read_bit():
+            if (blk[k] & p1) == 0:
+                blk[k] += p1 if blk[k] >= 0 else m1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode_huff(ac_table)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r < 15:
+                    eobrun = (1 << r) + reader.read_bits(r)  # this block included
+                    break
+                # ZRL: advance past 16 ZERO-HISTORY positions, refining
+                # nonzero ones on the way
+            elif s == 1:
+                newval = p1 if reader.read_bit() else m1
+            else:
+                raise ValueError("AC refinement magnitude must be 1")
+            while k <= se:
+                if blk[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s == 1 and k <= se:
+                blk[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # EOB: refine the remaining nonzero history
+            if blk[k] != 0:
+                correct(k)
+            k += 1
+        return eobrun - 1
+    return 0
+
+
+def _finish_progressive(frame, store, qt) -> np.ndarray:
+    h, w = frame["h"], frame["w"]
+    hmax, vmax = store["_max"]
+    planes = {}
+    for c in frame["comps"]:
+        coef = store[c["id"]]
+        rows, cols, _ = coef.shape
+        q = qt[c["tq"]].astype(np.float64)
+        plane = np.zeros((rows * 8, cols * 8), dtype=np.float64)
+        # vectorized finish: dequantize all blocks at once (zigzag space),
+        # scatter to natural order, batched IDCT
+        deq = coef.reshape(-1, 64).astype(np.float64) * q[None, :]
+        nat = np.zeros_like(deq)
+        nat[:, ZIGZAG] = deq
+        blocks = nat.reshape(-1, 8, 8)
+        pix = np.einsum("ij,njk,kl->nil", _DCT.T, blocks, _DCT) + 128.0
+        pix = pix.reshape(rows, cols, 8, 8).transpose(0, 2, 1, 3).reshape(rows * 8, cols * 8)
+        plane[:, :] = pix
+        planes[c["id"]] = plane
+    return _planes_to_rgb(frame["comps"], planes, h, w, hmax, vmax)
 
 
 # --------------------------------------------------------------------------
@@ -402,8 +648,13 @@ def _mag_cat(v: int) -> int:
     return int(v).bit_length() if v > 0 else int(-v).bit_length()
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
-    """(H, W, 3) uint8 RGB → baseline JFIF bytes (4:4:4)."""
+def _quantized_coefficients(
+    img: np.ndarray, quality: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, int, int]:
+    """Shared encoder front half: color-convert, pad, FDCT, quantize.
+    Returns (quant[(bh, bw, 3, 64)] zigzag-ordered int64, q_l, q_c, bh, bw)
+    so the baseline and progressive writers emit the SAME coefficients —
+    their decodes must therefore be pixel-identical."""
     h, w, _ = img.shape
     rgb = img.astype(np.float64)
     y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
@@ -416,6 +667,26 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
     # permutation of it
     q_l = _quality_scale(QT_LUMA, quality)[ZIGZAG]
     q_c = _quality_scale(QT_CHROMA, quality)[ZIGZAG]
+    bh, bwid = (h + 7) // 8, (w + 7) // 8
+    quant = np.zeros((bh, bwid, 3, 64), dtype=np.int64)
+    for ci, plane in enumerate((y, cb, cr)):
+        p = np.empty((bh * 8, bwid * 8), dtype=np.float64)
+        p[:h, :w] = plane
+        p[h:, :w] = plane[h - 1 : h, :]
+        p[:, w:] = p[:, w - 1 : w]
+        q = q_l if ci == 0 else q_c
+        for by in range(bh):
+            for bx in range(bwid):
+                block = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                zz = _fdct2(block).reshape(-1)[ZIGZAG]
+                quant[by, bx, ci] = np.round(zz / q.astype(np.float64)).astype(np.int64)
+    return quant, q_l, q_c, bh, bwid
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
+    """(H, W, 3) uint8 RGB → baseline JFIF bytes (4:4:4)."""
+    h, w, _ = img.shape
+    quant_all, q_l, q_c, bh, bwid = _quantized_coefficients(img, quality)
     enc_dc = [_build_encode_table(DC_LUMA_BITS, DC_LUMA_VALS),
               _build_encode_table(DC_CHROMA_BITS, DC_CHROMA_VALS)]
     enc_ac = [_build_encode_table(AC_LUMA_BITS, AC_LUMA_VALS),
@@ -423,23 +694,11 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
 
     bw = _BitWriter()
     pred = [0, 0, 0]
-    bh, bwid = (h + 7) // 8, (w + 7) // 8
-    padded = []
-    for plane in (y, cb, cr):
-        p = np.empty((bh * 8, bwid * 8), dtype=np.float64)
-        p[:h, :w] = plane
-        p[h:, :w] = plane[h - 1 : h, :]
-        p[:, w:] = p[:, w - 1 : w]
-        padded.append(p)
     for by in range(bh):
         for bx in range(bwid):
-            for ci, plane in enumerate(padded):
+            for ci in range(3):
                 t_idx = 0 if ci == 0 else 1
-                q = q_l if ci == 0 else q_c
-                block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-                coef = _fdct2(block)
-                zz = coef.reshape(-1)[ZIGZAG]
-                quant = np.round(zz / q.astype(np.float64)).astype(np.int64)
+                quant = quant_all[by, bx, ci]
                 diff = int(quant[0]) - pred[ci]
                 pred[ci] = int(quant[0])
                 t = _mag_cat(diff)
@@ -488,3 +747,175 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
         + dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
         + sof + sos + bytes(bw.out) + b"\xff\xd9"
     )
+
+
+# --------------------------------------------------------------------------
+# progressive encoder (test twin for the SOF2 decoder): same quantized
+# coefficients as encode_jpeg, emitted as a DC-first + DC-refine +
+# per-component spectral-selection AC-first + AC-refine scan script, so
+# decode(encode_jpeg_progressive(x)) must equal decode(encode_jpeg(x))
+# pixel-for-pixel — every Annex G scan type is exercised.
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+
+def _sos_header(comps: list[tuple[int, int]], ss: int, se: int, ah: int, al: int) -> bytes:
+    body = bytes([len(comps)])
+    for cid, tables in comps:
+        body += bytes([cid, tables])
+    return _seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+
+def _encode_dc_first(quant, bh, bw_, enc_dc, al: int) -> bytes:
+    w = _BitWriter()
+    pred = [0, 0, 0]
+    for by in range(bh):
+        for bx in range(bw_):
+            for ci in range(3):
+                t_idx = 0 if ci == 0 else 1
+                v = int(quant[by, bx, ci, 0]) >> al  # arithmetic shift (G.1.2.1)
+                diff = v - pred[ci]
+                pred[ci] = v
+                t = _mag_cat(diff)
+                code, ln = enc_dc[t_idx][t]
+                w.write(code, ln)
+                if t:
+                    w.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    w.flush()
+    return bytes(w.out)
+
+
+def _encode_dc_refine(quant, bh, bw_, al: int) -> bytes:
+    w = _BitWriter()
+    for by in range(bh):
+        for bx in range(bw_):
+            for ci in range(3):
+                w.write((int(quant[by, bx, ci, 0]) >> al) & 1, 1)
+    w.flush()
+    return bytes(w.out)
+
+
+def _encode_ac_first(quant, bh, bw_, ci: int, enc_ac, ss: int, se: int, al: int) -> bytes:
+    """Per-block explicit EOB (no cross-block EOBRUN — correct, just less
+    compact; the decoder handles both)."""
+    w = _BitWriter()
+    for by in range(bh):
+        for bx in range(bw_):
+            blk = quant[by, bx, ci]
+            run = 0
+            for k in range(ss, se + 1):
+                v = int(blk[k])
+                v = (abs(v) >> al) * (1 if v >= 0 else -1)  # point transform
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = enc_ac[0xF0]
+                    w.write(code, ln)
+                    run -= 16
+                s = _mag_cat(v)
+                code, ln = enc_ac[(run << 4) | s]
+                w.write(code, ln)
+                w.write(v if v >= 0 else v + (1 << s) - 1, s)
+                run = 0
+            if run:
+                code, ln = enc_ac[0x00]  # EOB0: just this block
+                w.write(code, ln)
+    w.flush()
+    return bytes(w.out)
+
+
+def _encode_ac_refine(quant, bh, bw_, ci: int, enc_ac, ss: int, se: int, al: int) -> bytes:
+    """Mirror of the G.1.2.3 decoder: correction bits buffer after each
+    newly-significant coefficient / ZRL / EOB emission."""
+    w = _BitWriter()
+    for by in range(bh):
+        for bx in range(bw_):
+            blk = quant[by, bx, ci]
+            br: list[int] = []
+
+            def flush_br() -> None:
+                for b in br:
+                    w.write(b, 1)
+                br.clear()
+
+            run = 0
+            for k in range(ss, se + 1):
+                v = int(blk[k])
+                a = abs(v) >> al
+                if a == 0:
+                    run += 1
+                    continue
+                if a > 1:  # already significant at this precision
+                    br.append(a & 1)
+                    continue
+                # newly significant (|v| >> al == 1)
+                while run > 15:
+                    code, ln = enc_ac[0xF0]
+                    w.write(code, ln)
+                    flush_br()
+                    run -= 16
+                code, ln = enc_ac[(run << 4) | 1]
+                w.write(code, ln)
+                w.write(1 if v > 0 else 0, 1)
+                flush_br()
+                run = 0
+            if run or br:
+                code, ln = enc_ac[0x00]  # EOB0 absorbs the band remainder
+                w.write(code, ln)
+                flush_br()
+    w.flush()
+    return bytes(w.out)
+
+
+def encode_jpeg_progressive(img: np.ndarray, quality: int = 90) -> bytes:
+    """(H, W, 3) uint8 RGB → progressive (SOF2) JFIF bytes, 4:4:4.
+
+    Scan script (exercises all four Annex G scan types):
+      1. DC first, interleaved, Al=1     4-9. AC first Ss 1-5 / 6-63, Al=1
+      2. DC refine, Al=0                 (per component)
+      3+. AC refine Ss 1-5 / 6-63, Al=0 (per component)
+    """
+    h, w, _ = img.shape
+    quant, q_l, q_c, bh, bw_ = _quantized_coefficients(img, quality)
+    enc_dc = [_build_encode_table(DC_LUMA_BITS, DC_LUMA_VALS),
+              _build_encode_table(DC_CHROMA_BITS, DC_CHROMA_VALS)]
+    enc_ac = [_build_encode_table(AC_LUMA_BITS, AC_LUMA_VALS),
+              _build_encode_table(AC_CHROMA_BITS, AC_CHROMA_VALS)]
+
+    def dqt(tq: int, tbl: np.ndarray) -> bytes:
+        return _seg(0xDB, bytes([tq]) + bytes(int(v) for v in tbl))
+
+    def dht(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
+        return _seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    sof = _seg(0xC2, struct.pack(">BHHB", 8, h, w, 3)
+               + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]))
+    jfif = _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out = bytearray(b"\xff\xd8" + jfif + dqt(0, q_l) + dqt(1, q_c))
+    out += dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+    out += dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+    out += dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
+    out += dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+    out += sof
+    # 1. DC first (interleaved, successive approximation Al=1)
+    out += _sos_header([(1, 0x00), (2, 0x10), (3, 0x10)], 0, 0, 0, 1)
+    out += _encode_dc_first(quant, bh, bw_, enc_dc, al=1)
+    # 2. DC refine to full precision
+    out += _sos_header([(1, 0x00), (2, 0x00), (3, 0x00)], 0, 0, 1, 0)
+    out += _encode_dc_refine(quant, bh, bw_, al=0)
+    # 3. AC scans per component: two spectral bands, first then refine
+    for ci, cid in enumerate((1, 2, 3)):
+        t = 0 if ci == 0 else 1
+        for ss, se in ((1, 5), (6, 63)):
+            out += _sos_header([(cid, t << 4 | t)], ss, se, 0, 1)
+            out += _encode_ac_first(quant, bh, bw_, ci, enc_ac[t], ss, se, al=1)
+    for ci, cid in enumerate((1, 2, 3)):
+        t = 0 if ci == 0 else 1
+        for ss, se in ((1, 5), (6, 63)):
+            out += _sos_header([(cid, t << 4 | t)], ss, se, 1, 0)
+            out += _encode_ac_refine(quant, bh, bw_, ci, enc_ac[t], ss, se, al=0)
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -56,9 +56,10 @@ AUDIO_META_TYPE = pa.struct(
 def decode_image(payload: bytes) -> np.ndarray:
     """bytes → (H, W, 3) uint8. All three containers decode for real with
     no image libraries: PPM P6 (byte parsing), PNG (stdlib zlib + the five
-    scanline filters), and baseline JPEG (from-scratch Huffman + IDCT +
-    YCbCr pipeline in ``functions/jpegx.py``). Progressive JPEG raises
-    ``NotImplementedError``."""
+    scanline filters), and JPEG — baseline SOF0 and progressive SOF2
+    (from-scratch Huffman + spectral-selection/successive-approximation
+    scans + IDCT + YCbCr pipeline in ``functions/jpegx.py``).
+    Arithmetic-coded JPEG raises ``NotImplementedError``."""
     if payload.startswith(b"P6"):
         return _decode_ppm(payload)
     if payload.startswith(b"\x89PNG"):

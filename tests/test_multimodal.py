@@ -164,6 +164,88 @@ def test_jpeg_roundtrip():
     assert decode_jpeg(encode_jpeg(noise, quality=75)).shape == noise.shape
 
 
+def test_progressive_jpeg_matches_baseline_exactly():
+    """Conformance: the progressive (SOF2) writer and the baseline writer
+    share one quantized-coefficient front half, so their decodes must be
+    pixel-IDENTICAL — this drives every Annex G scan type (DC first with
+    Al=1, DC refine, AC first per spectral band, AC refine) through the
+    decoder at several qualities."""
+    import numpy as np
+
+    from pdf_toolkit_ray.functions.jpegx import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(5)
+    yy, xx = np.mgrid[0:37, 0:53]
+    img = np.stack([(yy * 4) % 256, (xx * 3) % 256, ((yy + xx) * 2) % 256], axis=2)
+    img[10:20, 10:20] = 250  # hard edge: dense high-frequency AC
+    img = np.clip(img + rng.randint(-9, 10, img.shape), 0, 255).astype(np.uint8)
+    for q in (90, 50, 25):
+        base = decode_jpeg(encode_jpeg(img, q))
+        prog = decode_jpeg(encode_jpeg_progressive(img, q))
+        assert np.array_equal(base, prog), q
+    assert decode_image(encode_jpeg_progressive(img, 90)).shape == img.shape  # routing
+    # near-flat image: AC bands are almost all EOB/EOBRUN paths
+    flat = np.full((24, 24, 3), 128, dtype=np.uint8)
+    flat[0, 0] = 131
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(flat, 80)), decode_jpeg(encode_jpeg_progressive(flat, 80))
+    )
+
+
+def test_progressive_ac_refine_zrl_and_eob_paths():
+    """Low-level twin check on crafted coefficient blocks that force the
+    rare AC-refine paths: a >15 zero-history run before a newly-significant
+    coefficient (ZRL + buffered correction bits) and corrections trailing
+    the last new coefficient (absorbed by EOB)."""
+    import numpy as np
+
+    from pdf_toolkit_ray.functions.jpegx import (
+        AC_LUMA_BITS,
+        AC_LUMA_VALS,
+        _ac_first_block,
+        _ac_refine_block,
+        _BitReader,
+        _build_decode_table,
+        _build_encode_table,
+        _encode_ac_first,
+        _encode_ac_refine,
+    )
+
+    cases = []
+    b = np.zeros(64, dtype=np.int64)
+    b[1], b[30], b[63] = 5, -1, 1  # 28 zero-history gap -> ZRL, then tail new
+    cases.append(b)
+    b = np.zeros(64, dtype=np.int64)
+    b[2], b[3], b[40] = 1, -7, 3  # corrections trailing the last new coef -> EOB
+    cases.append(b)
+    b = np.zeros(64, dtype=np.int64)
+    b[10] = -1  # single newly-significant, all else zero
+    cases.append(b)
+    quant = np.zeros((1, len(cases), 3, 64), dtype=np.int64)
+    for i, c in enumerate(cases):
+        quant[0, i, 0] = c
+    enc = _build_encode_table(AC_LUMA_BITS, AC_LUMA_VALS)
+    dec = _build_decode_table(AC_LUMA_BITS, AC_LUMA_VALS)
+    ss, se = 1, 63
+    first = _encode_ac_first(quant, 1, len(cases), 0, enc, ss, se, al=1)
+    refine = _encode_ac_refine(quant, 1, len(cases), 0, enc, ss, se, al=0)
+    got = np.zeros((len(cases), 64), dtype=np.int64)
+    r1 = _BitReader(first, 0)
+    eob = 0
+    for i in range(len(cases)):
+        eob = _ac_first_block(r1, dec, got[i], ss, se, 1, eob)
+    r2 = _BitReader(refine, 0)
+    eob = 0
+    for i in range(len(cases)):
+        eob = _ac_refine_block(r2, dec, got[i], ss, se, 0, eob)
+    for i, c in enumerate(cases):
+        assert np.array_equal(got[i][ss : se + 1], c[ss : se + 1]), i
+
+
 def test_jpeg_decoder_survives_malformed_input():
     """Truncations and byte flips of a valid stream must terminate with a
     decoded array or a clean exception — never hang or segfault."""
@@ -189,15 +271,33 @@ def test_jpeg_decoder_survives_malformed_input():
             assert out.dtype == np.uint8
         except (ValueError, NotImplementedError, struct.error, IndexError, KeyError):
             pass
+    # same guarantees for the progressive (multi-scan) stream layout
+    from pdf_toolkit_ray.functions.jpegx import encode_jpeg_progressive
+
+    pdata = bytearray(encode_jpeg_progressive(img, quality=80))
+    for cut in (3, 40, len(pdata) // 3, len(pdata) // 2, len(pdata) - 3):
+        try:
+            decode_jpeg(bytes(pdata[:cut]))
+        except (ValueError, NotImplementedError, struct.error, IndexError, KeyError):
+            pass
+    for _ in range(30):
+        flipped = bytearray(pdata)
+        flipped[rng.randint(2, len(pdata))] ^= 1 << rng.randint(0, 8)
+        try:
+            out = decode_jpeg(bytes(flipped))
+            assert out.dtype == np.uint8
+        except (ValueError, NotImplementedError, struct.error, IndexError, KeyError):
+            pass
 
 
 def test_unsupported_formats_raise():
     import struct
 
-    # progressive JPEG (SOF2) is declared out of scope
-    sof2 = b"\xff\xd8" + struct.pack(">BBH", 0xFF, 0xC2, 10) + b"\x08\x00\x10\x00\x10\x01\x01\x11"
+    # arithmetic-coded JPEG (SOF9) is declared out of scope (progressive
+    # SOF2 is now supported — see test_progressive_jpeg_* )
+    sof9 = b"\xff\xd8" + struct.pack(">BBH", 0xFF, 0xC9, 10) + b"\x08\x00\x10\x00\x10\x01\x01\x11"
     with pytest.raises(NotImplementedError):
-        decode_image(sof2)
+        decode_image(sof9)
     with pytest.raises(NotImplementedError):
         decode_audio(b"ID3 mp3-ish")
     with pytest.raises(NotImplementedError):
