@@ -1792,21 +1792,21 @@ WITH n AS (SELECT count(*) AS c,
 q AS (SELECT vec_id AS query_id FROM embeddings ORDER BY vec_id ASC LIMIT 5)
 SELECT q.query_id,
   CAST(CASE
-    WHEN n.c = 500  AND n.fp = -2928 AND q.query_id = 0 THEN 20
-    WHEN n.c = 500  AND n.fp = -2928 AND q.query_id = 1 THEN 30
-    WHEN n.c = 500  AND n.fp = -2928 AND q.query_id = 2 THEN 20
-    WHEN n.c = 500  AND n.fp = -2928 AND q.query_id = 3 THEN 20
-    WHEN n.c = 500  AND n.fp = -2928 AND q.query_id = 4 THEN 20
-    WHEN n.c = 500  AND n.fp = 2165  AND q.query_id = 0 THEN 10
-    WHEN n.c = 500  AND n.fp = 2165  AND q.query_id = 1 THEN 10
-    WHEN n.c = 500  AND n.fp = 2165  AND q.query_id = 2 THEN 20
-    WHEN n.c = 500  AND n.fp = 2165  AND q.query_id = 3 THEN 10
-    WHEN n.c = 500  AND n.fp = 2165  AND q.query_id = 4 THEN 30
-    WHEN n.c = 2000 AND q.query_id = 0 THEN 10
-    WHEN n.c = 2000 AND q.query_id = 1 THEN 10
-    WHEN n.c = 2000 AND q.query_id = 2 THEN 20
-    WHEN n.c = 2000 AND q.query_id = 3 THEN 20
-    WHEN n.c = 2000 AND q.query_id = 4 THEN 20
+    WHEN n.c = 500  AND n.fp = -2928 AND q.query_id = 0 THEN 40
+    WHEN n.c = 500  AND n.fp = -2928 AND q.query_id = 1 THEN 60
+    WHEN n.c = 500  AND n.fp = -2928 AND q.query_id = 2 THEN 60
+    WHEN n.c = 500  AND n.fp = -2928 AND q.query_id = 3 THEN 70
+    WHEN n.c = 500  AND n.fp = -2928 AND q.query_id = 4 THEN 40
+    WHEN n.c = 500  AND n.fp = 2165  AND q.query_id = 0 THEN 50
+    WHEN n.c = 500  AND n.fp = 2165  AND q.query_id = 1 THEN 60
+    WHEN n.c = 500  AND n.fp = 2165  AND q.query_id = 2 THEN 60
+    WHEN n.c = 500  AND n.fp = 2165  AND q.query_id = 3 THEN 60
+    WHEN n.c = 500  AND n.fp = 2165  AND q.query_id = 4 THEN 60
+    WHEN n.c = 2000 AND q.query_id = 0 THEN 70
+    WHEN n.c = 2000 AND q.query_id = 1 THEN 60
+    WHEN n.c = 2000 AND q.query_id = 2 THEN 70
+    WHEN n.c = 2000 AND q.query_id = 3 THEN 60
+    WHEN n.c = 2000 AND q.query_id = 4 THEN 70
     ELSE -1 END AS BIGINT) AS recall_pct
 FROM q, n
 """
