@@ -107,14 +107,28 @@ def _parse_overrides(pairs: list[str]) -> dict:
     return out
 
 
+def _init_kwargs(num_cpus: int | None, env: dict | None = None) -> dict:
+    """ray.init kwargs for the CLI session. ``RAY_ADDRESS`` makes the same
+    commands work under ``ray job submit`` on a real cluster (the job
+    runner presets it to the head node): attaching to a cluster forbids
+    the local-only knobs (num_cpus, dashboard), so they are only passed
+    when the address is "local"."""
+    import os
+
+    address = (env if env is not None else os.environ).get("RAY_ADDRESS") or "local"
+    kwargs: dict = dict(address=address, logging_level="ERROR")
+    if address == "local":
+        kwargs["include_dashboard"] = False
+        if num_cpus is not None:
+            kwargs["num_cpus"] = num_cpus
+    return kwargs
+
+
 def _ray_session(num_cpus: int | None):
     import ray
 
     if not ray.is_initialized():
-        kwargs = dict(address="local", include_dashboard=False, logging_level="ERROR")
-        if num_cpus is not None:
-            kwargs["num_cpus"] = num_cpus
-        ray.init(**kwargs)
+        ray.init(**_init_kwargs(num_cpus))
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False

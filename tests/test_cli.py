@@ -96,3 +96,21 @@ def test_query_out_writes_parquet(tmp_path):
     files = glob.glob(out + "/*.parquet")
     assert files
     assert sum(pq.read_metadata(f).num_rows for f in files) == 5
+
+
+def test_init_kwargs_local_vs_cluster():
+    """Local mode keeps the sandbox knobs; a cluster RAY_ADDRESS (the
+    `ray job submit` environment) must attach WITHOUT local-only kwargs
+    (num_cpus / include_dashboard are invalid when connecting)."""
+    from pdf_toolkit_ray.cli import _init_kwargs
+
+    local = _init_kwargs(4, env={"RAY_ADDRESS": "local"})
+    assert local["address"] == "local"
+    assert local["num_cpus"] == 4 and local["include_dashboard"] is False
+
+    unset = _init_kwargs(None, env={})
+    assert unset["address"] == "local" and "num_cpus" not in unset
+
+    cluster = _init_kwargs(4, env={"RAY_ADDRESS": "ray://head:10001"})
+    assert cluster["address"] == "ray://head:10001"
+    assert "num_cpus" not in cluster and "include_dashboard" not in cluster
