@@ -208,6 +208,8 @@ class _BitReader:
             self.pos += 1
 
     def decode_huff(self, table: dict[tuple[int, int], int]) -> int:
+        if table is None:  # scan referenced a DHT id that was never defined
+            raise ValueError("scan references an undefined Huffman table")
         code = 0
         for length in range(1, 17):
             code = (code << 1) | self.read_bit()
