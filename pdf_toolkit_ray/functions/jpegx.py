@@ -685,8 +685,108 @@ def _quantized_coefficients(
     return quant, q_l, q_c, bh, bwid
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
-    """(H, W, 3) uint8 RGB → baseline JFIF bytes (4:4:4)."""
+#: per-component (h, v) sampling factors by mode
+_SUBSAMPLING = {"444": [(1, 1), (1, 1), (1, 1)], "420": [(2, 2), (1, 1), (1, 1)]}
+
+
+def _quantized_comp_blocks(img: np.ndarray, quality: int, mode: str):
+    """Generic (subsampling-aware) encoder front half. Returns
+    (comps, q_l, q_c, mcus_y, mcus_x) where each comp dict holds the
+    MCU-padded quantized block array ``arr[(v·mcus_y, h·mcus_x, 64)]``
+    (zigzag order), its sampling factors and its OWN block grid
+    (rows, cols) — the grid progressive AC scans cover (T.81 A.2.2),
+    which is smaller than the padded array for subsampled frames."""
+    factors = _SUBSAMPLING[mode]
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    h, w, _ = img.shape
+    rgb = img.astype(np.float64)
+    planes = [
+        0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2],
+        -0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2] + 128.0,
+        0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2] + 128.0,
+    ]
+    q_l = _quality_scale(QT_LUMA, quality)[ZIGZAG]
+    q_c = _quality_scale(QT_CHROMA, quality)[ZIGZAG]
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    # edge-replicate to the MCU-aligned full-resolution grid once
+    fh, fw = mcus_y * vmax * 8, mcus_x * hmax * 8
+    comps = []
+    for ci, (plane, (fx, fv)) in enumerate(zip(planes, factors)):
+        p = np.empty((fh, fw), dtype=np.float64)
+        p[:h, :w] = plane
+        p[h:, :w] = plane[h - 1 : h, :]
+        p[:, w:] = p[:, w - 1 : w]
+        ry, rx = vmax // fv, hmax // fx
+        if ry > 1 or rx > 1:  # box-mean downsample (the 4:2:0 chroma path)
+            p = p.reshape(fh // ry, ry, fw // rx, rx).mean(axis=(1, 3))
+        rows_pad, cols_pad = mcus_y * fv, mcus_x * fx
+        q = (q_l if ci == 0 else q_c).astype(np.float64)
+        arr = np.zeros((rows_pad, cols_pad, 64), dtype=np.int64)
+        for by in range(rows_pad):
+            for bx in range(cols_pad):
+                block = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                zz = _fdct2(block).reshape(-1)[ZIGZAG]
+                arr[by, bx] = np.round(zz / q).astype(np.int64)
+        comp_h = -(-h * fv // vmax)  # ceil(h * v_i / vmax)
+        comp_w = -(-w * fx // hmax)
+        comps.append(
+            {
+                "arr": arr,
+                "h": fx,
+                "v": fv,
+                "rows": -(-comp_h // 8),
+                "cols": -(-comp_w // 8),
+            }
+        )
+    return comps, q_l, q_c, mcus_y, mcus_x
+
+
+def _encode_baseline_entropy(comps, enc_dc, enc_ac, mcus_y: int, mcus_x: int) -> bytes:
+    """Interleaved baseline scan over the MCU grid (general sampling)."""
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, c in enumerate(comps):
+                t_idx = 0 if ci == 0 else 1
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        quant = c["arr"][my * c["v"] + by, mx * c["h"] + bx]
+                        diff = int(quant[0]) - pred[ci]
+                        pred[ci] = int(quant[0])
+                        t = _mag_cat(diff)
+                        code, ln = enc_dc[t_idx][t]
+                        bw.write(code, ln)
+                        if t:
+                            bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+                        run = 0
+                        for k in range(1, 64):
+                            v = int(quant[k])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                code, ln = enc_ac[t_idx][0xF0]
+                                bw.write(code, ln)
+                                run -= 16
+                            s = _mag_cat(v)
+                            code, ln = enc_ac[t_idx][(run << 4) | s]
+                            bw.write(code, ln)
+                            bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+                            run = 0
+                        if run:
+                            code, ln = enc_ac[t_idx][0x00]
+                            bw.write(code, ln)
+    bw.flush()
+    return bytes(bw.out)
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 90, subsampling: str = "444") -> bytes:
+    """(H, W, 3) uint8 RGB → baseline JFIF bytes (4:4:4 or 4:2:0)."""
+    if subsampling != "444":
+        return _encode_jpeg_general(img, quality, subsampling)
     h, w, _ = img.shape
     quant_all, q_l, q_c, bh, bwid = _quantized_coefficients(img, quality)
     enc_dc = [_build_encode_table(DC_LUMA_BITS, DC_LUMA_VALS),
@@ -763,6 +863,46 @@ def _seg(marker: int, body: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
 
 
+def _jfif_header(h: int, w: int, comps, q_l, q_c, sof_marker: int) -> bytes:
+    """SOI..SOF prefix shared by the general (subsampling-aware) writers."""
+
+    def dqt(tq: int, tbl: np.ndarray) -> bytes:
+        return _seg(0xDB, bytes([tq]) + bytes(int(v) for v in tbl))
+
+    def dht(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
+        return _seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    sof_comps = b"".join(
+        bytes([cid, (c["h"] << 4) | c["v"], 0 if ci == 0 else 1])
+        for ci, (cid, c) in enumerate(zip((1, 2, 3), comps))
+    )
+    return (
+        b"\xff\xd8"
+        + _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + dqt(0, q_l) + dqt(1, q_c)
+        + dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+        + dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+        + dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
+        + dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+        + _seg(sof_marker, struct.pack(">BHHB", 8, h, w, 3) + sof_comps)
+    )
+
+
+def _encode_jpeg_general(img: np.ndarray, quality: int, subsampling: str) -> bytes:
+    """Baseline writer for subsampled modes (4:2:0): interleaved MCUs of
+    v×h blocks per component — the twin for the decoder's sampling-factor
+    upsampling path."""
+    h, w, _ = img.shape
+    comps, q_l, q_c, mcus_y, mcus_x = _quantized_comp_blocks(img, quality, subsampling)
+    enc_dc = [_build_encode_table(DC_LUMA_BITS, DC_LUMA_VALS),
+              _build_encode_table(DC_CHROMA_BITS, DC_CHROMA_VALS)]
+    enc_ac = [_build_encode_table(AC_LUMA_BITS, AC_LUMA_VALS),
+              _build_encode_table(AC_CHROMA_BITS, AC_CHROMA_VALS)]
+    entropy = _encode_baseline_entropy(comps, enc_dc, enc_ac, mcus_y, mcus_x)
+    sos = _seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    return _jfif_header(h, w, comps, q_l, q_c, 0xC0) + sos + entropy + b"\xff\xd9"
+
+
 def _sos_header(comps: list[tuple[int, int]], ss: int, se: int, ah: int, al: int) -> bytes:
     body = bytes([len(comps)])
     for cid, tables in comps:
@@ -770,42 +910,50 @@ def _sos_header(comps: list[tuple[int, int]], ss: int, se: int, ah: int, al: int
     return _seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
 
 
-def _encode_dc_first(quant, bh, bw_, enc_dc, al: int) -> bytes:
+def _mcu_block_iter(comps, mcus_y: int, mcus_x: int):
+    """(ci, comp, block_row, block_col) in interleaved MCU order."""
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, c in enumerate(comps):
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        yield ci, c, my * c["v"] + by, mx * c["h"] + bx
+
+
+def _encode_dc_first(comps, mcus_y, mcus_x, enc_dc, al: int) -> bytes:
     w = _BitWriter()
     pred = [0, 0, 0]
-    for by in range(bh):
-        for bx in range(bw_):
-            for ci in range(3):
-                t_idx = 0 if ci == 0 else 1
-                v = int(quant[by, bx, ci, 0]) >> al  # arithmetic shift (G.1.2.1)
-                diff = v - pred[ci]
-                pred[ci] = v
-                t = _mag_cat(diff)
-                code, ln = enc_dc[t_idx][t]
-                w.write(code, ln)
-                if t:
-                    w.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    for ci, c, by, bx in _mcu_block_iter(comps, mcus_y, mcus_x):
+        t_idx = 0 if ci == 0 else 1
+        v = int(c["arr"][by, bx, 0]) >> al  # arithmetic shift (G.1.2.1)
+        diff = v - pred[ci]
+        pred[ci] = v
+        t = _mag_cat(diff)
+        code, ln = enc_dc[t_idx][t]
+        w.write(code, ln)
+        if t:
+            w.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
     w.flush()
     return bytes(w.out)
 
 
-def _encode_dc_refine(quant, bh, bw_, al: int) -> bytes:
+def _encode_dc_refine(comps, mcus_y, mcus_x, al: int) -> bytes:
     w = _BitWriter()
-    for by in range(bh):
-        for bx in range(bw_):
-            for ci in range(3):
-                w.write((int(quant[by, bx, ci, 0]) >> al) & 1, 1)
+    for _ci, c, by, bx in _mcu_block_iter(comps, mcus_y, mcus_x):
+        w.write((int(c["arr"][by, bx, 0]) >> al) & 1, 1)
     w.flush()
     return bytes(w.out)
 
 
-def _encode_ac_first(quant, bh, bw_, ci: int, enc_ac, ss: int, se: int, al: int) -> bytes:
+def _encode_ac_first(arr, rows, cols, enc_ac, ss: int, se: int, al: int) -> bytes:
     """Per-block explicit EOB (no cross-block EOBRUN — correct, just less
-    compact; the decoder handles both)."""
+    compact; the decoder handles both). ``rows``/``cols`` is the
+    component's OWN block grid — progressive AC scans never cover the
+    MCU padding blocks (T.81 A.2.2)."""
     w = _BitWriter()
-    for by in range(bh):
-        for bx in range(bw_):
-            blk = quant[by, bx, ci]
+    for by in range(rows):
+        for bx in range(cols):
+            blk = arr[by, bx]
             run = 0
             for k in range(ss, se + 1):
                 v = int(blk[k])
@@ -829,13 +977,13 @@ def _encode_ac_first(quant, bh, bw_, ci: int, enc_ac, ss: int, se: int, al: int)
     return bytes(w.out)
 
 
-def _encode_ac_refine(quant, bh, bw_, ci: int, enc_ac, ss: int, se: int, al: int) -> bytes:
+def _encode_ac_refine(arr, rows, cols, enc_ac, ss: int, se: int, al: int) -> bytes:
     """Mirror of the G.1.2.3 decoder: correction bits buffer after each
     newly-significant coefficient / ZRL / EOB emission."""
     w = _BitWriter()
-    for by in range(bh):
-        for bx in range(bw_):
-            blk = quant[by, bx, ci]
+    for by in range(rows):
+        for bx in range(cols):
+            blk = arr[by, bx]
             br: list[int] = []
 
             def flush_br() -> None:
@@ -872,52 +1020,45 @@ def _encode_ac_refine(quant, bh, bw_, ci: int, enc_ac, ss: int, se: int, al: int
     return bytes(w.out)
 
 
-def encode_jpeg_progressive(img: np.ndarray, quality: int = 90) -> bytes:
-    """(H, W, 3) uint8 RGB → progressive (SOF2) JFIF bytes, 4:4:4.
+def encode_jpeg_progressive(
+    img: np.ndarray, quality: int = 90, subsampling: str = "444"
+) -> bytes:
+    """(H, W, 3) uint8 RGB → progressive (SOF2) JFIF bytes (4:4:4 or 4:2:0).
 
     Scan script (exercises all four Annex G scan types):
       1. DC first, interleaved, Al=1     4-9. AC first Ss 1-5 / 6-63, Al=1
       2. DC refine, Al=0                 (per component)
       3+. AC refine Ss 1-5 / 6-63, Al=0 (per component)
-    """
+
+    AC scans cover each component's OWN block grid (never the MCU
+    padding), DC scans the full interleaved MCU grid — the same split
+    the decoder's `_comp_block_grid` implements."""
     h, w, _ = img.shape
-    quant, q_l, q_c, bh, bw_ = _quantized_coefficients(img, quality)
+    comps, q_l, q_c, mcus_y, mcus_x = _quantized_comp_blocks(img, quality, subsampling)
     enc_dc = [_build_encode_table(DC_LUMA_BITS, DC_LUMA_VALS),
               _build_encode_table(DC_CHROMA_BITS, DC_CHROMA_VALS)]
     enc_ac = [_build_encode_table(AC_LUMA_BITS, AC_LUMA_VALS),
               _build_encode_table(AC_CHROMA_BITS, AC_CHROMA_VALS)]
 
-    def dqt(tq: int, tbl: np.ndarray) -> bytes:
-        return _seg(0xDB, bytes([tq]) + bytes(int(v) for v in tbl))
-
-    def dht(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
-        return _seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
-
-    sof = _seg(0xC2, struct.pack(">BHHB", 8, h, w, 3)
-               + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]))
-    jfif = _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out = bytearray(b"\xff\xd8" + jfif + dqt(0, q_l) + dqt(1, q_c))
-    out += dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
-    out += dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
-    out += dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
-    out += dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
-    out += sof
+    out = bytearray(_jfif_header(h, w, comps, q_l, q_c, 0xC2))
     # 1. DC first (interleaved, successive approximation Al=1)
     out += _sos_header([(1, 0x00), (2, 0x10), (3, 0x10)], 0, 0, 0, 1)
-    out += _encode_dc_first(quant, bh, bw_, enc_dc, al=1)
+    out += _encode_dc_first(comps, mcus_y, mcus_x, enc_dc, al=1)
     # 2. DC refine to full precision
     out += _sos_header([(1, 0x00), (2, 0x00), (3, 0x00)], 0, 0, 1, 0)
-    out += _encode_dc_refine(quant, bh, bw_, al=0)
+    out += _encode_dc_refine(comps, mcus_y, mcus_x, al=0)
     # 3. AC scans per component: two spectral bands, first then refine
     for ci, cid in enumerate((1, 2, 3)):
         t = 0 if ci == 0 else 1
+        c = comps[ci]
         for ss, se in ((1, 5), (6, 63)):
             out += _sos_header([(cid, t << 4 | t)], ss, se, 0, 1)
-            out += _encode_ac_first(quant, bh, bw_, ci, enc_ac[t], ss, se, al=1)
+            out += _encode_ac_first(c["arr"], c["rows"], c["cols"], enc_ac[t], ss, se, al=1)
     for ci, cid in enumerate((1, 2, 3)):
         t = 0 if ci == 0 else 1
+        c = comps[ci]
         for ss, se in ((1, 5), (6, 63)):
             out += _sos_header([(cid, t << 4 | t)], ss, se, 1, 0)
-            out += _encode_ac_refine(quant, bh, bw_, ci, enc_ac[t], ss, se, al=0)
+            out += _encode_ac_refine(c["arr"], c["rows"], c["cols"], enc_ac[t], ss, se, al=0)
     out += b"\xff\xd9"
     return bytes(out)

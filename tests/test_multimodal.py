@@ -196,6 +196,43 @@ def test_progressive_jpeg_matches_baseline_exactly():
     )
 
 
+def test_jpeg_420_subsampling_conformance():
+    """The 4:2:0 writers conformance-test the decoder's sampling-factor
+    paths (2x2 MCU interleave + chroma upsampling), which no 4:4:4 stream
+    reaches. Exactness levers: (1) on gray-content images chroma is
+    exactly 128 everywhere, so 4:2:0 and 4:4:4 decodes must be
+    pixel-IDENTICAL; (2) baseline and progressive 4:2:0 share quantized
+    coefficients, so their decodes must be pixel-identical on ANY image."""
+    import numpy as np
+
+    from pdf_toolkit_ray.functions.jpegx import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(5)
+    gray = np.repeat(rng.randint(0, 256, (29, 43, 1), dtype=np.uint8), 3, axis=2)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(gray, 85, subsampling="420")),
+        decode_jpeg(encode_jpeg(gray, 85)),
+    )
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(gray, 85, subsampling="420")),
+        decode_jpeg(encode_jpeg_progressive(gray, 85)),
+    )
+    yy, xx = np.mgrid[0:37, 0:53]
+    color = np.stack([(yy * 4) % 256, (xx * 3) % 256, ((yy + xx) * 2) % 256], axis=2)
+    color[10:20, 10:20] = 250
+    color = np.clip(color + rng.randint(-9, 10, color.shape), 0, 255).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(color, 85, subsampling="420"))
+    prog = decode_jpeg(encode_jpeg_progressive(color, 85, subsampling="420"))
+    assert np.array_equal(base, prog)
+    assert base.shape == color.shape
+    mse = float(np.mean((base.astype(np.float64) - color.astype(np.float64)) ** 2))
+    assert 10 * np.log10(255**2 / mse) > 28  # chroma-lossy but faithful
+
+
 def test_progressive_ac_refine_zrl_and_eob_paths():
     """Low-level twin check on crafted coefficient blocks that force the
     rare AC-refine paths: a >15 zero-history run before a newly-significant
@@ -225,14 +262,14 @@ def test_progressive_ac_refine_zrl_and_eob_paths():
     b = np.zeros(64, dtype=np.int64)
     b[10] = -1  # single newly-significant, all else zero
     cases.append(b)
-    quant = np.zeros((1, len(cases), 3, 64), dtype=np.int64)
+    arr = np.zeros((1, len(cases), 64), dtype=np.int64)
     for i, c in enumerate(cases):
-        quant[0, i, 0] = c
+        arr[0, i] = c
     enc = _build_encode_table(AC_LUMA_BITS, AC_LUMA_VALS)
     dec = _build_decode_table(AC_LUMA_BITS, AC_LUMA_VALS)
     ss, se = 1, 63
-    first = _encode_ac_first(quant, 1, len(cases), 0, enc, ss, se, al=1)
-    refine = _encode_ac_refine(quant, 1, len(cases), 0, enc, ss, se, al=0)
+    first = _encode_ac_first(arr, 1, len(cases), enc, ss, se, al=1)
+    refine = _encode_ac_refine(arr, 1, len(cases), enc, ss, se, al=0)
     got = np.zeros((len(cases), 64), dtype=np.int64)
     r1 = _BitReader(first, 0)
     eob = 0
