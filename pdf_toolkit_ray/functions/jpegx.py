@@ -686,7 +686,11 @@ def _quantized_coefficients(
 
 
 #: per-component (h, v) sampling factors by mode
-_SUBSAMPLING = {"444": [(1, 1), (1, 1), (1, 1)], "420": [(2, 2), (1, 1), (1, 1)]}
+_SUBSAMPLING = {
+    "444": [(1, 1), (1, 1), (1, 1)],
+    "422": [(2, 1), (1, 1), (1, 1)],
+    "420": [(2, 2), (1, 1), (1, 1)],
+}
 
 
 def _quantized_comp_blocks(img: np.ndarray, quality: int, mode: str):

@@ -225,12 +225,17 @@ def test_jpeg_420_subsampling_conformance():
     color = np.stack([(yy * 4) % 256, (xx * 3) % 256, ((yy + xx) * 2) % 256], axis=2)
     color[10:20, 10:20] = 250
     color = np.clip(color + rng.randint(-9, 10, color.shape), 0, 255).astype(np.uint8)
-    base = decode_jpeg(encode_jpeg(color, 85, subsampling="420"))
-    prog = decode_jpeg(encode_jpeg_progressive(color, 85, subsampling="420"))
-    assert np.array_equal(base, prog)
-    assert base.shape == color.shape
-    mse = float(np.mean((base.astype(np.float64) - color.astype(np.float64)) ** 2))
-    assert 10 * np.log10(255**2 / mse) > 28  # chroma-lossy but faithful
+    for mode in ("422", "420"):
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(gray, 85, subsampling=mode)),
+            decode_jpeg(encode_jpeg(gray, 85)),
+        ), mode
+        base = decode_jpeg(encode_jpeg(color, 85, subsampling=mode))
+        prog = decode_jpeg(encode_jpeg_progressive(color, 85, subsampling=mode))
+        assert np.array_equal(base, prog), mode
+        assert base.shape == color.shape
+        mse = float(np.mean((base.astype(np.float64) - color.astype(np.float64)) ** 2))
+        assert 10 * np.log10(255**2 / mse) > 28, mode  # chroma-lossy but faithful
 
 
 def test_progressive_ac_refine_zrl_and_eob_paths():
