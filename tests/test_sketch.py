@@ -109,3 +109,25 @@ def test_pagerank_paths_agree_and_match_numpy(ray_session):
     assert (broadcast_path["rank"].to_numpy() == r).all()
     # ranks form a probability-ish distribution (sums to ~1)
     assert abs(broadcast_path["rank"].sum() - 1.0) < 1e-3
+
+
+def test_price_quantiles_rank_check_bound_and_synthetic(ray_session, tmp_path):
+    """The driver-hashable companion: bound check green on the real fixture
+    AND on a synthetic heavy-tail column (lognormal — no repeated values,
+    the regime the KLL path exists for)."""
+    import pyarrow.parquet as pq
+
+    from pdf_toolkit_ray.queries import price_quantiles_rank_check
+
+    out = price_quantiles_rank_check("/root/testdata/sf0.001").to_pydict()
+    assert out["q_bp"] == [2500, 5000, 7500, 9900]
+    assert out["within_300bp"] == [1, 1, 1, 1]
+
+    rng = np.random.default_rng(11)
+    vals = np.exp(rng.normal(0, 2.5, size=60000))
+    pq.write_table(
+        pa.table({"l_extendedprice": pa.array(vals, pa.float64())}),
+        tmp_path / "lineitem.parquet",
+    )
+    out = price_quantiles_rank_check(str(tmp_path)).to_pydict()
+    assert out["within_300bp"] == [1, 1, 1, 1]
