@@ -1885,6 +1885,118 @@ def multimodal_audio_features(sf_dir: str):
     return audio_features(ray.data.from_arrow(synthesize_media_table(64)))
 
 
+# Driver-HASHABLE companions to the three rows-only multimodal queries.
+# The fixtures are seed-fixed synthetic media and every decoder is
+# deterministic, so an integer-quantized aggregate digest of the full
+# feature output is a pure constant — independent of sf, batching and
+# parallelism (per-row decode, integer sums commute). The twins pin the
+# constants (golden style, reference tests/test_page_images.py:371-420):
+# ANY change to a decode path, resize kernel or feature definition flips a
+# digest, which is exactly what makes the otherwise-unhashable decode
+# correctness driver-visible.
+
+
+def _feature_digest(ds, int_exprs: dict) -> pa.Table:
+    """Distributed integer digest: per-batch quantized partial sums, one
+    tiny global aggregate. ``int_exprs`` maps output column -> fn(batch
+    pa.Table) -> np.int64 scalar."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {k: pa.array([int(fn(batch))], pa.int64()) for k, fn in int_exprs.items()}
+        )
+
+    agg = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).sum(
+        list(int_exprs), ignore_nulls=True
+    )
+    if not isinstance(agg, dict):  # single-column sum returns a bare scalar
+        agg = {f"sum({next(iter(int_exprs))})": agg}
+    return pa.table(
+        {k: pa.array([int(agg[f"sum({k})"])], pa.int64()) for k in int_exprs}
+    )
+
+
+def _hex_digest_sum(col: pa.ChunkedArray | pa.Array) -> int:
+    # lower 56 bits of each blake2b hex digest; sum of <=128 rows < 2^63
+    return sum(int(h[:14], 16) for h in col.to_pylist())
+
+
+def multimodal_image_digest(sf_dir: str):
+    ds = multimodal_image_features(sf_dir)
+    return _feature_digest(
+        ds,
+        {
+            "n_images": lambda b: b.num_rows,
+            "sum_width": lambda b: pc.sum(b.column("width")).as_py() or 0,
+            "sum_height": lambda b: pc.sum(b.column("height")).as_py() or 0,
+            "sum_mean_milli": lambda b: int(
+                sum(
+                    round(m * 1000)
+                    for row in b.column("channel_means").to_pylist()
+                    for m in row
+                )
+            ),
+            "thumb_digest_sum": lambda b: _hex_digest_sum(b.column("thumb_digest")),
+        },
+    )
+
+
+MULTIMODAL_IMAGE_DIGEST_SQL = """
+SELECT CAST(t.a AS BIGINT) AS n_images, CAST(t.b AS BIGINT) AS sum_width,
+       CAST(t.c AS BIGINT) AS sum_height, CAST(t.d AS BIGINT) AS sum_mean_milli,
+       CAST(t.e AS BIGINT) AS thumb_digest_sum
+FROM (VALUES (32, 1280, 1188, 12217858, 1185982483987052357)) t(a, b, c, d, e)
+"""
+
+
+def multimodal_audio_digest(sf_dir: str):
+    ds = multimodal_audio_features(sf_dir)
+    return _feature_digest(
+        ds,
+        {
+            "n_clips": lambda b: b.num_rows,
+            "sum_duration_us": lambda b: int(
+                sum(round(v * 1e6) for v in b.column("duration_sec").to_pylist())
+            ),
+            "sum_rms_micro": lambda b: int(
+                sum(round(v * 1e6) for v in b.column("rms").to_pylist())
+            ),
+            "sum_peak_micro": lambda b: int(
+                sum(round(v * 1e6) for v in b.column("peak").to_pylist())
+            ),
+        },
+    )
+
+
+MULTIMODAL_AUDIO_DIGEST_SQL = """
+SELECT CAST(t.a AS BIGINT) AS n_clips, CAST(t.b AS BIGINT) AS sum_duration_us,
+       CAST(t.c AS BIGINT) AS sum_rms_micro, CAST(t.d AS BIGINT) AS sum_peak_micro
+FROM (VALUES (32, 8000000, 13808732, 19500984)) t(a, b, c, d)
+"""
+
+
+def multimodal_video_digest(sf_dir: str):
+    ds = multimodal_video_features(sf_dir)
+    return _feature_digest(
+        ds,
+        {
+            "n_frames": lambda b: b.num_rows,
+            "sum_frame_idx": lambda b: pc.sum(b.column("frame_idx")).as_py() or 0,
+            "sum_width": lambda b: pc.sum(b.column("width")).as_py() or 0,
+            "sum_height": lambda b: pc.sum(b.column("height")).as_py() or 0,
+            "frame_digest_sum": lambda b: _hex_digest_sum(b.column("frame_digest")),
+        },
+    )
+
+
+MULTIMODAL_VIDEO_DIGEST_SQL = """
+SELECT CAST(t.a AS BIGINT) AS n_frames, CAST(t.b AS BIGINT) AS sum_frame_idx,
+       CAST(t.c AS BIGINT) AS sum_width, CAST(t.d AS BIGINT) AS sum_height,
+       CAST(t.e AS BIGINT) AS frame_digest_sum
+FROM (VALUES (78, 314, 1246, 1152, 2727670674655006719)) t(a, b, c, d, e)
+"""
+
+
 def extract_transcripts(sf_dir: str):
     from .pipelines.extract import extract_dataset
 
@@ -7690,6 +7802,9 @@ REGISTRY: dict[str, tuple] = {
         EMBEDDING_NEAR_DUPS_LSH_RECALL_SQL,
     ),
     "multimodal_image_features": (multimodal_image_features, None),
+    "multimodal_image_digest": (multimodal_image_digest, MULTIMODAL_IMAGE_DIGEST_SQL),
+    "multimodal_audio_digest": (multimodal_audio_digest, MULTIMODAL_AUDIO_DIGEST_SQL),
+    "multimodal_video_digest": (multimodal_video_digest, MULTIMODAL_VIDEO_DIGEST_SQL),
     "multimodal_audio_features": (multimodal_audio_features, None),
     "multimodal_video_features": (multimodal_video_features, None),
     "extract_transcripts": (extract_transcripts, None),

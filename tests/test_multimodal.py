@@ -396,3 +396,58 @@ def test_jpeg_dqt_is_annex_k_in_zigzag_order():
     natural = np.empty(64, dtype=np.int32)
     natural[ZIGZAG] = tbl  # de-zigzag
     assert np.array_equal(natural, _quality_scale(QT_LUMA, 90))
+
+
+def test_multimodal_digest_pins_and_sensitivity(ray_session):
+    """The driver-hashable digest companions: (a) match the constants
+    pinned in their SQL twins (any decoder/feature change must flip them
+    AND be re-pinned deliberately); (b) a single-pixel payload change
+    flips the image digest — the hash actually covers decoded content."""
+    import ray.data
+
+    from pdf_toolkit_ray.queries import (
+        multimodal_audio_digest,
+        multimodal_image_digest,
+        multimodal_video_digest,
+    )
+    from pdf_toolkit_ray.stages.multimodal import (
+        image_features,
+        synthesize_media_table,
+    )
+    from pdf_toolkit_ray.queries import _feature_digest, _hex_digest_sum
+
+    img = multimodal_image_digest("unused").to_pydict()
+    assert img == {
+        "n_images": [32], "sum_width": [1280], "sum_height": [1188],
+        "sum_mean_milli": [12217858],
+        "thumb_digest_sum": [1185982483987052357],
+    }
+    aud = multimodal_audio_digest("unused").to_pydict()
+    assert aud == {
+        "n_clips": [32], "sum_duration_us": [8000000],
+        "sum_rms_micro": [13808732], "sum_peak_micro": [19500984],
+    }
+    vid = multimodal_video_digest("unused").to_pydict()
+    assert vid == {
+        "n_frames": [78], "sum_frame_idx": [314], "sum_width": [1246],
+        "sum_height": [1152], "frame_digest_sum": [2727670674655006719],
+    }
+
+    # sensitivity: flip one raster byte of one PPM payload -> digest moves
+    tbl = synthesize_media_table(64).to_pydict()
+    for i, (kind, payload) in enumerate(zip(tbl["kind"], tbl["payload"])):
+        if kind == "image" and payload[:2] == b"P6":
+            b = bytearray(payload)
+            # pixel (0,0) is always sampled by the 8x8 nearest thumbnail
+            b[payload.index(b"255\n") + 4] ^= 0x40
+            tbl["payload"][i] = bytes(b)
+            break
+    else:
+        raise AssertionError("no PPM image in fixture")
+    import pyarrow as pa
+
+    mutated = _feature_digest(
+        image_features(ray.data.from_arrow(pa.table(tbl))),
+        {"thumb_digest_sum": lambda b: _hex_digest_sum(b.column("thumb_digest"))},
+    ).to_pydict()
+    assert mutated["thumb_digest_sum"] != [1185982483987052357]
