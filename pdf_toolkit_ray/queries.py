@@ -1885,6 +1885,21 @@ def multimodal_audio_features(sf_dir: str):
     return audio_features(ray.data.from_arrow(synthesize_media_table(64)))
 
 
+def multimodal_mp4_frames(sf_dir: str):
+    """Rows-only: REAL ISO BMFF (MP4) container demux — box-tree walk +
+    full sample-table expansion (stsd/stts/stss/stsc/stsz/stco, see
+    functions/mp4x.py) — then keyframe-flagged frame sampling and
+    per-frame features in an actor-pool map_batches stage. Frames are
+    ppmf-coded (the encoder twin), so pixel decode is real end-to-end;
+    AVC/HEVC bitstreams would demux identically but stop at the honest
+    codec stub."""
+    import ray.data
+
+    from .stages.multimodal import mp4_frame_features, synthesize_mp4_table
+
+    return mp4_frame_features(ray.data.from_arrow(synthesize_mp4_table(12)))
+
+
 # Driver-HASHABLE companions to the three rows-only multimodal queries.
 # The fixtures are seed-fixed synthetic media and every decoder is
 # deterministic, so an integer-quantized aggregate digest of the full
@@ -1994,6 +2009,43 @@ SELECT CAST(t.a AS BIGINT) AS n_frames, CAST(t.b AS BIGINT) AS sum_frame_idx,
        CAST(t.c AS BIGINT) AS sum_width, CAST(t.d AS BIGINT) AS sum_height,
        CAST(t.e AS BIGINT) AS frame_digest_sum
 FROM (VALUES (78, 314, 1246, 1152, 2727670674655006719)) t(a, b, c, d, e)
+"""
+
+
+def multimodal_mp4_digest(sf_dir: str):
+    """Driver-hashable twin of multimodal_mp4_frames: pins the WHOLE
+    demux+decode path — sample-table expansion (dts sums, keyframe
+    counts, movie duration) AND pixel decode (frame digests). Any change
+    to box parsing, stsc expansion, stts timestamps or PPM decode flips
+    a column."""
+    ds = multimodal_mp4_frames(sf_dir)
+    return _feature_digest(
+        ds,
+        {
+            "n_frames": lambda b: b.num_rows,
+            "sum_frame_idx": lambda b: pc.sum(b.column("frame_idx")).as_py() or 0,
+            "sum_dts_ms": lambda b: pc.sum(b.column("dts_ms")).as_py() or 0,
+            "sum_keyframe": lambda b: pc.sum(
+                pc.cast(b.column("is_keyframe"), pa.int64())
+            ).as_py()
+            or 0,
+            "sum_nkey": lambda b: pc.sum(b.column("n_keyframes")).as_py() or 0,
+            "sum_duration_ms": lambda b: pc.sum(b.column("duration_ms")).as_py() or 0,
+            "sum_wh": lambda b: (pc.sum(b.column("width")).as_py() or 0)
+            + (pc.sum(b.column("height")).as_py() or 0),
+            "frame_digest_sum": lambda b: _hex_digest_sum(b.column("frame_digest")),
+        },
+    )
+
+
+MULTIMODAL_MP4_DIGEST_SQL = """
+SELECT CAST(t.a AS BIGINT) AS n_frames, CAST(t.b AS BIGINT) AS sum_frame_idx,
+       CAST(t.c AS BIGINT) AS sum_dts_ms, CAST(t.d AS BIGINT) AS sum_keyframe,
+       CAST(t.e AS BIGINT) AS sum_nkey, CAST(t.f AS BIGINT) AS sum_duration_ms,
+       CAST(t.g AS BIGINT) AS sum_wh,
+       CAST(t.h AS BIGINT) AS frame_digest_sum
+FROM (VALUES (47, 146, 20933, 19, 141, 52798, 1527, 1663254526996915486))
+     t(a, b, c, d, e, f, g, h)
 """
 
 
@@ -7807,6 +7859,8 @@ REGISTRY: dict[str, tuple] = {
     "multimodal_video_digest": (multimodal_video_digest, MULTIMODAL_VIDEO_DIGEST_SQL),
     "multimodal_audio_features": (multimodal_audio_features, None),
     "multimodal_video_features": (multimodal_video_features, None),
+    "multimodal_mp4_frames": (multimodal_mp4_frames, None),
+    "multimodal_mp4_digest": (multimodal_mp4_digest, MULTIMODAL_MP4_DIGEST_SQL),
     "extract_transcripts": (extract_transcripts, None),
     "extract_kind_stats": (extract_kind_stats, None),
     "transcripts_conv_stats": (transcripts_conv_stats, None),

@@ -18,11 +18,17 @@ layout) is real and tested. Decoders:
   (``functions/gifx.py``: variable-width LZW, interlacing, local
   palettes, transparency, disposal compositing) with an encoder twin;
   frame sampling runs on it as a true container;
-* **MP3 / mp4-class video codecs** — STUBBED: lossy audio and real
-  video containers need ffmpeg-class decoders; :func:`decode_audio` /
-  :func:`sample_video_frames` raise ``NotImplementedError`` for them.
-  The deterministic fake generator below produces PPM/PNG/JPEG/WAV so
-  the pipelines exercise the full decode path end-to-end.
+* **MP4 (ISO BMFF)** — the CONTAINER demux is real and from scratch
+  (``functions/mp4x.py``: box tree, stsd/stts/stss/stsc/stsz/stco/co64
+  expanded to per-sample offset/size/dts/keyframe records), with an
+  encoder twin for goldens; samples coded with the private ``ppmf``
+  fourcc decode for real, while AVC/HEVC/AAC *bitstream* decode — the
+  true codec boundary — raises ``NotImplementedError``;
+* **MP3 codec payloads** — STUBBED: lossy audio decode needs
+  ffmpeg-class decoders; :func:`decode_audio` raises
+  ``NotImplementedError`` for them. The deterministic fake generator
+  below produces PPM/PNG/JPEG/WAV so the pipelines exercise the full
+  decode path end-to-end.
 
 Large binary payloads → small ``batch_size`` (default 32) so
 batch × concurrency stays within worker heaps; blocks of binaries are
@@ -246,17 +252,38 @@ def sample_video_frames(payload: bytes, every_n: int = 10) -> list[bytes]:
       codec (``functions/gifx.py``: LZW, interlace, transparency,
       disposal compositing); every ``every_n``-th composited frame is
       returned re-encoded as PPM bytes;
+    * **MP4 (ISO BMFF)** — the container demux is real
+      (``functions/mp4x.py``): samples are sliced from ``mdat`` by the
+      expanded stsc/stsz/stco tables; ``ppmf``-coded samples (the
+      encoder twin's image-frame track) return as decodable PPM/PNG
+      bytes, while AVC/HEVC-coded samples demux fine but their
+      *bitstream* decode raises NotImplementedError — the honest codec
+      boundary;
     * the deterministic fake 'video' (length-prefixed PPM frames) keeps
-      exercising the split → per-frame-decode plumbing;
-    * true containers (mp4/webm/…) raise NotImplementedError — those
-      genuinely need ffmpeg-class decoders absent from this container.
+      exercising the split → per-frame-decode plumbing.
     """
     if payload.startswith(b"GIF8"):
         from ..functions.gifx import decode_gif
 
         return [encode_ppm(f) for f in decode_gif(payload)[::every_n]]
+    from ..functions.mp4x import extract_samples, is_mp4, parse_mp4
+
+    if is_mp4(payload):
+        info = parse_mp4(payload)
+        track = info.track("vide")
+        if track is None:
+            raise ValueError("MP4 has no video track")
+        if track.fourcc not in ("ppmf",):
+            raise NotImplementedError(
+                f"MP4 demux OK ({track.n_samples} samples, fourcc "
+                f"{track.fourcc!r}) but bitstream decode of that codec "
+                "requires ffmpeg-class libraries"
+            )
+        return extract_samples(
+            payload, track, list(range(0, track.n_samples, every_n))
+        )
     if not payload.startswith(b"FAKEVID1"):
-        raise NotImplementedError("real video containers require ffmpeg")
+        raise NotImplementedError("unrecognized video container")
     frames, off = [], 8
     while off + 4 <= len(payload):
         (ln,) = struct.unpack_from(">I", payload, off)
@@ -334,6 +361,47 @@ def synthesize_video_table(n: int = 16, seed: int = 42) -> pa.Table:
         ids.append(i)
         payloads.append(encode_gif(frames))
         metas.append({"width": w, "height": h, "format": "gif"})
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(["video"] * n),
+            "payload": pa.array(payloads, pa.binary()),
+            "image_meta": pa.array(metas, IMAGE_META_TYPE),
+        }
+    )
+
+
+def synthesize_mp4_table(n: int = 12, seed: int = 43) -> pa.Table:
+    """Deterministic MP4 rows (real ISO BMFF container, encoder twin):
+    each clip is 5–10 PPM-coded frames muxed with multi-sample chunks,
+    keyframes every 3rd sample and a per-clip frame rate — so demux
+    exercises stsc expansion, stss and stts for real."""
+    from ..functions.mp4x import encode_mp4
+
+    ids, payloads, metas = [], [], []
+    for i in range(n):
+        rng = np.random.RandomState(seed * 99_991 + i)
+        w, h = int(rng.randint(8, 24)), int(rng.randint(8, 24))
+        n_frames = int(rng.randint(5, 11))
+        frames = [
+            encode_ppm(rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8))
+            for _ in range(n_frames)
+        ]
+        fps = int(rng.choice([5, 10, 15]))
+        ids.append(i)
+        payloads.append(
+            encode_mp4(
+                frames,
+                timescale=fps * 100,
+                sample_duration=100,
+                keyframes=list(range(0, n_frames, 3)),
+                fourcc=b"ppmf",
+                width=w,
+                height=h,
+                chunk_size=3,
+            )
+        )
+        metas.append({"width": w, "height": h, "format": "mp4"})
     return pa.table(
         {
             "media_id": pa.array(ids, pa.int64()),
@@ -473,5 +541,73 @@ def video_frame_features(
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=8,  # whole videos per row: smaller batches than images
+        concurrency=concurrency,
+    )
+
+
+class Mp4FrameFeatures:
+    """Actor stage: real ISO BMFF demux (``functions/mp4x.py``) →
+    keyframe-aware frame sampling → per-frame features PLUS per-clip
+    container metadata (duration, keyframe count, fourcc) so the digest
+    twin pins the sample-table expansion, not just pixel decode."""
+
+    def __init__(self, every_n: int = 2):
+        self.every_n = every_n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.mp4x import extract_samples, parse_mp4
+
+        cols: dict[str, list] = {k: [] for k in (
+            "media_id", "frame_idx", "is_keyframe", "dts_ms", "width",
+            "height", "n_keyframes", "duration_ms", "frame_digest",
+        )}
+        for mid, payload in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            info = parse_mp4(payload)
+            track = info.track("vide")
+            picks = list(range(0, track.n_samples, self.every_n))
+            n_key = sum(track.sync_flags)
+            dur_ms = int(round(track.duration_sec * 1000))
+            for j, frame in zip(picks, extract_samples(payload, track, picks)):
+                img = _decode_ppm(frame)
+                cols["media_id"].append(mid)
+                cols["frame_idx"].append(j)
+                cols["is_keyframe"].append(bool(track.sync_flags[j]))
+                cols["dts_ms"].append(
+                    int(round(track.sample_dts[j] * 1000 / track.timescale))
+                )
+                cols["width"].append(img.shape[1])
+                cols["height"].append(img.shape[0])
+                cols["n_keyframes"].append(n_key)
+                cols["duration_ms"].append(dur_ms)
+                cols["frame_digest"].append(
+                    hashlib.blake2b(img.tobytes(), digest_size=8).hexdigest()
+                )
+        return pa.table(
+            {
+                "media_id": pa.array(cols["media_id"], pa.int64()),
+                "frame_idx": pa.array(cols["frame_idx"], pa.int64()),
+                "is_keyframe": pa.array(cols["is_keyframe"], pa.bool_()),
+                "dts_ms": pa.array(cols["dts_ms"], pa.int64()),
+                "width": pa.array(cols["width"], pa.int32()),
+                "height": pa.array(cols["height"], pa.int32()),
+                "n_keyframes": pa.array(cols["n_keyframes"], pa.int32()),
+                "duration_ms": pa.array(cols["duration_ms"], pa.int64()),
+                "frame_digest": pa.array(cols["frame_digest"]),
+            }
+        )
+
+
+def mp4_frame_features(
+    ds: ray.data.Dataset, every_n: int = 2, concurrency=(1, 4)
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        Mp4FrameFeatures,
+        fn_constructor_kwargs={"every_n": every_n},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=8,
         concurrency=concurrency,
     )

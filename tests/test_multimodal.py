@@ -342,8 +342,12 @@ def test_unsupported_formats_raise():
         decode_image(sof9)
     with pytest.raises(NotImplementedError):
         decode_audio(b"ID3 mp3-ish")
-    with pytest.raises(NotImplementedError):
+    # a truncated ftyp is now a MALFORMED mp4 (the container demux is
+    # real — functions/mp4x.py), so it's a ValueError, not a stub hit
+    with pytest.raises(ValueError):
         sample_video_frames(b"\x00\x00\x00\x18ftypmp42")
+    with pytest.raises(NotImplementedError):
+        sample_video_frames(b"WEBMNOPE")
 
 
 def test_fake_video_sampling():
