@@ -2049,6 +2049,44 @@ FROM (VALUES (47, 146, 20933, 19, 141, 52798, 1527, 1663254526996915486))
 """
 
 
+def multimodal_mp3_probe(sf_dir: str):
+    """REAL MPEG-audio framing probe (functions/mp3x.py): frame-chain
+    walk with false-sync confirmation, ID3v2/ID3v1 skip, Xing/Info VBR
+    headers, per-version/layer frame-size arithmetic — per-clip metadata
+    rows over the builder-twin fixture (CBR/VBR, MPEG-1/2, Layer II/III,
+    tag wrappers). PCM decode of Layer III is the honest codec stub;
+    everything this query returns is computed from real byte framing.
+    Unlike the digest companions this twin pins EVERY row and column."""
+    import ray.data
+
+    from .stages.multimodal import audio_probe, synthesize_mp3_table
+
+    return audio_probe(ray.data.from_arrow(synthesize_mp3_table(12)))
+
+
+MULTIMODAL_MP3_PROBE_SQL = """
+SELECT CAST(t.id AS BIGINT) AS media_id, t.c AS container,
+       CAST(t.sr AS INTEGER) AS sample_rate, CAST(t.nc AS INTEGER) AS n_channels,
+       CAST(t.nf AS INTEGER) AS n_frames, CAST(t.dm AS BIGINT) AS duration_ms,
+       CAST(t.br AS INTEGER) AS bitrate_kbps, CAST(t.v AS BOOLEAN) AS is_vbr,
+       CAST(t.i3 AS INTEGER) AS id3v2_bytes, CAST(t.x AS BOOLEAN) AS has_xing
+FROM (VALUES
+  (0,  'mp3', 44100, 1, 35, 914,  96,  false, 0,   false),
+  (1,  'mp3', 32000, 2, 31, 1116, 132, true,  82,  true),
+  (2,  'mp3', 22050, 1, 17, 444,  48,  false, 0,   false),
+  (3,  'mp3', 48000, 2, 11, 264,  128, false, 0,   false),
+  (4,  'mp3', 44100, 1, 33, 862,  96,  false, 0,   false),
+  (5,  'mp3', 32000, 2, 24, 864,  113, true,  102, true),
+  (6,  'mp3', 22050, 1, 10, 261,  48,  false, 0,   false),
+  (7,  'mp3', 48000, 2, 11, 264,  192, false, 0,   false),
+  (8,  'mp3', 44100, 1, 31, 810,  128, false, 0,   false),
+  (9,  'mp3', 32000, 2, 30, 1080, 137, true,  36,  true),
+  (10, 'mp3', 22050, 1, 19, 496,  24,  false, 0,   false),
+  (11, 'mp3', 48000, 2, 31, 744,  128, false, 0,   false)
+) t(id, c, sr, nc, nf, dm, br, v, i3, x)
+"""
+
+
 def extract_transcripts(sf_dir: str):
     from .pipelines.extract import extract_dataset
 
@@ -7861,6 +7899,7 @@ REGISTRY: dict[str, tuple] = {
     "multimodal_video_features": (multimodal_video_features, None),
     "multimodal_mp4_frames": (multimodal_mp4_frames, None),
     "multimodal_mp4_digest": (multimodal_mp4_digest, MULTIMODAL_MP4_DIGEST_SQL),
+    "multimodal_mp3_probe": (multimodal_mp3_probe, MULTIMODAL_MP3_PROBE_SQL),
     "extract_transcripts": (extract_transcripts, None),
     "extract_kind_stats": (extract_kind_stats, None),
     "transcripts_conv_stats": (transcripts_conv_stats, None),

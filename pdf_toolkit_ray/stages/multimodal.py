@@ -240,9 +240,58 @@ def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
         if nch > 1:
             samples = samples.reshape(-1, nch).mean(axis=1)
         return samples, rate
+    from ..functions.mp3x import is_mp3, parse_mp3
+
+    if is_mp3(payload):
+        # the FRAMING layer is real (functions/mp3x.py): report what the
+        # stream actually is; only the PCM bitstream decode is the stub
+        info = parse_mp3(payload)
+        raise NotImplementedError(
+            f"MP3 framing parsed ({info.n_frames} frames, "
+            f"{info.sample_rate} Hz, {info.duration_sec:.3f}s, "
+            f"{'VBR' if info.is_vbr else 'CBR'}) but Layer-III PCM decode "
+            "requires codec libs not present here — use probe_audio"
+        )
     raise NotImplementedError(
-        "non-WAV audio (mp3/ogg/flac) requires codec libs not present here"
+        "non-WAV audio (ogg/flac/...) requires codec libs not present here"
     )
+
+
+def probe_audio(payload: bytes) -> dict:
+    """Container/framing-level metadata WITHOUT PCM decode — real for
+    both WAV (header fields) and MP3 (full frame walk incl. ID3 skip,
+    Xing/Info VBR header, resync accounting — functions/mp3x.py)."""
+    if payload.startswith(b"RIFF"):
+        with wave.open(io.BytesIO(payload)) as wf:
+            return {
+                "container": "wav",
+                "sample_rate": wf.getframerate(),
+                "n_channels": wf.getnchannels(),
+                "n_frames": wf.getnframes(),
+                "duration_ms": int(round(wf.getnframes() / wf.getframerate() * 1000)),
+                "bitrate_kbps": int(
+                    wf.getframerate() * wf.getnchannels() * wf.getsampwidth() * 8 // 1000
+                ),
+                "is_vbr": False,
+                "id3v2_bytes": 0,
+                "has_xing": False,
+            }
+    from ..functions.mp3x import is_mp3, parse_mp3
+
+    if is_mp3(payload):
+        info = parse_mp3(payload)
+        return {
+            "container": "mp3",
+            "sample_rate": info.sample_rate,
+            "n_channels": 1 if info.frames and info.frames[0].channel_mode == 3 else 2,
+            "n_frames": info.n_frames,
+            "duration_ms": int(round(info.duration_sec * 1000)),
+            "bitrate_kbps": int(round(info.avg_bitrate_kbps)),
+            "is_vbr": info.is_vbr,
+            "id3v2_bytes": info.id3v2_bytes,
+            "has_xing": info.xing is not None,
+        }
+    raise ValueError(f"unrecognized audio container: {payload[:4]!r}")
 
 
 def sample_video_frames(payload: bytes, every_n: int = 10) -> list[bytes]:
@@ -408,6 +457,63 @@ def synthesize_mp4_table(n: int = 12, seed: int = 43) -> pa.Table:
             "kind": pa.array(["video"] * n),
             "payload": pa.array(payloads, pa.binary()),
             "image_meta": pa.array(metas, IMAGE_META_TYPE),
+        }
+    )
+
+
+def synthesize_mp3_table(n: int = 12, seed: int = 44) -> pa.Table:
+    """Deterministic MP3 rows (real framing via the builder twin):
+    a mix of CBR/VBR streams across MPEG versions/layers/sample rates,
+    some with Xing headers and ID3v2/ID3v1 wrappers — so the probe
+    stage exercises every framing path."""
+    from ..functions.mp3x import build_mp3
+
+    rows = []
+    for i in range(n):
+        rng = np.random.RandomState(seed * 99_991 + i)
+        n_frames = int(rng.randint(10, 40))
+        kind = i % 4
+        if kind == 0:  # plain MPEG-1 L3 CBR
+            kbps = int(rng.choice([96, 128, 160, 192]))
+            payload = build_mp3(
+                n_frames, bitrate_kbps=kbps, sample_rate=44100, seed=i
+            )
+        elif kind == 1:  # VBR with Xing + ID3 wrappers
+            choices = [64, 96, 128, 160, 192]
+            rates = [int(rng.choice(choices)) for _ in range(n_frames)]
+            payload = build_mp3(
+                n_frames,
+                bitrate_kbps=rates,
+                sample_rate=32000,
+                xing=True,
+                id3v2_payload=bytes(int(rng.randint(16, 128))),
+                id3v1=True,
+                channel_mode=1,
+                seed=i,
+            )
+        elif kind == 2:  # MPEG-2 (576-sample frames), low rate
+            payload = build_mp3(
+                n_frames,
+                bitrate_kbps=int(rng.choice([24, 48, 64])),
+                sample_rate=22050,
+                version="2",
+                seed=i,
+            )
+        else:  # Layer II stereo
+            payload = build_mp3(
+                n_frames,
+                bitrate_kbps=int(rng.choice([128, 192, 256])),
+                sample_rate=48000,
+                layer=2,
+                channel_mode=0,
+                seed=i,
+            )
+        rows.append((i, payload))
+    return pa.table(
+        {
+            "media_id": pa.array([r[0] for r in rows], pa.int64()),
+            "kind": pa.array(["audio"] * n),
+            "payload": pa.array([r[1] for r in rows], pa.binary()),
         }
     )
 
@@ -609,5 +715,39 @@ def mp4_frame_features(
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=8,
+        concurrency=concurrency,
+    )
+
+
+class AudioProbe:
+    """Actor stage: framing-level audio metadata (no PCM decode) — the
+    real MP3/WAV container walk in :func:`probe_audio`."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        probes = [
+            probe_audio(p) for p in batch.column("payload").to_pylist()
+        ]
+        out = {"media_id": batch.column("media_id")}
+        for name, typ in (
+            ("container", pa.string()),
+            ("sample_rate", pa.int32()),
+            ("n_channels", pa.int32()),
+            ("n_frames", pa.int32()),
+            ("duration_ms", pa.int64()),
+            ("bitrate_kbps", pa.int32()),
+            ("is_vbr", pa.bool_()),
+            ("id3v2_bytes", pa.int32()),
+            ("has_xing", pa.bool_()),
+        ):
+            out[name] = pa.array([p[name] for p in probes], typ)
+        return pa.table(out)
+
+
+def audio_probe(ds: ray.data.Dataset, concurrency=(1, 4)) -> ray.data.Dataset:
+    return ds.map_batches(
+        AudioProbe,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=32,
         concurrency=concurrency,
     )

@@ -340,8 +340,13 @@ def test_unsupported_formats_raise():
     sof9 = b"\xff\xd8" + struct.pack(">BBH", 0xFF, 0xC9, 10) + b"\x08\x00\x10\x00\x10\x01\x01\x11"
     with pytest.raises(NotImplementedError):
         decode_image(sof9)
-    with pytest.raises(NotImplementedError):
+    # ID3-prefixed garbage is now a MALFORMED mp3 (framing parse is real
+    # — functions/mp3x.py): ValueError, not a stub hit; a VALID mp3's
+    # PCM decode is the honest stub (see tests/test_mp3.py)
+    with pytest.raises(ValueError):
         decode_audio(b"ID3 mp3-ish")
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"OggS ogg-ish")
     # a truncated ftyp is now a MALFORMED mp4 (the container demux is
     # real — functions/mp4x.py), so it's a ValueError, not a stub hit
     with pytest.raises(ValueError):
