@@ -2087,6 +2087,81 @@ FROM (VALUES
 """
 
 
+def multimodal_flac_probe(sf_dir: str):
+    """REAL FLAC container probe (functions/flacx.py): fLaC marker +
+    metadata-block walk, STREAMINFO field decode — per-clip metadata rows
+    over the encoder-twin fixture (mono/stereo, 8/16/24-bit, all four
+    stereo decorrelation modes, fixed+LPC predictors, header-escape block
+    sizes and sample rates). Unlike MP3, the FLAC PCM decode is REAL too
+    (no codec stub): see multimodal_flac_digest for the bit-exact-decode
+    companion. The twin pins EVERY row and column."""
+    import ray.data
+
+    from .stages.multimodal import audio_probe, synthesize_flac_table
+
+    return audio_probe(ray.data.from_arrow(synthesize_flac_table(12)))
+
+
+MULTIMODAL_FLAC_PROBE_SQL = """
+SELECT CAST(t.id AS BIGINT) AS media_id, t.c AS container,
+       CAST(t.sr AS INTEGER) AS sample_rate, CAST(t.nc AS INTEGER) AS n_channels,
+       CAST(t.nf AS INTEGER) AS n_frames, CAST(t.dm AS BIGINT) AS duration_ms,
+       CAST(t.br AS INTEGER) AS bitrate_kbps, CAST(t.v AS BOOLEAN) AS is_vbr,
+       CAST(t.i3 AS INTEGER) AS id3v2_bytes, CAST(t.x AS BOOLEAN) AS has_xing
+FROM (VALUES
+  (0,  'flac', 44100, 1, 2, 169, 459, false, 0, false),
+  (1,  'flac', 48000, 2, 4, 82,  892, false, 0, false),
+  (2,  'flac', 11025, 1, 7, 561, 58,  false, 0, false),
+  (3,  'flac', 96000, 1, 3, 52,  261, false, 0, false),
+  (4,  'flac', 44100, 1, 2, 93,  453, false, 0, false),
+  (5,  'flac', 48000, 2, 8, 151, 849, false, 0, false),
+  (6,  'flac', 11025, 1, 9, 811, 58,  false, 0, false),
+  (7,  'flac', 96000, 1, 4, 76,  262, false, 0, false),
+  (8,  'flac', 44100, 1, 1, 81,  469, false, 0, false),
+  (9,  'flac', 48000, 2, 4, 76,  933, false, 0, false),
+  (10, 'flac', 11025, 1, 8, 696, 57,  false, 0, false),
+  (11, 'flac', 96000, 1, 4, 65,  263, false, 0, false)
+) t(id, c, sr, nc, nf, dm, br, v, i3, x)
+"""
+
+
+def multimodal_flac_digest(sf_dir: str):
+    """Driver-hashable pin of the BIT-EXACT FLAC PCM decode: the encoder
+    twin's clips flow through the real audio_features actor stage
+    (decode_flac → CRC-8/16 + STREAMINFO-MD5 verified PCM → mixdown →
+    duration/rms/peak) and the quantized sums are pinned. Any change to
+    Rice decoding, predictor reconstruction, stereo decorrelation or
+    wasted-bit handling flips a column (one flipped bit anywhere in a
+    subframe already fails the in-decoder MD5/CRC checks)."""
+    import ray.data
+
+    from .stages.multimodal import audio_features, synthesize_flac_table
+
+    ds = audio_features(ray.data.from_arrow(synthesize_flac_table(12)))
+    return _feature_digest(
+        ds,
+        {
+            "n_clips": lambda b: b.num_rows,
+            "sum_duration_us": lambda b: int(
+                sum(round(v * 1e6) for v in b.column("duration_sec").to_pylist())
+            ),
+            "sum_rms_micro": lambda b: int(
+                sum(round(v * 1e6) for v in b.column("rms").to_pylist())
+            ),
+            "sum_peak_micro": lambda b: int(
+                sum(round(v * 1e6) for v in b.column("peak").to_pylist())
+            ),
+        },
+    )
+
+
+MULTIMODAL_FLAC_DIGEST_SQL = """
+SELECT CAST(t.a AS BIGINT) AS n_clips, CAST(t.b AS BIGINT) AS sum_duration_us,
+       CAST(t.c AS BIGINT) AS sum_rms_micro, CAST(t.d AS BIGINT) AS sum_peak_micro
+FROM (VALUES (12, 2914971, 2011808, 3054126)) t(a, b, c, d)
+"""
+
+
 def extract_transcripts(sf_dir: str):
     from .pipelines.extract import extract_dataset
 
@@ -7900,6 +7975,8 @@ REGISTRY: dict[str, tuple] = {
     "multimodal_mp4_frames": (multimodal_mp4_frames, None),
     "multimodal_mp4_digest": (multimodal_mp4_digest, MULTIMODAL_MP4_DIGEST_SQL),
     "multimodal_mp3_probe": (multimodal_mp3_probe, MULTIMODAL_MP3_PROBE_SQL),
+    "multimodal_flac_probe": (multimodal_flac_probe, MULTIMODAL_FLAC_PROBE_SQL),
+    "multimodal_flac_digest": (multimodal_flac_digest, MULTIMODAL_FLAC_DIGEST_SQL),
     "extract_transcripts": (extract_transcripts, None),
     "extract_kind_stats": (extract_kind_stats, None),
     "transcripts_conv_stats": (transcripts_conv_stats, None),

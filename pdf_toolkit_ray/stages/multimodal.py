@@ -240,6 +240,17 @@ def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
         if nch > 1:
             samples = samples.reshape(-1, nch).mean(axis=1)
         return samples, rate
+    from ..functions.flacx import decode_flac, is_flac
+
+    if is_flac(payload):
+        # REAL lossless decode — the from-scratch FLAC codec
+        # (functions/flacx.py): CRC-8/CRC-16 verified per frame, STREAMINFO
+        # MD5 re-proved over the reassembled PCM, then mixdown like WAV
+        pcm, rate, bps = decode_flac(payload)
+        samples = pcm.astype(np.float64) / float(1 << (bps - 1))
+        if samples.shape[1] > 1:
+            return samples.mean(axis=1), rate
+        return samples[:, 0], rate
     from ..functions.mp3x import is_mp3, parse_mp3
 
     if is_mp3(payload):
@@ -276,6 +287,25 @@ def probe_audio(payload: bytes) -> dict:
                 "id3v2_bytes": 0,
                 "has_xing": False,
             }
+    from ..functions.flacx import is_flac, probe_flac
+
+    if is_flac(payload):
+        p = probe_flac(payload)
+        # frame count from STREAMINFO block size (exact for fixed-block
+        # streams, which is all the encoder twin emits — FLAC frames have
+        # no length field, so a byte-walk count would require full decode)
+        bs = p["block_size"] or 1
+        return {
+            "container": "flac",
+            "sample_rate": p["sample_rate"],
+            "n_channels": p["n_channels"],
+            "n_frames": -(-p["total_samples"] // bs),
+            "duration_ms": p["duration_ms"],
+            "bitrate_kbps": p["bitrate_kbps"],
+            "is_vbr": False,
+            "id3v2_bytes": 0,
+            "has_xing": False,
+        }
     from ..functions.mp3x import is_mp3, parse_mp3
 
     if is_mp3(payload):
@@ -508,6 +538,57 @@ def synthesize_mp3_table(n: int = 12, seed: int = 44) -> pa.Table:
                 channel_mode=0,
                 seed=i,
             )
+        rows.append((i, payload))
+    return pa.table(
+        {
+            "media_id": pa.array([r[0] for r in rows], pa.int64()),
+            "kind": pa.array(["audio"] * n),
+            "payload": pa.array([r[1] for r in rows], pa.binary()),
+        }
+    )
+
+
+def synthesize_flac_table(n: int = 12, seed: int = 45) -> pa.Table:
+    """Deterministic FLAC rows (real lossless codec via the encoder twin):
+    a mix of mono/stereo, 8/16/24-bit, all four stereo decorrelation
+    modes, fixed and LPC predictors, Rice partition orders, header-escape
+    block sizes (1000) and sample rates (11025), so the probe AND the
+    bit-exact PCM decode exercise every decoder path."""
+    from ..functions.flacx import encode_flac
+
+    rows = []
+    for i in range(n):
+        rng = np.random.RandomState(seed * 99_991 + i)
+        n_samp = int(rng.randint(3000, 9000))
+        t = np.arange(n_samp)
+        kind = i % 4
+        if kind == 0:  # mono 16-bit sine+noise, fixed predictors
+            sig = (
+                9000 * np.sin(t / float(rng.randint(20, 60)))
+                + rng.randint(-300, 300, n_samp)
+            ).astype(np.int32)
+            payload = encode_flac(sig, 44100, bps=16, block_size=4096)
+        elif kind == 1:  # stereo, rotating decorrelation mode, LPC
+            l = (7000 * np.sin(t / float(rng.randint(15, 40)))).astype(np.int32)
+            r = (l // 2 + rng.randint(-200, 200, n_samp)).astype(np.int32)
+            mode = ("mid_side", "left_side", "right_side")[(i // 4) % 3]
+            payload = encode_flac(
+                np.stack([l, r], axis=1), 48000, bps=16,
+                block_size=1024, stereo_mode=mode,
+                subframe_mode="lpc", lpc_order=6, partition_order=2,
+            )
+        elif kind == 2:  # 8-bit mono, escape blocksize + escape samplerate
+            sig = (60 * np.sin(t / 10.0) + rng.randint(-8, 8, n_samp)).astype(
+                np.int32
+            )
+            payload = encode_flac(
+                sig, 11025, bps=8, block_size=1000, partition_order=0
+            )
+        else:  # 24-bit mono with wasted bits (low bits zero)
+            sig = (
+                (400_000 * np.sin(t / 35.0)).astype(np.int64) & ~np.int64(0x3F)
+            ).astype(np.int32)
+            payload = encode_flac(sig, 96000, bps=24, block_size=2048)
         rows.append((i, payload))
     return pa.table(
         {
