@@ -5318,6 +5318,83 @@ def _oracle_pagerank(sf_dir: str) -> pa.Table:
     )
 
 
+def pagerank_part_supplier_nano(sf_dir: str):
+    """Driver-hashable companion of pagerank_part_supplier: the SAME
+    distributed 5-iteration run, ranks emitted on the integer nano grid
+    (rank/1e-9). Unlike the golden-pinned companions this twin is a REAL
+    SQL re-derivation: the quantized recurrence is unrolled into 5 CTE
+    iterations in DuckDB (half-even rounding emulated at every np.round
+    site), so the driver re-computes the whole trajectory independently
+    rather than comparing against a pinned constant."""
+    ds = pagerank_part_supplier(sf_dir)
+
+    def to_nano(batch: pa.Table) -> pa.Table:
+        r = batch.column("rank").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "rank_nano": pa.array(np.round(r / 1e-9).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(to_nano, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _build_pagerank_nano_sql(iters: int = 5) -> str:
+    """Unroll the integer-quantized PageRank recurrence into one DuckDB
+    statement. ``fe(x)`` emulates numpy's round-half-even (np.round);
+    non-tie values agree with round() anyway, ties pick the even integer.
+    All float expressions keep numpy's association order so the doubles
+    are bit-identical: damping*csum*q = (0.85*csum)*1e-9, base = (1.0-0.85)/n."""
+
+    def fe(x: str) -> str:
+        return (
+            f"(CASE WHEN ({x}) = floor({x}) + 0.5 "
+            f"THEN floor({x}) + (CAST(floor({x}) AS BIGINT) % 2) "
+            f"ELSE round({x}) END)"
+        )
+
+    parts = [
+        "WITH pairs AS (",
+        "  SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s FROM lineitem",
+        "), edges AS (",
+        "  SELECT p AS src, s AS dst FROM pairs",
+        "  UNION ALL SELECT s AS src, p AS dst FROM pairs",
+        "), nodes AS (",
+        "  SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src",
+        "), meta AS (",
+        "  SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes",
+        "), r0 AS (",
+        f"  SELECT node, deg, {fe('(1.0 / meta.n) / 1e-9')} * 1e-9 AS r",
+        "  FROM nodes, meta",
+        ")",
+    ]
+    for i in range(1, iters + 1):
+        prev = f"r{i - 1}"
+        contrib = fe(f"(r.r / r.deg) / 1e-9")
+        upd = fe(
+            "(((1.0 - 0.85) / meta.n) + (0.85 * CAST(coalesce(c.csum, 0) AS DOUBLE))"
+            " * 1e-9) / 1e-9"
+        )
+        parts += [
+            f", c{i} AS (",
+            f"  SELECT e.dst AS node,",
+            f"         CAST(sum(CAST({contrib} AS BIGINT)) AS BIGINT) AS csum",
+            f"  FROM edges e JOIN {prev} r ON e.src = r.node GROUP BY e.dst",
+            f"), r{i} AS (",
+            f"  SELECT nd.node, nd.deg, {upd} * 1e-9 AS r",
+            f"  FROM {prev} nd LEFT JOIN c{i} c USING (node), meta",
+            ")",
+        ]
+    parts.append(
+        f"SELECT node, CAST(round(r / 1e-9) AS BIGINT) AS rank_nano FROM r{iters}"
+    )
+    return "\n".join(parts)
+
+
+PAGERANK_NANO_SQL = _build_pagerank_nano_sql(5)
+
+
 def q19_disjunctive_revenue(sf_dir: str):
     """TPC-H Q19 shape: revenue under a DISJUNCTION of (brand, size,
     quantity) clause groups. The predicate union is pushed to BOTH scans —
@@ -7901,6 +7978,7 @@ REGISTRY: dict[str, tuple] = {
         PRICE_QUANTILES_RANK_CHECK_SQL,
     ),
     "pagerank_part_supplier": (pagerank_part_supplier, None),
+    "pagerank_part_supplier_nano": (pagerank_part_supplier_nano, PAGERANK_NANO_SQL),
     "inverted_index_documents": (inverted_index_documents, INVERTED_INDEX_SQL),
     "tfidf_top_terms_documents": (tfidf_top_terms_documents, TFIDF_SQL),
     "redact_documents": (redact_documents, REDACT_SQL),
