@@ -5340,6 +5340,86 @@ def pagerank_part_supplier_nano(sf_dir: str):
     return ds.map_batches(to_nano, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def embedding_kmeans_exact(sf_dir: str, k: int = 8, iters: int = 5):
+    """Driver-hashable k-means: the INTEGER-EXACT distributed Lloyd run
+    (stages/ann.py::kmeans_exact_assign — embeddings quantized once to
+    the 1e-6 grid, int64 distances, exact int64 partial folds, one
+    deterministic double division per centroid update). Like
+    pagerank_part_supplier_nano the twin is a REAL SQL re-derivation:
+    DuckDB unrolls the identical recurrence over unnested embeddings and
+    must reproduce every assignment and distance bit-for-bit — no pinned
+    goldens, no float summation-order hazard by construction."""
+    from .stages.ann import kmeans_exact_assign
+
+    ds = scan(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return kmeans_exact_assign(ds, k=k, iters=iters)
+
+
+def _sql_round_even(x: str) -> str:
+    """DuckDB emulation of np.round (round-half-even), valid for negative
+    values too: ties go to the even neighbor (abs() keeps the odd-floor
+    correction +1 on both sides of zero)."""
+    return (
+        f"(CASE WHEN ({x}) = floor({x}) + 0.5 "
+        f"THEN floor({x}) + abs(CAST(floor({x}) AS BIGINT) % 2) "
+        f"ELSE round({x}) END)"
+    )
+
+
+def _build_kmeans_exact_sql(k: int = 8, iters: int = 5) -> str:
+    fe = _sql_round_even
+    parts = [
+        "WITH xd AS (",
+        "  SELECT vec_id,",
+        "         CAST(unnest(range(len(embedding))) AS BIGINT) AS dim,",
+        f"         CAST({fe('CAST(unnest(embedding) AS DOUBLE) / 1e-6')} AS BIGINT) AS v",
+        "  FROM embeddings",
+        "), init AS (",
+        "  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster,",
+        "         vec_id",
+        f"  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})",
+        "), cd0 AS (",
+        "  SELECT i.cluster, x.dim, x.v AS c FROM init i JOIN xd x USING (vec_id)",
+        ")",
+    ]
+    upd = fe("CAST(s.sv AS DOUBLE) / s.cnt")
+    for i in range(1, iters + 1):
+        prev = f"cd{i - 1}"
+        parts += [
+            f", d{i} AS (",
+            "  SELECT x.vec_id, c.cluster,",
+            "         CAST(sum((x.v - c.c) * (x.v - c.c)) AS BIGINT) AS d2",
+            f"  FROM xd x JOIN {prev} c USING (dim) GROUP BY x.vec_id, c.cluster",
+            f"), a{i} AS (",
+            f"  SELECT vec_id, CAST(min(d2 * {k} + cluster) % {k} AS BIGINT) AS cluster",
+            f"  FROM d{i} GROUP BY vec_id",
+            f"), s{i} AS (",
+            "  SELECT a.cluster, x.dim, CAST(sum(x.v) AS BIGINT) AS sv,",
+            "         CAST(count(*) AS BIGINT) AS cnt",
+            f"  FROM xd x JOIN a{i} a USING (vec_id) GROUP BY a.cluster, x.dim",
+            f"), cd{i} AS (",
+            "  SELECT c.cluster, c.dim,",
+            "         CASE WHEN s.cnt IS NULL THEN c.c",
+            f"              ELSE CAST({upd} AS BIGINT) END AS c",
+            f"  FROM {prev} c LEFT JOIN s{i} s USING (cluster, dim)",
+            ")",
+        ]
+    parts += [
+        ", dF AS (",
+        "  SELECT x.vec_id, c.cluster,",
+        "         CAST(sum((x.v - c.c) * (x.v - c.c)) AS BIGINT) AS d2",
+        f"  FROM xd x JOIN cd{iters} c USING (dim) GROUP BY x.vec_id, c.cluster",
+        ")",
+        f"SELECT vec_id, CAST(mk % {k} AS BIGINT) AS cluster,",
+        f"       CAST(mk // {k} AS BIGINT) AS dist2q",
+        f"FROM (SELECT vec_id, min(d2 * {k} + cluster) AS mk FROM dF GROUP BY vec_id)",
+    ]
+    return "\n".join(parts)
+
+
+KMEANS_EXACT_SQL = _build_kmeans_exact_sql(8, 5)
+
+
 def _build_pagerank_nano_sql(iters: int = 5) -> str:
     """Unroll the integer-quantized PageRank recurrence into one DuckDB
     statement. ``fe(x)`` emulates numpy's round-half-even (np.round);
@@ -7979,6 +8059,7 @@ REGISTRY: dict[str, tuple] = {
     ),
     "pagerank_part_supplier": (pagerank_part_supplier, None),
     "pagerank_part_supplier_nano": (pagerank_part_supplier_nano, PAGERANK_NANO_SQL),
+    "embedding_kmeans_exact": (embedding_kmeans_exact, KMEANS_EXACT_SQL),
     "inverted_index_documents": (inverted_index_documents, INVERTED_INDEX_SQL),
     "tfidf_top_terms_documents": (tfidf_top_terms_documents, TFIDF_SQL),
     "redact_documents": (redact_documents, REDACT_SQL),

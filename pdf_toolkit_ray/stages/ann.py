@@ -596,6 +596,119 @@ def kmeans_assign(
     return work.map_batches(_assign, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def kmeans_exact_assign(
+    ds: ray.data.Dataset,
+    *,
+    k: int = 8,
+    iters: int = 5,
+    grid: float = 1e-6,
+) -> ray.data.Dataset:
+    """INTEGER-EXACT distributed Lloyd k-means: the whole trajectory is
+    reproducible bit-for-bit by ANY engine, because every step is either
+    integer arithmetic (summation-order-free) or a deterministic double
+    operation on identical inputs:
+
+    * embeddings quantize ONCE to the ``grid`` (half-even, like np.round)
+      → int64 vectors;
+    * distances are exact int64 sums of squared diffs — no float matmul,
+      no association-order sensitivity; argmin ties resolve to the lowest
+      cluster index;
+    * per-iteration partials are int64 (cluster, dim, sum, count) rows
+      folded exactly (integer addition commutes); the centroid update
+      ``round_even(sum / count)`` is one deterministic double division;
+    * init = the quantized embeddings of the k LOWEST vec_ids.
+
+    This is the same shuffle shape as :func:`kmeans_assign` (k*d partial
+    rows per block, model-sized driver state, centroids broadcast via
+    ``ray.put``) but with a driver-hashable SQL twin: the recurrence
+    unrolls into DuckDB CTEs (queries.py::KMEANS_NANO_SQL) and matches
+    exactly — not a pinned golden. Returns (vec_id, cluster, dist2q)
+    with dist2q on the squared-grid integer scale."""
+    from ..relops import topk, tree_fold
+
+    work = ds.select_columns(["vec_id", "embedding"])
+
+    def _quant(m: np.ndarray) -> np.ndarray:
+        return np.round(m.astype(np.float64) / grid).astype(np.int64)
+
+    seeds = topk(work, [("vec_id", "ascending")], k).take_all()
+    seeds.sort(key=lambda r: r["vec_id"])
+    cents = _quant(np.array([r["embedding"] for r in seeds], np.float64))
+    kk, d = cents.shape
+    if kk < k:
+        raise ValueError(f"need >= {k} vectors, got {kk}")
+
+    def _partial_for(ref):
+        def _partial(batch: pa.Table) -> pa.Table:
+            c = _cached_ref(ref)  # int64 [k, d]
+            m = _quant(_matrix(batch.column("embedding")))
+            # exact int64 distances; [n, k, d] diff is fine at batch size
+            d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d2, axis=1)  # first occurrence = lowest cluster
+            sums = np.zeros((k, d), np.int64)
+            np.add.at(sums, a, m)
+            counts = np.bincount(a, minlength=k).astype(np.int64)
+            return pa.table(
+                {
+                    "cluster": pa.array(np.repeat(np.arange(k, dtype=np.int64), d)),
+                    "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), k)),
+                    "s": pa.array(sums.ravel()),
+                    "n": pa.array(np.repeat(counts, d)),
+                }
+            )
+
+        return _partial
+
+    def _sum_partials(tables):
+        s = np.zeros(k * d, np.int64)
+        n = np.zeros(k * d, np.int64)
+        for t in tables:
+            idx = (
+                t.column("cluster").to_numpy(zero_copy_only=False) * d
+                + t.column("dim").to_numpy(zero_copy_only=False)
+            )
+            np.add.at(s, idx, t.column("s").to_numpy(zero_copy_only=False))
+            np.add.at(n, idx, t.column("n").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "cluster": pa.array(np.repeat(np.arange(k, dtype=np.int64), d)),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), k)),
+                "s": pa.array(s),
+                "n": pa.array(n),
+            }
+        )
+
+    for _ in range(iters):
+        ref = ray.put(cents)
+        partials = work.map_batches(
+            _partial_for(ref), batch_format="pyarrow", zero_copy_batch=True
+        )
+        h = tree_fold(partials, _sum_partials)
+        sums = h.column("s").to_numpy(zero_copy_only=False).reshape(k, d)
+        counts = h.column("n").to_numpy(zero_copy_only=False).reshape(k, d)[:, 0]
+        # sums < 2^53 by construction → the double division is exact-input;
+        # round-half-even matches the SQL twin's emulated fe()
+        upd = np.round(sums.astype(np.float64) / np.maximum(counts[:, None], 1))
+        cents = np.where(counts[:, None] > 0, upd.astype(np.int64), cents)
+
+    final_ref = ray.put(cents)
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        c = _cached_ref(final_ref)
+        m = _quant(_matrix(batch.column("embedding")))
+        d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d2, axis=1)
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "cluster": pa.array(a.astype(np.int64)),
+                "dist2q": pa.array(d2[np.arange(len(a)), a].astype(np.int64)),
+            }
+        )
+
+    return work.map_batches(_assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def semdedup_prune(
     assigned: ray.data.Dataset,
     *,

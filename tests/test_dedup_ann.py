@@ -657,3 +657,57 @@ def test_online_dedup_across_jobs(ray_session):
         ray.data.from_arrow(job_b), shards=index, first_wins=True
     ).to_pandas()
     assert sorted(kept_b["doc_id"]) == [11]
+
+
+def test_kmeans_exact_matches_single_process_replica(ray_session):
+    """The integer-exact Lloyd trajectory must be identical between the
+    distributed run (quantized partial folds, any block layout) and a
+    straight-line numpy replica of the same recurrence — the property the
+    KMEANS_EXACT_SQL twin also relies on."""
+    import ray.data
+
+    from pdf_toolkit_ray.stages.ann import kmeans_exact_assign
+
+    rng = np.random.RandomState(17)
+    n, d, k, iters, grid = 400, 16, 5, 4, 1e-6
+    emb = (rng.randn(n, d) * 0.3).astype(np.float32)
+    vid = np.arange(n, dtype=np.int64)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(vid),
+            "embedding": pa.array([list(map(float, r)) for r in emb],
+                                  pa.list_(pa.float32())),
+        }
+    )
+    # shuffled, multi-block layout: order/partitioning must not matter
+    perm = rng.permutation(n)
+    shuffled = tbl.take(pa.array(perm))
+    ds = ray.data.from_arrow(
+        [shuffled.slice(i, 64) for i in range(0, n, 64)]
+    )
+    got = (
+        kmeans_exact_assign(ds, k=k, iters=iters, grid=grid)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+    # single-process replica of the identical recurrence
+    xq = np.round(emb.astype(np.float64) / grid).astype(np.int64)
+    cents = xq[:k].copy()  # k lowest vec_ids = first k rows
+    for _ in range(iters):
+        d2 = ((xq[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d2, axis=1)
+        for c in range(k):
+            m = a == c
+            if m.any():
+                cents[c] = np.round(
+                    xq[m].sum(axis=0).astype(np.float64) / m.sum()
+                ).astype(np.int64)
+    d2 = ((xq[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    a = np.argmin(d2, axis=1)
+    want_d2 = d2[np.arange(n), a]
+
+    assert np.array_equal(got["cluster"].to_numpy(np.int64), a)
+    assert np.array_equal(got["dist2q"].to_numpy(np.int64), want_d2)
+    assert got["cluster"].nunique() > 1  # non-degenerate fixture
