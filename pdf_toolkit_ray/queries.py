@@ -5366,7 +5366,10 @@ def _sql_round_even(x: str) -> str:
     )
 
 
-def _build_kmeans_exact_sql(k: int = 8, iters: int = 5) -> str:
+def _kmeans_exact_cte_prefix(k: int = 8, iters: int = 5) -> list[str]:
+    """Shared CTE chain ending in ``asg`` = (vec_id, cluster, dist2q):
+    the full integer-exact Lloyd unroll (used by KMEANS_EXACT_SQL and
+    SEMDEDUP_EXACT_SQL)."""
     fe = _sql_round_even
     parts = [
         "WITH xd AS (",
@@ -5409,15 +5412,68 @@ def _build_kmeans_exact_sql(k: int = 8, iters: int = 5) -> str:
         "  SELECT x.vec_id, c.cluster,",
         "         CAST(sum((x.v - c.c) * (x.v - c.c)) AS BIGINT) AS d2",
         f"  FROM xd x JOIN cd{iters} c USING (dim) GROUP BY x.vec_id, c.cluster",
+        "), asg AS (",
+        f"  SELECT vec_id, CAST(mk % {k} AS BIGINT) AS cluster,",
+        f"         CAST(mk // {k} AS BIGINT) AS dist2q",
+        f"  FROM (SELECT vec_id, min(d2 * {k} + cluster) AS mk FROM dF",
+        "        GROUP BY vec_id)",
         ")",
-        f"SELECT vec_id, CAST(mk % {k} AS BIGINT) AS cluster,",
-        f"       CAST(mk // {k} AS BIGINT) AS dist2q",
-        f"FROM (SELECT vec_id, min(d2 * {k} + cluster) AS mk FROM dF GROUP BY vec_id)",
+    ]
+    return parts
+
+
+def _build_kmeans_exact_sql(k: int = 8, iters: int = 5) -> str:
+    return "\n".join(
+        _kmeans_exact_cte_prefix(k, iters)
+        + ["SELECT vec_id, cluster, dist2q FROM asg"]
+    )
+
+
+def _build_semdedup_exact_sql(k: int = 8, iters: int = 5, eps: float = 0.3) -> str:
+    """Exact-SemDeDup twin: extends the Lloyd unroll with quantized
+    embedding lists (integer-valued DOUBLEs → list_dot_product is exact),
+    the (dist2q DESC, vec_id ASC) priority pair join, and the
+    ``cos >= eps`` prior-duplicate flag. Every compared double is
+    bit-identical to the Ray side by construction."""
+    fe = _sql_round_even
+    parts = _kmeans_exact_cte_prefix(k, iters)
+    parts[-1] = "), qv AS ("  # splice more CTEs after asg
+    parts += [
+        "  SELECT vec_id,",
+        f"         list_transform(embedding, e -> CAST({fe('CAST(e AS DOUBLE) / 1e-6')} AS DOUBLE)) AS qe",
+        "  FROM embeddings",
+        "), nv AS (",
+        "  SELECT vec_id, sqrt(list_dot_product(qe, qe)) AS nrm FROM qv",
+        "), flags AS (",
+        "  SELECT a.vec_id,",
+        "         bool_or(list_dot_product(qa.qe, qb.qe) / (na.nrm * nb.nrm)",
+        f"                 >= {eps!r}) AS dup",
+        "  FROM asg a JOIN asg b ON a.cluster = b.cluster",
+        "   AND (b.dist2q > a.dist2q OR (b.dist2q = a.dist2q AND b.vec_id < a.vec_id))",
+        "  JOIN qv qa ON qa.vec_id = a.vec_id JOIN qv qb ON qb.vec_id = b.vec_id",
+        "  JOIN nv na ON na.vec_id = a.vec_id JOIN nv nb ON nb.vec_id = b.vec_id",
+        "  GROUP BY a.vec_id",
+        ")",
+        "SELECT a.vec_id, a.cluster, NOT coalesce(f.dup, false) AS keep",
+        "FROM asg a LEFT JOIN flags f ON f.vec_id = a.vec_id",
     ]
     return "\n".join(parts)
 
 
 KMEANS_EXACT_SQL = _build_kmeans_exact_sql(8, 5)
+SEMDEDUP_EXACT_SQL = _build_semdedup_exact_sql(8, 5, 0.3)
+
+
+def semdedup_exact_embeddings(sf_dir: str):
+    """Driver-hashable SemDeDup: integer-exact clustering + within-cluster
+    cosine prior-duplicate pruning (stages/ann.py::semdedup_exact). The
+    DuckDB twin re-derives clustering AND the keep decisions — real SQL
+    re-derivation, no pinned goldens (the float ops are deterministic
+    because every input is an exact integer; see the stage docstring)."""
+    from .stages.ann import semdedup_exact
+
+    ds = scan(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return semdedup_exact(ds, k=8, iters=5, eps=0.3)
 
 
 def _build_pagerank_nano_sql(iters: int = 5) -> str:
@@ -8060,6 +8116,7 @@ REGISTRY: dict[str, tuple] = {
     "pagerank_part_supplier": (pagerank_part_supplier, None),
     "pagerank_part_supplier_nano": (pagerank_part_supplier_nano, PAGERANK_NANO_SQL),
     "embedding_kmeans_exact": (embedding_kmeans_exact, KMEANS_EXACT_SQL),
+    "semdedup_exact_embeddings": (semdedup_exact_embeddings, SEMDEDUP_EXACT_SQL),
     "inverted_index_documents": (inverted_index_documents, INVERTED_INDEX_SQL),
     "tfidf_top_terms_documents": (tfidf_top_terms_documents, TFIDF_SQL),
     "redact_documents": (redact_documents, REDACT_SQL),

@@ -602,6 +602,7 @@ def kmeans_exact_assign(
     k: int = 8,
     iters: int = 5,
     grid: float = 1e-6,
+    keep_embedding: bool = False,
 ) -> ray.data.Dataset:
     """INTEGER-EXACT distributed Lloyd k-means: the whole trajectory is
     reproducible bit-for-bit by ANY engine, because every step is either
@@ -698,15 +699,88 @@ def kmeans_exact_assign(
         m = _quant(_matrix(batch.column("embedding")))
         d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
         a = np.argmin(d2, axis=1)
+        cols = {
+            "vec_id": batch.column("vec_id"),
+            "cluster": pa.array(a.astype(np.int64)),
+            "dist2q": pa.array(d2[np.arange(len(a)), a].astype(np.int64)),
+        }
+        if keep_embedding:
+            cols["embedding"] = batch.column("embedding")
+        return pa.table(cols)
+
+    return work.map_batches(_assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def semdedup_exact(
+    ds: ray.data.Dataset,
+    *,
+    k: int = 8,
+    iters: int = 5,
+    grid: float = 1e-6,
+    eps: float = 0.3,
+    bucketed_groupby=None,
+) -> ray.data.Dataset:
+    """SemDeDup with an ENGINE-INDEPENDENT trajectory: clustering comes
+    from :func:`kmeans_exact_assign`, and within-cluster cosine
+    similarities are computed from the SAME quantized integer vectors —
+    dot products and squared norms are exact integers (every partial sum
+    < 2^53, so even a BLAS matmul is exact), and the only float ops are
+    ``dot / (sqrt(n2x) * sqrt(n2y))`` on identical integer inputs, which
+    every IEEE engine evaluates identically. No rounding gate is needed:
+    the ``>= eps`` compare sees bit-identical doubles everywhere
+    (distributed run, single-process replica, and the unrolled DuckDB
+    twin queries.py::SEMDEDUP_EXACT_SQL).
+
+    Keep rule mirrors :func:`semdedup_prune` (SemDeDup, Abbas et al.
+    2023): priority within a cluster is dist2q DESC then vec_id ASC
+    (farthest from centroid first); an item is dropped when some
+    higher-priority item has cosine >= eps. Same O(c²)-per-cluster scale
+    shape; k is the valve."""
+    if bucketed_groupby is None:
+        from ..relops import bucketed_groupby as _bg
+
+        bucketed_groupby = _bg
+
+    assigned = kmeans_exact_assign(
+        ds, k=k, iters=iters, grid=grid, keep_embedding=True
+    )
+
+    empty = pa.table(
+        {
+            "vec_id": pa.array([], pa.int64()),
+            "cluster": pa.array([], pa.int64()),
+            "keep": pa.array([], pa.bool_()),
+        }
+    )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        ids = group.column("vec_id").to_numpy(zero_copy_only=False)
+        cl = group.column("cluster").to_numpy(zero_copy_only=False)
+        d2 = group.column("dist2q").to_numpy(zero_copy_only=False)
+        m = np.round(_matrix(group.column("embedding")) / grid)  # int-valued f64
+        order = np.lexsort((ids, -d2, cl))
+        ids, cl, m = ids[order], cl[order], m[order]
+        s = np.sqrt((m * m).sum(axis=1))  # n2 exact int → sqrt deterministic
+        starts = np.flatnonzero(np.r_[True, cl[1:] != cl[:-1]])
+        bounds = np.r_[starts, len(cl)]
+        keep = np.ones(len(cl), bool)
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            c = b - a
+            if c < 2:
+                continue
+            dots = m[a:b] @ m[a:b].T  # exact: integer-valued, < 2^53
+            cos = dots / (s[a:b, None] * s[a:b][None, :])
+            prior = np.tril(np.ones((c, c), bool), k=-1)
+            keep[a:b] = ~np.any(prior & (cos >= eps), axis=1)
         return pa.table(
             {
-                "vec_id": batch.column("vec_id"),
-                "cluster": pa.array(a.astype(np.int64)),
-                "dist2q": pa.array(d2[np.arange(len(a)), a].astype(np.int64)),
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster": pa.array(cl, pa.int64()),
+                "keep": pa.array(keep),
             }
         )
 
-    return work.map_batches(_assign, batch_format="pyarrow", zero_copy_batch=True)
+    return bucketed_groupby(assigned, ["cluster"], per_bucket, empty=empty)
 
 
 def semdedup_prune(

@@ -711,3 +711,69 @@ def test_kmeans_exact_matches_single_process_replica(ray_session):
     assert np.array_equal(got["cluster"].to_numpy(np.int64), a)
     assert np.array_equal(got["dist2q"].to_numpy(np.int64), want_d2)
     assert got["cluster"].nunique() > 1  # non-degenerate fixture
+
+
+def test_semdedup_exact_matches_single_process_replica(ray_session):
+    """Exact-SemDeDup keep decisions must be layout-independent: the
+    distributed bucketed run over shuffled blocks equals a straight-line
+    replica (same quantized ints, same float expression tree)."""
+    import ray.data
+
+    from pdf_toolkit_ray.stages.ann import semdedup_exact
+
+    rng = np.random.RandomState(23)
+    n, d, k, iters, grid, eps = 300, 12, 4, 3, 1e-6, 0.3
+    # half the rows are near-duplicates of earlier rows → real drops
+    base = (rng.randn(n // 2, d) * 0.3).astype(np.float32)
+    dup = base + (rng.randn(n // 2, d) * 0.01).astype(np.float32)
+    emb = np.concatenate([base, dup]).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array([list(map(float, r)) for r in emb],
+                                  pa.list_(pa.float32())),
+        }
+    )
+    perm = rng.permutation(n)
+    ds = ray.data.from_arrow(
+        [tbl.take(pa.array(perm)).slice(i, 50) for i in range(0, n, 50)]
+    )
+    got = (
+        semdedup_exact(ds, k=k, iters=iters, grid=grid, eps=eps)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+    # replica: same quantized recurrence + same keep rule
+    xq = np.round(emb.astype(np.float64) / grid).astype(np.int64)
+    cents = xq[:k].copy()
+    for _ in range(iters):
+        d2 = ((xq[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d2, axis=1)
+        for c in range(k):
+            m = a == c
+            if m.any():
+                cents[c] = np.round(
+                    xq[m].sum(axis=0).astype(np.float64) / m.sum()
+                ).astype(np.int64)
+    d2 = ((xq[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    a = np.argmin(d2, axis=1)
+    dist = d2[np.arange(n), a]
+    mf = xq.astype(np.float64)
+    s = np.sqrt((mf * mf).sum(axis=1))
+    keep = np.ones(n, bool)
+    for c in range(k):
+        idx = np.flatnonzero(a == c)
+        order = np.lexsort((idx, -dist[idx]))
+        idx = idx[order]
+        if len(idx) < 2:
+            continue
+        dots = mf[idx] @ mf[idx].T
+        cos = dots / (s[idx][:, None] * s[idx][None, :])
+        prior = np.tril(np.ones((len(idx), len(idx)), bool), k=-1)
+        keep[idx] = ~np.any(prior & (cos >= eps), axis=1)
+
+    assert np.array_equal(got["cluster"].to_numpy(np.int64), a)
+    assert np.array_equal(got["keep"].to_numpy(bool), keep)
+    assert 0 < keep.sum() < n  # non-degenerate: real keeps AND drops
