@@ -5355,6 +5355,14 @@ def embedding_kmeans_exact(sf_dir: str, k: int = 8, iters: int = 5):
     return kmeans_exact_assign(ds, k=k, iters=iters)
 
 
+def _materialize_ctes(sql: str) -> str:
+    """Force CTE materialization in the unrolled iterative twins: DuckDB
+    inlines single-reference CTEs, and a CTE referenced twice per
+    iteration inlines EXPONENTIALLY across an unrolled recurrence (the
+    8-step PCA twin went 160 s → 0.2 s with materialization)."""
+    return sql.replace(" AS (", " AS MATERIALIZED (")
+
+
 def _sql_round_even(x: str) -> str:
     """DuckDB emulation of np.round (round-half-even), valid for negative
     values too: ties go to the even neighbor (abs() keeps the odd-floor
@@ -5423,9 +5431,11 @@ def _kmeans_exact_cte_prefix(k: int = 8, iters: int = 5) -> list[str]:
 
 
 def _build_kmeans_exact_sql(k: int = 8, iters: int = 5) -> str:
-    return "\n".join(
-        _kmeans_exact_cte_prefix(k, iters)
-        + ["SELECT vec_id, cluster, dist2q FROM asg"]
+    return _materialize_ctes(
+        "\n".join(
+            _kmeans_exact_cte_prefix(k, iters)
+            + ["SELECT vec_id, cluster, dist2q FROM asg"]
+        )
     )
 
 
@@ -5457,9 +5467,69 @@ def _build_semdedup_exact_sql(k: int = 8, iters: int = 5, eps: float = 0.3) -> s
         "SELECT a.vec_id, a.cluster, NOT coalesce(f.dup, false) AS keep",
         "FROM asg a LEFT JOIN flags f ON f.vec_id = a.vec_id",
     ]
-    return "\n".join(parts)
+    return _materialize_ctes("\n".join(parts))
 
 
+def _build_pca_exact_sql(iters: int = 8) -> str:
+    """Unrolled integer power iteration on the quantized Gram matrix —
+    the SQL twin of stages/ann.py::pca_top_component_exact (see its
+    docstring for the exactness argument at every step)."""
+    fe = _sql_round_even
+    parts = [
+        "WITH xd AS (",
+        "  SELECT vec_id,",
+        "         CAST(unnest(range(len(embedding))) AS BIGINT) AS dim,",
+        f"         CAST({fe('CAST(unnest(embedding) AS DOUBLE) / 1e-6')} AS BIGINT) AS v",
+        "  FROM embeddings",
+        "), g AS (",
+        "  SELECT a.dim AS i, b.dim AS j, CAST(sum(a.v * b.v) AS BIGINT) AS gv",
+        "  FROM xd a JOIN xd b USING (vec_id) GROUP BY a.dim, b.dim",
+        "), gs AS (",
+        f"  SELECT i, j, CAST({fe('CAST(gv AS DOUBLE) / 1000000.0')} AS BIGINT) AS gv",
+        "  FROM g",
+        "), v0 AS (",
+        "  SELECT DISTINCT dim, CAST(1 AS BIGINT) AS v FROM xd",
+        ")",
+    ]
+    quant = fe("(CAST(w AS DOUBLE) / n.nrm) * 1000000.0")
+    for m in range(1, iters + 1):
+        parts += [
+            f", w{m} AS (",
+            "  SELECT g.i AS dim, CAST(sum(g.gv * v.v) AS BIGINT) AS w",
+            f"  FROM gs g JOIN v{m - 1} v ON v.dim = g.j GROUP BY g.i",
+            f"), n{m} AS (",
+            "  SELECT sqrt(CAST(sum(CAST(w AS HUGEINT) * CAST(w AS HUGEINT))",
+            "              AS DOUBLE)) AS nrm",
+            f"  FROM w{m}",
+            f"), v{m} AS (",
+            f"  SELECT dim, CAST({quant} AS BIGINT) AS v FROM w{m}, n{m} n",
+            ")",
+        ]
+    parts += [
+        ", sgn AS (",
+        "  SELECT coalesce((SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END",
+        f"                   FROM v{iters} WHERE v <> 0 ORDER BY dim LIMIT 1),",
+        "                  1) AS s",
+        ")",
+        f"SELECT v.dim, CAST(v.v * sgn.s AS BIGINT) AS component_q",
+        f"FROM v{iters} v, sgn",
+    ]
+    return _materialize_ctes("\n".join(parts))
+
+
+def embedding_pca_exact(sf_dir: str):
+    """Driver-hashable PCA: the top principal direction from the
+    integer-exact distributed power iteration
+    (stages/ann.py::pca_top_component_exact), re-derived end-to-end by
+    the unrolled DuckDB twin — Gram build, shrink, 8 matvec/normalize
+    steps and the sign fix all reproduce bit-for-bit."""
+    from .stages.ann import pca_top_component_exact
+
+    ds = scan(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return pca_top_component_exact(ds, iters=8)
+
+
+PCA_EXACT_SQL = _build_pca_exact_sql(8)
 KMEANS_EXACT_SQL = _build_kmeans_exact_sql(8, 5)
 SEMDEDUP_EXACT_SQL = _build_semdedup_exact_sql(8, 5, 0.3)
 
@@ -5525,7 +5595,7 @@ def _build_pagerank_nano_sql(iters: int = 5) -> str:
     parts.append(
         f"SELECT node, CAST(round(r / 1e-9) AS BIGINT) AS rank_nano FROM r{iters}"
     )
-    return "\n".join(parts)
+    return _materialize_ctes("\n".join(parts))
 
 
 PAGERANK_NANO_SQL = _build_pagerank_nano_sql(5)
@@ -8117,6 +8187,7 @@ REGISTRY: dict[str, tuple] = {
     "pagerank_part_supplier_nano": (pagerank_part_supplier_nano, PAGERANK_NANO_SQL),
     "embedding_kmeans_exact": (embedding_kmeans_exact, KMEANS_EXACT_SQL),
     "semdedup_exact_embeddings": (semdedup_exact_embeddings, SEMDEDUP_EXACT_SQL),
+    "embedding_pca_exact": (embedding_pca_exact, PCA_EXACT_SQL),
     "inverted_index_documents": (inverted_index_documents, INVERTED_INDEX_SQL),
     "tfidf_top_terms_documents": (tfidf_top_terms_documents, TFIDF_SQL),
     "redact_documents": (redact_documents, REDACT_SQL),

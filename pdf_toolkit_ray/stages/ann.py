@@ -783,6 +783,100 @@ def semdedup_exact(
     return bucketed_groupby(assigned, ["cluster"], per_bucket, empty=empty)
 
 
+def pca_top_component_exact(
+    ds: ray.data.Dataset,
+    *,
+    iters: int = 8,
+    grid: float = 1e-6,
+    gram_shrink: float = 1e6,
+) -> ray.data.Dataset:
+    """Top principal direction by ENGINE-INDEPENDENT integer power
+    iteration (same family as :func:`kmeans_exact_assign` /
+    :func:`semdedup_exact`):
+
+    * embeddings quantize to the ``grid`` → int64; the Gram matrix
+      ``G = Σ x xᵀ`` accumulates as exact int64 partials tree-folded
+      (each per-batch float64 matmul is exact — every product and partial
+      sum is an integer < 2^53);
+    * G shrinks once to ``Gs = round_even(G / gram_shrink)`` so each
+      matvec ``w = Gs·v`` stays inside int64 with the unit-grid v
+      (|v| ≤ 1e6, |Gs| ≤ ~5.6e8 at fixture scale → |w| ≤ 3.6e16);
+    * the norm ``√(Σ w²)`` squares in arbitrary precision (Python int /
+      DuckDB HUGEINT) before ONE deterministic int→double conversion;
+    * v re-quantizes to the 1e-6 unit grid each step (half-even);
+    * the final sign is fixed by making the first nonzero component
+      positive.
+
+    Every step is either order-free integer arithmetic or a
+    deterministic double op on identical inputs, so the trajectory is
+    bit-reproducible by the unrolled DuckDB twin
+    (queries.py::PCA_EXACT_SQL). Capacity valves, documented not silent:
+    int64 G holds to ~3×10⁷ rows at this grid — shrink the grid (or
+    raise gram_shrink) for bigger corpora. Returns (dim, component_q)
+    on the 1e-6 unit grid."""
+    from ..relops import tree_fold
+
+    work = ds.select_columns(["embedding"])
+    probe = work.take_batch(1, batch_format="pyarrow")
+    d = len(probe.column("embedding")[0])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        m = np.round(_matrix(batch.column("embedding")) / grid)  # int-valued f64
+        g = (m.T @ m).astype(np.int64)  # exact: integer partials < 2^53
+        return pa.table(
+            {
+                "i": pa.array(np.repeat(np.arange(d, dtype=np.int64), d)),
+                "j": pa.array(np.tile(np.arange(d, dtype=np.int64), d)),
+                "g": pa.array(g.ravel()),
+            }
+        )
+
+    def _sum_partials(tables):
+        acc = np.zeros(d * d, np.int64)
+        for t in tables:
+            idx = (
+                t.column("i").to_numpy(zero_copy_only=False) * d
+                + t.column("j").to_numpy(zero_copy_only=False)
+            )
+            np.add.at(acc, idx, t.column("g").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "i": pa.array(np.repeat(np.arange(d, dtype=np.int64), d)),
+                "j": pa.array(np.tile(np.arange(d, dtype=np.int64), d)),
+                "g": pa.array(acc),
+            }
+        )
+
+    h = tree_fold(
+        work.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True),
+        _sum_partials,
+    )
+    G = h.column("g").to_numpy(zero_copy_only=False).reshape(d, d)
+    Gs = np.round(G.astype(np.float64) / gram_shrink).astype(np.int64)
+
+    v = np.ones(d, np.int64)
+    for _ in range(iters):
+        w = Gs @ v  # exact int64 by the capacity argument above
+        n2 = sum(int(x) * int(x) for x in w)  # arbitrary precision
+        if n2 == 0:
+            break
+        nrm = float(np.sqrt(np.float64(n2)))
+        v = np.round((w.astype(np.float64) / nrm) * 1000000.0).astype(np.int64)
+
+    nz = np.flatnonzero(v)
+    if len(nz) and v[nz[0]] < 0:
+        v = -v
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "dim": pa.array(np.arange(d, dtype=np.int64)),
+                "component_q": pa.array(v, pa.int64()),
+            }
+        )
+    )
+
+
 def semdedup_prune(
     assigned: ray.data.Dataset,
     *,

@@ -777,3 +777,57 @@ def test_semdedup_exact_matches_single_process_replica(ray_session):
     assert np.array_equal(got["cluster"].to_numpy(np.int64), a)
     assert np.array_equal(got["keep"].to_numpy(bool), keep)
     assert 0 < keep.sum() < n  # non-degenerate: real keeps AND drops
+
+
+def test_pca_exact_matches_single_process_replica(ray_session):
+    """Integer power iteration must be layout-independent and match a
+    straight-line replica; the top direction must actually align with the
+    dominant variance axis of an engineered anisotropic cloud."""
+    import ray.data
+
+    from pdf_toolkit_ray.stages.ann import pca_top_component_exact
+
+    rng = np.random.RandomState(31)
+    n, d = 500, 10
+    axis = np.zeros(d)
+    axis[3] = 1.0
+    emb = (np.outer(rng.randn(n) * 0.5, axis) + rng.randn(n, d) * 0.05).astype(
+        np.float32
+    )
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array([list(map(float, r)) for r in emb],
+                                  pa.list_(pa.float32())),
+        }
+    )
+    perm = rng.permutation(n)
+    ds = ray.data.from_arrow(
+        [tbl.take(pa.array(perm)).slice(i, 64) for i in range(0, n, 64)]
+    )
+    got = (
+        pca_top_component_exact(ds, iters=8)
+        .to_pandas()
+        .sort_values("dim")["component_q"]
+        .to_numpy(np.int64)
+    )
+
+    xq = np.round(emb.astype(np.float64) / 1e-6).astype(np.int64)
+    G = (xq.astype(np.float64).T @ xq.astype(np.float64)).astype(np.int64)
+    Gs = np.round(G.astype(np.float64) / 1e6).astype(np.int64)
+    v = np.ones(d, np.int64)
+    for _ in range(8):
+        w = Gs @ v
+        n2 = sum(int(x) * int(x) for x in w)
+        if n2 == 0:
+            break
+        nrm = float(np.sqrt(np.float64(n2)))
+        v = np.round((w.astype(np.float64) / nrm) * 1000000.0).astype(np.int64)
+    nz = np.flatnonzero(v)
+    if len(nz) and v[nz[0]] < 0:
+        v = -v
+
+    assert np.array_equal(got, v)
+    # dominant axis recovered: |component_3| ≈ 1e6, others small
+    assert abs(got[3]) > 990_000
+    assert np.abs(np.delete(got, 3)).max() < 200_000
