@@ -2162,6 +2162,73 @@ FROM (VALUES (12, 2914971, 2011808, 3054126)) t(a, b, c, d)
 """
 
 
+def _extract_row_hash_sum(b: pa.Table) -> int:
+    """Order-free digest over the FULL per-turn extraction contract:
+    identity (conv_id, turn_idx), kind, fallback flag, the extracted text
+    byte-for-byte, every span (start/end/kind/score@6dp) and every note —
+    one blake2b per row, lower 52 bits summed (334 rows × 2^52 ≪ 2^63)."""
+    import hashlib
+
+    tot = 0
+    for cid, ti, kind, fb, txt, sp, nt in zip(
+        b.column("conv_id").to_pylist(),
+        b.column("turn_idx").to_pylist(),
+        b.column("kind").to_pylist(),
+        b.column("used_fallback").to_pylist(),
+        b.column("extracted_text").to_pylist(),
+        b.column("spans").to_pylist(),
+        b.column("notes").to_pylist(),
+    ):
+        sp_s = ";".join(
+            f"{s['start']},{s['end']},{s['kind']},{round(float(s['score']), 6)}"
+            for s in (sp or [])
+        )
+        nt_s = "|".join(nt or [])
+        key = f"{cid}\x1f{ti}\x1f{kind}\x1f{int(fb)}\x1f{txt}\x1f{sp_s}\x1f{nt_s}"
+        tot += int(hashlib.blake2b(key.encode()).hexdigest()[:13], 16)
+    return tot
+
+
+def extract_digest_smoke(sf_dir: str):
+    """Driver-hashable pin of the FLAGSHIP extraction pipeline: the full
+    distributed run (sniff → html/pdf/plain extract → salted exchange →
+    sort-dedup finalize) over the deterministic in-repo smoke fixture
+    (sf-independent, like the multimodal fixtures), digested row-by-row —
+    conv/turn identity, kind, fallback, extracted text bytes, spans and
+    notes all enter the hash. Any change to sniffing, boilerplate
+    heuristics, PDF layout walk, span assembly, dedup or ordering flips a
+    column. The VALUES twin pins what the per-turn pytest goldens prove
+    locally, but driver-visibly."""
+    from .pipelines.extract import extract_dataset
+    from .sources.fixtures import transcripts_path_for
+
+    ds = extract_dataset(transcripts_path_for("smoke"), ExtractConfig())
+    return _feature_digest(
+        ds,
+        {
+            "n_rows": lambda b: b.num_rows,
+            "row_hash_sum": _extract_row_hash_sum,
+            "sum_spans": lambda b: int(
+                pc.sum(pc.list_value_length(b.column("spans"))).as_py() or 0
+            ),
+            "n_fallback": lambda b: int(
+                pc.sum(pc.cast(b.column("used_fallback"), pa.int64())).as_py() or 0
+            ),
+            "sum_turn_idx": lambda b: int(
+                pc.sum(pc.cast(b.column("turn_idx"), pa.int64())).as_py() or 0
+            ),
+        },
+    )
+
+
+EXTRACT_DIGEST_SMOKE_SQL = """
+SELECT CAST(t.a AS BIGINT) AS n_rows, CAST(t.b AS BIGINT) AS row_hash_sum,
+       CAST(t.c AS BIGINT) AS sum_spans, CAST(t.d AS BIGINT) AS n_fallback,
+       CAST(t.e AS BIGINT) AS sum_turn_idx
+FROM (VALUES (334, 715233605082911103, 663, 4, 1224)) t(a, b, c, d, e)
+"""
+
+
 def extract_transcripts(sf_dir: str):
     from .pipelines.extract import extract_dataset
 
@@ -8266,6 +8333,7 @@ REGISTRY: dict[str, tuple] = {
     "multimodal_flac_digest": (multimodal_flac_digest, MULTIMODAL_FLAC_DIGEST_SQL),
     "extract_transcripts": (extract_transcripts, None),
     "extract_kind_stats": (extract_kind_stats, None),
+    "extract_digest_smoke": (extract_digest_smoke, EXTRACT_DIGEST_SMOKE_SQL),
     "transcripts_conv_stats": (transcripts_conv_stats, None),
     "role_bigram_transcripts": (role_bigram_transcripts, None),
     "tool_usage_transcripts": (tool_usage_transcripts, None),

@@ -369,3 +369,30 @@ def test_validate_empty_dir_not_ok(ray_session, tmp_path):
     empty.mkdir()
     rep = run_validate_job(str(empty))
     assert rep["n_partitions"] == 0 and not rep["ok"]
+
+
+def test_extract_digest_smoke_sensitivity():
+    """The pinned flagship digest must move when ANY contract surface
+    moves: text bytes, span boundaries, or the fallback flag (single-
+    process oracle — same rows as the distributed pipeline by the
+    per-turn equality suite)."""
+    import pyarrow as pa
+
+    from pdf_toolkit_ray.config import ExtractConfig
+    from pdf_toolkit_ray.oracle import extract_table
+    from pdf_toolkit_ray.queries import _extract_row_hash_sum
+    from pdf_toolkit_ray.sources.fixtures import generate_transcripts_table
+
+    tbl = generate_transcripts_table("smoke")
+    base = extract_table(tbl, ExtractConfig())
+    h0 = _extract_row_hash_sum(base)
+    assert h0 == 715233605082911103  # the EXTRACT_DIGEST_SMOKE_SQL pin
+
+    # flip one byte of one turn's text → hash must change
+    texts = tbl.column("text").to_pylist()
+    texts[7] = texts[7][:-1] + ("x" if not texts[7].endswith("x") else "y")
+    mutated = tbl.set_column(
+        tbl.schema.get_field_index("text"), "text", pa.array(texts, tbl.column("text").type)
+    )
+    h1 = _extract_row_hash_sum(extract_table(mutated, ExtractConfig()))
+    assert h1 != h0
