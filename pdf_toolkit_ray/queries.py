@@ -5619,14 +5619,7 @@ def _build_pagerank_nano_sql(iters: int = 5) -> str:
     non-tie values agree with round() anyway, ties pick the even integer.
     All float expressions keep numpy's association order so the doubles
     are bit-identical: damping*csum*q = (0.85*csum)*1e-9, base = (1.0-0.85)/n."""
-
-    def fe(x: str) -> str:
-        return (
-            f"(CASE WHEN ({x}) = floor({x}) + 0.5 "
-            f"THEN floor({x}) + (CAST(floor({x}) AS BIGINT) % 2) "
-            f"ELSE round({x}) END)"
-        )
-
+    fe = _sql_round_even  # ranks/contributions are non-negative; shared helper
     parts = [
         "WITH pairs AS (",
         "  SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s FROM lineitem",
@@ -7375,9 +7368,12 @@ def bpe_merges_documents(sf_dir: str, k: int = 8):
     lexicographically smallest pair). The corpus is never re-shuffled —
     iteration cost scales with vocabulary, not tokens, which is what
     makes BPE trainable at 100 TB. Full-value-checked against a
-    single-process python oracle (PYTHON_ORACLES)."""
-    ds = scan(sf_dir, "documents", columns=["doc_id", "text"])
+    single-process python oracle (PYTHON_ORACLES); the same pipeline is
+    driver-pinned over a deterministic corpus by ``bpe_merges_smoke``."""
+    return _bpe_merges_over(scan(sf_dir, "documents", columns=["doc_id", "text"]), k)
 
+
+def _bpe_merges_over(ds, k: int) -> pa.Table:
     def count_partial(batch: pa.Table) -> pa.Table:
         _, flat, _ = _exploded_words(batch)
         t = pa.table({"word": flat})
@@ -7437,6 +7433,57 @@ def bpe_merges_documents(sf_dir: str, k: int = 8):
             "pair_count": pa.array([r[3] for r in rows], pa.int64()),
         }
     )
+
+
+def _bpe_smoke_corpus() -> pa.Table:
+    """Deterministic Zipf-ish corpus for the driver-pinned BPE run:
+    repeated words with shared prefixes/suffixes so the first merges are
+    linguistically meaningful (and stable by the integer-count argmax)."""
+    rng = np.random.RandomState(101)
+    lexicon = [
+        "lower", "lowest", "newer", "newest", "wider", "widest",
+        "low", "new", "wide", "running", "runner", "run",
+        "extract", "extraction", "extracted", "pipeline", "pipelines",
+    ]
+    probs = np.array([1.0 / (i + 1) for i in range(len(lexicon))])
+    probs /= probs.sum()
+    texts = [
+        " ".join(rng.choice(lexicon, size=int(rng.randint(6, 18)), p=probs))
+        for _ in range(160)
+    ]
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+
+def bpe_merges_smoke(sf_dir: str):
+    """Driver-hashable pin of distributed BPE training: the SAME pipeline
+    as bpe_merges_documents (one corpus groupby, vocab-sized merge
+    iterations, deterministic integer-count argmax) over a deterministic
+    in-repo corpus — every merge row (rank, pair, count) pinned by the
+    VALUES twin. sf-independent like the multimodal fixtures."""
+    import ray.data
+
+    return _bpe_merges_over(ray.data.from_arrow(_bpe_smoke_corpus()), 8)
+
+
+BPE_MERGES_SMOKE_SQL = """
+SELECT CAST(t.r AS BIGINT) AS "rank", t.l AS "left", t.rr AS "right",
+       CAST(t.c AS BIGINT) AS pair_count
+FROM (VALUES
+  (0, 'w', 'e', 1096),
+  (1, 'l', 'o', 867),
+  (2, 'r', '</w>', 829),
+  (3, 'lo', 'we', 802),
+  (4, 't', '</w>', 535),
+  (5, 'lowe', 'r</w>', 523),
+  (6, 's', 't</w>', 503),
+  (7, 'n', 'e', 475)
+) t(r, l, rr, c)
+"""
 
 
 def _oracle_bpe(sf_dir: str, k: int = 8) -> pa.Table:
@@ -8334,6 +8381,7 @@ REGISTRY: dict[str, tuple] = {
     "extract_transcripts": (extract_transcripts, None),
     "extract_kind_stats": (extract_kind_stats, None),
     "extract_digest_smoke": (extract_digest_smoke, EXTRACT_DIGEST_SMOKE_SQL),
+    "bpe_merges_smoke": (bpe_merges_smoke, BPE_MERGES_SMOKE_SQL),
     "transcripts_conv_stats": (transcripts_conv_stats, None),
     "role_bigram_transcripts": (role_bigram_transcripts, None),
     "tool_usage_transcripts": (tool_usage_transcripts, None),
