@@ -7079,9 +7079,16 @@ def pack_sequences_documents(sf_dir: str, cap: int = PACK_CAP, shard_docs: int =
     (never text); each stream's greedy scan is a tiny numpy loop. Output:
     the pack assignment (pack_id unique per stream, pos_in_pack, running
     fill). Full-value-checked against a single-process python oracle
-    (PYTHON_ORACLES)."""
-    ds = scan(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    (PYTHON_ORACLES); the same pipeline is driver-pinned over a
+    deterministic corpus by ``pack_digest_smoke``."""
+    return _pack_sequences_over(
+        scan(sf_dir, "documents", columns=["doc_id", "lang", "text"]),
+        cap,
+        shard_docs,
+    )
 
+
+def _pack_sequences_over(ds, cap: int, shard_docs: int):
     def tok_counts(batch: pa.Table) -> pa.Table:
         toks = pc.list_value_length(pc.split_pattern(batch.column("text"), pattern=" "))
         doc = batch.column("doc_id")
@@ -7130,6 +7137,72 @@ def pack_sequences_documents(sf_dir: str, cap: int = PACK_CAP, shard_docs: int =
     return triples.groupby(["lang", "shard"]).map_groups(
         pack_stream, batch_format="pyarrow"
     )
+
+
+def _pack_smoke_corpus() -> pa.Table:
+    """Deterministic multi-lang corpus for the driver-pinned packing run:
+    word counts spread across the cap so packs genuinely open/close."""
+    rng = np.random.RandomState(211)
+    langs = ["en", "de", "fr"]
+    texts, lang_col = [], []
+    for i in range(180):
+        lang_col.append(langs[i % 3])
+        texts.append(" ".join(f"w{j}" for j in range(int(rng.randint(20, 400)))))
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(180, dtype=np.int64)),
+            "lang": pa.array(lang_col, pa.string()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+
+def pack_digest_smoke(sf_dir: str):
+    """Driver-hashable pin of greedy sequence packing: the full
+    distributed run (per-(lang, shard) streams, doc_id-ordered greedy
+    fill) over a deterministic corpus, digested order-free — every
+    (doc_id, lang, shard, pack_id, pos, fill) row enters a blake2b sum,
+    plus direct integer sums. sf-independent like the other smoke pins."""
+    import hashlib
+
+    import ray.data
+
+    ds = _pack_sequences_over(
+        ray.data.from_arrow(_pack_smoke_corpus()), cap=512, shard_docs=50
+    )
+
+    def row_hash_sum(b: pa.Table) -> int:
+        tot = 0
+        for did, lang, sh, pk, pos, fill in zip(
+            b.column("doc_id").to_pylist(),
+            b.column("lang").to_pylist(),
+            b.column("shard").to_pylist(),
+            b.column("pack_id").to_pylist(),
+            b.column("pos_in_pack").to_pylist(),
+            b.column("pack_fill").to_pylist(),
+        ):
+            key = f"{did}\x1f{lang}\x1f{sh}\x1f{pk}\x1f{pos}\x1f{fill}"
+            tot += int(hashlib.blake2b(key.encode()).hexdigest()[:13], 16)
+        return tot
+
+    return _feature_digest(
+        ds,
+        {
+            "n_docs": lambda b: b.num_rows,
+            "row_hash_sum": row_hash_sum,
+            "sum_pack_id": lambda b: int(pc.sum(b.column("pack_id")).as_py() or 0),
+            "sum_pos": lambda b: int(pc.sum(b.column("pos_in_pack")).as_py() or 0),
+            "sum_fill": lambda b: int(pc.sum(b.column("pack_fill")).as_py() or 0),
+        },
+    )
+
+
+PACK_DIGEST_SMOKE_SQL = """
+SELECT CAST(t.a AS BIGINT) AS n_docs, CAST(t.b AS BIGINT) AS row_hash_sum,
+       CAST(t.c AS BIGINT) AS sum_pack_id, CAST(t.d AS BIGINT) AS sum_pos,
+       CAST(t.e AS BIGINT) AS sum_fill
+FROM (VALUES (180, 394176363944896921, 757, 91, 57839)) t(a, b, c, d, e)
+"""
 
 
 def _oracle_pack_sequences(
@@ -7558,6 +7631,69 @@ def bpe_encode_documents(sf_dir: str, k: int = 8):
         )
 
     return ds.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def bpe_encode_smoke(sf_dir: str):
+    """Driver-hashable pin of the BPE train→encode story end-to-end: the
+    distributed merge training AND the broadcast-merges encode pass both
+    run over the deterministic corpus; the digest sums every per-doc
+    token count and the md5 of every full token sequence. Any divergence
+    in merge order, word splitting, end-of-word handling or the memoized
+    apply flips a column."""
+    import ray.data
+
+    corpus = _bpe_smoke_corpus()
+    merges_tbl = _bpe_merges_over(ray.data.from_arrow(corpus), 8)
+    merges = list(
+        zip(merges_tbl.column("left").to_pylist(), merges_tbl.column("right").to_pylist())
+    )
+    merges_ref = ray.put(merges)
+    ds = ray.data.from_arrow(corpus)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        m = ray.get(merges_ref)
+        memo: dict[str, list[str]] = {}
+        n_out = np.empty(batch.num_rows, np.int64)
+        digests = []
+        for i, t in enumerate(batch.column("text").to_pylist()):
+            toks: list[str] = []
+            for w in (t or "").split(" "):
+                got = memo.get(w)
+                if got is None:
+                    got = memo[w] = _apply_merges(list(w) + ["</w>"], m)
+                toks.extend(got)
+            n_out[i] = len(toks)
+            digests.append(hashlib.md5(" ".join(toks).encode()).hexdigest()[:16])
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_bpe_tokens": pa.array(n_out, pa.int64()),
+                "token_digest": pa.array(digests, pa.string()),
+            }
+        )
+
+    out = ds.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True)
+    return _feature_digest(
+        out,
+        {
+            "n_docs": lambda b: b.num_rows,
+            "sum_bpe_tokens": lambda b: int(
+                pc.sum(b.column("n_bpe_tokens")).as_py() or 0
+            ),
+            "digest_sum": lambda b: sum(
+                int(h[:13], 16) for h in b.column("token_digest").to_pylist()
+            ),
+        },
+    )
+
+
+BPE_ENCODE_SMOKE_SQL = """
+SELECT CAST(t.a AS BIGINT) AS n_docs, CAST(t.b AS BIGINT) AS sum_bpe_tokens,
+       CAST(t.c AS BIGINT) AS digest_sum
+FROM (VALUES (160, 6118, 363953529841996750)) t(a, b, c)
+"""
 
 
 def _oracle_bpe_encode(sf_dir: str, k: int = 8) -> pa.Table:
@@ -8382,6 +8518,8 @@ REGISTRY: dict[str, tuple] = {
     "extract_kind_stats": (extract_kind_stats, None),
     "extract_digest_smoke": (extract_digest_smoke, EXTRACT_DIGEST_SMOKE_SQL),
     "bpe_merges_smoke": (bpe_merges_smoke, BPE_MERGES_SMOKE_SQL),
+    "bpe_encode_smoke": (bpe_encode_smoke, BPE_ENCODE_SMOKE_SQL),
+    "pack_digest_smoke": (pack_digest_smoke, PACK_DIGEST_SMOKE_SQL),
     "transcripts_conv_stats": (transcripts_conv_stats, None),
     "role_bigram_transcripts": (role_bigram_transcripts, None),
     "tool_usage_transcripts": (tool_usage_transcripts, None),
