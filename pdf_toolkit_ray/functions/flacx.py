@@ -578,11 +578,68 @@ def decode_flac(
     return pcm.astype(np.int32), info.sample_rate, info.bits_per_sample
 
 
+def parse_vorbis_comment(data: bytes) -> dict[str, str]:
+    """VORBIS_COMMENT metadata block (block type 4): little-endian
+    length-prefixed vendor string + comment list of ``KEY=value`` pairs
+    (keys case-insensitive per the Vorbis spec — normalized to lower)."""
+    pos = 0
+    if pos + 4 > len(data):
+        raise ValueError("flac: truncated vorbis comment")
+    vlen = int.from_bytes(data[pos : pos + 4], "little")
+    pos += 4
+    if pos + vlen > len(data):
+        raise ValueError("flac: truncated vorbis vendor string")
+    out = {"vendor": data[pos : pos + vlen].decode("utf-8", "replace")}
+    pos += vlen
+    if pos + 4 > len(data):
+        raise ValueError("flac: truncated vorbis comment count")
+    n = int.from_bytes(data[pos : pos + 4], "little")
+    pos += 4
+    for _ in range(n):
+        if pos + 4 > len(data):
+            raise ValueError("flac: truncated vorbis comment entry")
+        clen = int.from_bytes(data[pos : pos + 4], "little")
+        pos += 4
+        if pos + clen > len(data):
+            raise ValueError("flac: truncated vorbis comment entry body")
+        entry = data[pos : pos + clen].decode("utf-8", "replace")
+        pos += clen
+        k, _, v = entry.partition("=")
+        if k:
+            out[k.lower()] = v
+    return out
+
+
+def build_vorbis_comment(tags: dict[str, str], vendor: str = "flacx-twin") -> bytes:
+    body = bytearray()
+    vb = vendor.encode()
+    body += len(vb).to_bytes(4, "little") + vb
+    items = [(k, v) for k, v in tags.items() if k != "vendor"]
+    body += len(items).to_bytes(4, "little")
+    for k, v in items:
+        e = f"{k}={v}".encode()
+        body += len(e).to_bytes(4, "little") + e
+    return bytes(body)
+
+
 def probe_flac(payload: bytes) -> dict:
     """STREAMINFO-level metadata without PCM decode (frames in a FLAC
     stream carry no length field, so skipping without decode is not
-    possible — the cheap probe is the STREAMINFO contract)."""
+    possible — the cheap probe is the STREAMINFO contract). Tag blocks
+    (VORBIS_COMMENT) are parsed into ``tags``; other metadata blocks are
+    skipped by type."""
     info, first_frame = parse_metadata(payload)
+    # second metadata walk for tags (parse_metadata validated structure)
+    tags: dict[str, str] = {}
+    pos = 4
+    while True:
+        hdr = payload[pos]
+        length = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        if (hdr & 0x7F) == 4:
+            tags = parse_vorbis_comment(payload[pos + 4 : pos + 4 + length])
+        pos += 4 + length
+        if hdr & 0x80:
+            break
     dur = info.total_samples / info.sample_rate if info.sample_rate else 0.0
     audio_bytes = len(payload) - first_frame
     return {
@@ -595,6 +652,7 @@ def probe_flac(payload: bytes) -> dict:
         "bitrate_kbps": int(round(audio_bytes * 8 / dur / 1000)) if dur else 0,
         "block_size": info.max_blocksize,
         "md5_present": info.md5 != b"\x00" * 16,
+        "tags": tags,
     }
 
 
@@ -835,6 +893,7 @@ def encode_flac(
     use_wasted: bool = True,
     escape_parts: set[int] | None = None,
     write_md5: bool = True,
+    tags: dict[str, str] | None = None,
 ) -> bytes:
     """Spec-valid FLAC stream for int PCM ``samples`` ([n] mono or
     [n, channels]); lossless by construction (decoder roundtrip is the
@@ -863,7 +922,11 @@ def encode_flac(
     streaminfo = si.getvalue() + md5
 
     out = bytearray(b"fLaC")
-    out += bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+    si_last = 0x00 if tags else 0x80
+    out += bytes([si_last]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+    if tags:
+        vc = build_vorbis_comment(tags)
+        out += bytes([0x80 | 4]) + len(vc).to_bytes(3, "big") + vc
 
     frame_no = 0
     for off in range(0, n, block_size):

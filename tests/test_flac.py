@@ -265,3 +265,31 @@ def test_random_sweep():
             subframe_mode=str(rng.choice(["auto", "fixed", "lpc", "verbatim"])),
             partition_order=int(rng.choice([0, 1, 2])),
         )
+
+
+def test_vorbis_comment_roundtrip():
+    s = _sig(2000)
+    enc = encode_flac(
+        s, 8000, tags={"title": "Test Clip", "artist": "builder twin", "lang": "en"}
+    )
+    p = probe_flac(enc)
+    assert p["tags"]["title"] == "Test Clip"
+    assert p["tags"]["artist"] == "builder twin"
+    assert p["tags"]["vendor"] == "flacx-twin"
+    # PCM decode unaffected by the extra metadata block
+    dec, _, _ = decode_flac(enc)
+    assert np.array_equal(dec[:, 0], s)
+    # streams without tags report empty tags
+    assert probe_flac(encode_flac(s, 8000))["tags"] == {}
+
+
+def test_vorbis_comment_truncation_rejected():
+    from pdf_toolkit_ray.functions.flacx import parse_vorbis_comment
+
+    good = encode_flac(_sig(500), 8000, tags={"k": "v"})
+    p = probe_flac(good)
+    assert p["tags"]["k"] == "v"
+    with pytest.raises(ValueError):
+        parse_vorbis_comment(b"\xff\xff\xff\xff")  # vendor length overruns
+    with pytest.raises(ValueError):
+        parse_vorbis_comment(b"\x02\x00\x00\x00ab\x05\x00\x00\x00\x01\x00\x00\x00x")
