@@ -227,10 +227,10 @@ def size_gated_join(
     def _block_bytes(b: pa.Table) -> pa.Table:
         return pa.table({"nbytes": pa.array([b.nbytes], pa.int64())})
 
-    total = int(
-        side.map_batches(_block_bytes, batch_format="pyarrow")
-        .to_pandas()["nbytes"].sum()  # one row per block, bounded by block count
-    )
+    probe = side.map_batches(_block_bytes, batch_format="pyarrow").to_pandas()
+    # a fully empty side produces NO batches → no "nbytes" column (found by
+    # the hypothesis layout property test); treat as 0 bytes → broadcast
+    total = int(probe["nbytes"].sum()) if "nbytes" in probe.columns else 0
     if total <= BROADCAST_GATE_BYTES:
         blocks = [t for t in ray.get(side.to_arrow_refs()) if t.num_rows]
         if blocks:

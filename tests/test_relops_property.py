@@ -1,0 +1,213 @@
+"""Hypothesis property tests for the core relational operators: random
+small tables in random multi-block layouts must match single-process
+pandas references exactly — layout independence is the property every
+distributed operator here claims (the same guarantee the SQL twins rely
+on at the driver).
+
+Examples are kept modest (each one builds Ray datasets); the generators
+bias toward the nasty shapes: duplicate keys, empty sides, ties in sort
+columns, single-row blocks.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pdf_toolkit_ray import relops
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+def _ds_from(tbl: pa.Table, rng: np.random.RandomState):
+    """Random multi-block layout: shuffled rows, uneven slices."""
+    import ray.data
+
+    n = tbl.num_rows
+    if n == 0:
+        return ray.data.from_arrow(tbl)
+    perm = rng.permutation(n)
+    t = tbl.take(pa.array(perm))
+    cuts = sorted(rng.choice(np.arange(1, n), size=min(3, n - 1), replace=False)) if n > 1 else []
+    bounds = [0] + list(cuts) + [n]
+    return ray.data.from_arrow(
+        [t.slice(a, b - a) for a, b in zip(bounds[:-1], bounds[1:])]
+    )
+
+
+def _sorted_df(obj) -> pd.DataFrame:
+    df = obj.to_pandas() if not isinstance(obj, pd.DataFrame) else obj
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+keys_st = st.lists(st.integers(0, 6), min_size=1, max_size=40)
+
+
+@given(keys=keys_st, vals=st.lists(st.integers(-100, 100), min_size=1, max_size=40),
+       seed=st.integers(0, 2**20))
+@settings(**_SETTINGS)
+def test_pre_agg_groupby_matches_pandas(ray_session, keys, vals, seed):
+    n = min(len(keys), len(vals))
+    keys, vals = keys[:n], vals[:n]
+    tbl = pa.table({"k": pa.array(keys, pa.int64()), "v": pa.array(vals, pa.int64())})
+    rng = np.random.RandomState(seed)
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["k"]).aggregate([("v", "sum")])
+        return pa.table({"k": g.column("k"), "v": g.column("v_sum")})
+
+    got = relops.pre_agg_groupby(
+        _ds_from(tbl, rng), ["k"], partial, [Sum("v", alias_name="s")]
+    ).to_pandas()
+    want = (
+        pd.DataFrame({"k": keys, "v": vals}).groupby("k", as_index=False)["v"]
+        .sum().rename(columns={"v": "s"})
+    )
+    pd.testing.assert_frame_equal(
+        _sorted_df(got).astype({"s": np.int64}), _sorted_df(want).astype({"s": np.int64})
+    )
+
+
+@given(
+    lk=keys_st,
+    rk=st.lists(st.integers(0, 6), min_size=0, max_size=10),
+    how=st.sampled_from(["inner", "left"]),
+    seed=st.integers(0, 2**20),
+)
+@settings(**_SETTINGS)
+def test_size_gated_join_matches_pandas(ray_session, lk, rk, how, seed):
+    rng = np.random.RandomState(seed)
+    left = pa.table(
+        {
+            "k": pa.array(lk, pa.int64()),
+            "lv": pa.array(rng.randint(0, 50, len(lk)), pa.int64()),
+        }
+    )
+    rk = sorted(set(rk))  # side must be unique-keyed (it's a flag/dim table)
+    side = pa.table(
+        {
+            "rk": pa.array(rk, pa.int64()),
+            "rv": pa.array(np.arange(len(rk)), pa.int64()),
+        }
+    )
+    got = relops.size_gated_join(
+        _ds_from(left, rng),
+        _ds_from(side, rng),
+        on="k",
+        right_on="rk",
+        how=how,
+        num_partitions=2,
+    ).to_pandas()
+    want = pd.DataFrame({"k": lk, "lv": left.column("lv").to_pylist()}).merge(
+        pd.DataFrame({"k": rk, "rv": np.arange(len(rk))}),
+        on="k",
+        how=how,
+    )
+    if len(want) == 0:
+        # Ray can emit schema-less empty results (handled by callers via
+        # empty= / _pin_schema); the contract here is just "no rows"
+        assert len(got) == 0
+        return
+    got = got[["k", "lv", "rv"]]
+    pd.testing.assert_frame_equal(
+        _sorted_df(got).astype({"k": np.float64, "lv": np.float64, "rv": np.float64}),
+        _sorted_df(want).astype({"k": np.float64, "lv": np.float64, "rv": np.float64}),
+    )
+
+
+@given(keys=keys_st, k=st.integers(1, 4), seed=st.integers(0, 2**20))
+@settings(**_SETTINGS)
+def test_window_topk_per_key_matches_pandas(ray_session, keys, k, seed):
+    rng = np.random.RandomState(seed)
+    n = len(keys)
+    tbl = pa.table(
+        {
+            "key": pa.array(keys, pa.int64()),
+            "v": pa.array(rng.randint(0, 8, n), pa.int64()),  # deliberate ties
+            "tie": pa.array(np.arange(n), pa.int64()),
+        }
+    )
+    got = relops.window_topk_per_key(
+        _ds_from(tbl, rng), "key",
+        [("v", "descending"), ("tie", "ascending")], k,
+    ).to_pandas()
+    df = tbl.to_pandas().sort_values(
+        ["key", "v", "tie"], ascending=[True, False, True]
+    )
+    want = df.groupby("key", sort=False).head(k).copy()
+    want["rn"] = (want.groupby("key", sort=False).cumcount() + 1).astype(np.int64)
+    pd.testing.assert_frame_equal(_sorted_df(got), _sorted_df(want))
+
+
+@given(
+    lts=st.lists(st.integers(0, 50), min_size=1, max_size=25),
+    rts=st.lists(st.integers(0, 50), min_size=0, max_size=25),
+    seed=st.integers(0, 2**20),
+)
+@settings(**_SETTINGS)
+def test_asof_join_matches_pandas_merge_asof(ray_session, lts, rts, seed):
+    rng = np.random.RandomState(seed)
+    key_l = rng.randint(0, 3, len(lts))
+    key_r = rng.randint(0, 3, len(rts))
+    rts_u = []  # merge_asof needs unique (key, ts) on the right for a defined answer
+    seen = set()
+    for kk, tt in zip(key_r, rts):
+        if (kk, tt) not in seen:
+            seen.add((kk, tt))
+            rts_u.append((kk, tt))
+    left = pa.table(
+        {
+            "key": pa.array(key_l, pa.int64()),
+            "ts": pa.array(lts, pa.int64()),
+            "lid": pa.array(np.arange(len(lts)), pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "key": pa.array([kk for kk, _ in rts_u], pa.int64()),
+            "ts": pa.array([tt for _, tt in rts_u], pa.int64()),
+            "payload": pa.array([kk * 1000 + tt for kk, tt in rts_u], pa.int64()),
+        }
+    )
+    got = relops.asof_join(
+        _ds_from(left, rng), _ds_from(right, rng), "key", "ts",
+        {"payload": "payload"},
+    ).to_pandas()
+    ldf = left.to_pandas().sort_values("ts", kind="stable")
+    rdf = right.to_pandas().sort_values("ts", kind="stable")
+    want = pd.merge_asof(ldf, rdf, on="ts", by="key", direction="backward")
+    pd.testing.assert_frame_equal(
+        _sorted_df(got[["key", "ts", "lid", "payload"]]),
+        _sorted_df(want[["key", "ts", "lid", "payload"]]),
+    )
+
+
+@given(vals=st.lists(st.integers(-1000, 1000), min_size=1, max_size=60),
+       k=st.integers(1, 8), seed=st.integers(0, 2**20))
+@settings(**_SETTINGS)
+def test_topk_matches_pandas(ray_session, vals, k, seed):
+    rng = np.random.RandomState(seed)
+    tbl = pa.table(
+        {
+            "v": pa.array(vals, pa.int64()),
+            "tie": pa.array(np.arange(len(vals)), pa.int64()),
+        }
+    )
+    got = relops.topk(
+        _ds_from(tbl, rng), [("v", "descending"), ("tie", "ascending")], k
+    ).to_pandas()
+    want = (
+        tbl.to_pandas()
+        .sort_values(["v", "tie"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
