@@ -211,3 +211,100 @@ def test_topk_matches_pandas(ray_session, vals, k, seed):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+
+
+@given(
+    gk=st.lists(st.integers(0, 4), min_size=1, max_size=40),
+    dv=st.lists(st.integers(0, 5), min_size=1, max_size=40),
+    seed=st.integers(0, 2**20),
+)
+@settings(**_SETTINGS)
+def test_distinct_count_matches_pandas(ray_session, gk, dv, seed):
+    n = min(len(gk), len(dv))
+    gk, dv = gk[:n], dv[:n]
+    rng = np.random.RandomState(seed)
+    tbl = pa.table({"g": pa.array(gk, pa.int64()), "d": pa.array(dv, pa.int64())})
+    got = relops.distinct_count(_ds_from(tbl, rng), "g", "d", "nd").to_pandas()
+    want = (
+        pd.DataFrame({"g": gk, "d": dv}).groupby("g", as_index=False)["d"]
+        .nunique().rename(columns={"d": "nd"})
+    )
+    pd.testing.assert_frame_equal(
+        _sorted_df(got).astype({"nd": np.int64}), _sorted_df(want).astype({"nd": np.int64})
+    )
+
+
+@given(
+    gk=st.lists(st.integers(0, 5), min_size=1, max_size=40),
+    seed=st.integers(0, 2**20),
+)
+@settings(**_SETTINGS)
+def test_bucketed_groupby_sees_whole_groups(ray_session, gk, seed):
+    """Every group must arrive at exactly one per_group call, whole —
+    counts computed inside the bucket must equal global counts."""
+    rng = np.random.RandomState(seed)
+    tbl = pa.table({"g": pa.array(gk, pa.int64())})
+    empty = pa.table({"g": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})
+
+    def per_group(group: pa.Table) -> pa.Table:
+        t = group.group_by(["g"]).aggregate([("g", "count")])
+        return pa.table(
+            {"g": t.column("g"), "n": pa.array(t.column("g_count").to_pylist(), pa.int64())}
+        )
+
+    got = relops.bucketed_groupby(_ds_from(tbl, rng), ["g"], per_group, empty=empty).to_pandas()
+    want = pd.DataFrame({"g": gk}).groupby("g", as_index=False).size().rename(columns={"size": "n"})
+    pd.testing.assert_frame_equal(
+        _sorted_df(got).astype({"n": np.int64}), _sorted_df(want).astype({"n": np.int64})
+    )
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)), min_size=1, max_size=30
+    ),
+    seed=st.integers(0, 2**20),
+)
+@settings(**_SETTINGS)
+def test_connected_components_matches_union_find(ray_session, edges, seed):
+    import ray.data
+
+    from pdf_toolkit_ray.stages.dedup import connected_components
+
+    rng = np.random.RandomState(seed)
+    tbl = pa.table(
+        {
+            "a": pa.array([a for a, _ in edges], pa.int64()),
+            "b": pa.array([b for _, b in edges], pa.int64()),
+        }
+    )
+    got = (
+        connected_components(_ds_from(tbl, rng))
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+
+    # straight-line union-find reference
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = sorted({x for e in edges for x in e})
+    # label = min node id in the component
+    comp: dict[int, list[int]] = {}
+    for x in nodes:
+        comp.setdefault(find(x), []).append(x)
+    want_label = {}
+    for members in comp.values():
+        m = min(members)
+        for x in members:
+            want_label[x] = m
+    assert got["node"].tolist() == nodes
+    assert got["label"].tolist() == [want_label[x] for x in nodes]
