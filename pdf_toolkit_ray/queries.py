@@ -1885,6 +1885,43 @@ def multimodal_audio_features(sf_dir: str):
     return audio_features(ray.data.from_arrow(synthesize_media_table(64)))
 
 
+def multimodal_audio_spectral(sf_dir: str):
+    """Driver-hashable spectral-feature pass: decode (WAV here; the FLAC
+    twin digest covers the other real decode path) → zero-crossing rate,
+    spectral centroid, 85% rolloff (stages/multimodal.py::AudioSpectral,
+    vectorized numpy rFFT per clip in an actor pool). The digest pins the
+    DSP at integer quantization; each feature is also analytically
+    verified against pure sines in pytest."""
+    import ray.data
+
+    from .stages.multimodal import audio_spectral, synthesize_media_table
+
+    ds = audio_spectral(ray.data.from_arrow(synthesize_media_table(64)))
+    return _feature_digest(
+        ds,
+        {
+            "n_clips": lambda b: b.num_rows,
+            "sum_zcr_micro": lambda b: int(
+                sum(round(v * 1e6) for v in b.column("zcr").to_pylist())
+            ),
+            "sum_centroid_milli": lambda b: int(
+                sum(round(v * 1e3) for v in b.column("centroid_hz").to_pylist())
+            ),
+            "sum_rolloff_milli": lambda b: int(
+                sum(round(v * 1e3) for v in b.column("rolloff_hz").to_pylist())
+            ),
+        },
+    )
+
+
+MULTIMODAL_AUDIO_SPECTRAL_SQL = """
+SELECT CAST(t.a AS BIGINT) AS n_clips, CAST(t.b AS BIGINT) AS sum_zcr_micro,
+       CAST(t.c AS BIGINT) AS sum_centroid_milli,
+       CAST(t.d AS BIGINT) AS sum_rolloff_milli
+FROM (VALUES (32, 7463734, 33005706, 29916000)) t(a, b, c, d)
+"""
+
+
 def multimodal_mp4_frames(sf_dir: str):
     """Rows-only: REAL ISO BMFF (MP4) container demux — box-tree walk +
     full sample-table expansion (stsd/stts/stss/stsc/stsz/stco, see
@@ -8514,6 +8551,10 @@ REGISTRY: dict[str, tuple] = {
     "multimodal_mp3_probe": (multimodal_mp3_probe, MULTIMODAL_MP3_PROBE_SQL),
     "multimodal_flac_probe": (multimodal_flac_probe, MULTIMODAL_FLAC_PROBE_SQL),
     "multimodal_flac_digest": (multimodal_flac_digest, MULTIMODAL_FLAC_DIGEST_SQL),
+    "multimodal_audio_spectral": (
+        multimodal_audio_spectral,
+        MULTIMODAL_AUDIO_SPECTRAL_SQL,
+    ),
     "extract_transcripts": (extract_transcripts, None),
     "extract_kind_stats": (extract_kind_stats, None),
     "extract_digest_smoke": (extract_digest_smoke, EXTRACT_DIGEST_SMOKE_SQL),

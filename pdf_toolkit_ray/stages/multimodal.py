@@ -663,6 +663,69 @@ class AudioFeatures:
         )
 
 
+class AudioSpectral:
+    """Actor stage: decode → spectral features (real DSP, vectorized):
+
+    * ``zcr`` — zero-crossing rate (fraction of adjacent sample pairs
+      with a sign change);
+    * ``centroid_hz`` — spectral centroid over the rFFT magnitude
+      spectrum (the "center of mass" frequency);
+    * ``rolloff_hz`` — 85th-percentile spectral rolloff (the frequency
+      below which 85% of spectral energy sits).
+
+    For a pure sine at f the centroid and rolloff are ≈ f and zcr ≈
+    2f/rate — pinned analytically in tests. Works for every REAL audio
+    path (WAV PCM, FLAC via the from-scratch codec)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, zcrs, cents, rolls = [], [], [], []
+        for mid, kind, payload in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("kind").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            if kind != "audio":
+                continue
+            samples, rate = decode_audio(payload)
+            ids.append(mid)
+            if len(samples) < 2 or not np.any(samples):
+                zcrs.append(0.0)
+                cents.append(0.0)
+                rolls.append(0.0)
+                continue
+            sgn = np.signbit(samples)
+            zcr = float(np.mean(sgn[1:] != sgn[:-1]))
+            mag = np.abs(np.fft.rfft(samples))
+            freqs = np.fft.rfftfreq(len(samples), d=1.0 / rate)
+            tot = float(mag.sum())
+            centroid = float((freqs * mag).sum() / tot) if tot > 0 else 0.0
+            energy = mag * mag
+            cum = np.cumsum(energy)
+            roll_idx = int(np.searchsorted(cum, 0.85 * cum[-1]))
+            roll = float(freqs[min(roll_idx, len(freqs) - 1)])
+            zcrs.append(round(zcr, 6))
+            cents.append(round(centroid, 3))
+            rolls.append(round(roll, 3))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "zcr": pa.array(zcrs, pa.float64()),
+                "centroid_hz": pa.array(cents, pa.float64()),
+                "rolloff_hz": pa.array(rolls, pa.float64()),
+            }
+        )
+
+
+def audio_spectral(ds: ray.data.Dataset, concurrency=(1, 4)) -> ray.data.Dataset:
+    return ds.map_batches(
+        AudioSpectral,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=32,
+        concurrency=concurrency,
+    )
+
+
 def image_features(ds: ray.data.Dataset, concurrency=(1, 4)) -> ray.data.Dataset:
     return ds.map_batches(
         ImageFeatures,

@@ -460,3 +460,52 @@ def test_multimodal_digest_pins_and_sensitivity(ray_session):
         {"thumb_digest_sum": lambda b: _hex_digest_sum(b.column("thumb_digest"))},
     ).to_pydict()
     assert mutated["thumb_digest_sum"] != [1185982483987052357]
+
+
+def test_audio_spectral_analytic_sines(ray_session):
+    """Pure sines pin the DSP analytically: centroid/rolloff ≈ f,
+    zcr ≈ 2f/rate; a full-rate FLAC clip goes through the same stage."""
+    import io
+    import wave
+
+    import pyarrow as pa
+    import ray.data
+
+    from pdf_toolkit_ray.functions.flacx import encode_flac
+    from pdf_toolkit_ray.stages.multimodal import audio_spectral
+
+    rate = 8000
+    rows = []
+    for mid, f in enumerate([250.0, 1000.0, 2000.0]):
+        t = np.arange(rate) / rate  # 1 second → 1 Hz bins
+        samples = (np.sin(2 * np.pi * f * t) * 20000).astype(np.int16)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(rate)
+            wf.writeframes(samples.tobytes())
+        rows.append((mid, buf.getvalue()))
+    # same 1 kHz tone as FLAC: the real codec feeds the same DSP
+    t = np.arange(rate) / rate
+    rows.append(
+        (3, encode_flac((np.sin(2 * np.pi * 1000.0 * t) * 20000).astype(np.int32), rate))
+    )
+    tbl = pa.table(
+        {
+            "media_id": pa.array([r[0] for r in rows], pa.int64()),
+            "kind": pa.array(["audio"] * len(rows)),
+            "payload": pa.array([r[1] for r in rows], pa.binary()),
+        }
+    )
+    out = (
+        audio_spectral(ray.data.from_arrow(tbl))
+        .to_pandas().sort_values("media_id").reset_index(drop=True)
+    )
+    for i, f in enumerate([250.0, 1000.0, 2000.0, 1000.0]):
+        assert abs(out.loc[i, "centroid_hz"] - f) < f * 0.02 + 5
+        assert abs(out.loc[i, "rolloff_hz"] - f) < f * 0.02 + 5
+        assert abs(out.loc[i, "zcr"] - 2 * f / 8000) < 0.01
+    # WAV and FLAC of the same tone must agree closely
+    assert abs(out.loc[1, "centroid_hz"] - out.loc[3, "centroid_hz"]) < 1.0
+    assert abs(out.loc[1, "zcr"] - out.loc[3, "zcr"]) < 1e-6
