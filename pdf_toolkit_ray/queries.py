@@ -1885,6 +1885,44 @@ def multimodal_audio_features(sf_dir: str):
     return audio_features(ray.data.from_arrow(synthesize_media_table(64)))
 
 
+def multimodal_tiff_bmp_digest(sf_dir: str):
+    """Driver-hashable pin of the from-scratch BMP + baseline-TIFF
+    decoders (functions/tiffx.py): encoder-twin fixtures (24-bit BMP,
+    TIFF in both byte orders, multi-strip, RGB + grayscale) flow through
+    the SAME ImageFeatures actor stage as PNG/JPEG/PPM — the pixel means
+    and thumbnail digests pin the full decode (row padding, BGR order,
+    strip assembly, byte-order handling)."""
+    import ray.data
+
+    from .stages.multimodal import image_features, synthesize_tiff_bmp_table
+
+    ds = image_features(ray.data.from_arrow(synthesize_tiff_bmp_table(12)))
+    return _feature_digest(
+        ds,
+        {
+            "n_images": lambda b: b.num_rows,
+            "sum_width": lambda b: pc.sum(b.column("width")).as_py() or 0,
+            "sum_height": lambda b: pc.sum(b.column("height")).as_py() or 0,
+            "sum_mean_milli": lambda b: int(
+                sum(
+                    round(m * 1000)
+                    for row in b.column("channel_means").to_pylist()
+                    for m in row
+                )
+            ),
+            "thumb_digest_sum": lambda b: _hex_digest_sum(b.column("thumb_digest")),
+        },
+    )
+
+
+MULTIMODAL_TIFF_BMP_DIGEST_SQL = """
+SELECT CAST(t.a AS BIGINT) AS n_images, CAST(t.b AS BIGINT) AS sum_width,
+       CAST(t.c AS BIGINT) AS sum_height, CAST(t.d AS BIGINT) AS sum_mean_milli,
+       CAST(t.e AS BIGINT) AS thumb_digest_sum
+FROM (VALUES (12, 377, 400, 4593037, 318748172431596604)) t(a, b, c, d, e)
+"""
+
+
 def multimodal_audio_spectral(sf_dir: str):
     """Driver-hashable spectral-feature pass: decode (WAV here; the FLAC
     twin digest covers the other real decode path) → zero-crossing rate,
@@ -8554,6 +8592,10 @@ REGISTRY: dict[str, tuple] = {
     "multimodal_audio_spectral": (
         multimodal_audio_spectral,
         MULTIMODAL_AUDIO_SPECTRAL_SQL,
+    ),
+    "multimodal_tiff_bmp_digest": (
+        multimodal_tiff_bmp_digest,
+        MULTIMODAL_TIFF_BMP_DIGEST_SQL,
     ),
     "extract_transcripts": (extract_transcripts, None),
     "extract_kind_stats": (extract_kind_stats, None),

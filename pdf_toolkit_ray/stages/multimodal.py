@@ -78,6 +78,14 @@ def decode_image(payload: bytes) -> np.ndarray:
         from ..functions.gifx import decode_gif
 
         return decode_gif(payload)[0]
+    if payload.startswith(b"BM"):
+        from ..functions.tiffx import decode_bmp
+
+        return decode_bmp(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from ..functions.tiffx import decode_tiff
+
+        return decode_tiff(payload)
     raise NotImplementedError(f"unsupported image container: {payload[:4]!r}")
 
 
@@ -594,6 +602,43 @@ def synthesize_flac_table(n: int = 12, seed: int = 45) -> pa.Table:
         {
             "media_id": pa.array([r[0] for r in rows], pa.int64()),
             "kind": pa.array(["audio"] * n),
+            "payload": pa.array([r[1] for r in rows], pa.binary()),
+        }
+    )
+
+
+def synthesize_tiff_bmp_table(n: int = 12, seed: int = 46) -> pa.Table:
+    """Deterministic scanned-doc-style rows: BMP (24-bit) and baseline
+    TIFF (both byte orders, multi-strip, RGB + grayscale) via the encoder
+    twins in functions/tiffx.py."""
+    from ..functions.tiffx import encode_bmp, encode_tiff
+
+    rows = []
+    for i in range(n):
+        rng = np.random.RandomState(seed * 99_991 + i)
+        w, h = int(rng.randint(12, 48)), int(rng.randint(12, 48))
+        kind = i % 4
+        if kind == 0:
+            payload = encode_bmp(rng.randint(0, 256, (h, w, 3), np.uint8))
+        elif kind == 1:
+            payload = encode_tiff(
+                rng.randint(0, 256, (h, w, 3), np.uint8),
+                byte_order="II", rows_per_strip=int(rng.randint(3, 9)),
+            )
+        elif kind == 2:
+            payload = encode_tiff(
+                rng.randint(0, 256, (h, w, 3), np.uint8), byte_order="MM"
+            )
+        else:  # grayscale scan
+            payload = encode_tiff(
+                rng.randint(0, 256, (h, w), np.uint8),
+                byte_order="II", rows_per_strip=int(rng.randint(4, 12)),
+            )
+        rows.append((i, payload))
+    return pa.table(
+        {
+            "media_id": pa.array([r[0] for r in rows], pa.int64()),
+            "kind": pa.array(["image"] * n),
             "payload": pa.array([r[1] for r in rows], pa.binary()),
         }
     )
