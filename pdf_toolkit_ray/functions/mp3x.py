@@ -179,6 +179,93 @@ def _id3v2_size(payload: bytes) -> int:
     return 10 + size + (10 if flags & 0x10 else 0)
 
 
+_ID3_TEXT_FRAMES = {"TIT2": "title", "TPE1": "artist", "TALB": "album",
+                    "TYER": "year", "TDRC": "year", "TCON": "genre"}
+_ID3_FRAME_BY_TAG = {v: k for k, v in _ID3_TEXT_FRAMES.items() if k != "TDRC"}
+
+
+def build_id3v2_frames(tags: dict[str, str], version: int = 4) -> bytes:
+    """REAL ID3v2.3/2.4 text frames (not an opaque blob): frame id +
+    size (synchsafe in v4, plain in v3) + flags + encoding byte 0x03
+    (UTF-8) + text. Pass through ``build_mp3(id3v2_payload=...)``."""
+    if version not in (3, 4):
+        raise ValueError("id3 version 3 or 4")
+    out = bytearray()
+    for key, value in tags.items():
+        fid = _ID3_FRAME_BY_TAG.get(key, key.upper() if len(key) == 4 else None)
+        if fid is None:
+            raise ValueError(f"id3: no frame mapping for tag {key!r}")
+        body = b"\x03" + value.encode("utf-8")
+        if version == 4:
+            sz = len(body)
+            size = bytes([(sz >> 21) & 0x7F, (sz >> 14) & 0x7F,
+                          (sz >> 7) & 0x7F, sz & 0x7F])
+        else:
+            size = struct.pack(">I", len(body))
+        out += fid.encode("ascii") + size + b"\x00\x00" + body
+    return bytes(out)
+
+
+def parse_id3v2_tags(payload: bytes) -> dict[str, str]:
+    """Parse leading ID3v2.3/2.4 text frames → friendly tag dict
+    (unknown T-frames keyed by their lowercase frame id). Non-text
+    frames are skipped by size; a corrupt frame ends the walk (the tag
+    area past it is padding by spec)."""
+    if len(payload) < 10 or payload[:3] != b"ID3":
+        return {}
+    version = payload[3]
+    total = _id3v2_size(payload)
+    if total == 0:
+        return {}
+    pos = 10
+    if payload[5] & 0x40 and pos + 4 <= len(payload):  # extended header
+        ext = 0
+        for b in payload[pos : pos + 4]:
+            ext = (ext << 7) | (b & 0x7F)
+        pos += max(ext, 4) if version == 4 else 4 + struct.unpack_from(">I", payload, pos)[0]
+    end = min(total, len(payload))
+    tags: dict[str, str] = {}
+    while pos + 10 <= end:
+        fid = payload[pos : pos + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break  # padding
+        if not all(65 <= c <= 90 or 48 <= c <= 57 for c in fid):
+            break
+        if version == 4:
+            sz = 0
+            for b in payload[pos + 4 : pos + 8]:
+                if b & 0x80:
+                    return tags  # corrupt size
+                sz = (sz << 7) | b
+        else:
+            sz = struct.unpack_from(">I", payload, pos + 4)[0]
+        body = payload[pos + 10 : pos + 10 + sz]
+        if len(body) < sz:
+            break
+        if fid[:1] == b"T" and sz >= 1:
+            enc = body[0]
+            raw = body[1:]
+            try:
+                if enc == 0:
+                    text = raw.decode("latin-1")
+                elif enc == 1:
+                    text = raw.decode("utf-16")
+                elif enc == 2:
+                    text = raw.decode("utf-16-be")
+                elif enc == 3:
+                    text = raw.decode("utf-8")
+                else:
+                    text = ""
+            except UnicodeDecodeError:
+                text = ""
+            text = text.rstrip("\x00")
+            if text:
+                key = _ID3_TEXT_FRAMES.get(fid.decode("ascii"), fid.decode("ascii").lower())
+                tags[key] = text
+        pos += 10 + sz
+    return tags
+
+
 def _parse_xing(payload: bytes, frame: Mp3Frame) -> dict | None:
     """Xing/Info VBR header in the first Layer-III frame (after side info)."""
     if frame.layer != 3:

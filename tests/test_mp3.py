@@ -142,3 +142,47 @@ def test_mp3_probe_query_matches_pinned_twin(ray_session):
     pd.testing.assert_frame_equal(
         got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
     )
+
+
+def test_id3v2_text_frames_roundtrip():
+    """Real ID3v2 text frames (v2.4 synchsafe + v2.3 plain sizes,
+    UTF-8/UTF-16/latin-1 encodings) parse back through the tag walk."""
+    from pdf_toolkit_ray.functions.mp3x import (
+        build_id3v2_frames,
+        parse_id3v2_tags,
+        parse_mp3,
+    )
+
+    tags = {"title": "Späm & Eggs", "artist": "builder twin", "album": "fixtures"}
+    for version in (3, 4):
+        frames = build_id3v2_frames(tags, version=version)
+        mp3 = build_mp3(5, bitrate_kbps=128, sample_rate=44100,
+                        id3v2_payload=frames)
+        # header version byte must match the frame-size convention
+        mp3 = mp3[:3] + bytes([version]) + mp3[4:]
+        got = parse_id3v2_tags(mp3)
+        assert got == tags, (version, got)
+        info = parse_mp3(mp3)
+        assert info.n_frames == 5 and info.id3v2_bytes > 0
+
+    # UTF-16 with BOM and latin-1 bodies parse too
+    body16 = b"TIT2" + bytes([0, 0, 0, 1 + len("Tëst".encode("utf-16"))]) + b"\x00\x00" \
+        + b"\x01" + "Tëst".encode("utf-16")
+    raw = b"ID3\x03\x00\x00" + bytes([0, 0, (len(body16) >> 7) & 0x7F, len(body16) & 0x7F]) + body16
+    assert parse_id3v2_tags(raw)["title"] == "Tëst"
+
+
+def test_id3v2_tags_corrupt_safe():
+    from pdf_toolkit_ray.functions.mp3x import build_id3v2_frames, parse_id3v2_tags
+
+    frames = build_id3v2_frames({"title": "x" * 50})
+    mp3 = build_mp3(3, bitrate_kbps=128, sample_rate=44100, id3v2_payload=frames)
+    assert parse_id3v2_tags(mp3)["title"] == "x" * 50
+    # truncations and bit flips never raise — worst case fewer tags
+    for cut in (5, 12, 20, 40):
+        parse_id3v2_tags(mp3[:cut])
+    bad = bytearray(mp3)
+    for pos in (11, 14, 17, 21):
+        bad[pos] ^= 0xFF
+        parse_id3v2_tags(bytes(bad))
+    assert parse_id3v2_tags(b"") == {} and parse_id3v2_tags(b"ID3") == {}
