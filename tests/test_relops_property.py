@@ -308,3 +308,57 @@ def test_connected_components_matches_union_find(ray_session, edges, seed):
             want_label[x] = m
     assert got["node"].tolist() == nodes
     assert got["label"].tolist() == [want_label[x] for x in nodes]
+
+
+@given(seed=st.integers(0, 2**20), n_docs=st.integers(6, 18))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_ngram_jaccard_pairs_equals_brute_force(ray_session, seed, n_docs):
+    """End-to-end dedup property: LSH candidates + exact verify must equal
+    the brute-force all-pairs trigram-Jaccard filter. At threshold 0.8
+    with 64 perms / 32 bands the LSH miss probability per true pair is
+    (1 - 0.8^2)^32 < 1e-14, so equality (not superset) is the contract;
+    planted near-duplicates guarantee the pair set is non-trivial."""
+    import ray.data
+
+    from pdf_toolkit_ray.stages.dedup import ngram_jaccard_pairs
+
+    rng = np.random.RandomState(seed)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(n_docs):
+        words = list(rng.choice(vocab, size=int(rng.randint(8, 20))))
+        docs.append(" ".join(words))
+        if rng.rand() < 0.5 and len(words) > 9:  # plant a near-dup
+            mutated = list(words)
+            mutated[-1] = str(rng.choice(vocab))
+            docs.append(" ".join(mutated))
+    ids = np.arange(len(docs), dtype=np.int64)
+    tbl = pa.table({"doc_id": pa.array(ids), "text": pa.array(docs, pa.string())})
+    got = (
+        ngram_jaccard_pairs(_ds_from(tbl, rng), "doc_id", "text", threshold=0.8)
+        .to_pandas()
+    )
+    got_pairs = {
+        (int(a), int(b), round(float(j), 4))
+        for a, b, j in zip(got["a"], got["b"], got["jaccard"])
+    }
+
+    def grams(t):
+        w = t.split(" ")
+        if len(w) < 3:
+            return {t}
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    want_pairs = set()
+    gs = [grams(t) for t in docs]
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            inter = len(gs[i] & gs[j])
+            union = len(gs[i] | gs[j])
+            jac = inter / union if union else 0.0
+            if jac >= 0.8:
+                want_pairs.add((i, j, round(round(jac, 4), 4)))
+    assert {(a, b) for a, b, _ in got_pairs} == {(a, b) for a, b, _ in want_pairs}
+    assert got_pairs == want_pairs  # jaccard values match at the engine's 4dp contract
