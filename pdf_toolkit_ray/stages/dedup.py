@@ -932,6 +932,16 @@ def _verify_pairs_batch(
     )
 
 
+def _pairs_empty(id_type: pa.DataType) -> pa.Table:
+    return pa.table(
+        {
+            "a": pa.array([], type=id_type),
+            "b": pa.array([], type=id_type),
+            "jaccard": pa.array([], type=pa.float64()),
+        }
+    )
+
+
 def ngram_jaccard_pairs(
     ds: ray.data.Dataset,
     id_col: str = "doc_id",
@@ -1033,9 +1043,16 @@ def ngram_jaccard_pairs(
         pair_chunks = [
             pairs.slice(i, chunk) for i in range(0, pairs.num_rows, chunk)
         ]
-        return ray.data.from_arrow(pair_chunks).map_batches(
+        verified = ray.data.from_arrow(pair_chunks).map_batches(
             _verify_broadcast, batch_format="pyarrow", zero_copy_batch=True
         )
+        # when EVERY candidate fails the exact verify, the map emits only
+        # 0-row blocks whose schema Ray drops — pin the typed empty so
+        # downstream select_columns/joins never see a schema-less dataset
+        # (found by the hypothesis layout property suite)
+        # pairs-after-verify are tiny; materialize so the ref-level
+        # empty-block strip sees final block metadata
+        return drop_empty_blocks(verified.materialize(), _pairs_empty(id_type))
 
     # scale path: global distinct of the cross-bucket pair duplicates
     # first (a second bucketed shuffle over id-pair rows only), then
@@ -1078,4 +1095,9 @@ def ngram_jaccard_pairs(
     def _verify(batch: pa.Table) -> pa.Table:
         return _verify_pairs_batch(batch, n, threshold)
 
-    return cand.map_batches(_verify, batch_format="pyarrow", zero_copy_batch=True)
+    return drop_empty_blocks(
+        cand.map_batches(
+            _verify, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize(),
+        _pairs_empty(id_type),
+    )

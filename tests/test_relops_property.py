@@ -336,10 +336,14 @@ def test_ngram_jaccard_pairs_equals_brute_force(ray_session, seed, n_docs):
             docs.append(" ".join(mutated))
     ids = np.arange(len(docs), dtype=np.int64)
     tbl = pa.table({"doc_id": pa.array(ids), "text": pa.array(docs, pa.string())})
-    got = (
-        ngram_jaccard_pairs(_ds_from(tbl, rng), "doc_id", "text", threshold=0.8)
-        .to_pandas()
-    )
+    got_ds = ngram_jaccard_pairs(_ds_from(tbl, rng), "doc_id", "text", threshold=0.8)
+    # the dataset keeps the typed (a, b, jaccard) schema even when empty
+    # (downstream select_columns relies on it); Ray's to_pandas drops
+    # columns on any 0-row dataset, so read the schema before converting
+    assert got_ds.schema().base_schema.names == ["a", "b", "jaccard"]
+    got = got_ds.to_pandas()
+    if len(got) == 0:
+        got = pd.DataFrame({"a": [], "b": [], "jaccard": []})
     got_pairs = {
         (int(a), int(b), round(float(j), 4))
         for a, b, j in zip(got["a"], got["b"], got["jaccard"])
