@@ -66,7 +66,7 @@ def decode_image(payload: bytes) -> np.ndarray:
     (from-scratch Huffman + spectral-selection/successive-approximation
     scans + IDCT + YCbCr pipeline in ``functions/jpegx.py``).
     Arithmetic-coded JPEG raises ``NotImplementedError``."""
-    if payload.startswith(b"P6"):
+    if payload[:2] in (b"P6", b"P5"):
         return _decode_ppm(payload)
     if payload.startswith(b"\x89PNG"):
         return decode_png(payload)
@@ -196,14 +196,24 @@ def _decode_ppm(payload: bytes) -> np.ndarray:
 
     # header ends after exactly ONE whitespace char — pixel bytes may
     # themselves be 0x0A/0x20, so naive split() would swallow them
-    match = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", payload)
+    match = re.match(rb"(P[56])\s+(\d+)\s+(\d+)\s+(\d+)\s", payload)
     if not match:
-        raise ValueError("malformed PPM header")
-    width, height, maxval = (int(g) for g in match.groups())
+        raise ValueError("malformed PPM/PGM header")
+    kind = match.group(1)
+    width, height, maxval = (int(g) for g in match.groups()[1:])
     if maxval != 255:
-        raise ValueError("only 8-bit PPM supported")
+        raise ValueError("only 8-bit PPM/PGM supported")
     data = payload[match.end() :]
-    pixels = np.frombuffer(data[: width * height * 3], dtype=np.uint8)
+    if kind == b"P5":  # grayscale PGM → replicate to RGB
+        need = width * height
+        if len(data) < need:
+            raise ValueError("pgm: truncated pixel data")
+        g = np.frombuffer(data[:need], dtype=np.uint8).reshape(height, width)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    need = width * height * 3
+    if len(data) < need:
+        raise ValueError("ppm: truncated pixel data")
+    pixels = np.frombuffer(data[:need], dtype=np.uint8)
     return pixels.reshape(height, width, 3)
 
 

@@ -111,3 +111,14 @@ def test_tiff_fuzz():
             struct.pack_into("<H", bad2, base + 8, 5)  # LZW
     with pytest.raises(NotImplementedError):
         decode_tiff(bytes(bad2))
+
+
+def test_pgm_p5_grayscale_decodes():
+    from pdf_toolkit_ray.stages.multimodal import decode_image
+
+    g = np.random.RandomState(6).randint(0, 256, (7, 11), np.uint8)
+    payload = b"P5\n11 7\n255\n" + g.tobytes()
+    got = decode_image(payload)
+    assert np.array_equal(got, np.repeat(g[:, :, None], 3, axis=2))
+    with pytest.raises(ValueError):
+        decode_image(payload[:-5])  # truncated pixel data
