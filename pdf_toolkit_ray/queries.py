@@ -1061,6 +1061,43 @@ SELECT a, b, round(j, 4) AS jaccard FROM (
 """
 
 
+def fuzzy_lev_pairs_documents(sf_dir: str):
+    """Edit-distance near-dup pairs: frequency-capped word-5-gram
+    inverted-index candidates + exact byte-level Levenshtein verify on
+    the 64-char prefix key (``stages.dedup.fuzzy_lev_pairs``). The
+    Jaccard family sees "mostly the same shingle set"; this sees "same
+    string with a few local edits" — deterministic end to end, so the
+    twin is full-value."""
+    ds = scan(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup_mod.fuzzy_lev_pairs(ds, "doc_id", "text")
+
+
+# exact twin: the SAME frequency-capped inverted shingle index (5-gram,
+# cap 50) generates candidates, DuckDB's byte-level levenshtein() is the
+# verify — both predicates are deterministic, so Ray and SQL agree row
+# for row (the kernel's byte semantics are pinned by a test against
+# DuckDB in tests/test_editdist.py).
+FUZZY_LEV_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+s AS (
+  SELECT doc_id, unnest(CASE WHEN len(words) >= 5 THEN
+      list_distinct(list_transform(range(1, len(words) - 3),
+        i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' '
+             || words[i+3] || ' ' || words[i+4]))
+    ELSE [array_to_string(words, ' ')] END) AS sh
+  FROM w),
+ok AS (SELECT sh FROM s GROUP BY sh HAVING count(*) <= 50),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM s x JOIN s y ON x.sh = y.sh AND x.doc_id < y.doc_id
+  WHERE x.sh IN (SELECT sh FROM ok)),
+k AS (SELECT doc_id, substr(text, 1, 64) AS key FROM documents)
+SELECT c.a, c.b, CAST(levenshtein(ka.key, kb.key) AS BIGINT) AS lev
+FROM cand c JOIN k ka ON ka.doc_id = c.a JOIN k kb ON kb.doc_id = c.b
+WHERE levenshtein(ka.key, kb.key) <= 8
+"""
+
+
 import functools
 
 
@@ -8057,6 +8094,161 @@ FROM t GROUP BY conv_id
 """
 
 
+def response_latency_transcripts(sf_dir: str):
+    """Per-assistant-turn RESPONSE LATENCY over agent traces: for every
+    assistant turn, microseconds since the most recent PRIOR user
+    activity in the same conversation (running max of user ``ts`` —
+    shift-robust even if a trace's timestamps are not strictly monotone
+    in ``turn_idx``). The latency telemetry an agent-quality pipeline
+    slices by model/tool mix. Shape: per-batch local distinct collapses
+    the feed's exact-duplicate rows, ONE conv-bucketed shuffle
+    co-locates each conversation, and the running max is a vectorized
+    ``np.maximum.accumulate`` per conversation slice. Output: one row
+    per assistant turn that has a prior user turn."""
+    ds = ray.data.read_parquet(
+        _transcripts_path(sf_dir), columns=["conv_id", "turn_idx", "role", "ts"]
+    )
+
+    pairs = ds.map_batches(
+        lambda b: b.group_by(["conv_id", "turn_idx", "role", "ts"]).aggregate([]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    empty = pa.table(
+        {
+            "conv_id": pa.array([], pa.string()),
+            "turn_idx": pa.array([], pa.int32()),
+            "latency_us": pa.array([], pa.int64()),
+        }
+    )
+
+    def bucket_fn(group: pa.Table) -> pa.Table:
+        d = group.group_by(["conv_id", "turn_idx", "role", "ts"]).aggregate([])
+        conv = np.asarray(d.column("conv_id").to_numpy(zero_copy_only=False))
+        turn = d.column("turn_idx").to_numpy(zero_copy_only=False)
+        role = np.asarray(d.column("role").to_numpy(zero_copy_only=False))
+        ts_us = d.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((turn, conv))
+        conv, turn, role, ts_us = conv[order], turn[order], role[order], ts_us[order]
+        lo = np.iinfo(np.int64).min
+        user_ts = np.where(role == "user", ts_us, lo)
+        starts = np.flatnonzero(np.r_[True, conv[1:] != conv[:-1]])
+        bounds = np.r_[starts, len(conv)]
+        prev_user = np.empty(len(conv), np.int64)
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            run = np.maximum.accumulate(user_ts[s:e])
+            prev_user[s] = lo
+            prev_user[s + 1 : e] = run[:-1]
+        keep = (role == "assistant") & (prev_user != lo)
+        return pa.table(
+            {
+                "conv_id": pa.array(conv[keep]),
+                "turn_idx": pa.array(turn[keep], pa.int32()),
+                "latency_us": pa.array(ts_us[keep] - prev_user[keep], pa.int64()),
+            }
+        )
+
+    out = relops.bucketed_groupby(pairs, ["conv_id"], bucket_fn, empty=empty)
+    df = out.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def response_latency_transcripts_sql(sf_dir: str | None = None) -> str:
+    path = _transcripts_sql_source(sf_dir)
+    return f"""
+WITH t AS (SELECT DISTINCT conv_id, turn_idx, role, ts FROM read_parquet('{path}')),
+w AS (SELECT conv_id, turn_idx, role, ts,
+             max(CASE WHEN role = 'user' THEN ts END) OVER (
+               PARTITION BY conv_id ORDER BY turn_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_user_ts
+      FROM t)
+SELECT conv_id, turn_idx,
+       CAST(date_diff('microsecond', prev_user_ts, ts) AS BIGINT) AS latency_us
+FROM w WHERE role = 'assistant' AND prev_user_ts IS NOT NULL
+"""
+
+
+def turn_enrich_skew_join_transcripts(sf_dir: str):
+    """Enrich every turn with its conversation's turn count through
+    ``relops.skew_join`` — the skew-hardened join exercised end to end
+    on the naturally skewed key of agent traces (conversation length):
+    turns of conversations longer than the hot threshold join MAP-SIDE
+    against a broadcast of their counts (no shuffle partition ever owns
+    a mega-conversation), short conversations go through the normal
+    partitioned hash join, and the union is the result. Deterministic —
+    the hot set is a pure function of the data — so the twin is
+    full-value SQL."""
+    ds = ray.data.read_parquet(
+        _transcripts_path(sf_dir), columns=["conv_id", "turn_idx", "role"]
+    )
+
+    pairs = ds.map_batches(
+        lambda b: b.group_by(["conv_id", "turn_idx", "role"]).aggregate([]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    empty = pa.table(
+        {
+            "conv_id": pa.array([], pa.string()),
+            "turn_idx": pa.array([], pa.int32()),
+            "role": pa.array([], pa.string()),
+        }
+    )
+    turns = relops.bucketed_groupby(
+        pairs,
+        ["conv_id"],
+        lambda g: g.group_by(["conv_id", "turn_idx", "role"]).aggregate([]),
+        empty=empty,
+    )
+
+    def _cnt_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["conv_id"]).aggregate([("turn_idx", "count")])
+        return pa.table(
+            {"conv_id": g.column("conv_id"), "cnt": g.column("turn_idx_count")}
+        )
+
+    counts = relops.pre_agg_groupby(
+        turns.select_columns(["conv_id", "turn_idx"]),
+        ["conv_id"],
+        _cnt_partial,
+        [Sum("cnt", alias_name="n_turns")],
+    )
+
+    # threshold 16: the fixture's long conversations take the broadcast
+    # branch, the short ones the partitioned branch — both code paths in
+    # one driver-hashed answer
+    out = relops.skew_join(
+        turns, counts, on="conv_id", hot_key_threshold=16, num_partitions=8
+    )
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": batch.column("conv_id"),
+                "turn_idx": batch.column("turn_idx"),
+                "role": batch.column("role"),
+                "n_turns": pc.cast(batch.column("n_turns"), pa.int64()),
+            }
+        )
+
+    df = (
+        out.map_batches(_finish, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def turn_enrich_skew_join_transcripts_sql(sf_dir: str | None = None) -> str:
+    path = _transcripts_sql_source(sf_dir)
+    return f"""
+WITH t AS (SELECT DISTINCT conv_id, turn_idx, role FROM read_parquet('{path}')),
+c AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns FROM t GROUP BY conv_id)
+SELECT t.conv_id, t.turn_idx, t.role, c.n_turns
+FROM t JOIN c USING (conv_id)
+"""
+
+
 def role_bigram_transcripts_sql(sf_dir: str | None = None) -> str:
     path = _transcripts_sql_source(sf_dir)
     return f"""
@@ -8567,6 +8759,7 @@ REGISTRY: dict[str, tuple] = {
     "minhash_clusters_documents": (minhash_clusters_documents, MINHASH_CLUSTERS_SQL),
     "simhash_documents": (simhash_documents, SIMHASH_SQL),
     "ngram_dup_pairs_documents": (ngram_dup_pairs_documents, NGRAM_PAIRS_SQL),
+    "fuzzy_lev_pairs_documents": (fuzzy_lev_pairs_documents, FUZZY_LEV_SQL),
     "embedding_topk": (embedding_topk, EMBEDDING_TOPK_SQL),
     "embedding_topk_lsh": (embedding_topk_lsh, None),
     "embedding_topk_lsh_recall": (embedding_topk_lsh_recall, EMBEDDING_TOPK_LSH_RECALL_SQL),
@@ -8607,6 +8800,8 @@ REGISTRY: dict[str, tuple] = {
     "role_bigram_transcripts": (role_bigram_transcripts, None),
     "tool_usage_transcripts": (tool_usage_transcripts, None),
     "conv_signals_transcripts": (conv_signals_transcripts, None),
+    "response_latency_transcripts": (response_latency_transcripts, None),
+    "turn_enrich_skew_join_transcripts": (turn_enrich_skew_join_transcripts, None),
 }
 
 #: oracle SQL that must be built lazily (embeds a generated-on-demand
@@ -8616,6 +8811,8 @@ LAZY_SQL: dict[str, Any] = {
     "role_bigram_transcripts": role_bigram_transcripts_sql,
     "tool_usage_transcripts": tool_usage_transcripts_sql,
     "conv_signals_transcripts": conv_signals_transcripts_sql,
+    "response_latency_transcripts": response_latency_transcripts_sql,
+    "turn_enrich_skew_join_transcripts": turn_enrich_skew_join_transcripts_sql,
 }
 
 

@@ -641,11 +641,140 @@ def sessionize(
         _sessions, batch_format="pyarrow"
     )
 
+def skew_join(
+    big: ray.data.Dataset,
+    small: ray.data.Dataset,
+    *,
+    on: str,
+    right_on: str | None = None,
+    how: str = "inner",
+    num_partitions: int | None = None,
+    hot_key_threshold: int | None = None,
+    max_hot_keys: int = 4096,
+) -> ray.data.Dataset:
+    """Partitioned hash join HARDENED AGAINST KEY SKEW in ``big``.
+
+    A plain hash join sends every row of a key to ONE partition; a hot
+    key (a conversation with 10^8 turns, a null-ish default id) turns
+    that partition into the straggler that holds the whole stage. This
+    op splits the traffic:
+
+    1. a column-pruned COUNT pre-pass over ``big[on]`` (per-batch
+       partial counts → tiny groupby) finds keys whose row count
+       exceeds ``hot_key_threshold`` (default: 4× the expected
+       rows-per-partition, floored at 10k — i.e. keys that alone would
+       make a partition ≥4× average);
+    2. HOT rows never shuffle: the hot slice of ``small`` (≤
+       ``max_hot_keys`` keys — beyond that the skew needs upstream
+       salting and this raises rather than silently OOMing a worker)
+       broadcasts once via ``ray.put`` and joins map-side;
+    3. COLD rows go through the normal partitioned ``Dataset.join``;
+    4. the union of both branches is the result.
+
+    With no hot keys this degrades to exactly the plain join plus one
+    cheap counting pass. ``how`` is "inner" or "left". ``big`` is
+    consumed by two branch pipelines — pass a materialized/ref-backed
+    dataset if its upstream is expensive to recompute."""
+    ensure_join_tuning()
+    if how not in ("inner", "left"):
+        raise ValueError("skew_join supports how='inner'|'left'")
+    rkey = right_on or on
+
+    def _cnt_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by([on]).aggregate([(on, "count")])
+        return pa.table({on: g.column(on), "cnt": g.column(f"{on}_count")})
+
+    counts = pre_agg_groupby(
+        big.select_columns([on]), [on], _cnt_partial, [Sum("cnt", alias_name="cnt")]
+    ).to_pandas()
+    total = int(counts["cnt"].sum()) if len(counts) else 0
+    if num_partitions is None:
+        num_partitions = choose_num_partitions_for(big)
+    if hot_key_threshold is None:
+        hot_key_threshold = max(10_000, 4 * total // max(num_partitions, 1))
+    hot = counts[counts["cnt"] > hot_key_threshold]
+    if len(hot) > max_hot_keys:
+        raise ValueError(
+            f"skew_join: {len(hot)} keys exceed hot_key_threshold="
+            f"{hot_key_threshold} (max_hot_keys={max_hot_keys}); salt the "
+            "key upstream instead of brute-forcing the broadcast"
+        )
+    join_type = {"inner": "inner", "left": "left_outer"}[how]
+    if len(hot) == 0:
+        return big.join(
+            small, join_type, num_partitions=num_partitions,
+            on=(on,), right_on=(rkey,),
+        )
+
+    hot_keys = pa.array(hot[on].to_list())
+    hot_ref = ray.put(hot_keys)
+
+    def _is_hot(batch: pa.Table, col: str) -> pa.Array:
+        return pc.is_in(batch.column(col), value_set=ray.get(hot_ref))
+
+    # hot slice of the SMALL side: tiny by construction (few hot keys)
+    all_blocks = ray.get(
+        small.map_batches(
+            lambda b: b.filter(_is_hot(b, rkey)),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ).to_arrow_refs()
+    )
+    hot_small_blocks = [t for t in all_blocks if t.num_rows]
+    if hot_small_blocks:
+        hot_small = pa.concat_tables(hot_small_blocks).combine_chunks()
+    else:
+        # 0-row map_batches blocks still carry their schema; fall back to
+        # the dataset schema (names/types) only when there are no blocks
+        proto = next((t for t in all_blocks if t.schema.names), None)
+        arrow_schema = (
+            proto.schema
+            if proto is not None
+            else pa.schema(zip(small.schema().names, small.schema().types))
+        )
+        hot_small = arrow_schema.empty_table()
+    if rkey != on:
+        hot_small = hot_small.rename_columns(
+            [on if c == rkey else c for c in hot_small.column_names]
+        )
+
+    big_hot = big.map_batches(
+        lambda b: b.filter(_is_hot(b, on)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    big_cold = big.map_batches(
+        lambda b: b.filter(pc.invert(_is_hot(b, on))),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    hot_joined = broadcast_join(big_hot, hot_small, on=on, how=how)
+    cold_joined = big_cold.join(
+        small, join_type, num_partitions=num_partitions, on=(on,), right_on=(rkey,)
+    )
+    # the two branches come from different join kernels (pa.Table.join vs
+    # Ray's hash join) whose output column ORDER differs; union requires
+    # one schema, so both project to big-cols + small's non-key cols
+    # (non-key column names must be disjoint across the two sides)
+    big_schema = getattr(big.schema(), "base_schema", big.schema())
+    small_schema = getattr(small.schema(), "base_schema", small.schema())
+    expected = list(big_schema.names) + [
+        c for c in small_schema.names if c != rkey and c not in big_schema.names
+    ]
+
+    def _proj(batch: pa.Table) -> pa.Table:
+        return batch.select(expected)
+
+    hot_joined = hot_joined.map_batches(
+        _proj, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cold_joined = cold_joined.map_batches(
+        _proj, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hot_joined.union(cold_joined)
+
 
 __all__ = [
     "scan", "round_cols", "pre_agg_groupby", "coalesce_partials", "broadcast_join",
     "semi_join_filter", "topk", "distinct_count", "sessionize", "asof_join",
-    "bucketed_groupby",
+    "bucketed_groupby", "skew_join",
     "choose_num_partitions", "table_path",
     "Count", "Max", "Mean", "Min", "Sum",
 ]

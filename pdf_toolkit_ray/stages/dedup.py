@@ -1101,3 +1101,203 @@ def ngram_jaccard_pairs(
         ).materialize(),
         _pairs_empty(id_type),
     )
+
+
+def _word_shingles(text: str, gram: int) -> list[str]:
+    words = text.split(" ")
+    if len(words) < gram:
+        return [text]
+    seen: dict[str, None] = {}
+    for i in range(len(words) - gram + 1):
+        seen[" ".join(words[i : i + gram])] = None
+    return list(seen)
+
+
+def fuzzy_lev_pairs(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    key_len: int = 64,
+    max_dist: int = 8,
+    gram: int = 5,
+    shingle_cap: int = 50,
+    broadcast_pair_limit: int = 100_000,
+) -> ray.data.Dataset:
+    """EDIT-DISTANCE near-dup pairs — the dedup family member for
+    "same document, small local edits" (retyped titles, OCR slips,
+    template fills) where set-similarity (Jaccard) is the wrong lens.
+
+    Candidate generation is a FREQUENCY-CAPPED inverted shingle index:
+    explode each doc to its distinct word ``gram``-grams (docs shorter
+    than ``gram`` words contribute their whole text), co-locate each
+    shingle's postings with one bucketed shuffle carrying (shingle, id)
+    only, DROP shingles whose posting list exceeds ``shingle_cap`` (stop
+    shingles — a shingle shared by everything carries no near-dup signal
+    but would emit a quadratic pair explosion), and emit the a<b pairs of
+    the survivors. Verification computes the EXACT byte-level Levenshtein
+    distance (``functions.editdist.levenshtein_batch``, vectorized across
+    the pair batch) between the two docs' first ``key_len`` characters
+    and keeps pairs at ``distance <= max_dist``.
+
+    The candidate predicate (shared surviving shingle) and the verify
+    predicate are both exactly SQL-expressible, so the whole op has a
+    full-value DuckDB twin (``queries.FUZZY_LEV_SQL``) — unlike the LSH
+    family there is no sampling randomness anywhere. Scale budget: the
+    explode ships shingle STRINGS (~6 words) per row; at petabyte scale
+    hash them to int64 first (collision odds ~1e-9 per corpus) — kept as
+    strings here so the twin needs no hash emulation. Texts never enter
+    the shuffle; the verify attach is size-gated on candidate count like
+    ``ngram_jaccard_pairs`` (broadcast keys under the limit, distributed
+    joins above)."""
+    from ..functions.editdist import levenshtein_batch
+    from ..relops import bucketed_groupby, drop_empty_blocks
+
+    id_type = ds.schema().base_schema.field(id_col).type
+    texts_ds = ds.select_columns([id_col, text_col])
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        out_ids: list = []
+        out_sh: list[str] = []
+        for i, t in zip(ids, texts):
+            sh = _word_shingles(t or "", gram)
+            out_sh.extend(sh)
+            out_ids.extend([i] * len(sh))
+        return pa.table(
+            {"sh": pa.array(out_sh, pa.string()), id_col: pa.array(out_ids, id_type)}
+        )
+
+    exploded = texts_ds.map_batches(
+        _explode, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    empty_pairs = pa.table(
+        {"a": pa.array([], type=id_type), "b": pa.array([], type=id_type)}
+    )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        # whole shingle groups land in one bucket: the cap is exact
+        counts = group.group_by(["sh"]).aggregate([(id_col, "count")])
+        keep = counts.filter(
+            pc.less_equal(counts.column(f"{id_col}_count"), shingle_cap)
+        ).select(["sh"])
+        kept = group.join(keep, keys=["sh"], join_type="inner")
+        right = pa.table({"sh": kept.column("sh"), "b": kept.column(id_col)})
+        j = kept.join(right, keys=["sh"], join_type="inner")
+        p = j.filter(pc.less(j.column(id_col), j.column("b")))
+        return pa.table(
+            {"a": p.column(id_col), "b": p.column("b")}
+        ).group_by(["a", "b"]).aggregate([])
+
+    cand = drop_empty_blocks(
+        bucketed_groupby(exploded, ["sh"], per_bucket, empty=empty_pairs).materialize(),
+        empty_pairs,
+    )
+
+    def _key_of(txt: pa.ChunkedArray | pa.Array) -> pa.Array:
+        return pc.utf8_slice_codeunits(txt, 0, key_len)
+
+    def _verify_tbl(joined: pa.Table) -> pa.Table:
+        d = levenshtein_batch(
+            joined.column("key_a").to_pylist(), joined.column("key_b").to_pylist()
+        )
+        keep = d <= max_dist
+        return pa.table(
+            {
+                "a": joined.column("a").filter(pa.array(keep)),
+                "b": joined.column("b").filter(pa.array(keep)),
+                "lev": pa.array(d[keep], pa.int64()),
+            }
+        )
+
+    fuzzy_empty = pa.table(
+        {
+            "a": pa.array([], type=id_type),
+            "b": pa.array([], type=id_type),
+            "lev": pa.array([], pa.int64()),
+        }
+    )
+
+    if cand.count() <= broadcast_pair_limit:
+        pair_blocks = [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows]
+        if not pair_blocks:
+            return ray.data.from_arrow(fuzzy_empty)
+        pairs = (
+            pa.concat_tables([t.select(["a", "b"]) for t in pair_blocks])
+            .group_by(["a", "b"])
+            .aggregate([])
+            .combine_chunks()
+        )
+        ids = pc.unique(
+            pa.chunked_array(
+                [pairs.column("a").combine_chunks(), pairs.column("b").combine_chunks()]
+            ).combine_chunks()
+        )
+        ids_ref = ray.put(ids)
+
+        def _select_keys(batch: pa.Table) -> pa.Table:
+            mask = pc.is_in(batch.column(id_col), value_set=ray.get(ids_ref))
+            kept = batch.filter(mask)
+            return pa.table(
+                {id_col: kept.column(id_col), "key": _key_of(kept.column(text_col))}
+            )
+
+        key_block_refs = texts_ds.map_batches(
+            _select_keys, batch_format="pyarrow", zero_copy_batch=True
+        ).to_arrow_refs()
+        keys_ref = _concat_tables_task.remote(*key_block_refs)
+
+        def _verify_broadcast(batch: pa.Table) -> pa.Table:
+            keys = ray.get(keys_ref)
+            ka = pa.table({"a": keys.column(id_col), "key_a": keys.column("key")})
+            kb = pa.table({"b": keys.column(id_col), "key_b": keys.column("key")})
+            joined = batch.join(ka, keys=["a"], join_type="inner")
+            joined = joined.join(kb, keys=["b"], join_type="inner")
+            return _verify_tbl(joined)
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        chunk = max(256, -(-pairs.num_rows // cpus))
+        pair_chunks = [pairs.slice(i, chunk) for i in range(0, pairs.num_rows, chunk)]
+        verified = ray.data.from_arrow(pair_chunks).map_batches(
+            _verify_broadcast, batch_format="pyarrow", zero_copy_batch=True
+        )
+        return drop_empty_blocks(verified.materialize(), fuzzy_empty)
+
+    # scale path: global pair distinct, then distributed key attach —
+    # each 64-char key crosses the wire once per pair side
+    cand = bucketed_groupby(
+        cand, ["a", "b"], lambda g: g.group_by(["a", "b"]).aggregate([]),
+        empty=empty_pairs,
+    )
+
+    def _keyed(side: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {side: batch.column(id_col), f"key_{side}": _key_of(batch.column(text_col))}
+            )
+
+        return fn
+
+    from ..relops import choose_num_partitions_for
+
+    num_partitions = choose_num_partitions_for(cand)
+    keys_a = texts_ds.map_batches(_keyed("a"), batch_format="pyarrow", zero_copy_batch=True)
+    keys_b = texts_ds.map_batches(_keyed("b"), batch_format="pyarrow", zero_copy_batch=True)
+    cand = cand.join(keys_a, "inner", num_partitions=num_partitions, on=("a",))
+    cand = drop_empty_blocks(
+        cand,
+        pa.table(
+            {
+                "a": pa.array([], type=id_type),
+                "b": pa.array([], type=id_type),
+                "key_a": pa.array([], pa.string()),
+            }
+        ),
+    )
+    cand = cand.join(keys_b, "inner", num_partitions=num_partitions, on=("b",))
+    verified = cand.map_batches(
+        lambda b: _verify_tbl(b), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return drop_empty_blocks(verified.materialize(), fuzzy_empty)
