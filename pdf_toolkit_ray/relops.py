@@ -700,11 +700,58 @@ def skew_join(
             "key upstream instead of brute-forcing the broadcast"
         )
     join_type = {"inner": "inner", "left": "left_outer"}[how]
+
+    # output contract shared by every path below: big's columns then
+    # small's non-key columns (non-key names must be disjoint). The typed
+    # empty also repairs Ray's schema-LESS zero-row join blocks (found by
+    # the hypothesis layout property suite).
+    big_names = list(big.schema().names)
+    small_schema = small.schema()
+    out_fields = list(zip(big_names, big.schema().types)) + [
+        (n, t)
+        for n, t in zip(small_schema.names, small_schema.types)
+        if n != rkey and n not in big_names
+    ]
+    expected = [n for n, _ in out_fields]
+    try:
+        empty_out = pa.schema(out_fields).empty_table()
+    except (pa.ArrowInvalid, pa.ArrowTypeError, TypeError):
+        empty_out = None  # non-arrow schema (opaque transform): best effort
+
+    def _finish(ds_out: ray.data.Dataset) -> ray.data.Dataset:
+        return drop_empty_blocks(ds_out, empty_out) if empty_out is not None else ds_out
+
+    # an EMPTY small side crashes Ray's hash join (schema-less blocks hit
+    # acero's key-field resolution); resolve it without joining at all
+    if small.count() == 0:
+        if how == "inner":
+            return (
+                ray.data.from_arrow(empty_out)
+                if empty_out is not None
+                else big.limit(0).join(
+                    small, join_type, num_partitions=1, on=(on,), right_on=(rkey,)
+                )
+            )
+        null_fields = [(n, t) for n, t in out_fields if n not in big_names]
+
+        def _append_nulls(batch: pa.Table) -> pa.Table:
+            for n, t in null_fields:
+                batch = batch.append_column(n, pa.nulls(batch.num_rows, t))
+            return batch.select(expected)
+
+        return big.map_batches(
+            _append_nulls, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    def _proj(batch: pa.Table) -> pa.Table:
+        return batch.select(expected)
+
     if len(hot) == 0:
-        return big.join(
+        plain = big.join(
             small, join_type, num_partitions=num_partitions,
             on=(on,), right_on=(rkey,),
-        )
+        ).map_batches(_proj, batch_format="pyarrow", zero_copy_batch=True)
+        return _finish(plain)
 
     hot_keys = pa.array(hot[on].to_list())
     hot_ref = ray.put(hot_keys)
@@ -745,30 +792,16 @@ def skew_join(
         lambda b: b.filter(pc.invert(_is_hot(b, on))),
         batch_format="pyarrow", zero_copy_batch=True,
     )
-    hot_joined = broadcast_join(big_hot, hot_small, on=on, how=how)
-    cold_joined = big_cold.join(
-        small, join_type, num_partitions=num_partitions, on=(on,), right_on=(rkey,)
-    )
     # the two branches come from different join kernels (pa.Table.join vs
     # Ray's hash join) whose output column ORDER differs; union requires
-    # one schema, so both project to big-cols + small's non-key cols
-    # (non-key column names must be disjoint across the two sides)
-    big_schema = getattr(big.schema(), "base_schema", big.schema())
-    small_schema = getattr(small.schema(), "base_schema", small.schema())
-    expected = list(big_schema.names) + [
-        c for c in small_schema.names if c != rkey and c not in big_schema.names
-    ]
-
-    def _proj(batch: pa.Table) -> pa.Table:
-        return batch.select(expected)
-
-    hot_joined = hot_joined.map_batches(
+    # one schema, so both project to the shared output contract
+    hot_joined = broadcast_join(big_hot, hot_small, on=on, how=how).map_batches(
         _proj, batch_format="pyarrow", zero_copy_batch=True
     )
-    cold_joined = cold_joined.map_batches(
-        _proj, batch_format="pyarrow", zero_copy_batch=True
-    )
-    return hot_joined.union(cold_joined)
+    cold_joined = big_cold.join(
+        small, join_type, num_partitions=num_partitions, on=(on,), right_on=(rkey,)
+    ).map_batches(_proj, batch_format="pyarrow", zero_copy_batch=True)
+    return _finish(hot_joined.union(cold_joined))
 
 
 __all__ = [

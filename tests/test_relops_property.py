@@ -366,3 +366,53 @@ def test_ngram_jaccard_pairs_equals_brute_force(ray_session, seed, n_docs):
                 want_pairs.add((i, j, round(round(jac, 4), 4)))
     assert {(a, b) for a, b, _ in got_pairs} == {(a, b) for a, b, _ in want_pairs}
     assert got_pairs == want_pairs  # jaccard values match at the engine's 4dp contract
+
+
+@given(
+    keys=st.lists(st.integers(0, 8), min_size=1, max_size=50),
+    small_keys=st.lists(st.integers(0, 10), min_size=0, max_size=8, unique=True),
+    threshold=st.integers(1, 20),
+    how=st.sampled_from(["inner", "left"]),
+    seed=st.integers(0, 2**20),
+)
+@settings(**_SETTINGS)
+def test_skew_join_matches_pandas_any_threshold(
+    ray_session, keys, small_keys, threshold, how, seed
+):
+    """skew_join == pandas merge for ANY hot threshold: whichever keys
+    land in the broadcast branch vs the partitioned branch, the union is
+    the same join."""
+    big = pa.table(
+        {
+            "k": pa.array(keys, pa.int64()),
+            "v": pa.array(np.arange(len(keys)), pa.int64()),
+        }
+    )
+    small = pa.table(
+        {
+            "k": pa.array(small_keys, pa.int64()),
+            "w": pa.array([k * 10 for k in small_keys], pa.int64()),
+        }
+    )
+    rng = np.random.RandomState(seed)
+    out = relops.skew_join(
+        _ds_from(big, rng),
+        _ds_from(small, rng),
+        on="k",
+        how=how,
+        hot_key_threshold=threshold,
+        num_partitions=4,
+        max_hot_keys=100,
+    )
+    ref = _sorted_df(big.to_pandas().merge(small.to_pandas(), on="k", how=how))
+    got = out.to_pandas()
+    if len(got) == 0:
+        # Ray's to_pandas drops columns on EMPTY datasets; the dataset
+        # itself must still be typed with the full output schema
+        assert len(ref) == 0
+        schema = out.schema()
+        assert sorted(schema.names) == sorted(ref.columns)
+    else:
+        got = _sorted_df(got)
+        assert got.shape == ref.shape
+        pd.testing.assert_frame_equal(got, ref, check_dtype=False)
