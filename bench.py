@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "dsir_weights_documents",
     "curate_documents",
     "semdedup_embeddings",
+    "fuzzy_lev_pairs_documents",
 ]
 
 
