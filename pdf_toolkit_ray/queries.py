@@ -1098,6 +1098,91 @@ WHERE levenshtein(ka.key, kb.key) <= 8
 """
 
 
+def fuzzy_lev_keep_best_documents(sf_dir: str):
+    """Canonicalization for the EDIT-DISTANCE dedup family (the analog of
+    ``dedup_near_keep_best`` for Jaccard clusters): fuzzy Levenshtein
+    pairs → distributed connected components → keep the longest doc per
+    cluster (tie → min doc_id), cluster size kept for audit. Same
+    bucketed per-cluster argmax shape; deterministic end to end."""
+    ds = scan(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = dedup_mod.fuzzy_lev_pairs(ds, "doc_id", "text")
+    labels = dedup_mod.connected_components(pairs)
+    meta = scan(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    with_cluster = dedup_mod.attach_cluster_ids(
+        meta, labels, "doc_id", keep_columns=["n_chars"]
+    )
+
+    empty = pa.table(
+        {
+            "cluster_id": pa.array([], pa.int64()),
+            "kept_doc_id": pa.array([], pa.int64()),
+            "n_chars": pa.array([], pa.int64()),
+            "cluster_size": pa.array([], pa.int64()),
+        }
+    )
+
+    def bucket_best(group: pa.Table) -> pa.Table:
+        cl = group.column("cluster_id").to_numpy(zero_copy_only=False)
+        nc = group.column("n_chars").to_numpy(zero_copy_only=False)
+        did = group.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, -nc, cl))
+        cl, nc, did = cl[order], nc[order], did[order]
+        first = np.r_[True, cl[1:] != cl[:-1]]
+        sizes = np.diff(np.r_[np.flatnonzero(first), len(cl)])
+        return pa.table(
+            {
+                "cluster_id": pa.array(cl[first], pa.int64()),
+                "kept_doc_id": pa.array(did[first], pa.int64()),
+                "n_chars": pa.array(nc[first], pa.int64()),
+                "cluster_size": pa.array(sizes, pa.int64()),
+            }
+        )
+
+    return relops.bucketed_groupby(with_cluster, ["cluster_id"], bucket_best, empty=empty)
+
+
+# the FUZZY candidate/verify CTEs finished with the same reach-closure +
+# per-cluster argmax as DEDUP_KEEP_BEST_SQL
+FUZZY_LEV_KEEP_BEST_SQL = """
+WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+s AS (
+  SELECT doc_id, unnest(CASE WHEN len(words) >= 5 THEN
+      list_distinct(list_transform(range(1, len(words) - 3),
+        i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' '
+             || words[i+3] || ' ' || words[i+4]))
+    ELSE [array_to_string(words, ' ')] END) AS sh
+  FROM w),
+ok AS (SELECT sh FROM s GROUP BY sh HAVING count(*) <= 50),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM s x JOIN s y ON x.sh = y.sh AND x.doc_id < y.doc_id
+  WHERE x.sh IN (SELECT sh FROM ok)),
+k AS (SELECT doc_id, substr(text, 1, 64) AS key FROM documents),
+p AS (
+  SELECT c.a, c.b
+  FROM cand c JOIN k ka ON ka.doc_id = c.a JOIN k kb ON kb.doc_id = c.b
+  WHERE levenshtein(ka.key, kb.key) <= 8),
+e AS (SELECT a AS src, b AS dst FROM p UNION ALL SELECT b AS src, a AS dst FROM p),
+reach AS (
+  SELECT src AS node, src AS lbl FROM e
+  UNION
+  SELECT e.dst AS node, r.lbl AS lbl FROM reach r JOIN e ON e.src = r.node
+),
+c AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+cl AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+  FROM documents d LEFT JOIN c ON d.doc_id = c.node
+)
+SELECT cluster_id, doc_id AS kept_doc_id, n_chars, cluster_size FROM (
+  SELECT cluster_id, doc_id, n_chars,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+  FROM cl
+) WHERE rn = 1
+"""
+
+
 import functools
 
 
@@ -8760,6 +8845,10 @@ REGISTRY: dict[str, tuple] = {
     "simhash_documents": (simhash_documents, SIMHASH_SQL),
     "ngram_dup_pairs_documents": (ngram_dup_pairs_documents, NGRAM_PAIRS_SQL),
     "fuzzy_lev_pairs_documents": (fuzzy_lev_pairs_documents, FUZZY_LEV_SQL),
+    "fuzzy_lev_keep_best_documents": (
+        fuzzy_lev_keep_best_documents,
+        FUZZY_LEV_KEEP_BEST_SQL,
+    ),
     "embedding_topk": (embedding_topk, EMBEDDING_TOPK_SQL),
     "embedding_topk_lsh": (embedding_topk_lsh, None),
     "embedding_topk_lsh_recall": (embedding_topk_lsh_recall, EMBEDDING_TOPK_LSH_RECALL_SQL),
