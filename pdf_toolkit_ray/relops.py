@@ -671,6 +671,11 @@ def skew_join(
     3. COLD rows go through the normal partitioned ``Dataset.join``;
     4. the union of both branches is the result.
 
+    NULL join keys (a skew magnet in real data — every unset id hashes
+    to one partition) never reach the shuffle either: they are dropped
+    map-side for ``how="inner"`` (SQL semantics: null matches nothing)
+    and emitted with typed-null small-side columns for ``how="left"``.
+
     With no hot keys this degrades to exactly the plain join plus one
     cheap counting pass. ``how`` is "inner" or "left". ``big`` is
     consumed by two branch pipelines — pass a materialized/ref-backed
@@ -692,7 +697,13 @@ def skew_join(
         num_partitions = choose_num_partitions_for(big)
     if hot_key_threshold is None:
         hot_key_threshold = max(10_000, 4 * total // max(num_partitions, 1))
-    hot = counts[counts["cnt"] > hot_key_threshold]
+    # NULL keys never match any key: they get their own map-side branch
+    # below (dropped for inner, typed-null-extended for left), so a
+    # null-heavy column neither piles into one shuffle partition nor
+    # pollutes the hot set
+    counts_nn = counts[counts[on].notna()] if len(counts) else counts
+    null_cnt = total - (int(counts_nn["cnt"].sum()) if len(counts_nn) else 0)
+    hot = counts_nn[counts_nn["cnt"] > hot_key_threshold]
     if len(hot) > max_hot_keys:
         raise ValueError(
             f"skew_join: {len(hot)} keys exceed hot_key_threshold="
@@ -721,6 +732,13 @@ def skew_join(
     def _finish(ds_out: ray.data.Dataset) -> ray.data.Dataset:
         return drop_empty_blocks(ds_out, empty_out) if empty_out is not None else ds_out
 
+    null_fields = [(n, t) for n, t in out_fields if n not in big_names]
+
+    def _append_nulls(batch: pa.Table) -> pa.Table:
+        for n, t in null_fields:
+            batch = batch.append_column(n, pa.nulls(batch.num_rows, t))
+        return batch.select(expected)
+
     # an EMPTY small side crashes Ray's hash join (schema-less blocks hit
     # acero's key-field resolution); resolve it without joining at all
     if small.count() == 0:
@@ -732,13 +750,6 @@ def skew_join(
                     small, join_type, num_partitions=1, on=(on,), right_on=(rkey,)
                 )
             )
-        null_fields = [(n, t) for n, t in out_fields if n not in big_names]
-
-        def _append_nulls(batch: pa.Table) -> pa.Table:
-            for n, t in null_fields:
-                batch = batch.append_column(n, pa.nulls(batch.num_rows, t))
-            return batch.select(expected)
-
         return big.map_batches(
             _append_nulls, batch_format="pyarrow", zero_copy_batch=True
         )
@@ -746,12 +757,32 @@ def skew_join(
     def _proj(batch: pa.Table) -> pa.Table:
         return batch.select(expected)
 
+    branches: list[ray.data.Dataset] = []
+    big_nn = big
+    if null_cnt:
+        big_nn = big.map_batches(
+            lambda b: b.filter(pc.is_valid(b.column(on))),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        if how == "left":
+            branches.append(
+                big.map_batches(
+                    lambda b: _append_nulls(b.filter(pc.is_null(b.column(on)))),
+                    batch_format="pyarrow", zero_copy_batch=True,
+                )
+            )
+
+    def _union(parts: list[ray.data.Dataset]) -> ray.data.Dataset:
+        return parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+
     if len(hot) == 0:
-        plain = big.join(
-            small, join_type, num_partitions=num_partitions,
-            on=(on,), right_on=(rkey,),
-        ).map_batches(_proj, batch_format="pyarrow", zero_copy_batch=True)
-        return _finish(plain)
+        branches.append(
+            big_nn.join(
+                small, join_type, num_partitions=num_partitions,
+                on=(on,), right_on=(rkey,),
+            ).map_batches(_proj, batch_format="pyarrow", zero_copy_batch=True)
+        )
+        return _finish(_union(branches))
 
     hot_keys = pa.array(hot[on].to_list())
     hot_ref = ray.put(hot_keys)
@@ -784,24 +815,28 @@ def skew_join(
             [on if c == rkey else c for c in hot_small.column_names]
         )
 
-    big_hot = big.map_batches(
+    big_hot = big_nn.map_batches(
         lambda b: b.filter(_is_hot(b, on)),
         batch_format="pyarrow", zero_copy_batch=True,
     )
-    big_cold = big.map_batches(
+    big_cold = big_nn.map_batches(
         lambda b: b.filter(pc.invert(_is_hot(b, on))),
         batch_format="pyarrow", zero_copy_batch=True,
     )
     # the two branches come from different join kernels (pa.Table.join vs
     # Ray's hash join) whose output column ORDER differs; union requires
     # one schema, so both project to the shared output contract
-    hot_joined = broadcast_join(big_hot, hot_small, on=on, how=how).map_batches(
-        _proj, batch_format="pyarrow", zero_copy_batch=True
+    branches.append(
+        broadcast_join(big_hot, hot_small, on=on, how=how).map_batches(
+            _proj, batch_format="pyarrow", zero_copy_batch=True
+        )
     )
-    cold_joined = big_cold.join(
-        small, join_type, num_partitions=num_partitions, on=(on,), right_on=(rkey,)
-    ).map_batches(_proj, batch_format="pyarrow", zero_copy_batch=True)
-    return _finish(hot_joined.union(cold_joined))
+    branches.append(
+        big_cold.join(
+            small, join_type, num_partitions=num_partitions, on=(on,), right_on=(rkey,)
+        ).map_batches(_proj, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    return _finish(_union(branches))
 
 
 __all__ = [

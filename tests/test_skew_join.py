@@ -132,3 +132,37 @@ def test_skew_join_too_many_hot_keys_raises(ray_session):
             hot_key_threshold=1,  # every key "hot"
             max_hot_keys=5,
         )
+
+
+def test_skew_join_null_keys(ray_session):
+    # null keys: SQL semantics (match nothing) — dropped for inner, kept
+    # with typed-null small columns for left; never shuffled either way
+    big = pa.table(
+        {
+            "k": pa.array([1, None, 2, None, 1], pa.int64()),
+            "v": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        }
+    )
+    small = pa.table(
+        {"k": pa.array([1], pa.int64()), "name": pa.array(["one"])}
+    )
+    b = ray_session.data.from_arrow(big)
+    s = ray_session.data.from_arrow(small)
+
+    inner = (
+        relops.skew_join(b, s, on="k", how="inner", hot_key_threshold=1,
+                         num_partitions=4, max_hot_keys=10)
+        .to_pandas().sort_values("v").reset_index(drop=True)
+    )
+    assert inner["v"].tolist() == [0, 4]
+    assert inner["name"].tolist() == ["one", "one"]
+
+    left = (
+        relops.skew_join(b, s, on="k", how="left", hot_key_threshold=1,
+                         num_partitions=4, max_hot_keys=10)
+        .to_pandas().sort_values("v").reset_index(drop=True)
+    )
+    assert left["v"].tolist() == [0, 1, 2, 3, 4]
+    assert left.loc[left["v"].isin([1, 3]), "name"].isna().all()
+    assert left.loc[left["v"] == 0, "name"].tolist() == ["one"]
+    assert left.loc[left["v"] == 2, "name"].isna().all()
