@@ -8213,7 +8213,10 @@ def response_latency_transcripts(sf_dir: str):
         turn = d.column("turn_idx").to_numpy(zero_copy_only=False)
         role = np.asarray(d.column("role").to_numpy(zero_copy_only=False))
         ts_us = d.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        order = np.lexsort((turn, conv))
+        # ts+role tie-breakers: the fixture has unique (conv, turn) but a
+        # feed with duplicate turn_idx must still order deterministically
+        # (and identically to the twin's window ORDER BY)
+        order = np.lexsort((role, ts_us, turn, conv))
         conv, turn, role, ts_us = conv[order], turn[order], role[order], ts_us[order]
         lo = np.iinfo(np.int64).min
         user_ts = np.where(role == "user", ts_us, lo)
@@ -8244,7 +8247,7 @@ def response_latency_transcripts_sql(sf_dir: str | None = None) -> str:
 WITH t AS (SELECT DISTINCT conv_id, turn_idx, role, ts FROM read_parquet('{path}')),
 w AS (SELECT conv_id, turn_idx, role, ts,
              max(CASE WHEN role = 'user' THEN ts END) OVER (
-               PARTITION BY conv_id ORDER BY turn_idx
+               PARTITION BY conv_id ORDER BY turn_idx, ts, role
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_user_ts
       FROM t)
 SELECT conv_id, turn_idx,
@@ -8300,9 +8303,20 @@ def turn_enrich_skew_join_transcripts(sf_dir: str):
 
     # threshold 16: the fixture's long conversations take the broadcast
     # branch, the short ones the partitioned branch — both code paths in
-    # one driver-hashed answer
+    # one driver-hashed answer. The counts we just aggregated ARE the
+    # per-key histogram, so skew_join skips its own count pre-pass.
+    kc = counts.map_batches(
+        lambda b: pa.table(
+            {
+                "conv_id": b.column("conv_id"),
+                "__skew_cnt": pc.cast(b.column("n_turns"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
     out = relops.skew_join(
-        turns, counts, on="conv_id", hot_key_threshold=16, num_partitions=8
+        turns, counts, on="conv_id", hot_key_threshold=16, num_partitions=8,
+        key_counts=kc,
     )
 
     def _finish(batch: pa.Table) -> pa.Table:

@@ -651,6 +651,7 @@ def skew_join(
     num_partitions: int | None = None,
     hot_key_threshold: int | None = None,
     max_hot_keys: int = 4096,
+    key_counts: "ray.data.Dataset | None" = None,
 ) -> ray.data.Dataset:
     """Partitioned hash join HARDENED AGAINST KEY SKEW in ``big``.
 
@@ -679,20 +680,56 @@ def skew_join(
     With no hot keys this degrades to exactly the plain join plus one
     cheap counting pass. ``how`` is "inner" or "left". ``big`` is
     consumed by two branch pipelines — pass a materialized/ref-backed
-    dataset if its upstream is expensive to recompute."""
+    dataset if its upstream is expensive to recompute. A caller that
+    already holds null-inclusive per-key counts of ``big`` can pass them
+    as ``key_counts`` (a Dataset with columns ``[on, "__skew_cnt"]``) to
+    skip the pre-pass. The histogram stays distributed — only totals and
+    the hot keys themselves reach the driver. ``small`` is materialized
+    internally (it is consumed by the row probe, the hot slice, and the
+    cold join)."""
     ensure_join_tuning()
     if how not in ("inner", "left"):
         raise ValueError("skew_join supports how='inner'|'left'")
     rkey = right_on or on
+    # small is consumed up to three times below (row probe, hot slice,
+    # cold join); it is small by definition, so pin its blocks once
+    small = small.materialize()
 
-    def _cnt_partial(batch: pa.Table) -> pa.Table:
-        g = batch.group_by([on]).aggregate([(on, "count")])
-        return pa.table({on: g.column(on), "cnt": g.column(f"{on}_count")})
+    if key_counts is None:
 
-    counts = pre_agg_groupby(
-        big.select_columns([on]), [on], _cnt_partial, [Sum("cnt", alias_name="cnt")]
-    ).to_pandas()
-    total = int(counts["cnt"].sum()) if len(counts) else 0
+        def _cnt_partial(batch: pa.Table) -> pa.Table:
+            # count_all, NOT (on, "count"): the latter skips nulls, which
+            # would hide a null-heavy key from both `total` and the
+            # null-branch routing (found by code review + repro)
+            g = batch.group_by([on]).aggregate([([], "count_all")])
+            return pa.table(
+                {on: g.column(on), "__skew_cnt": g.column("count_all")}
+            )
+
+        key_counts = pre_agg_groupby(
+            big.select_columns([on]),
+            [on],
+            _cnt_partial,
+            [Sum("__skew_cnt", alias_name="__skew_cnt")],
+        )
+    # the histogram is distinct-key-sized: it stays DISTRIBUTED and only
+    # three driver-sized reductions leave it — total rows, null rows, and
+    # the (few, by definition) hot keys
+    key_counts = key_counts.materialize()
+
+    def _sum_where(mask_fn) -> int:
+        def part(batch: pa.Table) -> pa.Table:
+            vals = batch.column("__skew_cnt").filter(mask_fn(batch))
+            s = pc.sum(vals).as_py() or 0
+            return pa.table({"s": pa.array([s], pa.int64())})
+
+        df = key_counts.map_batches(
+            part, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas()
+        return int(df["s"].sum()) if "s" in df.columns else 0
+
+    total = _sum_where(lambda b: pc.is_valid(b.column("__skew_cnt")))
+    null_cnt = _sum_where(lambda b: pc.is_null(b.column(on)))
     if num_partitions is None:
         num_partitions = choose_num_partitions_for(big)
     if hot_key_threshold is None:
@@ -701,9 +738,20 @@ def skew_join(
     # below (dropped for inner, typed-null-extended for left), so a
     # null-heavy column neither piles into one shuffle partition nor
     # pollutes the hot set
-    counts_nn = counts[counts[on].notna()] if len(counts) else counts
-    null_cnt = total - (int(counts_nn["cnt"].sum()) if len(counts_nn) else 0)
-    hot = counts_nn[counts_nn["cnt"] > hot_key_threshold]
+    thresh = hot_key_threshold
+
+    def _hot_part(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.is_valid(batch.column(on)),
+            pc.greater(batch.column("__skew_cnt"), thresh),
+        )
+        return batch.filter(m)
+
+    hot = key_counts.map_batches(
+        _hot_part, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    if on not in hot.columns:  # all-empty blocks lose the schema
+        hot = pd.DataFrame({on: []})
     if len(hot) > max_hot_keys:
         raise ValueError(
             f"skew_join: {len(hot)} keys exceed hot_key_threshold="
@@ -743,12 +791,12 @@ def skew_join(
     # acero's key-field resolution); resolve it without joining at all
     if small.count() == 0:
         if how == "inner":
-            return (
-                ray.data.from_arrow(empty_out)
-                if empty_out is not None
-                else big.limit(0).join(
-                    small, join_type, num_partitions=1, on=(on,), right_on=(rkey,)
-                )
+            if empty_out is not None:
+                return ray.data.from_arrow(empty_out)
+            # opaque schema: an empty null-extended projection of big —
+            # joining the empty small side would crash acero
+            return big.limit(0).map_batches(
+                _append_nulls, batch_format="pyarrow", zero_copy_batch=True
             )
         return big.map_batches(
             _append_nulls, batch_format="pyarrow", zero_copy_batch=True

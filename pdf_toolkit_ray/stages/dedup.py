@@ -913,8 +913,8 @@ def _verify_pairs_batch(
 ) -> pa.Table:
     a = batch.column("a").to_pylist()
     b = batch.column("b").to_pylist()
-    ta = batch.column("text_a").to_pylist()
-    tb = batch.column("text_b").to_pylist()
+    ta = batch.column("payload_a").to_pylist()
+    tb = batch.column("payload_b").to_pylist()
     a_out, b_out, jac = [], [], []
     for i in range(len(a)):
         sim = jaccard_ngrams(ta[i] or "", tb[i] or "", n)
@@ -940,6 +940,137 @@ def _pairs_empty(id_type: pa.DataType) -> pa.Table:
             "jaccard": pa.array([], type=pa.float64()),
         }
     )
+
+
+def _attach_verify_pairs(
+    texts_ds: ray.data.Dataset,
+    cand: ray.data.Dataset,
+    id_col: str,
+    id_type: pa.DataType,
+    *,
+    payload_of,
+    verify_fn,
+    out_empty: pa.Table,
+    broadcast_pair_limit: int,
+    num_partitions: int,
+) -> ray.data.Dataset:
+    """Size-gated "attach per-pair payload + exact verify" shared by the
+    Jaccard (``ngram_jaccard_pairs``) and Levenshtein
+    (``fuzzy_lev_pairs``) families.
+
+    ``cand`` is an (a, b) candidate dataset, possibly with cross-bucket
+    duplicates. Under ``broadcast_pair_limit`` candidates, the payloads
+    for candidate ids are gathered by a shuffle-free ``pc.is_in`` filter
+    over the corpus scan, concatenated INSIDE a worker task (the driver
+    never holds payloads) and read zero-copy from plasma by the verify
+    tasks — no hash-join shuffle at all. Above the limit, a bucketed
+    global pair-distinct then two distributed ``Dataset.join``s attach
+    the payloads (each crosses the wire once per pair side).
+
+    ``payload_of(texts_batch) -> pa.Array`` projects each row's verify
+    payload (full text for Jaccard, a key prefix for Levenshtein);
+    ``verify_fn(joined) -> pa.Table`` sees columns
+    (a, b, payload_a, payload_b) and returns the typed verified rows."""
+    from ..relops import bucketed_groupby, drop_empty_blocks
+
+    empty_pairs = pa.table(
+        {"a": pa.array([], type=id_type), "b": pa.array([], type=id_type)}
+    )
+
+    if cand.count() <= broadcast_pair_limit:
+        # candidate ids fit comfortably (ids only — never payloads); Ray
+        # can emit schema-less empty blocks, so keep non-empty ones only
+        pair_blocks = [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows]
+        if not pair_blocks:
+            return ray.data.from_arrow(out_empty)
+        # global distinct: bucketed generators dedup within a bucket only
+        pairs = (
+            pa.concat_tables([t.select(["a", "b"]) for t in pair_blocks])
+            .group_by(["a", "b"])
+            .aggregate([])
+            .combine_chunks()
+        )
+        ids = pc.unique(
+            pa.chunked_array(
+                [pairs.column("a").combine_chunks(), pairs.column("b").combine_chunks()]
+            ).combine_chunks()
+        )
+        ids_ref = ray.put(ids)
+
+        def _select_payloads(batch: pa.Table) -> pa.Table:
+            mask = pc.is_in(batch.column(id_col), value_set=ray.get(ids_ref))
+            kept = batch.filter(mask)
+            return pa.table(
+                {id_col: kept.column(id_col), "payload": payload_of(kept)}
+            )
+
+        payload_block_refs = texts_ds.map_batches(
+            _select_payloads, batch_format="pyarrow", zero_copy_batch=True
+        ).to_arrow_refs()
+        payloads_ref = _concat_tables_task.remote(*payload_block_refs)
+
+        def _verify_broadcast(batch: pa.Table) -> pa.Table:
+            p = ray.get(payloads_ref)
+            ta = pa.table({"a": p.column(id_col), "payload_a": p.column("payload")})
+            tb = pa.table({"b": p.column(id_col), "payload_b": p.column("payload")})
+            joined = batch.join(ta, keys=["a"], join_type="inner")
+            joined = joined.join(tb, keys=["b"], join_type="inner")
+            return verify_fn(joined)
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        chunk = max(256, -(-pairs.num_rows // cpus))
+        pair_chunks = [pairs.slice(i, chunk) for i in range(0, pairs.num_rows, chunk)]
+        verified = ray.data.from_arrow(pair_chunks).map_batches(
+            _verify_broadcast, batch_format="pyarrow", zero_copy_batch=True
+        )
+        # when EVERY candidate fails the verify, the map emits only 0-row
+        # blocks whose schema Ray drops — pin the typed empty; the result
+        # is tiny, so materialize for the ref-level strip
+        return drop_empty_blocks(verified.materialize(), out_empty)
+
+    # scale path: global distinct of the cross-bucket pair duplicates
+    # first (a second bucketed shuffle over id-pair rows only), then
+    # distributed payload attach, one crossing per pair side
+    cand = bucketed_groupby(
+        cand, ["a", "b"],
+        lambda g: g.group_by(["a", "b"]).aggregate([]),
+        empty=empty_pairs,
+    )
+
+    def _keyed(side: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {side: batch.column(id_col), f"payload_{side}": payload_of(batch)}
+            )
+
+        return fn
+
+    payloads_a = texts_ds.map_batches(
+        _keyed("a"), batch_format="pyarrow", zero_copy_batch=True
+    )
+    payloads_b = texts_ds.map_batches(
+        _keyed("b"), batch_format="pyarrow", zero_copy_batch=True
+    )
+    cand = cand.join(payloads_a, "inner", num_partitions=num_partitions, on=("a",))
+    # a join emits schema-LESS zero-row blocks for its empty partitions;
+    # feeding them into the second join crashes pyarrow ("No match or
+    # multiple matches for key field reference") whenever the pair-hash
+    # distribution leaves a partition empty — strip at the ref level
+    cand = drop_empty_blocks(
+        cand,
+        pa.table(
+            {
+                "a": pa.array([], type=id_type),
+                "b": pa.array([], type=id_type),
+                "payload_a": pa.array([], type=pa.string()),
+            }
+        ),
+    )
+    cand = cand.join(payloads_b, "inner", num_partitions=num_partitions, on=("b",))
+    verified = cand.map_batches(
+        verify_fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return drop_empty_blocks(verified.materialize(), out_empty)
 
 
 def ngram_jaccard_pairs(
@@ -990,116 +1121,19 @@ def ngram_jaccard_pairs(
         empty_pairs,
     )
 
-    if cand.count() <= broadcast_pair_limit:
-        # candidate ids fit comfortably (ids only — never texts); Ray can
-        # emit schema-less empty blocks, so keep non-empty ones only
-        pair_blocks = [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows]
-        if not pair_blocks:
-            empty = pa.table(
-                {
-                    "a": pa.array([], type=id_type),
-                    "b": pa.array([], type=id_type),
-                    "jaccard": pa.array([], type=pa.float64()),
-                }
-            )
-            return ray.data.from_arrow(empty)
-        # global distinct: the band-bucketed generator dedups within a
-        # bucket only, so the same pair found via bands in different
-        # buckets can still repeat here
-        pairs = (
-            pa.concat_tables([t.select(["a", "b"]) for t in pair_blocks])
-            .group_by(["a", "b"])
-            .aggregate([])
-            .combine_chunks()
-        )
-        ids = pc.unique(
-            pa.chunked_array(
-                [pairs.column("a").combine_chunks(), pairs.column("b").combine_chunks()]
-            ).combine_chunks()
-        )
-        ids_ref = ray.put(ids)
-
-        def _select_cand_texts(batch: pa.Table) -> pa.Table:
-            mask = pc.is_in(batch.column(id_col), value_set=ray.get(ids_ref))
-            return batch.filter(mask)
-
-        text_block_refs = (
-            texts_ds.map_batches(
-                _select_cand_texts, batch_format="pyarrow", zero_copy_batch=True
-            ).to_arrow_refs()
-        )
-        texts_ref = _concat_tables_task.remote(*text_block_refs)
-
-        def _verify_broadcast(batch: pa.Table) -> pa.Table:
-            texts = ray.get(texts_ref)
-            ta = pa.table({"a": texts.column(id_col), "text_a": texts.column(text_col)})
-            tb = pa.table({"b": texts.column(id_col), "text_b": texts.column(text_col)})
-            joined = batch.join(ta, keys=["a"], join_type="inner")
-            joined = joined.join(tb, keys=["b"], join_type="inner")
-            return _verify_pairs_batch(joined, n, threshold)
-
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-        chunk = max(256, -(-pairs.num_rows // cpus))
-        pair_chunks = [
-            pairs.slice(i, chunk) for i in range(0, pairs.num_rows, chunk)
-        ]
-        verified = ray.data.from_arrow(pair_chunks).map_batches(
-            _verify_broadcast, batch_format="pyarrow", zero_copy_batch=True
-        )
-        # when EVERY candidate fails the exact verify, the map emits only
-        # 0-row blocks whose schema Ray drops — pin the typed empty so
-        # downstream select_columns/joins never see a schema-less dataset
-        # (found by the hypothesis layout property suite)
-        # pairs-after-verify are tiny; materialize so the ref-level
-        # empty-block strip sees final block metadata
-        return drop_empty_blocks(verified.materialize(), _pairs_empty(id_type))
-
-    # scale path: global distinct of the cross-bucket pair duplicates
-    # first (a second bucketed shuffle over id-pair rows only), then
-    # distributed text attach, one crossing per pair side
-    from ..relops import bucketed_groupby
-
-    cand = bucketed_groupby(
-        cand, ["a", "b"],
-        lambda g: g.group_by(["a", "b"]).aggregate([]),
-        empty=empty_pairs,
-    )
-
-    def _rename(side: str):
-        def fn(batch: pa.Table) -> pa.Table:
-            return pa.table(
-                {side: batch.column(id_col), f"text_{side}": batch.column(text_col)}
-            )
-
-        return fn
-
-    texts_a = texts_ds.map_batches(_rename("a"), batch_format="pyarrow", zero_copy_batch=True)
-    texts_b = texts_ds.map_batches(_rename("b"), batch_format="pyarrow", zero_copy_batch=True)
-    cand = cand.join(texts_a, "inner", num_partitions=num_partitions, on=("a",))
-    # a join emits schema-LESS zero-row blocks for its empty partitions;
-    # feeding them into the second join crashes pyarrow ("No match or
-    # multiple matches for key field reference") whenever the pair-hash
-    # distribution leaves a partition empty — strip at the ref level
-    cand = drop_empty_blocks(
-        cand,
-        pa.table(
-            {
-                "a": pa.array([], type=id_type),
-                "b": pa.array([], type=id_type),
-                "text_a": pa.array([], type=pa.string()),
-            }
-        ),
-    )
-    cand = cand.join(texts_b, "inner", num_partitions=num_partitions, on=("b",))
-
     def _verify(batch: pa.Table) -> pa.Table:
         return _verify_pairs_batch(batch, n, threshold)
 
-    return drop_empty_blocks(
-        cand.map_batches(
-            _verify, batch_format="pyarrow", zero_copy_batch=True
-        ).materialize(),
-        _pairs_empty(id_type),
+    return _attach_verify_pairs(
+        texts_ds,
+        cand,
+        id_col,
+        id_type,
+        payload_of=lambda b: b.column(text_col),
+        verify_fn=_verify,
+        out_empty=_pairs_empty(id_type),
+        broadcast_pair_limit=broadcast_pair_limit,
+        num_partitions=num_partitions,
     )
 
 
@@ -1199,9 +1233,10 @@ def fuzzy_lev_pairs(
     def _key_of(txt: pa.ChunkedArray | pa.Array) -> pa.Array:
         return pc.utf8_slice_codeunits(txt, 0, key_len)
 
-    def _verify_tbl(joined: pa.Table) -> pa.Table:
+    def _verify(joined: pa.Table) -> pa.Table:
         d = levenshtein_batch(
-            joined.column("key_a").to_pylist(), joined.column("key_b").to_pylist()
+            joined.column("payload_a").to_pylist(),
+            joined.column("payload_b").to_pylist(),
         )
         keep = d <= max_dist
         return pa.table(
@@ -1220,84 +1255,14 @@ def fuzzy_lev_pairs(
         }
     )
 
-    if cand.count() <= broadcast_pair_limit:
-        pair_blocks = [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows]
-        if not pair_blocks:
-            return ray.data.from_arrow(fuzzy_empty)
-        pairs = (
-            pa.concat_tables([t.select(["a", "b"]) for t in pair_blocks])
-            .group_by(["a", "b"])
-            .aggregate([])
-            .combine_chunks()
-        )
-        ids = pc.unique(
-            pa.chunked_array(
-                [pairs.column("a").combine_chunks(), pairs.column("b").combine_chunks()]
-            ).combine_chunks()
-        )
-        ids_ref = ray.put(ids)
-
-        def _select_keys(batch: pa.Table) -> pa.Table:
-            mask = pc.is_in(batch.column(id_col), value_set=ray.get(ids_ref))
-            kept = batch.filter(mask)
-            return pa.table(
-                {id_col: kept.column(id_col), "key": _key_of(kept.column(text_col))}
-            )
-
-        key_block_refs = texts_ds.map_batches(
-            _select_keys, batch_format="pyarrow", zero_copy_batch=True
-        ).to_arrow_refs()
-        keys_ref = _concat_tables_task.remote(*key_block_refs)
-
-        def _verify_broadcast(batch: pa.Table) -> pa.Table:
-            keys = ray.get(keys_ref)
-            ka = pa.table({"a": keys.column(id_col), "key_a": keys.column("key")})
-            kb = pa.table({"b": keys.column(id_col), "key_b": keys.column("key")})
-            joined = batch.join(ka, keys=["a"], join_type="inner")
-            joined = joined.join(kb, keys=["b"], join_type="inner")
-            return _verify_tbl(joined)
-
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-        chunk = max(256, -(-pairs.num_rows // cpus))
-        pair_chunks = [pairs.slice(i, chunk) for i in range(0, pairs.num_rows, chunk)]
-        verified = ray.data.from_arrow(pair_chunks).map_batches(
-            _verify_broadcast, batch_format="pyarrow", zero_copy_batch=True
-        )
-        return drop_empty_blocks(verified.materialize(), fuzzy_empty)
-
-    # scale path: global pair distinct, then distributed key attach —
-    # each 64-char key crosses the wire once per pair side
-    cand = bucketed_groupby(
-        cand, ["a", "b"], lambda g: g.group_by(["a", "b"]).aggregate([]),
-        empty=empty_pairs,
-    )
-
-    def _keyed(side: str):
-        def fn(batch: pa.Table) -> pa.Table:
-            return pa.table(
-                {side: batch.column(id_col), f"key_{side}": _key_of(batch.column(text_col))}
-            )
-
-        return fn
-
-    from ..relops import choose_num_partitions_for
-
-    num_partitions = choose_num_partitions_for(cand)
-    keys_a = texts_ds.map_batches(_keyed("a"), batch_format="pyarrow", zero_copy_batch=True)
-    keys_b = texts_ds.map_batches(_keyed("b"), batch_format="pyarrow", zero_copy_batch=True)
-    cand = cand.join(keys_a, "inner", num_partitions=num_partitions, on=("a",))
-    cand = drop_empty_blocks(
+    return _attach_verify_pairs(
+        texts_ds,
         cand,
-        pa.table(
-            {
-                "a": pa.array([], type=id_type),
-                "b": pa.array([], type=id_type),
-                "key_a": pa.array([], pa.string()),
-            }
-        ),
+        id_col,
+        id_type,
+        payload_of=lambda b: _key_of(b.column(text_col)),
+        verify_fn=_verify,
+        out_empty=fuzzy_empty,
+        broadcast_pair_limit=broadcast_pair_limit,
+        num_partitions=8,
     )
-    cand = cand.join(keys_b, "inner", num_partitions=num_partitions, on=("b",))
-    verified = cand.map_batches(
-        lambda b: _verify_tbl(b), batch_format="pyarrow", zero_copy_batch=True
-    )
-    return drop_empty_blocks(verified.materialize(), fuzzy_empty)
