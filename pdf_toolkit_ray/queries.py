@@ -8348,6 +8348,198 @@ FROM t JOIN c USING (conv_id)
 """
 
 
+def _convdup_path(sf_dir: str) -> str:
+    from .sources.fixtures import convdup_path_for
+
+    return convdup_path_for(_sf_to_fixture_size(sf_dir))
+
+
+def _convdup_sql_source(sf_dir: str | None) -> str:
+    from .sources.fixtures import convdup_path_for
+
+    return convdup_path_for(_sf_to_fixture_size(sf_dir) if sf_dir else "correctness")
+
+
+# DuckDB twin of convdedup._md5_prefix_i64
+_V48 = "CAST(('0x' || substr(md5({expr}), 1, 12)) AS BIGINT)"
+_IDENT_EXPR = (
+    "turn_idx || '|' || role || '|' || coalesce(text, '') || '|' || "
+    "coalesce(tool, '')"
+)
+
+
+def dedup_conv_exact_transcripts(sf_dir: str):
+    """Exact WHOLE-CONVERSATION dedup over the duplication fixture
+    (re-logged sessions): one row per conversation with its duplicate
+    group's canonical id (min conv_id) and group size. Texts are hashed
+    map-side into position-baked 48-bit ints and digested by an
+    order-free per-conversation sum — no text bytes and no sorted
+    groupby in the shuffle (stages/convdedup.py)."""
+    from .stages.convdedup import conv_dedup_exact
+
+    ds = ray.data.read_parquet(
+        _convdup_path(sf_dir),
+        columns=["conv_id", "turn_idx", "role", "text", "tool"],
+    )
+    df = (
+        conv_dedup_exact(ds)
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def dedup_conv_exact_transcripts_sql(sf_dir: str | None = None) -> str:
+    path = _convdup_sql_source(sf_dir)
+    v = _V48.format(expr=_IDENT_EXPR)
+    return f"""
+WITH t AS (SELECT DISTINCT conv_id, {v} AS v FROM read_parquet('{path}')),
+d AS (SELECT conv_id, sum(v) AS dg, count(*) AS n FROM t GROUP BY conv_id),
+g AS (SELECT dg, n, min(conv_id) AS canonical_conv_id,
+             CAST(count(*) AS BIGINT) AS group_convs
+      FROM d GROUP BY dg, n)
+SELECT d.conv_id, g.canonical_conv_id, g.group_convs
+FROM d JOIN g USING (dg, n)
+"""
+
+
+def dedup_conv_keep_rows_transcripts(sf_dir: str):
+    """Apply the whole-conversation dedup: the surviving distinct turn
+    rows (conv_id, turn_idx, role) — only canonical conversations
+    remain. The kept-id set is conversation-count-sized and attaches
+    through the size-gated join (broadcast here, distributed at
+    scale)."""
+    from .stages.convdedup import conv_dedup_exact
+
+    ds = ray.data.read_parquet(
+        _convdup_path(sf_dir),
+        columns=["conv_id", "turn_idx", "role", "text", "tool"],
+    )
+    mapping = conv_dedup_exact(ds).materialize()
+    kept = mapping.map_batches(
+        lambda b: b.filter(
+            pc.equal(b.column("conv_id"), b.column("canonical_conv_id"))
+        ).select(["conv_id"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    kept = relops.drop_empty_blocks(
+        kept.materialize(),
+        pa.table({"conv_id": pa.array([], pa.string())}),
+    )
+    rows = ray.data.read_parquet(
+        _convdup_path(sf_dir), columns=["conv_id", "turn_idx", "role"]
+    ).map_batches(
+        lambda b: b.group_by(["conv_id", "turn_idx", "role"]).aggregate([]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    joined = relops.size_gated_join(rows, kept, on="conv_id")
+    empty = pa.table(
+        {
+            "conv_id": pa.array([], pa.string()),
+            "turn_idx": pa.array([], pa.int32()),
+            "role": pa.array([], pa.string()),
+        }
+    )
+    out = relops.bucketed_groupby(
+        joined,
+        ["conv_id"],
+        lambda g: g.group_by(["conv_id", "turn_idx", "role"]).aggregate([]),
+        empty=empty,
+    )
+    df = (
+        out.to_pandas()
+        .sort_values(["conv_id", "turn_idx", "role"])
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def dedup_conv_keep_rows_transcripts_sql(sf_dir: str | None = None) -> str:
+    path = _convdup_sql_source(sf_dir)
+    v = _V48.format(expr=_IDENT_EXPR)
+    return f"""
+WITH t AS (SELECT DISTINCT conv_id, {v} AS v FROM read_parquet('{path}')),
+d AS (SELECT conv_id, sum(v) AS dg, count(*) AS n FROM t GROUP BY conv_id),
+g AS (SELECT dg, n, min(conv_id) AS canon FROM d GROUP BY dg, n)
+SELECT DISTINCT r.conv_id, r.turn_idx, r.role
+FROM read_parquet('{path}') r JOIN g ON r.conv_id = g.canon
+"""
+
+
+def conv_overlap_pairs_transcripts(sf_dir: str):
+    """Near-duplicate conversation PAIRS (branched/forked sessions) by
+    exact Jaccard over turn-content hash sets, threshold 0.5. Candidates
+    from a frequency-capped inverted index on the turn hash (cap 8 —
+    boilerplate system turns generate no pairs); the verify attaches
+    full hash sets through the same size-gated pair-attach path the
+    document Jaccard/Levenshtein families use. Deterministic, so the
+    twin re-derives candidates, cap, and the one double division
+    exactly."""
+    from .stages.convdedup import conv_overlap_pairs
+
+    ds = ray.data.read_parquet(
+        _convdup_path(sf_dir), columns=["conv_id", "role", "text"]
+    )
+    df = (
+        conv_overlap_pairs(ds, cap=8, threshold=0.5)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def conv_overlap_pairs_transcripts_sql(sf_dir: str | None = None) -> str:
+    path = _convdup_sql_source(sf_dir)
+    v = _V48.format(expr="role || chr(31) || coalesce(text, '')")
+    return f"""
+WITH t AS (SELECT DISTINCT conv_id, {v} AS v FROM read_parquet('{path}')),
+hc AS (SELECT v, count(*) AS nc FROM t GROUP BY v),
+cand AS (SELECT DISTINCT ta.conv_id AS a, tb.conv_id AS b
+         FROM t ta JOIN t tb USING (v) JOIN hc USING (v)
+         WHERE hc.nc BETWEEN 2 AND 8 AND ta.conv_id < tb.conv_id),
+sz AS (SELECT conv_id, count(*) AS n FROM t GROUP BY conv_id),
+sh AS (SELECT c.a, c.b, count(*) AS s
+       FROM cand c
+       JOIN t ta ON ta.conv_id = c.a
+       JOIN t tb ON tb.conv_id = c.b AND tb.v = ta.v
+       GROUP BY c.a, c.b)
+SELECT sh.a, sh.b, CAST(sh.s AS BIGINT) AS shared,
+       CAST(sh.s AS DOUBLE) / (za.n + zb.n - sh.s) AS jaccard
+FROM sh
+JOIN sz za ON za.conv_id = sh.a
+JOIN sz zb ON zb.conv_id = sh.b
+WHERE CAST(sh.s AS DOUBLE) / (za.n + zb.n - sh.s) >= 0.5
+"""
+
+
+def shared_boilerplate_transcripts(sf_dir: str):
+    """Templated-turn detection over the duplication fixture: turn texts
+    opening >= 5 distinct conversations (the shared system prompts),
+    with conversation and raw-row counts. Hash-only shuffle; the flagged
+    set is broadcast back over a second scan to recover the texts."""
+    from .stages.convdedup import shared_turn_texts
+
+    ds = ray.data.read_parquet(
+        _convdup_path(sf_dir), columns=["conv_id", "text"]
+    )
+    return shared_turn_texts(ds, min_convs=5)
+
+
+def shared_boilerplate_transcripts_sql(sf_dir: str | None = None) -> str:
+    path = _convdup_sql_source(sf_dir)
+    v = _V48.format(expr="coalesce(text, '')")
+    return f"""
+WITH h AS (SELECT conv_id, text, {v} AS v FROM read_parquet('{path}')),
+f AS (SELECT v, CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM h GROUP BY v HAVING count(DISTINCT conv_id) >= 5)
+SELECT DISTINCT h.text, f.n_convs, f.n_rows
+FROM h JOIN f USING (v)
+"""
+
+
 def role_bigram_transcripts_sql(sf_dir: str | None = None) -> str:
     path = _transcripts_sql_source(sf_dir)
     return f"""
@@ -8905,6 +9097,10 @@ REGISTRY: dict[str, tuple] = {
     "conv_signals_transcripts": (conv_signals_transcripts, None),
     "response_latency_transcripts": (response_latency_transcripts, None),
     "turn_enrich_skew_join_transcripts": (turn_enrich_skew_join_transcripts, None),
+    "dedup_conv_exact_transcripts": (dedup_conv_exact_transcripts, None),
+    "dedup_conv_keep_rows_transcripts": (dedup_conv_keep_rows_transcripts, None),
+    "conv_overlap_pairs_transcripts": (conv_overlap_pairs_transcripts, None),
+    "shared_boilerplate_transcripts": (shared_boilerplate_transcripts, None),
 }
 
 #: oracle SQL that must be built lazily (embeds a generated-on-demand
@@ -8916,6 +9112,10 @@ LAZY_SQL: dict[str, Any] = {
     "conv_signals_transcripts": conv_signals_transcripts_sql,
     "response_latency_transcripts": response_latency_transcripts_sql,
     "turn_enrich_skew_join_transcripts": turn_enrich_skew_join_transcripts_sql,
+    "dedup_conv_exact_transcripts": dedup_conv_exact_transcripts_sql,
+    "dedup_conv_keep_rows_transcripts": dedup_conv_keep_rows_transcripts_sql,
+    "conv_overlap_pairs_transcripts": conv_overlap_pairs_transcripts_sql,
+    "shared_boilerplate_transcripts": shared_boilerplate_transcripts_sql,
 }
 
 

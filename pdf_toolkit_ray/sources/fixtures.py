@@ -372,3 +372,127 @@ def transcripts_path_for(
     with open(done_marker, "w") as fh:
         fh.write("ok\n")
     return path
+
+
+# ---------------------------------------------------------------------------
+# Conversation-duplication fixture ("convdup"): transcripts whose duplication
+# structure is KNOWN by construction — exact forks (a whole conversation
+# re-ingested under a new id, timestamps shifted), near forks (a conversation
+# that shares its first ~70% of turns then diverges), and shared boilerplate
+# leading turns (the same system prompt opening ~30% of conversations).
+# This is the shape real agent-transcript corpora dedup against: retried or
+# re-logged sessions, branched conversations, and templated system turns.
+# The conversation-level dedup/overlap queries run over THIS table so their
+# driver-hashed answers contain non-trivial duplicate groups at every scale.
+
+CONVDUP_SIZES = {
+    # name -> n_base_convs (forks add ~10% + ~14% more conversations)
+    "smoke": 40,
+    "correctness": 400,
+    "bench": 20_000,
+}
+
+BOILERPLATE = (
+    "system boilerplate alpha: follow the tool protocol and cite sources",
+    "system boilerplate bravo: respond concisely and prefer structured output",
+    "system boilerplate charlie: refuse unsafe requests and log tool calls",
+)
+
+_DAY_US = 86_400_000_000
+
+
+def _convdup_base_turns(seed: int, k: int) -> list[tuple[int, str, str, str]]:
+    """Deterministic turns (turn_idx, role, text, tool) for base conv k."""
+    conv_id = f"conv{k:06d}"
+    rng = random.Random(f"{seed}:cdconv:{k}")
+    n = rng.randint(4, 12)
+    turns: list[tuple[int, str, str, str]] = []
+    for i in range(n):
+        trng = random.Random(f"{seed}:cdturn:{conv_id}:{i}")
+        text = _gen_plain(trng, gold_text(seed, "cd" + conv_id, i))
+        if trng.random() < 0.12:
+            role, tool = "tool", trng.choice(["search", "browser", "python"])
+        else:
+            role, tool = ("user", "") if i % 2 == 0 else ("assistant", "")
+        turns.append((i, role, text, tool))
+    if k % 10 < 3:  # shared boilerplate system turn opens ~30% of convs
+        turns[0] = (0, "user", BOILERPLATE[k % len(BOILERPLATE)], "")
+    return turns
+
+
+def convdup_rows(seed: int, k: int) -> dict[str, list]:
+    """All rows derived from base conv k: the base conversation, its exact
+    fork (every 10th conv), its near fork (every 7th), plus ~1% exact
+    duplicate ROWS (re-logged events) — conv-locally shuffled. Suffixed
+    fork ids sort after the base id, so canonical = min(conv_id) keeps
+    the original."""
+    conv_id = f"conv{k:06d}"
+    base = _convdup_base_turns(seed, k)
+    rng = random.Random(f"{seed}:cdrows:{k}")
+    ts0 = _TS_BASE_US + _DAY_US * 30 + 120_000_000 * k
+    rows: list[tuple] = [
+        (conv_id, i, role, text, tool, ts0 + 60_000_000 * i)
+        for (i, role, text, tool) in base
+    ]
+    if k % 10 == 0:  # exact fork: same turns, re-ingested a day later
+        f_ts = ts0 + _DAY_US
+        rows.extend(
+            (conv_id + "f", i, role, text, tool, f_ts + 60_000_000 * i)
+            for (i, role, text, tool) in base
+        )
+    if k % 7 == 3:  # near fork: shares first ~70% of turns, then diverges
+        n = len(base)
+        keep = max(1, (7 * n + 9) // 10)
+        n_ts = ts0 + 2 * _DAY_US
+        fork: list[tuple[int, str, str, str]] = list(base[:keep])
+        for i in range(keep, n):
+            trng = random.Random(f"{seed}:cdnf:{conv_id}:{i}")
+            text = _gen_plain(trng, gold_text(seed, "nf" + conv_id, i))
+            role, tool = ("user", "") if i % 2 == 0 else ("assistant", "")
+            fork.append((i, role, text, tool))
+        rows.extend(
+            (conv_id + "n", i, role, text, tool, n_ts + 60_000_000 * i)
+            for (i, role, text, tool) in fork
+        )
+    dups = [row for row in rows if rng.random() < 0.01]
+    rows.extend(dups)
+    rng.shuffle(rows)
+    return {
+        "conv_id": [r[0] for r in rows],
+        "turn_idx": [r[1] for r in rows],
+        "role": [r[2] for r in rows],
+        "text": [r[3] for r in rows],
+        "tool": [r[4] for r in rows],
+        "ts": [r[5] for r in rows],
+    }
+
+
+def generate_convdup_table(size: str = "correctness", seed: int = 42) -> pa.Table:
+    n_convs = CONVDUP_SIZES[size]
+    merged: dict[str, list] = {
+        c: [] for c in ("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    }
+    for k in range(n_convs):
+        cols = convdup_rows(seed, k)
+        for c in merged:
+            merged[c].extend(cols[c])
+    tbl = _rows_to_table(merged)
+    perm = np.random.RandomState(seed + 7).permutation(tbl.num_rows)
+    return tbl.take(pa.array(perm))
+
+
+def convdup_path_for(
+    size: str, base_dir: str = "/tmp/graft_fixtures", seed: int = 42
+) -> str:
+    """Cached convdup fixture location; generates on first use."""
+    path = os.path.join(
+        base_dir, f"convdup-{size}-s{seed}-v{FIXTURE_VERSION}.parquet"
+    )
+    done_marker = path + ".done"
+    if os.path.exists(done_marker):
+        return path
+    os.makedirs(base_dir, exist_ok=True)
+    pq.write_table(generate_convdup_table(size, seed), path, row_group_size=65536)
+    with open(done_marker, "w") as fh:
+        fh.write("ok\n")
+    return path
