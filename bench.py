@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     "curate_documents",
     "semdedup_embeddings",
     "fuzzy_lev_pairs_documents",
+    "dedup_conv_exact_transcripts",
+    "conv_overlap_pairs_transcripts",
 ]
 
 
