@@ -7986,7 +7986,7 @@ def role_bigram_transcripts(sf_dir: str):
     them — role is functionally turn-dependent), lexsorts its convs once
     and counts transitions vectorized; the final groupby is
     roles²-sized."""
-    ds = ray.data.read_parquet(
+    ds = relops.scan_path(
         _transcripts_path(sf_dir), columns=["conv_id", "turn_idx", "role"]
     )
 
@@ -8042,7 +8042,7 @@ def tool_usage_transcripts(sf_dir: str):
     tools dominate which roles — the trace-curation signal for filtering
     degenerate tool loops). Per-batch distinct partials, one
     roles×tools-sized groupby, share computed exactly from int64 counts."""
-    ds = ray.data.read_parquet(
+    ds = relops.scan_path(
         _transcripts_path(sf_dir), columns=["conv_id", "turn_idx", "role", "tool"]
     )
 
@@ -8108,7 +8108,7 @@ def conv_signals_transcripts(sf_dir: str):
     collapses the feed's exact-duplicate rows, then ONE conv-bucketed
     groupby computes every signal vectorized per bucket; output is one
     row per conversation."""
-    ds = ray.data.read_parquet(
+    ds = relops.scan_path(
         _transcripts_path(sf_dir), columns=["conv_id", "turn_idx", "role", "tool"]
     )
 
@@ -8190,7 +8190,7 @@ def response_latency_transcripts(sf_dir: str):
     co-locates each conversation, and the running max is a vectorized
     ``np.maximum.accumulate`` per conversation slice. Output: one row
     per assistant turn that has a prior user turn."""
-    ds = ray.data.read_parquet(
+    ds = relops.scan_path(
         _transcripts_path(sf_dir), columns=["conv_id", "turn_idx", "role", "ts"]
     )
 
@@ -8266,7 +8266,7 @@ def turn_enrich_skew_join_transcripts(sf_dir: str):
     partitioned hash join, and the union is the result. Deterministic —
     the hot set is a pure function of the data — so the twin is
     full-value SQL."""
-    ds = ray.data.read_parquet(
+    ds = relops.scan_path(
         _transcripts_path(sf_dir), columns=["conv_id", "turn_idx", "role"]
     )
 
@@ -8377,7 +8377,7 @@ def dedup_conv_exact_transcripts(sf_dir: str):
     groupby in the shuffle (stages/convdedup.py)."""
     from .stages.convdedup import conv_dedup_exact
 
-    ds = ray.data.read_parquet(
+    ds = relops.scan_path(
         _convdup_path(sf_dir),
         columns=["conv_id", "turn_idx", "role", "text", "tool"],
     )
@@ -8412,7 +8412,7 @@ def dedup_conv_keep_rows_transcripts(sf_dir: str):
     scale)."""
     from .stages.convdedup import conv_dedup_exact
 
-    ds = ray.data.read_parquet(
+    ds = relops.scan_path(
         _convdup_path(sf_dir),
         columns=["conv_id", "turn_idx", "role", "text", "tool"],
     )
@@ -8427,7 +8427,7 @@ def dedup_conv_keep_rows_transcripts(sf_dir: str):
         kept.materialize(),
         pa.table({"conv_id": pa.array([], pa.string())}),
     )
-    rows = ray.data.read_parquet(
+    rows = relops.scan_path(
         _convdup_path(sf_dir), columns=["conv_id", "turn_idx", "role"]
     ).map_batches(
         lambda b: b.group_by(["conv_id", "turn_idx", "role"]).aggregate([]),
@@ -8478,7 +8478,7 @@ def conv_overlap_pairs_transcripts(sf_dir: str):
     exactly."""
     from .stages.convdedup import conv_overlap_pairs
 
-    ds = ray.data.read_parquet(
+    ds = relops.scan_path(
         _convdup_path(sf_dir), columns=["conv_id", "role", "text"]
     )
     df = (
@@ -8521,7 +8521,7 @@ def shared_boilerplate_transcripts(sf_dir: str):
     set is broadcast back over a second scan to recover the texts."""
     from .stages.convdedup import shared_turn_texts
 
-    ds = ray.data.read_parquet(
+    ds = relops.scan_path(
         _convdup_path(sf_dir), columns=["conv_id", "text"]
     )
     return shared_turn_texts(ds, min_convs=5)

@@ -106,6 +106,21 @@ def scan(sf_dir: str, table: str, columns: list[str] | None = None, filter=None)
     return ray.data.read_parquet(path, columns=columns, filter=filter)
 
 
+def scan_path(path: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    """:func:`scan` for an arbitrary parquet FILE (the generated fixture
+    tables): same session-cache gate. Directories (sharded fixtures) and
+    files above the gate stream exactly as ``read_parquet`` would."""
+    ensure_join_tuning()
+    if ray.is_initialized() and os.path.isfile(path):
+        try:
+            st = os.stat(path)
+        except OSError:
+            st = None
+        if st is not None and st.st_size <= SCAN_CACHE_GATE_BYTES:
+            return _scan_cached(path, columns, st)
+    return ray.data.read_parquet(path, columns=columns)
+
+
 def choose_num_partitions(
     *paths: str, target_bytes: int = 128 << 20, lo: int = 8, hi: int = 1024
 ) -> int:
