@@ -8514,6 +8514,53 @@ WHERE CAST(sh.s AS DOUBLE) / (za.n + zb.n - sh.s) >= 0.5
 """
 
 
+def context_repeat_transcripts(sf_dir: str):
+    """Within-conversation REPETITION analytics: for every turn with >= 3
+    words, the fraction of its word-3-gram occurrences that already
+    appeared in an earlier turn of the same conversation — flags agents
+    re-quoting their context (the convdup fixture plants quoting turns
+    in ~25% of assistant slots). Gram explosion and first-occurrence
+    attribution run inside one conv-bucketed shuffle; the twin
+    re-derives it with a window min over the same grams."""
+    from .stages.convdedup import context_repeat
+
+    ds = relops.scan_path(
+        _convdup_path(sf_dir), columns=["conv_id", "turn_idx", "text"]
+    )
+    df = (
+        context_repeat(ds, n=3)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def context_repeat_transcripts_sql(sf_dir: str | None = None) -> str:
+    path = _convdup_sql_source(sf_dir)
+    return f"""
+WITH t AS (SELECT DISTINCT conv_id, turn_idx, text FROM read_parquet('{path}')),
+w AS (SELECT conv_id, turn_idx,
+             list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                         x -> x <> '') AS words
+      FROM t),
+g AS (SELECT conv_id, turn_idx,
+             words[i] || ' ' || words[i + 1] || ' ' || words[i + 2] AS gram
+      FROM w, LATERAL (
+        SELECT unnest(generate_series(1, greatest(len(words) - 2, 0))) AS i) s),
+m AS (SELECT conv_id, turn_idx, gram,
+             min(turn_idx) OVER (PARTITION BY conv_id, gram) AS first_turn
+      FROM g)
+SELECT conv_id, turn_idx,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN first_turn < turn_idx THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_repeat,
+       CAST(sum(CASE WHEN first_turn < turn_idx THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS repeat_frac
+FROM m GROUP BY conv_id, turn_idx
+"""
+
+
 def shared_boilerplate_transcripts(sf_dir: str):
     """Templated-turn detection over the duplication fixture: turn texts
     opening >= 5 distinct conversations (the shared system prompts),
@@ -9101,6 +9148,7 @@ REGISTRY: dict[str, tuple] = {
     "dedup_conv_keep_rows_transcripts": (dedup_conv_keep_rows_transcripts, None),
     "conv_overlap_pairs_transcripts": (conv_overlap_pairs_transcripts, None),
     "shared_boilerplate_transcripts": (shared_boilerplate_transcripts, None),
+    "context_repeat_transcripts": (context_repeat_transcripts, None),
 }
 
 #: oracle SQL that must be built lazily (embeds a generated-on-demand
@@ -9116,6 +9164,7 @@ LAZY_SQL: dict[str, Any] = {
     "dedup_conv_keep_rows_transcripts": dedup_conv_keep_rows_transcripts_sql,
     "conv_overlap_pairs_transcripts": conv_overlap_pairs_transcripts_sql,
     "shared_boilerplate_transcripts": shared_boilerplate_transcripts_sql,
+    "context_repeat_transcripts": context_repeat_transcripts_sql,
 }
 
 

@@ -392,6 +392,10 @@ CONVDUP_SIZES = {
     "bench": 20_000,
 }
 
+#: bumped when the convdup GENERATOR changes (the cache key is the file
+#: name; content is not hashed) — independent of the main FIXTURE_VERSION
+CONVDUP_VERSION = 2
+
 BOILERPLATE = (
     "system boilerplate alpha: follow the tool protocol and cite sources",
     "system boilerplate bravo: respond concisely and prefer structured output",
@@ -417,6 +421,14 @@ def _convdup_base_turns(seed: int, k: int) -> list[tuple[int, str, str, str]]:
         turns.append((i, role, text, tool))
     if k % 10 < 3:  # shared boilerplate system turn opens ~30% of convs
         turns[0] = (0, "user", BOILERPLATE[k % len(BOILERPLATE)], "")
+    # ~25% of assistant turns QUOTE the turn before them (context
+    # re-statement — the within-conversation repetition signal the
+    # context_repeat analytics measure); chained quotes allowed
+    for i in range(1, n):
+        idx, role, text, tool = turns[i]
+        qrng = random.Random(f"{seed}:quote:{conv_id}:{i}")
+        if role == "assistant" and qrng.random() < 0.25:
+            turns[i] = (idx, role, "quoting: " + turns[i - 1][2], tool)
     return turns
 
 
@@ -486,7 +498,8 @@ def convdup_path_for(
 ) -> str:
     """Cached convdup fixture location; generates on first use."""
     path = os.path.join(
-        base_dir, f"convdup-{size}-s{seed}-v{FIXTURE_VERSION}.parquet"
+        base_dir,
+        f"convdup-{size}-s{seed}-cv{CONVDUP_VERSION}-v{FIXTURE_VERSION}.parquet",
     )
     done_marker = path + ".done"
     if os.path.exists(done_marker):

@@ -422,3 +422,73 @@ def shared_turn_texts(
             "n_rows": pa.array(merged["n_rows"].astype("int64"), pa.int64()),
         }
     )
+
+
+def context_repeat(ds: ray.data.Dataset, n: int = 3) -> ray.data.Dataset:
+    """Within-conversation repetition: for every turn with >= n words,
+    how many of its word n-gram OCCURRENCES already appeared in an
+    earlier turn (smaller turn_idx) of the same conversation — the
+    "agent re-quoting its context" signal. Returns (conv_id, turn_idx,
+    n_grams, n_repeat, repeat_frac).
+
+    Shape: one conv-bucketed shuffle of the (distinct) turn rows; gram
+    explosion happens inside the bucket, and first-occurrence turns are
+    computed with one vectorized pandas groupby-transform over the whole
+    bucket — no per-conversation loop."""
+    import pandas as pd
+
+    def _distinct(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["conv_id", "turn_idx", "text"]).aggregate([])
+
+    rows = ds.map_batches(_distinct, batch_format="pyarrow", zero_copy_batch=True)
+
+    empty = pa.table(
+        {
+            "conv_id": pa.array([], pa.string()),
+            "turn_idx": pa.array([], pa.int32()),
+            "n_grams": pa.array([], pa.int64()),
+            "n_repeat": pa.array([], pa.int64()),
+            "repeat_frac": pa.array([], pa.float64()),
+        }
+    )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        d = group.group_by(["conv_id", "turn_idx", "text"]).aggregate([])
+        conv = d.column("conv_id").to_pylist()
+        turn = d.column("turn_idx").to_pylist()
+        text = d.column("text").to_pylist()
+        g_conv: list[str] = []
+        g_turn: list[int] = []
+        g_gram: list[str] = []
+        for c, t, x in zip(conv, turn, text):
+            toks = (x or "").split()
+            for i in range(len(toks) - n + 1):
+                g_conv.append(c)
+                g_turn.append(t)
+                g_gram.append(" ".join(toks[i : i + n]))
+        if not g_conv:
+            return empty
+        df = pd.DataFrame(
+            {"conv_id": g_conv, "turn_idx": g_turn, "gram": g_gram}
+        )
+        first = df.groupby(["conv_id", "gram"])["turn_idx"].transform("min")
+        df["rep"] = (first < df["turn_idx"]).astype("int64")
+        agg = (
+            df.groupby(["conv_id", "turn_idx"], as_index=False)
+            .agg(n_grams=("gram", "size"), n_repeat=("rep", "sum"))
+        )
+        return pa.table(
+            {
+                "conv_id": pa.array(agg["conv_id"], pa.string()),
+                "turn_idx": pa.array(agg["turn_idx"], pa.int32()),
+                "n_grams": pa.array(agg["n_grams"].astype("int64"), pa.int64()),
+                "n_repeat": pa.array(agg["n_repeat"].astype("int64"), pa.int64()),
+                "repeat_frac": pa.array(
+                    # one double division of exact ints, as in the twin
+                    (agg["n_repeat"] / agg["n_grams"]).astype("float64"),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return bucketed_groupby(rows, ["conv_id"], per_bucket, empty=empty)

@@ -230,3 +230,47 @@ def test_digest_is_order_sensitive_but_layout_free(ray_session):
     import pandas as pd
 
     pd.testing.assert_frame_equal(d1, d2)
+
+
+def test_context_repeat_golden(ray_session):
+    import ray
+
+    from pdf_toolkit_ray.stages.convdedup import context_repeat
+
+    rows = [
+        ("c0", 0, "user", "alpha bravo charlie delta", ""),
+        # quotes turn 0 entirely: grams "quoting: alpha bravo" ... all but
+        # the leading ones repeat
+        ("c0", 1, "assistant", "quoting: alpha bravo charlie delta", ""),
+        ("c0", 2, "user", "echo foxtrot golf", ""),
+        ("c1", 0, "user", "alpha bravo charlie", ""),  # other conv: no bleed
+        ("c1", 1, "assistant", "too short", ""),  # < 3 words -> no row
+    ]
+    out = (
+        context_repeat(ray.data.from_arrow(_transcripts(rows)), n=3)
+        .to_pandas()
+        .set_index(["conv_id", "turn_idx"])
+        .sort_index()
+    )
+    # turn (c0,1): toks = [quoting:, alpha, bravo, charlie, delta] -> 3
+    # grams; "alpha bravo charlie" and "bravo charlie delta" repeat
+    assert out.loc[("c0", 1), "n_grams"] == 3
+    assert out.loc[("c0", 1), "n_repeat"] == 2
+    assert out.loc[("c0", 1), "repeat_frac"] == 2 / 3
+    # first occurrences never count as repeats
+    assert out.loc[("c0", 0), "n_repeat"] == 0
+    assert out.loc[("c1", 0), "n_repeat"] == 0  # c0's grams don't bleed in
+    assert ("c1", 1) not in out.index  # 2-word turn has no 3-grams
+
+
+def test_convdup_fixture_has_quoting_turns():
+    import pyarrow.compute as pc
+
+    from pdf_toolkit_ray.sources.fixtures import generate_convdup_table
+
+    tbl = generate_convdup_table("smoke")
+    quoted = tbl.filter(
+        pc.starts_with(pc.coalesce(tbl.column("text"), ""), "quoting: ")
+    )
+    assert quoted.num_rows > 0
+    assert set(pc.unique(quoted.column("role")).to_pylist()) == {"assistant"}
