@@ -28,6 +28,56 @@ import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 
+_HASH_SHUFFLE_PATCHED = False
+
+
+def _patch_hash_shuffle_empty_block_broadcast() -> None:
+    """Work around an order-dependent Ray 2.49 hash-shuffle bug: the
+    aggregator-pool schema broadcast rides along with the FIRST shuffle
+    task of each input sequence (``should_broadcast_schemas``), but
+    ``_shuffle_block`` returns early on zero-row blocks WITHOUT
+    disseminating anything. If an upstream ``map_batches`` filter happens
+    to emit a 0-row block first, every aggregator builds that side of the
+    join schema-less and acero fails with "No match or multiple matches
+    for key field reference". Zero-row blocks carry no data, so dropping
+    them from the shuffle input driver-side is semantics-preserving and
+    lets the first NON-empty block carry the broadcast. (Found by the
+    hypothesis layout property suite at tiny scale; at real scale any
+    selective filter ahead of a join can emit a leading empty block.)"""
+    global _HASH_SHUFFLE_PATCHED
+    if _HASH_SHUFFLE_PATCHED:
+        return
+    _HASH_SHUFFLE_PATCHED = True
+    try:
+        from ray.data._internal.execution.operators.hash_shuffle import (
+            HashShufflingOperatorBase,
+        )
+        from ray.data._internal.execution.interfaces.ref_bundle import RefBundle
+    except ImportError:  # pragma: no cover - future Ray moved/fixed it
+        return
+
+    orig = HashShufflingOperatorBase._do_add_input_inner
+
+    def _do_add_input_inner(self, input_bundle, input_index):
+        kept = [
+            (ref, meta)
+            for ref, meta in input_bundle.blocks
+            if meta.num_rows is None or meta.num_rows > 0
+        ]
+        if len(kept) == len(input_bundle.blocks):
+            return orig(self, input_bundle, input_index)
+        if not kept:  # nothing but empties: nothing to shuffle
+            return None
+        slim = RefBundle(
+            tuple(kept),
+            owns_blocks=input_bundle.owns_blocks,
+            schema=input_bundle.schema,
+        )
+        return orig(self, slim, input_index)
+
+    HashShufflingOperatorBase._do_add_input_inner = _do_add_input_inner
+
+
 def ensure_join_tuning() -> None:
     """Cap per-join aggregator CPU reservation on SMALL sessions: Ray's
     hash-join reserves up to half the cluster's CPUs in aggregator actors
@@ -37,6 +87,7 @@ def ensure_join_tuning() -> None:
     larger clusters Ray's own budget (<= 50% CPUs) is left untouched."""
     from ray.data import DataContext
 
+    _patch_hash_shuffle_empty_block_broadcast()
     ctx = DataContext.get_current()
     if ctx.join_operator_actor_num_cpus_per_partition_override is not None:
         return
@@ -847,6 +898,14 @@ def skew_join(
         )
         return _finish(_union(branches))
 
+    # rows left for the cold branch, from the histogram we already hold:
+    # if EVERY non-null row is hot (tiny thresholds, pathological skew),
+    # the cold side is entirely empty and Ray's hash join would feed
+    # schema-less zero-row partitions into acero (found by the hypothesis
+    # layout property suite) — skip the shuffle branch outright instead
+    hot_rows = int(hot["__skew_cnt"].sum()) if "__skew_cnt" in hot.columns else 0
+    cold_rows = total - null_cnt - hot_rows
+
     hot_keys = pa.array(hot[on].to_list())
     hot_ref = ray.put(hot_keys)
 
@@ -894,11 +953,12 @@ def skew_join(
             _proj, batch_format="pyarrow", zero_copy_batch=True
         )
     )
-    branches.append(
-        big_cold.join(
-            small, join_type, num_partitions=num_partitions, on=(on,), right_on=(rkey,)
-        ).map_batches(_proj, batch_format="pyarrow", zero_copy_batch=True)
-    )
+    if cold_rows > 0:
+        branches.append(
+            big_cold.join(
+                small, join_type, num_partitions=num_partitions, on=(on,), right_on=(rkey,)
+            ).map_batches(_proj, batch_format="pyarrow", zero_copy_batch=True)
+        )
     return _finish(_union(branches))
 
 

@@ -166,3 +166,35 @@ def test_skew_join_null_keys(ray_session):
     assert left.loc[left["v"].isin([1, 3]), "name"].isna().all()
     assert left.loc[left["v"] == 0, "name"].tolist() == ["one"]
     assert left.loc[left["v"] == 2, "name"].isna().all()
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_skew_join_all_keys_hot_empty_cold_branch(ray_session, how):
+    # hypothesis falsifying example (seed 251283): with threshold=1 EVERY
+    # key is hot, the cold branch is entirely empty, and Ray's hash join
+    # used to receive schema-less zero-row left partitions (acero:
+    # "No match ... FieldRef.Name(k)"). The histogram now proves
+    # cold_rows == 0 and the shuffle branch is skipped outright.
+    big = pd.DataFrame({"k": [3, 2, 2, 3], "v": [0, 1, 2, 3]})
+    small_keys = [10, 4, 9, 0, 3, 7, 8, 2]
+    small = pd.DataFrame(
+        {"k": small_keys, "name": [f"n{k}" for k in small_keys]}
+    )
+    out = (
+        relops.skew_join(
+            ray_session.data.from_pandas(big),
+            ray_session.data.from_pandas(small),
+            on="k",
+            how=how,
+            hot_key_threshold=1,
+            num_partitions=4,
+            max_hot_keys=10,
+        )
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    ref = _ref_merge(big, small, how)
+    pd.testing.assert_frame_equal(
+        out[["k", "v", "name"]], ref[["k", "v", "name"]], check_dtype=False
+    )
