@@ -3303,6 +3303,207 @@ FROM r WHERE rn = 1
 """
 
 
+def q2_min_cost_supplier(sf_dir: str):
+    """TPC-H Q2 analog over this dataset's tables (no partsupp here: the
+    part-supplier cost relation is derived as min(l_extendedprice) per
+    (l_partkey, l_suppkey)). For every SMALL-type size-23 part, keep
+    EVERY EUROPE supplier achieving that part's minimum derived cost,
+    with supplier/nation attributes attached — the correlated-min
+    subquery of Q2 becomes a bucketed argmin that keeps ties.
+
+    Scale shape: ONE fact-scale combiner groupby builds the cost
+    relation; nation x region is fixed-size driver work; supplier and
+    part attach through the broadcast gate (map-side at dimension size,
+    partitioned join beyond it); the per-part min never materializes
+    more than the cost relation."""
+    # cost relation: min lineitem price per (part, supplier)
+    li = scan(sf_dir, "lineitem",
+              columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+
+    def cost_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["l_partkey", "l_suppkey"]).aggregate(
+            [("l_extendedprice", "min")]
+        )
+        return pa.table(
+            {
+                "l_partkey": g.column("l_partkey"),
+                "l_suppkey": g.column("l_suppkey"),
+                "supply_cost": g.column("l_extendedprice_min"),
+            }
+        )
+
+    # (part, supplier) cardinality scales with the fact table: map-side
+    # combine, then a BUCKETED reduce (vectorized group_by per bucket) —
+    # a per-key Ray aggregate over the composite key is the known
+    # high-cardinality trap
+    def cost_bucket(group: pa.Table) -> pa.Table:
+        g = group.group_by(["l_partkey", "l_suppkey"]).aggregate(
+            [("supply_cost", "min")]
+        )
+        return pa.table(
+            {
+                "l_partkey": g.column("l_partkey"),
+                "l_suppkey": g.column("l_suppkey"),
+                "supply_cost": g.column("supply_cost_min"),
+            }
+        )
+
+    cost = relops.bucketed_groupby(
+        li.map_batches(cost_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_partkey"], cost_bucket,
+        empty=pa.schema(
+            [("l_partkey", pa.int64()), ("l_suppkey", pa.int64()),
+             ("supply_cost", pa.float64())]
+        ).empty_table(),
+    )
+
+    # EUROPE suppliers with nation names: nation x region is 25 x 5 rows
+    # by spec (driver-side); supplier itself is size-gated
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
+    eu_n = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    eu_n = eu_n[eu_n["r_name"] == "EUROPE"][["n_nationkey", "n_name"]]
+    supp_small, supp_ds = relops.small_side(
+        sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"]
+    )
+    if supp_small is not None:
+        eu = supp_small.to_pandas().merge(
+            eu_n, left_on="s_nationkey", right_on="n_nationkey"
+        )[["s_suppkey", "s_name", "s_acctbal", "n_name"]]
+        cost = relops.broadcast_join(
+            cost.map_batches(
+                lambda t: t.append_column("s_suppkey", t.column("l_suppkey")),
+                batch_format="pyarrow", zero_copy_batch=True,
+            ),
+            pa.Table.from_pandas(eu, preserve_index=False),
+            on="s_suppkey",
+        )
+    else:
+        # nationkeys are a fixed tiny domain: filter + name-attach map-side,
+        # then one partitioned join on suppkey
+        nk = eu_n["n_nationkey"].to_numpy(dtype=np.int64)
+        lut = np.full(int(nation["n_nationkey"].max()) + 1, "", dtype=object)
+        lut[nk] = eu_n["n_name"].to_numpy(dtype=object)
+        nk_set = pa.array(nk)
+
+        def eu_attach(batch: pa.Table) -> pa.Table:
+            t = batch.filter(pc.is_in(batch.column("s_nationkey"), value_set=nk_set))
+            names = lut[t.column("s_nationkey").to_numpy(zero_copy_only=False)]
+            return pa.table(
+                {
+                    "s_suppkey": t.column("s_suppkey"),
+                    "s_name": t.column("s_name"),
+                    "s_acctbal": t.column("s_acctbal"),
+                    "n_name": pa.array(names, pa.string()),
+                }
+            )
+
+        eu_ds = supp_ds.map_batches(
+            eu_attach, batch_format="pyarrow", zero_copy_batch=True
+        )
+        cost = cost.join(
+            eu_ds, "inner",
+            num_partitions=relops.choose_num_partitions(
+                relops.table_path(sf_dir, "lineitem"),
+                relops.table_path(sf_dir, "supplier"),
+            ),
+            on=("l_suppkey",), right_on=("s_suppkey",),
+        )
+
+    # part filter + brand attach (size-gated like supplier)
+    part_small, part_ds = relops.small_side(
+        sf_dir, "part", ["p_partkey", "p_brand", "p_type", "p_size"]
+    )
+    sel = (pc.field("p_size") == 23) & (pc.field("p_type") == "SMALL")
+    if part_small is not None:
+        psel = part_small.filter(
+            pc.and_(pc.equal(part_small.column("p_size"), 23),
+                    pc.equal(part_small.column("p_type"), "SMALL"))
+        ).select(["p_partkey", "p_brand"])
+        withp = relops.broadcast_join(
+            cost.map_batches(
+                lambda t: t.append_column("p_partkey", t.column("l_partkey")),
+                batch_format="pyarrow", zero_copy_batch=True,
+            ),
+            psel, on="p_partkey",
+        )
+    else:
+        part_f = scan(sf_dir, "part", columns=["p_partkey", "p_brand"], filter=sel)
+        withp = cost.join(
+            part_f, "inner",
+            num_partitions=relops.choose_num_partitions(
+                relops.table_path(sf_dir, "lineitem"),
+                relops.table_path(sf_dir, "part"),
+            ),
+            on=("l_partkey",), right_on=("p_partkey",),
+        ).map_batches(
+            lambda t: t.append_column("p_partkey", t.column("l_partkey"))
+            if "p_partkey" not in t.column_names else t,
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+
+    empty = pa.schema(
+        [("p_partkey", pa.int64()), ("p_brand", pa.string()),
+         ("s_name", pa.string()), ("n_name", pa.string()),
+         ("s_acctbal", pa.float64()), ("supply_cost", pa.float64())]
+    ).empty_table()
+
+    def bucket_min_ties(group: pa.Table) -> pa.Table:
+        t = group.take(pc.sort_indices(
+            group, sort_keys=[("p_partkey", "ascending"),
+                              ("supply_cost", "ascending")]
+        ))
+        pk = t.column("p_partkey").to_numpy(zero_copy_only=False)
+        costs = t.column("supply_cost").to_numpy(zero_copy_only=False)
+        first = np.empty(len(pk), dtype=bool)
+        first[0] = True
+        first[1:] = pk[1:] != pk[:-1]
+        starts = np.flatnonzero(first)
+        counts = np.diff(np.r_[starts, len(pk)])
+        # min-cost rows INCLUDING ties: exact float equality on values
+        # taken from the same column (no arithmetic in between)
+        keep = costs == np.repeat(costs[starts], counts)
+        t = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                "p_partkey": t.column("p_partkey"),
+                "p_brand": t.column("p_brand"),
+                "s_name": t.column("s_name"),
+                "n_name": t.column("n_name"),
+                "s_acctbal": round_away_arrow(
+                    pc.cast(t.column("s_acctbal"), pa.float64())),
+                "supply_cost": round_away_arrow(
+                    pc.cast(t.column("supply_cost"), pa.float64())),
+            }
+        )
+
+    return relops.bucketed_groupby(withp, ["p_partkey"], bucket_min_ties, empty=empty)
+
+
+Q2_SQL = """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice) AS supply_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier, nation, region
+  WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+    AND r_name = 'EUROPE'
+), c AS (
+  SELECT p.p_partkey, p.p_brand, eu.s_name, eu.n_name, eu.s_acctbal,
+         cost.supply_cost
+  FROM part p, cost, eu
+  WHERE cost.l_partkey = p.p_partkey AND eu.s_suppkey = cost.l_suppkey
+    AND p.p_size = 23 AND p.p_type = 'SMALL'
+)
+SELECT p_partkey, p_brand, s_name, n_name,
+       round(s_acctbal, 4) AS s_acctbal,
+       round(supply_cost, 4) AS supply_cost
+FROM c
+QUALIFY supply_cost = min(supply_cost) OVER (PARTITION BY p_partkey)
+"""
+
+
 def order_gap_days_per_customer(sf_dir: str):
     """lag()-window analog: per customer, the average gap in days between
     consecutive orders (ordered by date, orderkey). One groupby(custkey)
@@ -9075,6 +9276,7 @@ REGISTRY: dict[str, tuple] = {
     "unpivot_events_daily": (unpivot_events_daily, UNPIVOT_SQL),
     "vocab_entropy_by_lang": (vocab_entropy_by_lang, VOCAB_ENTROPY_SQL),
     "q10_returned_items": (q10_returned_items, Q10_SQL),
+    "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
     "q16_parts_supplier_counts": (q16_parts_supplier_counts, Q16_SQL),
     "rollup_events_daily": (rollup_events_daily, ROLLUP_EVENTS_SQL),
     "cube_events_daily": (cube_events_daily, CUBE_EVENTS_SQL),
