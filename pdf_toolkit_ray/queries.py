@@ -8762,6 +8762,309 @@ FROM m GROUP BY conv_id, turn_idx
 """
 
 
+def sft_spans_transcripts(sf_dir: str):
+    """Training-example assembly: render each conversation as the
+    standard SFT string (one ``role: text`` line per turn, in turn
+    order) and emit the LOSS-MASK SPAN of every assistant turn — the
+    [start, end) character offsets of that turn's text inside the
+    rendered conversation, plus the rendered length. The offsets fall
+    out of cumulative per-turn length sums, so the op never
+    materializes a rendered string: only integer lengths shuffle. One
+    conv-bucketed exchange; everything inside a bucket is vectorized
+    column math (``pc.utf8_length`` matches the twin's ``length()``
+    character semantics)."""
+    from .stages.convdedup import _md5_prefix_i64
+
+    ds = relops.scan_path(
+        _transcripts_path(sf_dir), columns=["conv_id", "turn_idx", "role", "text"]
+    )
+
+    def local_lengths(b: pa.Table) -> pa.Table:
+        # distinct on the FULL text, then drop it: the shuffle moves the
+        # text's length and a 48-bit key, never the text itself
+        b = b.set_column(
+            b.column_names.index("text"), "text", pc.fill_null(b.column("text"), "")
+        )
+        d = b.group_by(["conv_id", "turn_idx", "role", "text"]).aggregate([])
+        return pa.table(
+            {
+                "conv_id": d.column("conv_id"),
+                "turn_idx": d.column("turn_idx"),
+                "role": d.column("role"),
+                "tl": pc.cast(pc.utf8_length(d.column("text")), pa.int64()),
+                "tkey": pa.array(
+                    _md5_prefix_i64(d.column("text").to_pylist()), pa.int64()
+                ),
+            }
+        )
+
+    pairs = ds.map_batches(
+        local_lengths, batch_format="pyarrow", zero_copy_batch=True
+    )
+    empty = pa.table(
+        {
+            "conv_id": pa.array([], pa.string()),
+            "turn_idx": pa.array([], pa.int32()),
+            "start_off": pa.array([], pa.int64()),
+            "end_off": pa.array([], pa.int64()),
+            "conv_chars": pa.array([], pa.int64()),
+        }
+    )
+
+    def bucket_fn(group: pa.Table) -> pa.Table:
+        d = group.group_by(
+            ["conv_id", "turn_idx", "role", "tl", "tkey"]
+        ).aggregate([])
+        conv = np.asarray(d.column("conv_id").to_numpy(zero_copy_only=False))
+        turn = d.column("turn_idx").to_numpy(zero_copy_only=False)
+        role = np.asarray(d.column("role").to_numpy(zero_copy_only=False))
+        tkey = d.column("tkey").to_numpy(zero_copy_only=False)
+        rl = pc.utf8_length(d.column("role")).to_numpy(zero_copy_only=False).astype(np.int64)
+        tl = d.column("tl").to_numpy(zero_copy_only=False)
+        # duplicate turn_idx in a dirty feed must order deterministically
+        # (and identically to the twin's window ORDER BY; offsets are
+        # invariant under equal-length ties, so length+key is a total
+        # enough order)
+        order = np.lexsort((tkey, tl, role, turn, conv))
+        conv, turn, role = conv[order], turn[order], role[order]
+        rl, tl = rl[order], tl[order]
+        contrib = rl + tl + 3  # "role: text\n"
+        starts = np.flatnonzero(np.r_[True, conv[1:] != conv[:-1]])
+        bounds = np.r_[starts, len(conv)]
+        cum = np.cumsum(contrib)
+        before = np.r_[0, cum[:-1]]
+        conv_chars = np.empty(len(conv), np.int64)
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            before[s:e] -= before[s]
+            conv_chars[s:e] = cum[e - 1] - (cum[s] - contrib[s])
+        start_off = before + rl + 2
+        keep = role == "assistant"
+        return pa.table(
+            {
+                "conv_id": pa.array(conv[keep]),
+                "turn_idx": pa.array(turn[keep], pa.int32()),
+                "start_off": pa.array(start_off[keep], pa.int64()),
+                "end_off": pa.array((start_off + tl)[keep], pa.int64()),
+                "conv_chars": pa.array(conv_chars[keep], pa.int64()),
+            }
+        )
+
+    out = relops.bucketed_groupby(pairs, ["conv_id"], bucket_fn, empty=empty)
+    df = out.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def sft_spans_transcripts_sql(sf_dir: str | None = None) -> str:
+    path = _transcripts_sql_source(sf_dir)
+    return f"""
+WITH t AS (SELECT DISTINCT conv_id, turn_idx, role, coalesce(text, '') AS text
+           FROM read_parquet('{path}')),
+w AS (SELECT conv_id, turn_idx, role, length(role) AS rl, length(text) AS tl,
+             coalesce(sum(length(role) + length(text) + 3) OVER (
+               PARTITION BY conv_id
+               ORDER BY turn_idx, role, length(text),
+                        {_V48.format(expr="text")}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before,
+             sum(length(role) + length(text) + 3) OVER (
+               PARTITION BY conv_id) AS conv_chars
+      FROM t)
+SELECT conv_id, turn_idx,
+       CAST(before + rl + 2 AS BIGINT) AS start_off,
+       CAST(before + rl + 2 + tl AS BIGINT) AS end_off,
+       CAST(conv_chars AS BIGINT) AS conv_chars
+FROM w WHERE role = 'assistant'
+"""
+
+
+def context_window_transcripts(sf_dir: str, budget: int = 512):
+    """Context-window assembly: keep the longest SUFFIX of each
+    conversation whose total whitespace-token count fits the budget —
+    the 'build the model's context from the most recent turns' op. The
+    newest turn always survives, even alone over budget. Reverse
+    cumulative sums per conversation bucket; only integer token counts
+    shuffle, never text."""
+    ds = relops.scan_path(
+        _transcripts_path(sf_dir), columns=["conv_id", "turn_idx", "text"]
+    )
+
+    def local_tokens(b: pa.Table) -> pa.Table:
+        txt = pc.fill_null(b.column("text"), "")
+        tk = pc.add(pc.count_substring(txt, " "), 1)
+        t = pa.table(
+            {
+                "conv_id": b.column("conv_id"),
+                "turn_idx": b.column("turn_idx"),
+                "tk": pc.cast(tk, pa.int64()),
+            }
+        )
+        # exact-duplicate feed rows collapse before the shuffle
+        return t.group_by(["conv_id", "turn_idx", "tk"]).aggregate([])
+
+    pairs = ds.map_batches(local_tokens, batch_format="pyarrow", zero_copy_batch=True)
+    empty = pa.table(
+        {
+            "conv_id": pa.array([], pa.string()),
+            "turn_idx": pa.array([], pa.int32()),
+            "turn_tokens": pa.array([], pa.int64()),
+            "suffix_tokens": pa.array([], pa.int64()),
+        }
+    )
+    b_budget = budget
+
+    def bucket_fn(group: pa.Table) -> pa.Table:
+        d = group.group_by(["conv_id", "turn_idx", "tk"]).aggregate([])
+        conv = np.asarray(d.column("conv_id").to_numpy(zero_copy_only=False))
+        turn = d.column("turn_idx").to_numpy(zero_copy_only=False)
+        tk = d.column("tk").to_numpy(zero_copy_only=False)
+        # newest-first within each conversation (matches ORDER BY turn_idx
+        # DESC, tk in the twin; tk tie-break for dirty duplicate turn_idx)
+        order = np.lexsort((tk, -turn.astype(np.int64), conv))
+        conv, turn, tk = conv[order], turn[order], tk[order]
+        starts = np.flatnonzero(np.r_[True, conv[1:] != conv[:-1]])
+        bounds = np.r_[starts, len(conv)]
+        cum = np.cumsum(tk)
+        suffix = cum.copy()
+        is_first = np.zeros(len(conv), bool)
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            suffix[s:e] -= cum[s] - tk[s]
+            is_first[s] = True
+        keep = (suffix <= b_budget) | is_first
+        return pa.table(
+            {
+                "conv_id": pa.array(conv[keep]),
+                "turn_idx": pa.array(turn[keep], pa.int32()),
+                "turn_tokens": pa.array(tk[keep], pa.int64()),
+                "suffix_tokens": pa.array(suffix[keep], pa.int64()),
+            }
+        )
+
+    out = relops.bucketed_groupby(pairs, ["conv_id"], bucket_fn, empty=empty)
+    df = out.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def context_window_transcripts_sql(sf_dir: str | None = None) -> str:
+    path = _transcripts_sql_source(sf_dir)
+    return f"""
+WITH t AS (SELECT DISTINCT conv_id, turn_idx,
+                  CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS tk
+           FROM read_parquet('{path}')),
+r AS (SELECT conv_id, turn_idx, tk,
+             sum(tk) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC, tk
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS suffix_tokens,
+             row_number() OVER (PARTITION BY conv_id
+                                ORDER BY turn_idx DESC, tk) AS rn
+      FROM t)
+SELECT conv_id, turn_idx, tk AS turn_tokens,
+       CAST(suffix_tokens AS BIGINT) AS suffix_tokens
+FROM r WHERE suffix_tokens <= 512 OR rn = 1
+"""
+
+
+def conv_chunk_budget_transcripts(sf_dir: str, budget: int = 256):
+    """Greedy conversation chunking under a token budget: walk each
+    conversation's turns in order, open a new chunk whenever adding the
+    next turn would push the running whitespace-token count over the
+    budget (an oversize single turn gets a chunk of its own) — the
+    conversation-boundary-respecting cousin of ``pack_sequences``. The
+    per-bucket kernel loops once per CHUNK (searchsorted over the
+    cumulative sums), never per turn; the twin re-derives the same
+    greedy recurrence as a recursive CTE stepping ``row_number``."""
+    ds = relops.scan_path(
+        _transcripts_path(sf_dir), columns=["conv_id", "turn_idx", "text"]
+    )
+
+    def local_tokens(b: pa.Table) -> pa.Table:
+        txt = pc.fill_null(b.column("text"), "")
+        tk = pc.add(pc.count_substring(txt, " "), 1)
+        t = pa.table(
+            {
+                "conv_id": b.column("conv_id"),
+                "turn_idx": b.column("turn_idx"),
+                "tk": pc.cast(tk, pa.int64()),
+            }
+        )
+        return t.group_by(["conv_id", "turn_idx", "tk"]).aggregate([])
+
+    pairs = ds.map_batches(local_tokens, batch_format="pyarrow", zero_copy_batch=True)
+    empty = pa.table(
+        {
+            "conv_id": pa.array([], pa.string()),
+            "turn_idx": pa.array([], pa.int32()),
+            "chunk_id": pa.array([], pa.int64()),
+            "turn_tokens": pa.array([], pa.int64()),
+        }
+    )
+    b_budget = budget
+
+    def bucket_fn(group: pa.Table) -> pa.Table:
+        d = group.group_by(["conv_id", "turn_idx", "tk"]).aggregate([])
+        conv = np.asarray(d.column("conv_id").to_numpy(zero_copy_only=False))
+        turn = d.column("turn_idx").to_numpy(zero_copy_only=False)
+        tk = d.column("tk").to_numpy(zero_copy_only=False)
+        order = np.lexsort((tk, turn, conv))
+        conv, turn, tk = conv[order], turn[order], tk[order]
+        starts = np.flatnonzero(np.r_[True, conv[1:] != conv[:-1]])
+        bounds = np.r_[starts, len(conv)]
+        cum = np.cumsum(tk)
+        chunk = np.empty(len(conv), np.int64)
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            base = cum[s] - tk[s]
+            pos, cid = s, 0
+            while pos < e:
+                # furthest turn the budget still covers; an oversize
+                # turn advances by one on its own
+                hi = np.searchsorted(cum[pos:e], base + b_budget, side="right") + pos
+                end = max(hi, pos + 1)
+                chunk[pos:end] = cid
+                cid += 1
+                base = cum[end - 1]
+                pos = end
+        return pa.table(
+            {
+                "conv_id": pa.array(conv),
+                "turn_idx": pa.array(turn, pa.int32()),
+                "chunk_id": pa.array(chunk, pa.int64()),
+                "turn_tokens": pa.array(tk, pa.int64()),
+            }
+        )
+
+    out = relops.bucketed_groupby(pairs, ["conv_id"], bucket_fn, empty=empty)
+    df = out.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def conv_chunk_budget_transcripts_sql(sf_dir: str | None = None) -> str:
+    # the greedy recurrence as a per-conversation LEFT FOLD: state is a
+    # plain BIGINT list [run, cid_1..cid_n] (DuckDB 1.0's list_reduce
+    # mangles lists nested in struct state; a flat list folds correctly —
+    # and the fold is linear per conversation, unlike a per-turn recursive
+    # CTE, which re-joins the whole turn table once per iteration)
+    path = _transcripts_sql_source(sf_dir)
+    return f"""
+WITH t AS (SELECT DISTINCT conv_id, turn_idx,
+                  CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS tk
+           FROM read_parquet('{path}')),
+lst AS (SELECT conv_id,
+               list(turn_idx ORDER BY turn_idx, tk) AS turns,
+               list(tk ORDER BY turn_idx, tk) AS tks
+        FROM t GROUP BY conv_id),
+folded AS (SELECT conv_id, turns, tks,
+                  list_reduce(
+                    list_transform(tks, x -> [x, CAST(0 AS BIGINT)]),
+                    (acc, x) -> CASE WHEN acc[1] + x[1] > 256
+                      THEN list_concat([x[1]],
+                                       list_append(acc[2:], acc[len(acc)] + 1))
+                      ELSE list_concat([acc[1] + x[1]],
+                                       list_append(acc[2:], acc[len(acc)])) END
+                  )[2:] AS cids
+           FROM lst)
+SELECT conv_id, turns[i] AS turn_idx, cids[i] AS chunk_id, tks[i] AS turn_tokens
+FROM folded, LATERAL (SELECT unnest(generate_series(1, len(turns))) AS i) s
+"""
+
+
 def shared_boilerplate_transcripts(sf_dir: str):
     """Templated-turn detection over the duplication fixture: turn texts
     opening >= 5 distinct conversations (the shared system prompts),
@@ -9351,6 +9654,9 @@ REGISTRY: dict[str, tuple] = {
     "conv_overlap_pairs_transcripts": (conv_overlap_pairs_transcripts, None),
     "shared_boilerplate_transcripts": (shared_boilerplate_transcripts, None),
     "context_repeat_transcripts": (context_repeat_transcripts, None),
+    "sft_spans_transcripts": (sft_spans_transcripts, None),
+    "context_window_transcripts": (context_window_transcripts, None),
+    "conv_chunk_budget_transcripts": (conv_chunk_budget_transcripts, None),
 }
 
 #: oracle SQL that must be built lazily (embeds a generated-on-demand
@@ -9367,6 +9673,9 @@ LAZY_SQL: dict[str, Any] = {
     "conv_overlap_pairs_transcripts": conv_overlap_pairs_transcripts_sql,
     "shared_boilerplate_transcripts": shared_boilerplate_transcripts_sql,
     "context_repeat_transcripts": context_repeat_transcripts_sql,
+    "sft_spans_transcripts": sft_spans_transcripts_sql,
+    "context_window_transcripts": context_window_transcripts_sql,
+    "conv_chunk_budget_transcripts": conv_chunk_budget_transcripts_sql,
 }
 
 
