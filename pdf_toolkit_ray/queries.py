@@ -8828,16 +8828,14 @@ def sft_spans_transcripts(sf_dir: str):
         order = np.lexsort((tkey, tl, role, turn, conv))
         conv, turn, role = conv[order], turn[order], role[order]
         rl, tl = rl[order], tl[order]
-        contrib = rl + tl + 3  # "role: text\n"
+        from .functions.assembly import sft_offsets
+
         starts = np.flatnonzero(np.r_[True, conv[1:] != conv[:-1]])
         bounds = np.r_[starts, len(conv)]
-        cum = np.cumsum(contrib)
-        before = np.r_[0, cum[:-1]]
+        start_off = np.empty(len(conv), np.int64)
         conv_chars = np.empty(len(conv), np.int64)
         for s, e in zip(bounds[:-1], bounds[1:]):
-            before[s:e] -= before[s]
-            conv_chars[s:e] = cum[e - 1] - (cum[s] - contrib[s])
-        start_off = before + rl + 2
+            start_off[s:e], conv_chars[s:e] = sft_offsets(rl[s:e], tl[s:e])
         keep = role == "assistant"
         return pa.table(
             {
@@ -8920,15 +8918,14 @@ def context_window_transcripts(sf_dir: str, budget: int = 512):
         # DESC, tk in the twin; tk tie-break for dirty duplicate turn_idx)
         order = np.lexsort((tk, -turn.astype(np.int64), conv))
         conv, turn, tk = conv[order], turn[order], tk[order]
+        from .functions.assembly import suffix_keep
+
         starts = np.flatnonzero(np.r_[True, conv[1:] != conv[:-1]])
         bounds = np.r_[starts, len(conv)]
-        cum = np.cumsum(tk)
-        suffix = cum.copy()
-        is_first = np.zeros(len(conv), bool)
+        suffix = np.empty(len(conv), np.int64)
+        keep = np.empty(len(conv), bool)
         for s, e in zip(bounds[:-1], bounds[1:]):
-            suffix[s:e] -= cum[s] - tk[s]
-            is_first[s] = True
-        keep = (suffix <= b_budget) | is_first
+            keep[s:e], suffix[s:e] = suffix_keep(tk[s:e], b_budget)
         return pa.table(
             {
                 "conv_id": pa.array(conv[keep]),
@@ -9005,22 +9002,13 @@ def conv_chunk_budget_transcripts(sf_dir: str, budget: int = 256):
         tk = d.column("tk").to_numpy(zero_copy_only=False)
         order = np.lexsort((tk, turn, conv))
         conv, turn, tk = conv[order], turn[order], tk[order]
+        from .functions.assembly import greedy_chunk_ids
+
         starts = np.flatnonzero(np.r_[True, conv[1:] != conv[:-1]])
         bounds = np.r_[starts, len(conv)]
-        cum = np.cumsum(tk)
         chunk = np.empty(len(conv), np.int64)
         for s, e in zip(bounds[:-1], bounds[1:]):
-            base = cum[s] - tk[s]
-            pos, cid = s, 0
-            while pos < e:
-                # furthest turn the budget still covers; an oversize
-                # turn advances by one on its own
-                hi = np.searchsorted(cum[pos:e], base + b_budget, side="right") + pos
-                end = max(hi, pos + 1)
-                chunk[pos:end] = cid
-                cid += 1
-                base = cum[end - 1]
-                pos = end
+            chunk[s:e] = greedy_chunk_ids(tk[s:e], b_budget)
         return pa.table(
             {
                 "conv_id": pa.array(conv),

@@ -111,3 +111,76 @@ def test_conv_chunk_budget_greedy(ray_session, tmp_path, monkeypatch):
         ("c2", 0): (0, 300), ("c2", 1): (1, 10), ("c2", 2): (1, 10),
         ("c3", 0): (0, 10), ("c3", 1): (1, 300), ("c3", 2): (2, 10),
     }
+
+
+# ---------------------------------------------------------------------------
+# kernel property suite: the pure per-conversation kernels vs step-by-step
+# python references on arbitrary token/length sequences
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pdf_toolkit_ray.functions.assembly import (
+    greedy_chunk_ids,
+    sft_offsets,
+    suffix_keep,
+)
+
+_tok_lists = st.lists(st.integers(1, 1000), min_size=0, max_size=200)
+
+
+@given(tk=_tok_lists, budget=st.integers(1, 1500))
+@settings(max_examples=200, deadline=None)
+def test_greedy_chunk_ids_matches_reference(tk, budget):
+    import numpy as np
+
+    got = greedy_chunk_ids(np.asarray(tk, np.int64), budget)
+    run, cid, want = 0, 0, []
+    for i, t in enumerate(tk):
+        if i == 0:
+            run = t
+        elif run + t > budget:
+            cid, run = cid + 1, t
+        else:
+            run += t
+        want.append(cid)
+    assert got.tolist() == want
+    # chunk ids are dense and non-decreasing; no chunk except a singleton
+    # oversize one exceeds the budget
+    for c in range(cid + 1):
+        members = [t for t, g in zip(tk, want) if g == c]
+        assert sum(members) <= budget or len(members) == 1
+
+
+@given(tk=_tok_lists, budget=st.integers(1, 1500))
+@settings(max_examples=200, deadline=None)
+def test_suffix_keep_matches_reference(tk, budget):
+    import numpy as np
+
+    keep, suffix = suffix_keep(np.asarray(tk, np.int64), budget)
+    want_suffix = [sum(tk[: i + 1]) for i in range(len(tk))]
+    want_keep = [s <= budget or i == 0 for i, s in enumerate(want_suffix)]
+    assert suffix.tolist() == want_suffix
+    assert keep.tolist() == want_keep
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(1, 12), st.integers(0, 500)), min_size=0, max_size=100
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_sft_offsets_match_rendered_string(pairs):
+    import numpy as np
+
+    rl = np.asarray([p[0] for p in pairs], np.int64)
+    tl = np.asarray([p[1] for p in pairs], np.int64)
+    start, total = sft_offsets(rl, tl)
+    rendered = ""
+    for i, (r, t) in enumerate(pairs):
+        role, text = "r" * r, "t" * t
+        assert start[i] == len(rendered) + r + 2
+        rendered += f"{role}: {text}\n"
+        assert rendered[start[i] : start[i] + t] == text
+    if pairs:
+        assert (total == len(rendered)).all()
