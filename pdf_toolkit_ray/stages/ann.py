@@ -360,6 +360,228 @@ def ivf_topk(
     return candidates.groupby("query_id").map_groups(_final_topk(k), batch_format="pyarrow")
 
 
+def pq_train_codebooks(
+    sample: np.ndarray, m: int = 8, n_codes: int = 16, seed: int = 7, iters: int = 10
+) -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al. '11): plain-L2 Lloyd
+    k-means per SUBSPACE over the normalized sample. Returns
+    ``(m, n_codes, d/m)``. Deterministic (seeded init, argmin ties to the
+    lowest code). Sample-sized driver work — never corpus-sized."""
+    sn = _normalize(sample.astype(np.float64))
+    n, d = sn.shape
+    if d % m:
+        raise ValueError(f"embedding dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, n_codes, dsub), np.float64)
+    for j in range(m):
+        sub = sn[:, j * dsub : (j + 1) * dsub]
+        k0 = min(n_codes, n)
+        cents = sub[rng.choice(n, size=k0, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            assign = np.argmin(d2, axis=1)
+            for c in range(k0):
+                mem = sub[assign == c]
+                if len(mem):
+                    cents[c] = mem.mean(axis=0)
+        books[j, :k0] = cents
+        if k0 < n_codes:  # degenerate tiny sample: pad with the first cell
+            books[j, k0:] = cents[0]
+    return books
+
+
+def _pq_codes(mnorm: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, d) normalized rows → (n, m) uint8 nearest-centroid codes."""
+    m, n_codes, dsub = books.shape
+    n = mnorm.shape[0]
+    sub = mnorm.reshape(n, m, dsub)
+    # ||sub - c||² per (row, subspace, code); argmin ties → lowest code
+    d2 = ((sub[:, :, None, :] - books[None, :, :, :]) ** 2).sum(-1)
+    return np.argmin(d2, axis=2).astype(np.uint8)
+
+
+def pq_encode(ds: ray.data.Dataset, books: np.ndarray) -> ray.data.Dataset:
+    """Encode the corpus to PQ codes: ``(vec_id, code list<uint8>)`` —
+    m bytes per vector instead of d floats (32× smaller at d=64/m=8
+    against float32 storage). At real scale THIS is the persisted
+    artifact: encode once, write parquet, and every later ANN scan reads
+    codes + codebooks only, never the raw embeddings."""
+    books_ref = ray.put(books)
+
+    def _enc(batch: pa.Table) -> pa.Table:
+        mnorm = _normalize(_matrix(batch.column("embedding")))
+        if mnorm.shape[0] == 0:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()),
+                 "code": pa.array([], pa.list_(pa.uint8()))}
+            )
+        codes = _pq_codes(mnorm, _cached_ref(books_ref))
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "code": pa.FixedSizeListArray.from_arrays(
+                    pa.array(codes.reshape(-1), pa.uint8()), codes.shape[1]
+                ).cast(pa.list_(pa.uint8())),
+            }
+        )
+
+    return ds.select_columns(["vec_id", "embedding"]).map_batches(
+        _enc, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def pq_topk(
+    ds: ray.data.Dataset,
+    query_ids: list[int],
+    query_matrix: np.ndarray,
+    k: int = 10,
+    *,
+    m: int = 8,
+    n_codes: int = 16,
+    train_sample: int = 2048,
+    seed: int = 7,
+    train_matrix: np.ndarray | None = None,
+    rerank: int = 0,
+) -> ray.data.Dataset:
+    """Product-quantization approximate cosine top-k — the MEMORY-bound
+    ANN scale path (vs IVF's compute-bound cell pruning): every vector is
+    scored, but through an m-byte code and a per-query lookup table, so
+    the scan touches m bytes + m table lookups per vector instead of d
+    floats and a d-wide dot product.
+
+    1. TRAIN codebooks on a deterministic sample (driver, sample-sized);
+    2. LUT: per query, ``q_sub · centroid`` for every (subspace, code) —
+       Q × m × n_codes floats, broadcast once;
+    3. SCAN: one map_batches encodes each row and sums LUT entries
+       (asymmetric distance computation); batch-local top-k ships ≤ Q·k
+       rows per batch into the final per-query top-k;
+    4. optional RERANK (``rerank=R``): the GLOBAL PQ top-R candidate set
+       (Q·R ids — driver-sized) broadcasts back over a second corpus
+       pass that rescores candidates with the exact dot product. The
+       candidate set is a deterministic global reduction, NOT a union of
+       batch-local sets, so results stay independent of batching.
+
+    Approximate by construction (quantization error) — the registry pins
+    per-query RECALL vs the exact top-k instead of values. Deterministic
+    across batching/parallelism: codes and ADC scores are per-row
+    functions; tie-breaks are (rounded score desc, vec_id asc)."""
+    if train_matrix is not None:
+        sample = train_matrix.astype(np.float64)
+    else:
+        rows = ds.select_columns(["embedding"]).limit(train_sample).take_all()
+        sample = np.array([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    books = pq_train_codebooks(sample, m=m, n_codes=n_codes, seed=seed)
+    qn = _normalize(query_matrix.astype(np.float64))
+    dsub = qn.shape[1] // m
+    lut = np.einsum("qjd,jkd->qjk", qn.reshape(len(qn), m, dsub), books)
+    books_ref = ray.put(books)
+    lut_ref = ray.put((list(query_ids), lut))
+    # batch-local keep must cover the GLOBAL candidate cut: with rerank,
+    # a batch that kept only top-k could starve the global top-R set and
+    # make results depend on batching (caught by the 4-vs-16-cpu
+    # determinism check)
+    keep_k = max(k, rerank)
+
+    def _pq_scan(batch: pa.Table) -> pa.Table:
+        mnorm = _normalize(_matrix(batch.column("embedding")))
+        n = mnorm.shape[0]
+        if n == 0:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()),
+                 "vec_id": pa.array([], pa.int64()),
+                 "sim": pa.array([], pa.float64())}
+            )
+        codes = _pq_codes(mnorm, _cached_ref(books_ref))
+        qids, lut_w = _cached_ref(lut_ref)
+        vec_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        scores = np.zeros((n, len(qids)))
+        for j in range(codes.shape[1]):  # ADC: m table lookups per row
+            scores += lut_w[:, j, :][:, codes[:, j]].T
+        from ..functions.rounding import round_away
+
+        rounded = round_away(scores, 6)
+        kk = min(keep_k, n)
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(qids):
+            col = rounded[:, qi]
+            order = np.lexsort((vec_ids, -col))[:kk]
+            for row in order:
+                out_q.append(int(qid))
+                out_v.append(int(vec_ids[row]))
+                out_s.append(float(col[row]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    candidates = ds.select_columns(["vec_id", "embedding"]).map_batches(
+        _pq_scan, batch_format="pyarrow", zero_copy_batch=True
+    )
+    if not rerank:
+        return candidates.groupby("query_id").map_groups(
+            _final_topk(k), batch_format="pyarrow"
+        )
+
+    # ---- exact rerank of the global PQ top-R ----
+    cand = candidates.groupby("query_id").map_groups(
+        _final_topk(rerank), batch_format="pyarrow"
+    ).to_pandas()  # ≤ Q·R rows: driver-sized by construction
+    per_q = {
+        int(q): np.sort(g["vec_id"].to_numpy(dtype=np.int64))
+        for q, g in cand.groupby("query_id")
+    }
+    cand_ref = ray.put(per_q)
+    all_ids = np.sort(cand["vec_id"].unique().astype(np.int64))
+    all_ref = ray.put(all_ids)
+    qref = ray.put((list(query_ids), query_matrix.astype(np.float64)))
+
+    def _rescore(batch: pa.Table) -> pa.Table:
+        vec_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        keep = np.isin(vec_ids, _cached_ref(all_ref))
+        sub = batch.filter(pa.array(keep))
+        qids, qn = _cached_queries(qref)
+        mnorm = _normalize(_matrix(sub.column("embedding")))
+        vids = sub.column("vec_id").to_numpy(zero_copy_only=False)
+        if mnorm.shape[0] == 0:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()),
+                 "vec_id": pa.array([], pa.int64()),
+                 "sim": pa.array([], pa.float64())}
+            )
+        from ..functions.rounding import round_away
+
+        sims = round_away(mnorm @ qn.T, 3)  # same contract as brute force
+        pq_sets = _cached_ref(cand_ref)
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(qids):
+            ids_q = pq_sets.get(int(qid))
+            if ids_q is None:
+                continue
+            mask = np.isin(vids, ids_q)
+            for row in np.flatnonzero(mask):
+                out_q.append(int(qid))
+                out_v.append(int(vids[row]))
+                out_s.append(float(sims[row, qi]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    rescored = ds.select_columns(["vec_id", "embedding"]).map_batches(
+        _rescore, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return rescored.groupby("query_id").map_groups(
+        _final_topk(k), batch_format="pyarrow"
+    )
+
+
 def cosine_near_dup_pairs_exact(ds: ray.data.Dataset, threshold: float = 0.99) -> ray.data.Dataset:
     """All pairs (a < b) with cosine ≥ threshold — EXACT.
 

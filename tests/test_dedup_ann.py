@@ -831,3 +831,64 @@ def test_pca_exact_matches_single_process_replica(ray_session):
     # dominant axis recovered: |component_3| ≈ 1e6, others small
     assert abs(got[3]) > 990_000
     assert np.abs(np.delete(got, 3)).max() < 200_000
+
+
+def test_pq_topk_rerank_and_layout_determinism(ray_session):
+    """PQ: (1) codes are 1 byte each and the encoder is deterministic;
+    (2) with rerank, self-hits score exactly 1.0 (exact rescoring);
+    (3) results are IDENTICAL across block layouts — the batch-local keep
+    must cover the global rerank cut (regression: a top-k-only batch keep
+    made the candidate set depend on batching)."""
+    import ray.data
+
+    from pdf_toolkit_ray.stages.ann import (
+        brute_force_topk, pq_encode, pq_topk, pq_train_codebooks,
+    )
+
+    rng = np.random.RandomState(5)
+    n, d = 300, 16
+    # planted clusters so PQ has real structure to quantize
+    centers = rng.normal(size=(6, d)) * 3
+    mat = (centers[rng.randint(0, 6, n)] + rng.normal(size=(n, d)) * 0.3)
+
+    def tbl_blocks(blocks):
+        rows = np.array_split(np.arange(n), blocks)
+        return ray.data.from_arrow([
+            pa.table({
+                "vec_id": pa.array(idx, pa.int64()),
+                "embedding": pa.array([list(map(float, mat[i])) for i in idx],
+                                      type=pa.list_(pa.float32())),
+            }) for idx in rows
+        ])
+
+    qids, qm = [3, 7, 11], mat[[3, 7, 11]].astype(np.float64)
+
+    books = pq_train_codebooks(mat, m=4, n_codes=16, seed=7)
+    assert books.shape == (4, 16, 4)
+    codes = pq_encode(tbl_blocks(1), books).to_pandas().sort_values("vec_id")
+    assert len(codes) == n and all(len(c) == 4 for c in codes["code"])
+    codes2 = pq_encode(tbl_blocks(7), books).to_pandas().sort_values("vec_id")
+    assert [list(c) for c in codes["code"]] == [list(c) for c in codes2["code"]]
+
+    def norm(df):
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    out1 = norm(pq_topk(tbl_blocks(1), qids, qm, k=5, m=4, n_codes=16,
+                        train_matrix=mat, rerank=100).to_pandas())
+    out7 = norm(pq_topk(tbl_blocks(7), qids, qm, k=5, m=4, n_codes=16,
+                        train_matrix=mat, rerank=100).to_pandas())
+    assert out1.equals(out7)  # layout independence (the rerank-cut bug)
+
+    # clustered data + rerank: PQ top-5 ~= exact top-5 (>=80% per query),
+    # and every pair both sides agree on carries the EXACT rescored sim
+    exact = brute_force_topk(tbl_blocks(1), qids, qm, k=5).to_pandas()
+    esim = {(int(q), int(v)): s for q, v, s in
+            zip(exact["query_id"], exact["vec_id"], exact["sim"])}
+    for q in qids:
+        want = set(exact[exact["query_id"] == q]["vec_id"].astype(int))
+        got = set(out1[out1["query_id"] == q]["vec_id"].astype(int))
+        assert len(want & got) >= 4
+    for _, r in out1.iterrows():
+        key = (int(r.query_id), int(r.vec_id))
+        if key in esim:  # rerank rescoring equals the brute-force contract
+            assert r.sim == esim[key]
