@@ -5874,6 +5874,56 @@ FROM orders
 """
 
 
+def ntile_orders_per_customer(sf_dir: str, tiles: int = 4):
+    """ntile(4) OVER (PARTITION BY custkey ORDER BY totalprice, orderkey):
+    SQL ntile semantics exactly — the first ``n % tiles`` tiles get
+    ``n // tiles + 1`` rows. The orderkey tiebreak makes the row order
+    total, so tile assignment is deterministic. Same shape as
+    percent_rank: one conv-bucketed shuffle, vectorized per bucket."""
+    orders = scan(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    t_tiles = tiles
+
+    def bucket_ntile(group: pa.Table) -> pa.Table:
+        d = group.take(pc.sort_indices(
+            group, sort_keys=[("o_custkey", "ascending"),
+                              ("o_totalprice", "ascending"),
+                              ("o_orderkey", "ascending")]
+        ))
+        ck = d.column("o_custkey").to_numpy(zero_copy_only=False)
+        n_all = len(ck)
+        first = np.empty(n_all, dtype=bool)
+        if n_all:
+            first[0] = True
+            first[1:] = ck[1:] != ck[:-1]
+        starts = np.flatnonzero(first)
+        counts = np.diff(np.r_[starts, n_all])
+        # 0-based row index within each customer
+        idx = np.arange(n_all) - np.repeat(starts, counts)
+        n = np.repeat(counts, counts)
+        q, rem = n // t_tiles, n % t_tiles
+        big = rem * (q + 1)  # rows covered by the (q+1)-sized leading tiles
+        tile = np.where(
+            idx < big, idx // np.maximum(q + 1, 1),
+            rem + (idx - big) // np.maximum(q, 1),
+        ) + 1
+        return pa.table(
+            {
+                "o_orderkey": d.column("o_orderkey"),
+                "tile": pa.array(tile.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return relops.bucketed_groupby(orders, ["o_custkey"], bucket_ntile)
+
+
+NTILE_ORDERS_SQL = """
+SELECT o_orderkey,
+       CAST(ntile(4) OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS tile
+FROM orders
+"""
+
+
 def _part_supplier_edges(sf_dir: str):
     """Symmetric bipartite edge list from lineitem co-occurrence:
     part node = 2·partkey, supplier node = 2·suppkey + 1, both
@@ -9716,6 +9766,7 @@ REGISTRY: dict[str, tuple] = {
     "vocab_entropy_by_lang": (vocab_entropy_by_lang, VOCAB_ENTROPY_SQL),
     "q10_returned_items": (q10_returned_items, Q10_SQL),
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
+    "ntile_orders_per_customer": (ntile_orders_per_customer, NTILE_ORDERS_SQL),
     "q16_parts_supplier_counts": (q16_parts_supplier_counts, Q16_SQL),
     "rollup_events_daily": (rollup_events_daily, ROLLUP_EVENTS_SQL),
     "cube_events_daily": (cube_events_daily, CUBE_EVENTS_SQL),
