@@ -74,7 +74,10 @@ def test_gated_joins_above_gate_match_broadcast(ray_session, monkeypatch):
     from pdf_toolkit_ray import queries, relops
 
     sf = "/root/testdata/sf0.001"
-    names = ["join_orders_customer_top", "q3_shipping_priority", "q5_local_supplier_volume"]
+    names = [
+        "join_orders_customer_top", "q3_shipping_priority",
+        "q5_local_supplier_volume", "q2_min_cost_supplier",
+    ]
 
     def run_all():
         out = {}
