@@ -5924,6 +5924,45 @@ FROM orders
 """
 
 
+def global_rank_orders(sf_dir: str):
+    """GLOBAL (un-partitioned) row_number + decile over every order by
+    (totalprice DESC, orderkey) — the total-order window that needs a
+    range partitioner, not a per-key bucket: `relops.global_row_number`
+    samples split points, histograms bucket counts (ints to the driver),
+    prefix-sums offsets, and ranks each contiguous key range locally.
+    The decile falls out of rank + the histogram's total row count —
+    exact SQL ntile semantics over the whole table."""
+    orders = scan(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    ranked, total = relops.global_row_number(
+        orders, "o_totalprice", ["o_orderkey"], descending=True
+    )
+    q, rem = divmod(total, 10)
+    big = rem * (q + 1)
+
+    def _tile(batch: pa.Table) -> pa.Table:
+        rn0 = batch.column("row_num").to_numpy(zero_copy_only=False) - 1
+        tile = np.where(
+            rn0 < big, rn0 // max(q + 1, 1), rem + (rn0 - big) // max(q, 1)
+        ) + 1
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey"),
+                "rn": batch.column("row_num"),
+                "tile": pa.array(tile.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ranked.map_batches(_tile, batch_format="pyarrow", zero_copy_batch=True)
+
+
+GLOBAL_RANK_ORDERS_SQL = """
+SELECT o_orderkey,
+       CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn,
+       CAST(ntile(10) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS tile
+FROM orders
+"""
+
+
 def _part_supplier_edges(sf_dir: str):
     """Symmetric bipartite edge list from lineitem co-occurrence:
     part node = 2·partkey, supplier node = 2·suppkey + 1, both
@@ -9767,6 +9806,7 @@ REGISTRY: dict[str, tuple] = {
     "q10_returned_items": (q10_returned_items, Q10_SQL),
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
     "ntile_orders_per_customer": (ntile_orders_per_customer, NTILE_ORDERS_SQL),
+    "global_rank_orders": (global_rank_orders, GLOBAL_RANK_ORDERS_SQL),
     "q16_parts_supplier_counts": (q16_parts_supplier_counts, Q16_SQL),
     "rollup_events_daily": (rollup_events_daily, ROLLUP_EVENTS_SQL),
     "cube_events_daily": (cube_events_daily, CUBE_EVENTS_SQL),

@@ -488,6 +488,93 @@ def bucketed_groupby(
     return out
 
 
+def global_row_number(
+    ds: ray.data.Dataset,
+    value_col: str,
+    tiebreak: list[str],
+    *,
+    descending: bool = False,
+    num_buckets: int | None = None,
+    sample_size: int = 4096,
+    rank_col: str = "row_num",
+) -> tuple[ray.data.Dataset, int]:
+    """Distributed ``row_number()`` over a TOTAL order — the
+    range-partitioned global rank that no single node ever materializes.
+    Returns ``(ranked dataset, total row count)``.
+
+    1. SPLITS: a deterministic sample of ``value_col`` (first
+       ``sample_size`` rows in scan order) yields the range
+       partitioner's split points. Splits affect BALANCE only, never
+       correctness: bucketing is ``searchsorted(splits, value)``, so
+       equal values land in one bucket and buckets are contiguous key
+       ranges.
+    2. HISTOGRAM: a column-pruned pass counts rows per bucket map-side;
+       only ``num_buckets`` ints reach the driver.
+    3. OFFSETS: driver prefix sums in rank order (reversed for
+       ``descending``).
+    4. RANK: ONE bucket-keyed shuffle; each bucket sorts locally by the
+       full key and adds its offset — 1-based SQL semantics.
+
+    ``tiebreak`` must make the order total (a dup-free key), or ranks
+    within equal full keys become layout-dependent. A pathologically hot
+    value makes one bucket large — same valve philosophy as
+    ``skew_join`` (raise ``num_buckets``, pre-salt upstream)."""
+    if num_buckets is None:
+        num_buckets = 4 * int(ray.cluster_resources().get("CPU", 8))
+    sample = ds.select_columns([value_col]).limit(sample_size).take_all()
+    vals = np.sort(np.array([r[value_col] for r in sample]))
+    if len(vals):
+        qs = np.linspace(0, 1, num_buckets + 1)[1:-1]
+        splits = np.unique(np.quantile(vals, qs, method="lower"))
+    else:
+        splits = vals
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        b = np.searchsorted(splits, v, side="right").astype(np.int32)
+        return batch.append_column("_rbucket", pa.array(b))
+
+    # histogram over a value-col-only pipeline (the full-width scan runs
+    # once, in the rank shuffle below)
+    def _cnt(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["_rbucket"]).aggregate([([], "count_all")])
+        return pa.table({"_rbucket": g.column("_rbucket"), "n": g.column("count_all")})
+
+    hist = (
+        ds.select_columns([value_col])
+        .map_batches(_tag, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(_cnt, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_rbucket")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    counts = (
+        dict(zip(hist["_rbucket"].astype(int), hist["n"].astype(int)))
+        if "_rbucket" in hist.columns else {}
+    )
+    order = sorted(counts, reverse=descending)
+    offsets, acc = {}, 0
+    for b in order:
+        offsets[b] = acc
+        acc += counts[b]
+    total = acc
+
+    sort_keys = [(value_col, "descending" if descending else "ascending")] + [
+        (t, "ascending") for t in tiebreak
+    ]
+
+    def _rank(group: pa.Table) -> pa.Table:
+        b = int(group.column("_rbucket")[0].as_py())
+        g = group.take(pc.sort_indices(group, sort_keys=sort_keys))
+        g = g.drop_columns(["_rbucket"])
+        rn = offsets[b] + 1 + np.arange(g.num_rows, dtype=np.int64)
+        return g.append_column(rank_col, pa.array(rn, pa.int64()))
+
+    tagged = ds.map_batches(_tag, batch_format="pyarrow", zero_copy_batch=True)
+    ranked = tagged.groupby("_rbucket").map_groups(_rank, batch_format="pyarrow")
+    return ranked, total
+
+
 def tree_fold(ds: ray.data.Dataset, combine, fan_in: int = 16) -> pa.Table:
     """Associative fold of a dataset's blocks through a fan-in tree of
     Ray tasks: ``combine(list[pa.Table]) -> pa.Table`` (single row) runs
@@ -965,7 +1052,7 @@ def skew_join(
 __all__ = [
     "scan", "round_cols", "pre_agg_groupby", "coalesce_partials", "broadcast_join",
     "semi_join_filter", "topk", "distinct_count", "sessionize", "asof_join",
-    "bucketed_groupby", "skew_join",
+    "bucketed_groupby", "skew_join", "global_row_number",
     "choose_num_partitions", "table_path",
     "Count", "Max", "Mean", "Min", "Sum",
 ]

@@ -416,3 +416,40 @@ def test_skew_join_matches_pandas_any_threshold(
         got = _sorted_df(got)
         assert got.shape == ref.shape
         pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+
+
+@given(
+    vals=st.lists(st.integers(-20, 20), min_size=1, max_size=60),
+    descending=st.booleans(),
+    num_buckets=st.integers(1, 12),
+    seed=st.integers(0, 2**20),
+)
+@settings(**_SETTINGS)
+def test_global_row_number_matches_pandas(
+    ray_session, vals, descending, num_buckets, seed
+):
+    """Range-partitioned global row_number == pandas sort rank on ANY
+    multiset of values (heavy duplicates included), any block layout,
+    any bucket count, both directions."""
+    n = len(vals)
+    tbl = pa.table(
+        {
+            "v": pa.array(vals, pa.int64()),
+            "id": pa.array(np.arange(n), pa.int64()),
+        }
+    )
+    rng = np.random.RandomState(seed)
+    out, total = relops.global_row_number(
+        _ds_from(tbl, rng), "v", ["id"],
+        descending=descending, num_buckets=num_buckets, sample_size=16,
+    )
+    got = out.to_pandas().sort_values("id").reset_index(drop=True)
+    assert total == n
+    ref = (
+        tbl.to_pandas()
+        .sort_values(["v", "id"], ascending=[not descending, True])
+        .reset_index(drop=True)
+    )
+    ref["row_num"] = np.arange(1, n + 1)
+    ref = ref.sort_values("id").reset_index(drop=True)
+    assert got["row_num"].tolist() == ref["row_num"].tolist()
