@@ -9290,6 +9290,79 @@ FROM folded, LATERAL (SELECT unnest(generate_series(1, len(turns))) AS i) s
 """
 
 
+def tool_trigrams_transcripts(sf_dir: str):
+    """Tool-call SEQUENCE mining over agent traces: corpus-wide counts of
+    consecutive tool-call trigrams (the tool-use patterns an agent-
+    behavior analysis slices — search→browser→python etc.). Non-tool
+    turns drop map-side; each conversation's tool subsequence trigrams
+    pre-aggregate per bucket, so the final groupby moves (t1,t2,t3,n)
+    partials — cardinality ≤ |tools|³, never turn-scale."""
+    ds = relops.scan_path(
+        _transcripts_path(sf_dir), columns=["conv_id", "turn_idx", "tool"]
+    )
+
+    def local_tools(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(b.column("tool")),
+                    pc.not_equal(b.column("tool"), ""))
+        return b.filter(m).group_by(["conv_id", "turn_idx", "tool"]).aggregate([])
+
+    pairs = ds.map_batches(local_tools, batch_format="pyarrow", zero_copy_batch=True)
+    empty = pa.table(
+        {
+            "t1": pa.array([], pa.string()),
+            "t2": pa.array([], pa.string()),
+            "t3": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def bucket_fn(group: pa.Table) -> pa.Table:
+        d = group.group_by(["conv_id", "turn_idx", "tool"]).aggregate([])
+        conv = np.asarray(d.column("conv_id").to_numpy(zero_copy_only=False))
+        turn = d.column("turn_idx").to_numpy(zero_copy_only=False)
+        tool = np.asarray(d.column("tool").to_numpy(zero_copy_only=False))
+        order = np.lexsort((tool, turn, conv))
+        conv, tool = conv[order], tool[order]
+        if len(conv) < 3:
+            return empty
+        # trigram rows: positions i, i+1, i+2 within one conversation
+        same = (conv[:-2] == conv[1:-1]) & (conv[1:-1] == conv[2:])
+        t1, t2, t3 = tool[:-2][same], tool[1:-1][same], tool[2:][same]
+        g = pa.table(
+            {"t1": pa.array(t1), "t2": pa.array(t2), "t3": pa.array(t3)}
+        ).group_by(["t1", "t2", "t3"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "t1": g.column("t1"), "t2": g.column("t2"), "t3": g.column("t3"),
+                "n": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    partials = relops.bucketed_groupby(pairs, ["conv_id"], bucket_fn, empty=empty)
+    agg = partials.groupby(["t1", "t2", "t3"]).aggregate(Sum("n", alias_name="n"))
+    df = agg.to_pandas()
+    if "t1" not in df.columns:
+        return empty
+    df["n"] = df["n"].astype("int64")
+    df = df.sort_values(["t1", "t2", "t3"]).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def tool_trigrams_transcripts_sql(sf_dir: str | None = None) -> str:
+    path = _transcripts_sql_source(sf_dir)
+    return f"""
+WITH t AS (SELECT DISTINCT conv_id, turn_idx, tool FROM read_parquet('{path}')
+           WHERE tool IS NOT NULL AND tool <> ''),
+w AS (SELECT conv_id, tool AS t1,
+             lead(tool, 1) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS t2,
+             lead(tool, 2) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS t3
+      FROM t)
+SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+FROM w WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+GROUP BY t1, t2, t3
+"""
+
+
 def shared_boilerplate_transcripts(sf_dir: str):
     """Templated-turn detection over the duplication fixture: turn texts
     opening >= 5 distinct conversations (the shared system prompts),
@@ -9887,6 +9960,7 @@ REGISTRY: dict[str, tuple] = {
     "sft_spans_transcripts": (sft_spans_transcripts, None),
     "context_window_transcripts": (context_window_transcripts, None),
     "conv_chunk_budget_transcripts": (conv_chunk_budget_transcripts, None),
+    "tool_trigrams_transcripts": (tool_trigrams_transcripts, None),
 }
 
 #: oracle SQL that must be built lazily (embeds a generated-on-demand
@@ -9906,6 +9980,7 @@ LAZY_SQL: dict[str, Any] = {
     "sft_spans_transcripts": sft_spans_transcripts_sql,
     "context_window_transcripts": context_window_transcripts_sql,
     "conv_chunk_budget_transcripts": conv_chunk_budget_transcripts_sql,
+    "tool_trigrams_transcripts": tool_trigrams_transcripts_sql,
 }
 
 
