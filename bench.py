@@ -51,6 +51,9 @@ BENCH_QUERIES = [
     "fuzzy_lev_pairs_documents",
     "dedup_conv_exact_transcripts",
     "conv_overlap_pairs_transcripts",
+    "sft_spans_transcripts",
+    "global_rank_orders",
+    "embedding_topk_pq",
 ]
 
 
