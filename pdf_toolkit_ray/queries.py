@@ -9780,6 +9780,291 @@ FROM verdicts GROUP BY lang, decision""",
 
 
 # --------------------------------------------------------------------------
+# rich-text transcript analytics: PII redaction, fenced-code-block and
+# URL mining over the planted rich fixture (sources/fixtures.py). The
+# redaction kernels are pyarrow RE2 — the same regex engine as DuckDB's
+# regexp_* — so the twins agree by construction (functions/richtext.py).
+
+
+def _rich_path(sf_dir: str) -> str:
+    from .sources.fixtures import rich_path_for
+
+    return rich_path_for(_sf_to_fixture_size(sf_dir))
+
+
+def _rich_sql_source(sf_dir: str | None) -> str:
+    from .sources.fixtures import rich_path_for
+
+    return rich_path_for(_sf_to_fixture_size(sf_dir) if sf_dir else "correctness")
+
+
+def _pii_chain_ctes(path: str) -> str:
+    """Chained count-then-replace CTEs mirroring richtext.redact_pii:
+    each pattern's count is measured against the PREVIOUS pattern's
+    replacement output, exactly like the sequential Arrow kernels."""
+    from .functions.richtext import PII_PATTERNS
+
+    ctes = [
+        "s0 AS (SELECT conv_id, turn_idx, text AS t FROM read_parquet('"
+        + path
+        + "'))"
+    ]
+    for i, (kind, pat, repl) in enumerate(PII_PATTERNS):
+        p = pat.replace("'", "''")
+        carried = "".join(f", n_{k}" for k, _, _ in PII_PATTERNS[:i])
+        ctes.append(
+            f"s{i + 1} AS (SELECT conv_id, turn_idx{carried}, "
+            f"CAST(length(regexp_extract_all(t, '{p}')) AS BIGINT) AS n_{kind}, "
+            f"regexp_replace(t, '{p}', '{repl}', 'g') AS t "
+            f"FROM s{i})"
+        )
+    return "WITH " + ",\n".join(ctes)
+
+
+def redact_pii_transcripts(sf_dir: str):
+    """PII scrub over transcript turns: sequential RE2 count-then-replace
+    for email / credit-card / SSN-style id / phone / IPv4 (ordered so no
+    pattern half-eats another's token), returning the redacted text and
+    per-kind counts for every turn that had at least one hit. Pure
+    per-row vectorized map — no shuffle; at 10^12 turns this is the
+    cheapest stage shape there is. Generalizes the reference's per-page
+    pixel-cleanup pass (page_images.py) to text sanitization."""
+    from .functions.richtext import PII_KINDS, redact_pii
+
+    ds = relops.scan_path(
+        _rich_path(sf_dir), columns=["conv_id", "turn_idx", "text"]
+    )
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        red, counts = redact_pii(batch.column("text"))
+        total = counts[PII_KINDS[0]]
+        for k in PII_KINDS[1:]:
+            total = pc.add(total, counts[k])
+        out = pa.table(
+            {
+                "conv_id": batch.column("conv_id"),
+                "turn_idx": batch.column("turn_idx"),
+                "text_redacted": red,
+                **{f"n_{k}": counts[k] for k in PII_KINDS},
+            }
+        )
+        return out.filter(pc.greater(total, 0))
+
+    df = (
+        ds.map_batches(scrub, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def redact_pii_transcripts_sql(sf_dir: str | None = None) -> str:
+    from .functions.richtext import PII_KINDS
+
+    n_cols = ", ".join(f"n_{k}" for k in PII_KINDS)
+    total = " + ".join(f"n_{k}" for k in PII_KINDS)
+    return f"""
+{_pii_chain_ctes(_rich_sql_source(sf_dir))}
+SELECT conv_id, turn_idx, t AS text_redacted, {n_cols}
+FROM s{len(PII_KINDS)} WHERE {total} > 0
+"""
+
+
+def pii_stats_transcripts(sf_dir: str):
+    """Corpus-level PII incidence: per kind, total matches, turns hit and
+    distinct conversations hit. Per-batch partials pre-aggregate to
+    (conv_id, per-kind sums) so the shuffle moves one row per
+    conversation per block, never per turn."""
+    from .functions.richtext import PII_KINDS, redact_pii
+
+    ds = relops.scan_path(
+        _rich_path(sf_dir), columns=["conv_id", "turn_idx", "text"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, counts = redact_pii(batch.column("text"))
+        t = pa.table(
+            {
+                "conv_id": batch.column("conv_id"),
+                **{f"n_{k}": counts[k] for k in PII_KINDS},
+                **{
+                    f"t_{k}": pc.cast(
+                        pc.greater(counts[k], 0), pa.int64()
+                    )
+                    for k in PII_KINDS
+                },
+            }
+        )
+        aggs = [(f"n_{k}", "sum") for k in PII_KINDS] + [
+            (f"t_{k}", "sum") for k in PII_KINDS
+        ]
+        g = t.group_by(["conv_id"]).aggregate(aggs)
+        return g.rename_columns(
+            ["conv_id"]
+            + [f"n_{k}" for k in PII_KINDS]
+            + [f"t_{k}" for k in PII_KINDS]
+        )
+
+    aggs = [Sum(f"n_{k}", alias_name=f"n_{k}") for k in PII_KINDS] + [
+        Sum(f"t_{k}", alias_name=f"t_{k}") for k in PII_KINDS
+    ]
+    conv = (
+        relops.coalesce_partials(
+            ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        )
+        .groupby(["conv_id"])
+        .aggregate(*aggs)
+        .to_pandas()
+    )
+    rows = []
+    for k in PII_KINDS:
+        rows.append(
+            {
+                "kind": k,
+                "n_matches": int(conv[f"n_{k}"].sum()),
+                "n_turns": int(conv[f"t_{k}"].sum()),
+                "n_convs": int((conv[f"n_{k}"] > 0).sum()),
+            }
+        )
+    df = pd.DataFrame(rows).sort_values("kind").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def pii_stats_transcripts_sql(sf_dir: str | None = None) -> str:
+    from .functions.richtext import PII_KINDS
+
+    n = len(PII_KINDS)
+    arms = "\nUNION ALL\n".join(
+        f"SELECT '{k}' AS kind, CAST(sum(n_{k}) AS BIGINT) AS n_matches, "
+        f"CAST(sum(CASE WHEN n_{k} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_turns, "
+        f"CAST(count(DISTINCT CASE WHEN n_{k} > 0 THEN conv_id END) AS BIGINT) "
+        f"AS n_convs FROM s{n}"
+        for k in PII_KINDS
+    )
+    return f"{_pii_chain_ctes(_rich_sql_source(sf_dir))}\n{arms}"
+
+
+def code_blocks_transcripts(sf_dir: str):
+    """Fenced-code-block mining over assistant turns: split each text on
+    ``` (one vectorized Arrow kernel; odd segments are inside fences —
+    an unclosed opening fence runs to EOF, the CommonMark rule) and
+    account lang /
+    line count / char count per block. The corpus-wide prefilter is a
+    vectorized substring match, so fence-free turns never leave the
+    scan."""
+    from .functions.richtext import fenced_blocks
+
+    ds = relops.scan_path(
+        _rich_path(sf_dir), columns=["conv_id", "turn_idx", "text"]
+    )
+
+    def blocks(batch: pa.Table) -> pa.Table:
+        keep = pc.match_substring(batch.column("text"), "```")
+        return fenced_blocks(batch.filter(keep))
+
+    df = (
+        ds.map_batches(blocks, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx", "block_idx"])
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def code_blocks_transcripts_sql(sf_dir: str | None = None) -> str:
+    path = _rich_sql_source(sf_dir)
+    return f"""
+WITH t AS (SELECT conv_id, turn_idx, text FROM read_parquet('{path}')
+           WHERE contains(text, '```')),
+p AS (SELECT conv_id, turn_idx,
+             unnest(string_split(text, '```')) AS part,
+             generate_subscripts(string_split(text, '```'), 1) AS ord
+      FROM t),
+b AS (SELECT conv_id, turn_idx, CAST((ord // 2) - 1 AS BIGINT) AS block_idx,
+             part FROM p WHERE ord % 2 = 0),
+c AS (SELECT conv_id, turn_idx, block_idx,
+             trim(regexp_extract(part, '^([^\n]*)', 1),
+                  ' ' || chr(9) || chr(13)) AS lang,
+             CASE WHEN strpos(part, chr(10)) = 0 THEN ''
+                  ELSE substr(part, strpos(part, chr(10)) + 1) END AS body
+      FROM b)
+SELECT conv_id, turn_idx, block_idx, lang,
+       CASE WHEN body = '' THEN CAST(0 AS BIGINT)
+            ELSE CAST(length(body) - length(replace(body, chr(10), '')) + 1
+                      AS BIGINT) END AS n_lines,
+       CAST(length(body) AS BIGINT) AS n_chars
+FROM c
+"""
+
+
+def url_domains_transcripts(sf_dir: str):
+    """Link mining: per domain, total URL mentions, turns containing the
+    domain and distinct conversations. Texts are prefiltered with a
+    vectorized substring match and reduced map-side to (domain, conv_id)
+    partials — only domain-cardinality rows enter the shuffle."""
+    from .functions.richtext import url_partials
+
+    ds = relops.scan_path(
+        _rich_path(sf_dir), columns=["conv_id", "turn_idx", "text"]
+    )
+    partials = ds.map_batches(
+        url_partials, batch_format="pyarrow", zero_copy_batch=True
+    )
+    conv = (
+        relops.coalesce_partials(partials)
+        .groupby(["domain", "conv_id"])
+        .aggregate(
+            Sum("n_urls", alias_name="n_urls"),
+            Sum("n_turns", alias_name="n_turns"),
+        )
+        .to_pandas()
+    )
+    if conv.empty:
+        return pa.table(
+            {
+                "domain": pa.array([], pa.string()),
+                "n_urls": pa.array([], pa.int64()),
+                "n_turns": pa.array([], pa.int64()),
+                "n_convs": pa.array([], pa.int64()),
+            }
+        )
+    g = (
+        conv.groupby("domain", as_index=False)
+        .agg(n_urls=("n_urls", "sum"), n_turns=("n_turns", "sum"),
+             n_convs=("conv_id", "count"))
+        .sort_values("domain")
+        .reset_index(drop=True)
+    )
+    for c in ("n_urls", "n_turns", "n_convs"):
+        g[c] = g[c].astype("int64")
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def url_domains_transcripts_sql(sf_dir: str | None = None) -> str:
+    from .functions.richtext import DOMAIN_PATTERN, URL_PATTERN
+
+    path = _rich_sql_source(sf_dir)
+    url_p = URL_PATTERN.replace("'", "''")
+    dom_p = DOMAIN_PATTERN.replace("'", "''")
+    return f"""
+WITH t AS (SELECT conv_id, turn_idx,
+                  unnest(regexp_extract_all(text, '{url_p}')) AS url
+           FROM read_parquet('{path}')),
+d AS (SELECT conv_id, turn_idx, regexp_extract(url, '{dom_p}', 1) AS domain
+      FROM t),
+f AS (SELECT * FROM d WHERE domain <> ''),
+g AS (SELECT domain, conv_id, CAST(count(*) AS BIGINT) AS n_urls,
+             CAST(count(DISTINCT turn_idx) AS BIGINT) AS n_turns
+      FROM f GROUP BY domain, conv_id)
+SELECT domain, CAST(sum(n_urls) AS BIGINT) AS n_urls,
+       CAST(sum(n_turns) AS BIGINT) AS n_turns,
+       CAST(count(*) AS BIGINT) AS n_convs
+FROM g GROUP BY domain
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 
 REGISTRY: dict[str, tuple] = {
@@ -9961,6 +10246,10 @@ REGISTRY: dict[str, tuple] = {
     "context_window_transcripts": (context_window_transcripts, None),
     "conv_chunk_budget_transcripts": (conv_chunk_budget_transcripts, None),
     "tool_trigrams_transcripts": (tool_trigrams_transcripts, None),
+    "redact_pii_transcripts": (redact_pii_transcripts, None),
+    "pii_stats_transcripts": (pii_stats_transcripts, None),
+    "code_blocks_transcripts": (code_blocks_transcripts, None),
+    "url_domains_transcripts": (url_domains_transcripts, None),
 }
 
 #: oracle SQL that must be built lazily (embeds a generated-on-demand
@@ -9981,6 +10270,10 @@ LAZY_SQL: dict[str, Any] = {
     "context_window_transcripts": context_window_transcripts_sql,
     "conv_chunk_budget_transcripts": conv_chunk_budget_transcripts_sql,
     "tool_trigrams_transcripts": tool_trigrams_transcripts_sql,
+    "redact_pii_transcripts": redact_pii_transcripts_sql,
+    "pii_stats_transcripts": pii_stats_transcripts_sql,
+    "code_blocks_transcripts": code_blocks_transcripts_sql,
+    "url_domains_transcripts": url_domains_transcripts_sql,
 }
 
 

@@ -509,3 +509,173 @@ def convdup_path_for(
     with open(done_marker, "w") as fh:
         fh.write("ok\n")
     return path
+
+
+# --------------------------------------------------------------------------
+# RICH-TEXT fixture: transcripts whose turns carry planted PII tokens,
+# fenced code blocks and URLs — the inputs the redaction / code-mining /
+# link-mining analytics need. Same style as the reference's synthetic
+# fixture pages with exact expected outputs
+# (/root/reference/tests/test_page_images.py:42-89): every planted item
+# is deterministic per (seed, conv, turn), near-misses included so the
+# patterns are exercised on both hits and non-hits.
+
+RICH_SIZES = {
+    # name -> n_convs
+    "smoke": 40,
+    "correctness": 400,
+    "bench": 20_000,
+}
+
+#: bumped when the rich GENERATOR changes (cache key is the file name)
+RICH_VERSION = 1
+
+_RICH_DOMAINS = (
+    "example.com", "data.example.org", "docs.rayproject.dev",
+    "arrow.apache.org", "wiki.internal.test", "cdn.assets.net",
+)
+_RICH_LANGS = ("python", "js", "sql", "bash", "")
+_NEAR_MISSES = (
+    "admin@local",              # email without TLD
+    "version 1.2.3",            # three-octet, not an IP
+    "case 12-34",               # too-short digit runs
+    "agent 007-12-345",         # 3-2-3, not SSN's 3-2-4
+    "4111111111111111",         # 16 digits w/o separators: not our CC shape
+)
+
+
+def _rich_pii_items(rng: random.Random) -> list[str]:
+    """1-3 deterministic PII strings (kind chosen per item)."""
+    items = []
+    for _ in range(rng.randint(1, 3)):
+        kind = rng.choice(["email", "cc", "ssn", "phone", "phone2", "ip"])
+        if kind == "email":
+            items.append(
+                f"user{rng.randint(1, 9999)}@{rng.choice(_RICH_DOMAINS)}"
+            )
+        elif kind == "cc":
+            sep = rng.choice(["-", " "])
+            items.append(sep.join(f"{rng.randint(0, 9999):04d}" for _ in range(4)))
+        elif kind == "ssn":
+            items.append(
+                f"{rng.randint(100, 999)}-{rng.randint(10, 99)}-{rng.randint(1000, 9999)}"
+            )
+        elif kind == "phone":
+            items.append(
+                f"({rng.randint(200, 989)}) {rng.randint(200, 989)}-{rng.randint(1000, 9999)}"
+            )
+        elif kind == "phone2":
+            items.append(
+                f"{rng.randint(200, 989)}-{rng.randint(200, 989)}-{rng.randint(1000, 9999)}"
+            )
+        else:
+            items.append(".".join(str(rng.randint(1, 254)) for _ in range(4)))
+    return items
+
+
+def _rich_code_block(rng: random.Random) -> str:
+    lang = rng.choice(_RICH_LANGS)
+    n_lines = rng.randint(1, 4)
+    body = "\n".join(
+        " ".join(rng.choice(WORDS) for _ in range(rng.randint(2, 6)))
+        for _ in range(n_lines)
+    )
+    return f"```{lang}\n{body}\n```"
+
+
+def _rich_urls(rng: random.Random) -> list[str]:
+    urls = []
+    for _ in range(rng.randint(1, 3)):
+        scheme = rng.choice(["https", "https", "http"])
+        dom = rng.choice(_RICH_DOMAINS)
+        path = "/".join(rng.choice(WORDS) for _ in range(rng.randint(1, 3)))
+        u = f"{scheme}://{dom}/{path}"
+        if rng.random() < 0.3:
+            u += f"?q={rng.randint(1, 99)}"
+        form = rng.random()
+        if form < 0.2:
+            u = f"({u})"          # paren-wrapped: bracket excluded from URL
+        elif form < 0.35:
+            u = u + "."           # sentence-final dot: INCLUDED by the char class
+        urls.append(u)
+    return urls
+
+
+def _rich_turns(seed: int, k: int) -> list[tuple[int, str, str, str]]:
+    """Deterministic (turn_idx, role, text, tool) rows for rich conv k."""
+    conv_id = f"conv{k:06d}"
+    rng = random.Random(f"{seed}:richconv:{k}")
+    n = rng.randint(3, 10)
+    turns: list[tuple[int, str, str, str]] = []
+    for i in range(n):
+        trng = random.Random(f"{seed}:richturn:{conv_id}:{i}")
+        text = _gen_plain(trng, gold_text(seed, "rt" + conv_id, i))
+        if trng.random() < 0.10:
+            role, tool = "tool", trng.choice(["search", "browser", "python"])
+        else:
+            role, tool = ("user", "") if i % 2 == 0 else ("assistant", "")
+        extras: list[str] = []
+        if trng.random() < 0.30:
+            extras.append("contact: " + " or ".join(_rich_pii_items(trng)))
+        if trng.random() < 0.25:
+            extras.append("see " + " and ".join(_rich_urls(trng)))
+        if trng.random() < 0.25:
+            extras.append(trng.choice(_NEAR_MISSES))
+        if role == "assistant" and trng.random() < 0.20:
+            for _ in range(trng.randint(1, 2)):
+                extras.append(_rich_code_block(trng))
+            if trng.random() < 0.08:
+                extras.append("``` unterminated fence tail")
+        if extras:
+            text = text + "\n" + "\n".join(extras)
+        turns.append((i, role, text, tool))
+    return turns
+
+
+def rich_rows(seed: int, k: int) -> dict[str, list]:
+    conv_id = f"conv{k:06d}"
+    ts0 = _TS_BASE_US + _DAY_US * 60 + 90_000_000 * k
+    rows = [
+        (conv_id, i, role, text, tool, ts0 + 45_000_000 * i)
+        for (i, role, text, tool) in _rich_turns(seed, k)
+    ]
+    return {
+        "conv_id": [r[0] for r in rows],
+        "turn_idx": [r[1] for r in rows],
+        "role": [r[2] for r in rows],
+        "text": [r[3] for r in rows],
+        "tool": [r[4] for r in rows],
+        "ts": [r[5] for r in rows],
+    }
+
+
+def generate_rich_table(size: str = "correctness", seed: int = 42) -> pa.Table:
+    n_convs = RICH_SIZES[size]
+    merged: dict[str, list] = {
+        c: [] for c in ("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    }
+    for k in range(n_convs):
+        cols = rich_rows(seed, k)
+        for c in merged:
+            merged[c].extend(cols[c])
+    tbl = _rows_to_table(merged)
+    perm = np.random.RandomState(seed + 11).permutation(tbl.num_rows)
+    return tbl.take(pa.array(perm))
+
+
+def rich_path_for(
+    size: str, base_dir: str = "/tmp/graft_fixtures", seed: int = 42
+) -> str:
+    """Cached rich-text fixture location; generates on first use."""
+    path = os.path.join(
+        base_dir,
+        f"rich-{size}-s{seed}-rv{RICH_VERSION}-v{FIXTURE_VERSION}.parquet",
+    )
+    done_marker = path + ".done"
+    if os.path.exists(done_marker):
+        return path
+    os.makedirs(base_dir, exist_ok=True)
+    pq.write_table(generate_rich_table(size, seed), path, row_group_size=65536)
+    with open(done_marker, "w") as fh:
+        fh.write("ok\n")
+    return path
