@@ -10064,6 +10064,82 @@ FROM g GROUP BY domain
 """
 
 
+def repetition_runs_documents(sf_dir: str):
+    """Degenerate-generation detector: per document, the longest run of
+    CONSECUTIVE identical word tokens and the number of runs of length
+    >= 2 — the classic looped-output quality signal a training-data
+    filter thresholds on. Tokenization is one vectorized RE2 split
+    (identical to the twin's string_split_regex); run accounting is pure
+    numpy over the flattened token buffer. Per-row map, NO shuffle — the
+    cheapest possible stage shape at 10^12 rows."""
+    ds = scan(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def runs(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column("text")), "[^a-z0-9]+"
+        ).combine_chunks()
+        n = batch.num_rows
+        offsets = np.asarray(words.offsets)
+        flat = np.asarray(words.flatten().to_numpy(zero_copy_only=False))
+        parent = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
+        keep = flat != ""
+        w_k, parent_k = flat[keep], parent[keep]
+        n_words = np.bincount(parent_k, minlength=n).astype(np.int64)
+        max_run = np.zeros(n, dtype=np.int64)
+        n_run2 = np.zeros(n, dtype=np.int64)
+        if len(w_k):
+            same = np.concatenate(
+                [[False], (w_k[1:] == w_k[:-1]) & (parent_k[1:] == parent_k[:-1])]
+            )
+            starts = np.flatnonzero(~same)
+            lengths = np.diff(np.append(starts, len(w_k))).astype(np.int64)
+            run_parent = parent_k[starts]
+            np.maximum.at(max_run, run_parent, lengths)
+            long = lengths >= 2
+            np.add.at(n_run2, run_parent[long], 1)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_words": pa.array(n_words),
+                "max_run": pa.array(max_run),
+                "n_run2plus": pa.array(n_run2),
+            }
+        )
+
+    df = (
+        ds.map_batches(runs, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+REPETITION_RUNS_SQL = """
+WITH s AS (SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS ws
+           FROM documents),
+w AS (SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS pos
+      FROM s),
+f AS (SELECT * FROM w WHERE word <> ''),
+g AS (SELECT doc_id, word, pos,
+             pos - row_number() OVER (PARTITION BY doc_id, word ORDER BY pos)
+               AS grp
+      FROM f),
+r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS run
+      FROM g GROUP BY doc_id, word, grp),
+agg AS (SELECT doc_id, CAST(sum(run) AS BIGINT) AS n_words,
+               CAST(max(run) AS BIGINT) AS max_run,
+               CAST(sum(CASE WHEN run >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_run2plus
+        FROM r GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(agg.n_words, 0) AS n_words,
+       coalesce(agg.max_run, 0) AS max_run,
+       coalesce(agg.n_run2plus, 0) AS n_run2plus
+FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -10250,6 +10326,7 @@ REGISTRY: dict[str, tuple] = {
     "pii_stats_transcripts": (pii_stats_transcripts, None),
     "code_blocks_transcripts": (code_blocks_transcripts, None),
     "url_domains_transcripts": (url_domains_transcripts, None),
+    "repetition_runs_documents": (repetition_runs_documents, REPETITION_RUNS_SQL),
 }
 
 #: oracle SQL that must be built lazily (embeds a generated-on-demand

@@ -195,3 +195,34 @@ def test_rich_fixture_deterministic_and_planted():
     assert sum("http" in t for t in texts) > 10
     _, counts = redact_pii(a.column("text"))
     assert all(sum(counts[k].to_pylist()) > 0 for k in PII_KINDS)
+
+
+def test_repetition_runs_engineered(ray_session, tmp_path):
+    """Vectorized run accounting vs hand-computed goldens, including
+    case/punct folding, cross-run tails and punct-only rows."""
+    import pyarrow.parquet as _pq
+
+    from pdf_toolkit_ray import queries
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(["a", "b", "c", "d", "e"]),
+            "text": pa.array(
+                [
+                    "one one one two two three",   # runs: 3,2,1
+                    "loop",                        # single word
+                    "...",                         # no tokens
+                    "x X x!x",                     # case/punct fold -> run 4
+                    "end end",                     # run of 2 at buffer tail
+                ]
+            ),
+        }
+    )
+    _pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = queries.repetition_runs_documents(str(tmp_path)).to_pylist()
+    rows = {r["doc_id"]: r for r in got}
+    assert rows["a"] == {"doc_id": "a", "n_words": 6, "max_run": 3, "n_run2plus": 2}
+    assert rows["b"] == {"doc_id": "b", "n_words": 1, "max_run": 1, "n_run2plus": 0}
+    assert rows["c"] == {"doc_id": "c", "n_words": 0, "max_run": 0, "n_run2plus": 0}
+    assert rows["d"] == {"doc_id": "d", "n_words": 4, "max_run": 4, "n_run2plus": 1}
+    assert rows["e"] == {"doc_id": "e", "n_words": 2, "max_run": 2, "n_run2plus": 1}
