@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "sft_spans_transcripts",
     "global_rank_orders",
     "embedding_topk_pq",
+    "redact_pii_transcripts",
+    "repetition_runs_documents",
 ]
 
 
