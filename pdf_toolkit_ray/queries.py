@@ -10143,6 +10143,110 @@ FROM documents d LEFT JOIN agg USING (doc_id)
 # --------------------------------------------------------------------------
 # registry
 
+def bm25_topk_documents(sf_dir: str, k: int = 10):
+    """BM25 retrieval (Robertson idf, k1=1.2, b=0.75): top-k documents
+    for a fixed 3-term query — the ranking primitive a retrieval /
+    RAG-curation pipeline runs over the corpus. Two passes, both
+    streaming: (1) corpus statistics (N, total tokens, per-term document
+    frequency) as ONE tiny combiner row per batch — documents never
+    leave their batch, partials fold driver-side; (2) a doc-local
+    vectorized scoring pass (per-term tf via positional bincount, the
+    3 contributions added in fixed term order so the float result is
+    bit-deterministic) feeding the per-batch-prune ``relops.topk`` —
+    at 10^12 docs the only cross-node traffic is one stats row per batch
+    plus ≤k survivor rows per batch. Scores are 4dp-rounded BEFORE the
+    rank so ordering matches the twin's ``round`` exactly."""
+    TERMS = ("join", "spark", "window")
+    ds = scan(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        parent, flat, lengths = _exploded_words(batch)
+        t = pa.table({"doc_id": pa.array(parent, pa.int64()), "word": flat})
+        t = t.filter(pc.is_in(t.column("word"), value_set=pa.array(list(TERMS))))
+        u = t.group_by(["word", "doc_id"]).aggregate([])
+        w = np.asarray(u.column("word").to_numpy(zero_copy_only=False))
+        row: dict = {"n_tokens": [int(lengths.sum())]}
+        for i, term in enumerate(TERMS):
+            row[f"df{i}"] = [int((w == term).sum())]
+        return pa.table(row)
+
+    stats = (
+        ds.map_batches(stats_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()  # one row per batch
+        .sum()
+    )
+    n_docs = int(ds.count())
+    avgdl = float(stats["n_tokens"]) / float(n_docs)
+    # scalar idf per term, same expression order as the twin's ln(...)
+    idf = [
+        float(np.log((n_docs - float(stats[f"df{i}"]) + 0.5)
+                     / (float(stats[f"df{i}"]) + 0.5) + 1.0))
+        for i in range(len(TERMS))
+    ]
+
+    def score(batch: pa.Table) -> pa.Table:
+        from .functions.rounding import round_away
+
+        words = pc.split_pattern(batch.column("text"), pattern=" ")
+        words = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+        lengths = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(words)
+        n = batch.num_rows
+        pos = np.repeat(np.arange(n, dtype=np.int64), lengths)
+        dl = lengths.astype(np.float64)
+        # denominator tail is term-independent; MUST mirror the twin:
+        # tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))
+        tail = 1.2 * (0.25 + 0.75 * (dl / avgdl))
+        total = np.zeros(n, np.float64)
+        for i, term in enumerate(TERMS):
+            m = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+            tf = np.bincount(pos[m], minlength=n).astype(np.float64)
+            total = total + (idf[i] * (tf * 2.2)) / (tf + tail)
+        rs = round_away(total, 4)
+        out = pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "score": pa.array(rs, pa.float64()),
+            }
+        )
+        return out.filter(pc.greater(out.column("score"), 0.0))
+
+    scored = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    return relops.topk(scored, [("score", "descending"), ("doc_id", "ascending")], k)
+
+
+BM25_SQL = """
+WITH ws AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM ws GROUP BY doc_id),
+n AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+             (SELECT count(*) FROM ws) AS n_tokens),
+df AS (SELECT
+        (SELECT count(DISTINCT doc_id) FROM ws WHERE word = 'join')   AS df0,
+        (SELECT count(DISTINCT doc_id) FROM ws WHERE word = 'spark')  AS df1,
+        (SELECT count(DISTINCT doc_id) FROM ws WHERE word = 'window') AS df2),
+tf AS (SELECT doc_id,
+        count(*) FILTER (WHERE word = 'join')   AS tf0,
+        count(*) FILTER (WHERE word = 'spark')  AS tf1,
+        count(*) FILTER (WHERE word = 'window') AS tf2
+       FROM ws GROUP BY doc_id),
+s AS (SELECT tf.doc_id,
+        round(
+          ln((n.n_docs - df.df0 + 0.5) / (df.df0 + 0.5) + 1.0)
+            * (tf.tf0 * 2.2)
+            / (tf.tf0 + 1.2 * (0.25 + 0.75 * (dl.dl / (n.n_tokens / CAST(n.n_docs AS DOUBLE)))))
+        + ln((n.n_docs - df.df1 + 0.5) / (df.df1 + 0.5) + 1.0)
+            * (tf.tf1 * 2.2)
+            / (tf.tf1 + 1.2 * (0.25 + 0.75 * (dl.dl / (n.n_tokens / CAST(n.n_docs AS DOUBLE)))))
+        + ln((n.n_docs - df.df2 + 0.5) / (df.df2 + 0.5) + 1.0)
+            * (tf.tf2 * 2.2)
+            / (tf.tf2 + 1.2 * (0.25 + 0.75 * (dl.dl / (n.n_tokens / CAST(n.n_docs AS DOUBLE)))))
+        , 4) AS score
+      FROM tf JOIN dl USING (doc_id), n, df)
+SELECT doc_id, score FROM s WHERE score > 0.0
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (callable, oracle_sql | None)
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
@@ -10208,6 +10312,7 @@ REGISTRY: dict[str, tuple] = {
     "embedding_pca_exact": (embedding_pca_exact, PCA_EXACT_SQL),
     "inverted_index_documents": (inverted_index_documents, INVERTED_INDEX_SQL),
     "tfidf_top_terms_documents": (tfidf_top_terms_documents, TFIDF_SQL),
+    "bm25_topk_documents": (bm25_topk_documents, BM25_SQL),
     "redact_documents": (redact_documents, REDACT_SQL),
     "unigram_xent_documents": (unigram_xent_documents, UNIGRAM_XENT_SQL),
     "funnel_events": (funnel_events, FUNNEL_SQL),
