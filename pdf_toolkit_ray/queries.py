@@ -10143,6 +10143,201 @@ FROM documents d LEFT JOIN agg USING (doc_id)
 # --------------------------------------------------------------------------
 # registry
 
+def role_protocol_transcripts(sf_dir: str):
+    """Agent-protocol conformance audit over transcripts: per
+    conversation, how often the turn sequence breaks the expected
+    shape — adjacent same-role turns, tool turns not preceded by an
+    assistant turn (an orphan tool result), and a non-user opening
+    turn. The data-quality gate a trace-ingest pipeline applies before
+    training on agent logs. Shape: per-batch local distinct collapses
+    re-logged duplicate rows, ONE conv-bucketed shuffle co-locates each
+    conversation, and the transition checks are vectorized adjacent
+    comparisons + ``np.add.reduceat`` over conversation slices."""
+    ds = relops.scan_path(
+        _transcripts_path(sf_dir), columns=["conv_id", "turn_idx", "role", "ts"]
+    )
+
+    pairs = ds.map_batches(
+        lambda b: b.group_by(["conv_id", "turn_idx", "role", "ts"]).aggregate([]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    empty = pa.table(
+        {
+            "conv_id": pa.array([], pa.string()),
+            "n_turns": pa.array([], pa.int64()),
+            "n_same_role_adjacent": pa.array([], pa.int64()),
+            "n_orphan_tool": pa.array([], pa.int64()),
+            "bad_start": pa.array([], pa.int64()),
+        }
+    )
+
+    def bucket_fn(group: pa.Table) -> pa.Table:
+        d = group.group_by(["conv_id", "turn_idx", "role", "ts"]).aggregate([])
+        conv = np.asarray(d.column("conv_id").to_numpy(zero_copy_only=False))
+        turn = d.column("turn_idx").to_numpy(zero_copy_only=False)
+        role = np.asarray(d.column("role").to_numpy(zero_copy_only=False))
+        ts_us = d.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((role, ts_us, turn, conv))
+        conv, role = conv[order], role[order]
+        n = len(conv)
+        first = np.r_[True, conv[1:] != conv[:-1]]
+        same = np.r_[False, (conv[1:] == conv[:-1]) & (role[1:] == role[:-1])]
+        prev_assistant = np.r_[False, role[:-1] == "assistant"] & ~first
+        orphan = (role == "tool") & ~prev_assistant
+        starts = np.flatnonzero(first)
+        bounds = np.r_[starts, n]
+        return pa.table(
+            {
+                "conv_id": pa.array(conv[starts]),
+                "n_turns": pa.array(bounds[1:] - bounds[:-1], pa.int64()),
+                "n_same_role_adjacent": pa.array(
+                    np.add.reduceat(same.astype(np.int64), starts), pa.int64()
+                ),
+                "n_orphan_tool": pa.array(
+                    np.add.reduceat(orphan.astype(np.int64), starts), pa.int64()
+                ),
+                "bad_start": pa.array(
+                    (role[starts] != "user").astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    out = relops.bucketed_groupby(pairs, ["conv_id"], bucket_fn, empty=empty)
+    df = out.to_pandas().sort_values("conv_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def role_protocol_transcripts_sql(sf_dir: str | None = None) -> str:
+    path = _transcripts_sql_source(sf_dir)
+    return f"""
+WITH t AS (SELECT DISTINCT conv_id, turn_idx, role, ts FROM read_parquet('{path}')),
+w AS (SELECT conv_id, role,
+        lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx, ts, role) AS prev_role
+      FROM t)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(CASE WHEN prev_role = role THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_same_role_adjacent,
+       CAST(sum(CASE WHEN role = 'tool'
+                      AND (prev_role IS NULL OR prev_role <> 'assistant')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_tool,
+       CAST(max(CASE WHEN prev_role IS NULL AND role <> 'user' THEN 1 ELSE 0 END)
+            AS BIGINT) AS bad_start
+FROM w GROUP BY conv_id
+"""
+
+
+def role_vocab_divergence_transcripts(sf_dir: str):
+    """Distinctive-vocabulary signal over transcripts: per word, its
+    count in user turns vs assistant turns plus the add-one-smoothed
+    log-likelihood ratio ln(p_user(w)/p_assistant(w)) — the classic
+    'which words characterize each side of the dialogue' statistic a
+    corpus audit slices on. Shape: batch-local distinct collapses
+    re-logged rows, one conv-bucketed shuffle guarantees global
+    distinctness, per-bucket word×role partial counts (the second
+    shuffle carries at most vocab×buckets tiny rows), and the final
+    vocabulary-sized table computes the smoothed LLR driver-side in one
+    vectorized expression mirroring the twin's ln()."""
+    ds = relops.scan_path(
+        _transcripts_path(sf_dir), columns=["conv_id", "turn_idx", "role", "text"]
+    )
+
+    def local_distinct(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(b.column("role"), value_set=pa.array(["user", "assistant"])))
+        return b.group_by(["conv_id", "turn_idx", "role", "text"]).aggregate([])
+
+    pairs = ds.map_batches(local_distinct, batch_format="pyarrow", zero_copy_batch=True)
+
+    empty = pa.table(
+        {
+            "word": pa.array([], pa.string()),
+            "cu": pa.array([], pa.int64()),
+            "ca": pa.array([], pa.int64()),
+        }
+    )
+
+    def bucket_fn(group: pa.Table) -> pa.Table:
+        d = group.group_by(["conv_id", "turn_idx", "role", "text"]).aggregate([])
+        words = pc.split_pattern(d.column("text"), pattern=" ")
+        words = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+        lengths = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        role = np.asarray(d.column("role").to_numpy(zero_copy_only=False))
+        t = pa.table(
+            {
+                "word": pc.list_flatten(words),
+                "is_user": pa.array(np.repeat(role == "user", lengths)),
+            }
+        )
+        c = t.group_by(["word", "is_user"]).aggregate([("word", "count")])
+        isu = c.column("is_user").to_numpy(zero_copy_only=False)
+        cnt = c.column("word_count").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "word": c.column("word"),
+                "cu": pa.array(np.where(isu, cnt, 0), pa.int64()),
+                "ca": pa.array(np.where(isu, 0, cnt), pa.int64()),
+            }
+        )
+
+    partials = relops.bucketed_groupby(pairs, ["conv_id"], bucket_fn, empty=empty)
+
+    def word_sum(group: pa.Table) -> pa.Table:
+        g = group.group_by(["word"]).aggregate([("cu", "sum"), ("ca", "sum")])
+        return pa.table(
+            {
+                "word": g.column("word"),
+                "n_user": pc.cast(g.column("cu_sum"), pa.int64()),
+                "n_assistant": pc.cast(g.column("ca_sum"), pa.int64()),
+            }
+        )
+
+    c = relops.bucketed_groupby(
+        partials, ["word"], word_sum, empty=empty.rename_columns(
+            ["word", "n_user", "n_assistant"]
+        )
+    ).to_pandas()  # vocabulary-sized
+    from .functions.rounding import round_away
+
+    tu = int(c["n_user"].sum())
+    ta = int(c["n_assistant"].sum())
+    v = len(c)
+    c = c.sort_values("word").reset_index(drop=True)
+    cu = c["n_user"].to_numpy(np.int64)
+    ca = c["n_assistant"].to_numpy(np.int64)
+    llr = np.log(
+        ((cu + 1).astype(np.float64) / float(tu + v))
+        / ((ca + 1).astype(np.float64) / float(ta + v))
+    )
+    return pa.table(
+        {
+            "word": pa.array(c["word"].tolist(), pa.string()),
+            "n_user": pa.array(cu, pa.int64()),
+            "n_assistant": pa.array(ca, pa.int64()),
+            "llr": pa.array(round_away(llr, 4), pa.float64()),
+        }
+    )
+
+
+def role_vocab_divergence_transcripts_sql(sf_dir: str | None = None) -> str:
+    path = _transcripts_sql_source(sf_dir)
+    return f"""
+WITH t AS (SELECT DISTINCT conv_id, turn_idx, role, text FROM read_parquet('{path}')
+           WHERE role IN ('user', 'assistant')),
+ws AS (SELECT role, unnest(string_split(text, ' ')) AS word FROM t),
+c AS (SELECT word,
+        count(*) FILTER (WHERE role = 'user') AS n_user,
+        count(*) FILTER (WHERE role = 'assistant') AS n_assistant
+      FROM ws GROUP BY word),
+tot AS (SELECT sum(n_user) AS tu, sum(n_assistant) AS ta, count(*) AS v FROM c)
+SELECT word, CAST(n_user AS BIGINT) AS n_user,
+       CAST(n_assistant AS BIGINT) AS n_assistant,
+       round(ln(((n_user + 1) / CAST(tot.tu + tot.v AS DOUBLE))
+              / ((n_assistant + 1) / CAST(tot.ta + tot.v AS DOUBLE))), 4) AS llr
+FROM c, tot
+"""
+
+
 def bm25_topk_documents(sf_dir: str, k: int = 10):
     """BM25 retrieval (Robertson idf, k1=1.2, b=0.75): top-k documents
     for a fixed 3-term query — the ranking primitive a retrieval /
@@ -10428,6 +10623,8 @@ REGISTRY: dict[str, tuple] = {
     "conv_chunk_budget_transcripts": (conv_chunk_budget_transcripts, None),
     "tool_trigrams_transcripts": (tool_trigrams_transcripts, None),
     "redact_pii_transcripts": (redact_pii_transcripts, None),
+    "role_protocol_transcripts": (role_protocol_transcripts, None),
+    "role_vocab_divergence_transcripts": (role_vocab_divergence_transcripts, None),
     "pii_stats_transcripts": (pii_stats_transcripts, None),
     "code_blocks_transcripts": (code_blocks_transcripts, None),
     "url_domains_transcripts": (url_domains_transcripts, None),
@@ -10453,6 +10650,8 @@ LAZY_SQL: dict[str, Any] = {
     "conv_chunk_budget_transcripts": conv_chunk_budget_transcripts_sql,
     "tool_trigrams_transcripts": tool_trigrams_transcripts_sql,
     "redact_pii_transcripts": redact_pii_transcripts_sql,
+    "role_protocol_transcripts": role_protocol_transcripts_sql,
+    "role_vocab_divergence_transcripts": role_vocab_divergence_transcripts_sql,
     "pii_stats_transcripts": pii_stats_transcripts_sql,
     "code_blocks_transcripts": code_blocks_transcripts_sql,
     "url_domains_transcripts": url_domains_transcripts_sql,
