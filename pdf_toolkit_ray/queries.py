@@ -3794,6 +3794,101 @@ SELECT '__all__', '__all__', CAST(sum(n) AS BIGINT),
 """
 
 
+def grouping_sets_events(sf_dir: str):
+    """GROUPING SETS ((event_type, cohort), (day, cohort), (event_type),
+    ()) — the non-hierarchical cousin of ROLLUP/CUBE (neither family
+    produces this set mix). Same scale discipline: ONE distributed
+    combiner pass computes the finest (event_type, day, cohort) level —
+    types × days × 4 rows regardless of input scale — and every
+    requested set re-aggregates those exact integer 1e-4-unit partials
+    driver-side, so subtotals cannot drift. cohort = user_id % 4 (a
+    deterministic audience split). Sentinel '__all__' / -1 marks
+    grouped-out columns."""
+    ds = scan(sf_dir, "events", columns=["ts", "event_type", "user_id", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "day": pc.strftime(
+                    pc.floor_temporal(batch.column("ts"), unit="day"), format="%Y-%m-%d"
+                ),
+                "cohort": pa.array(
+                    batch.column("user_id").to_numpy(zero_copy_only=False) % 4,
+                    pa.int64(),
+                ),
+                "v": _cents(batch.column("value"), 10_000),
+            }
+        )
+        return t.group_by(["event_type", "day", "cohort"]).aggregate(
+            [("v", "sum"), ("v", "count")]
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "day", "cohort"])
+        .aggregate(Sum("v_sum", alias_name="v"), Sum("v_count", alias_name="n"))
+    )
+    fine = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+
+    def level(keys: list[str]) -> pa.Table:
+        if keys:
+            g = fine.group_by(keys).aggregate([("n", "sum"), ("v", "sum")])
+            n, v = g.column("n_sum"), g.column("v_sum")
+        else:
+            g = pa.table({})
+            n = pa.array([pc.sum(fine.column("n")).as_py() or 0], pa.int64())
+            v = pa.array([pc.sum(fine.column("v")).as_py() or 0], pa.int64())
+        rows = len(n)
+        return pa.table(
+            {
+                "event_type": g.column("event_type") if "event_type" in keys
+                else pa.array(["__all__"] * rows),
+                "day": g.column("day") if "day" in keys
+                else pa.array(["__all__"] * rows),
+                "cohort": pc.cast(g.column("cohort"), pa.int64()) if "cohort" in keys
+                else pa.array([-1] * rows, pa.int64()),
+                "n": pc.cast(n, pa.int64()),
+                "sum_value": round_away_arrow(
+                    pc.divide(pc.cast(v, pa.float64()), 10_000.0)
+                ),
+            }
+        )
+
+    return pa.concat_tables(
+        [
+            level(["event_type", "cohort"]),
+            level(["day", "cohort"]),
+            level(["event_type"]),
+            level([]),
+        ]
+    )
+
+
+GROUPING_SETS_SQL = """
+WITH base AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, user_id % 4 AS cohort,
+         CAST(round(value*10000) AS BIGINT) AS v
+  FROM events
+),
+fine AS (SELECT event_type, day, cohort, count(*) AS n, sum(v) AS v
+         FROM base GROUP BY event_type, day, cohort)
+SELECT event_type, '__all__' AS day, CAST(cohort AS BIGINT) AS cohort,
+       CAST(sum(n) AS BIGINT) AS n,
+       round(CAST(sum(v) AS DOUBLE)/10000.0, 4) AS sum_value
+FROM fine GROUP BY event_type, cohort
+UNION ALL
+SELECT '__all__', day, CAST(cohort AS BIGINT), CAST(sum(n) AS BIGINT),
+       round(CAST(sum(v) AS DOUBLE)/10000.0, 4) FROM fine GROUP BY day, cohort
+UNION ALL
+SELECT event_type, '__all__', -1, CAST(sum(n) AS BIGINT),
+       round(CAST(sum(v) AS DOUBLE)/10000.0, 4) FROM fine GROUP BY event_type
+UNION ALL
+SELECT '__all__', '__all__', -1, CAST(sum(n) AS BIGINT),
+       round(CAST(sum(v) AS DOUBLE)/10000.0, 4) FROM fine
+"""
+
+
 def set_ops_customers(sf_dir: str):
     """INTERSECT / EXCEPT in one pass: customers who ordered in 1995,
     1996, or both — per-batch (custkey, in_a, in_b) flag partials, one
@@ -10543,6 +10638,7 @@ REGISTRY: dict[str, tuple] = {
     "global_rank_orders": (global_rank_orders, GLOBAL_RANK_ORDERS_SQL),
     "q16_parts_supplier_counts": (q16_parts_supplier_counts, Q16_SQL),
     "rollup_events_daily": (rollup_events_daily, ROLLUP_EVENTS_SQL),
+    "grouping_sets_events": (grouping_sets_events, GROUPING_SETS_SQL),
     "cube_events_daily": (cube_events_daily, CUBE_EVENTS_SQL),
     "token_quantiles_cont_documents": (token_quantiles_cont_documents, TOKEN_QUANTILES_CONT_SQL),
     "percent_rank_orders": (percent_rank_orders, PERCENT_RANK_SQL),
