@@ -10323,6 +10323,98 @@ FROM w GROUP BY conv_id
 """
 
 
+def tool_latency_transcripts(sf_dir: str):
+    """Per-TOOL latency attribution over agent traces: for every tool
+    turn directly preceded (in turn order) by an assistant turn, the
+    microseconds between the assistant's ts and the tool result's ts —
+    grouped by tool into invocation count, total and mean latency. The
+    per-tool telemetry an agent-ops dashboard ranks slow tools with.
+    Shape: batch-local distinct, ONE conv-bucketed shuffle, vectorized
+    adjacent comparison, then a per-bucket (tool, n, sum) partial — the
+    final fold is tool-cardinality rows on the driver. Mean is one
+    double division of exact integer sums, so it hashes stably."""
+    ds = relops.scan_path(
+        _transcripts_path(sf_dir), columns=["conv_id", "turn_idx", "role", "tool", "ts"]
+    )
+
+    pairs = ds.map_batches(
+        lambda b: b.group_by(["conv_id", "turn_idx", "role", "tool", "ts"]).aggregate([]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    empty = pa.table(
+        {
+            "tool": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "sum_us": pa.array([], pa.int64()),
+        }
+    )
+
+    def bucket_fn(group: pa.Table) -> pa.Table:
+        d = group.group_by(["conv_id", "turn_idx", "role", "tool", "ts"]).aggregate([])
+        conv = np.asarray(d.column("conv_id").to_numpy(zero_copy_only=False))
+        turn = d.column("turn_idx").to_numpy(zero_copy_only=False)
+        role = np.asarray(d.column("role").to_numpy(zero_copy_only=False))
+        tool = np.asarray(d.column("tool").to_numpy(zero_copy_only=False), dtype=object)
+        ts_us = d.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((role, ts_us, turn, conv))
+        conv, role, tool, ts_us = conv[order], role[order], tool[order], ts_us[order]
+        first = np.r_[True, conv[1:] != conv[:-1]]
+        prev_assistant = np.r_[False, role[:-1] == "assistant"] & ~first
+        hit = (role == "tool") & prev_assistant
+        lat = np.zeros(len(conv), np.int64)
+        lat[1:] = ts_us[1:] - ts_us[:-1]
+        t = pa.table(
+            {
+                "tool": pa.array(tool[hit].tolist(), pa.string()),
+                "lat": pa.array(lat[hit], pa.int64()),
+            }
+        )
+        g = t.group_by(["tool"]).aggregate([("lat", "count"), ("lat", "sum")])
+        return pa.table(
+            {
+                "tool": g.column("tool"),
+                "n": pc.cast(g.column("lat_count"), pa.int64()),
+                "sum_us": pc.cast(g.column("lat_sum"), pa.int64()),
+            }
+        )
+
+    partials = relops.bucketed_groupby(pairs, ["conv_id"], bucket_fn, empty=empty)
+    df = partials.to_pandas().groupby("tool", as_index=False).sum()  # tool-cardinality
+    from .functions.rounding import round_away
+
+    df = df.sort_values("tool").reset_index(drop=True)
+    n = df["n"].to_numpy(np.int64)
+    s = df["sum_us"].to_numpy(np.int64)
+    return pa.table(
+        {
+            "tool": pa.array(df["tool"].tolist(), pa.string()),
+            "n": pa.array(n, pa.int64()),
+            "sum_us": pa.array(s, pa.int64()),
+            "mean_us": pa.array(
+                round_away(s.astype(np.float64) / n.astype(np.float64), 4), pa.float64()
+            ),
+        }
+    )
+
+
+def tool_latency_transcripts_sql(sf_dir: str | None = None) -> str:
+    path = _transcripts_sql_source(sf_dir)
+    return f"""
+WITH t AS (SELECT DISTINCT conv_id, turn_idx, role, tool, ts FROM read_parquet('{path}')),
+w AS (SELECT conv_id, role, tool, ts,
+        lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx, ts, role) AS prev_role,
+        lag(ts)   OVER (PARTITION BY conv_id ORDER BY turn_idx, ts, role) AS prev_ts
+      FROM t)
+SELECT tool, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(date_diff('microsecond', prev_ts, ts)) AS BIGINT) AS sum_us,
+       round(CAST(sum(date_diff('microsecond', prev_ts, ts)) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 4) AS mean_us
+FROM w WHERE role = 'tool' AND prev_role = 'assistant'
+GROUP BY tool
+"""
+
+
 def role_vocab_divergence_transcripts(sf_dir: str):
     """Distinctive-vocabulary signal over transcripts: per word, its
     count in user turns vs assistant turns plus the add-one-smoothed
@@ -10720,6 +10812,7 @@ REGISTRY: dict[str, tuple] = {
     "tool_trigrams_transcripts": (tool_trigrams_transcripts, None),
     "redact_pii_transcripts": (redact_pii_transcripts, None),
     "role_protocol_transcripts": (role_protocol_transcripts, None),
+    "tool_latency_transcripts": (tool_latency_transcripts, None),
     "role_vocab_divergence_transcripts": (role_vocab_divergence_transcripts, None),
     "pii_stats_transcripts": (pii_stats_transcripts, None),
     "code_blocks_transcripts": (code_blocks_transcripts, None),
@@ -10747,6 +10840,7 @@ LAZY_SQL: dict[str, Any] = {
     "tool_trigrams_transcripts": tool_trigrams_transcripts_sql,
     "redact_pii_transcripts": redact_pii_transcripts_sql,
     "role_protocol_transcripts": role_protocol_transcripts_sql,
+    "tool_latency_transcripts": tool_latency_transcripts_sql,
     "role_vocab_divergence_transcripts": role_vocab_divergence_transcripts_sql,
     "pii_stats_transcripts": pii_stats_transcripts_sql,
     "code_blocks_transcripts": code_blocks_transcripts_sql,

@@ -20,6 +20,9 @@ def _table(rows):
             "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
             "role": pa.array([r[2] for r in rows], pa.string()),
             "text": pa.array([r[3] for r in rows], pa.string()),
+            "tool": pa.array(
+                ["grep" if r[2] == "tool" else "" for r in rows], pa.string()
+            ),
             "ts": pa.array([base + np.timedelta64(r[1], "s") for r in rows],
                            pa.timestamp("us")),
         }
@@ -59,6 +62,16 @@ def test_role_protocol_engineered(ray_session, tmp_path, monkeypatch):
         "conv_id": "c2", "n_turns": 4, "n_same_role_adjacent": 1,
         "n_orphan_tool": 2, "bad_start": 1,
     }
+
+
+def test_tool_latency_engineered(ray_session, tmp_path, monkeypatch):
+    _pin(monkeypatch, tmp_path, _table(ROWS))
+    got = queries.tool_latency_transcripts("x").to_pylist()
+    # only c1 turn 2 qualifies (tool after assistant); c2's tools follow
+    # nothing / a user turn. ts gap = 1 second.
+    assert got == [
+        {"tool": "grep", "n": 1, "sum_us": 1_000_000, "mean_us": 1_000_000.0}
+    ]
 
 
 def test_role_vocab_divergence_engineered(ray_session, tmp_path, monkeypatch):
