@@ -4812,6 +4812,129 @@ FROM documents
 """
 
 
+def time_profile_events(sf_dir: str):
+    """Calendar-feature activity profile: events per (event_type,
+    hour-of-day, ISO day-of-week) with exact 1e-4-unit value sums — the
+    scalar date/time-function family (hour / weekday extraction)
+    exercised end to end. One combiner pass; the final groupby is at
+    most types × 24 × 7 rows regardless of input scale."""
+    ds = scan(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts")
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "hour": pc.cast(pc.hour(ts), pa.int64()),
+                "dow": pc.cast(pc.day_of_week(ts, count_from_zero=False, week_start=1),
+                               pa.int64()),
+                "v": _cents(batch.column("value"), 10_000),
+            }
+        )
+        return t.group_by(["event_type", "hour", "dow"]).aggregate(
+            [("v", "sum"), ("v", "count")]
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "hour", "dow"])
+        .aggregate(Sum("v_sum", alias_name="v"), Sum("v_count", alias_name="n"))
+    )
+    t = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    return pa.table(
+        {
+            "event_type": t.column("event_type"),
+            "hour": t.column("hour"),
+            "dow": t.column("dow"),
+            "n": pc.cast(t.column("n"), pa.int64()),
+            "sum_value": round_away_arrow(
+                pc.divide(pc.cast(t.column("v"), pa.float64()), 10_000.0)
+            ),
+        }
+    )
+
+
+TIME_PROFILE_SQL = """
+SELECT event_type,
+       CAST(hour(ts) AS BIGINT) AS hour,
+       CAST(isodow(ts) AS BIGINT) AS dow,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(CAST(round(value*10000) AS BIGINT)) AS DOUBLE)/10000.0, 4)
+         AS sum_value
+FROM events GROUP BY event_type, hour(ts), isodow(ts)
+"""
+
+
+def throttle_events(sf_dir: str):
+    """Stream throttle / window dedup: within each (user_id, event_type,
+    60-second tumbling window), keep only the EARLIEST event (ts, then
+    event_id ties) — the repeat-suppression an event-ingest pipeline
+    applies before counting. Per-batch local winners first (at most one
+    row per key-window per batch survives), then one bucketed groupby
+    picks the global winner per key-window — the shuffle carries
+    winners, not raw events."""
+    ds = scan(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+
+    def local(batch: pa.Table) -> pa.Table:
+        ts_us = batch.column("ts").cast(pa.int64())
+        win = pc.divide(ts_us, 60_000_000)
+        t = batch.append_column("win", pc.cast(win, pa.int64()))
+        idx = pc.sort_indices(
+            t, sort_keys=[("user_id", "ascending"), ("event_type", "ascending"),
+                          ("win", "ascending"), ("ts", "ascending"),
+                          ("event_id", "ascending")]
+        )
+        t = t.take(idx)
+        u = np.asarray(t.column("user_id").to_numpy(zero_copy_only=False))
+        e = np.asarray(t.column("event_type").to_numpy(zero_copy_only=False))
+        w = np.asarray(t.column("win").to_numpy(zero_copy_only=False))
+        keep = np.r_[True, (u[1:] != u[:-1]) | (e[1:] != e[:-1]) | (w[1:] != w[:-1])]
+        return t.filter(pa.array(keep))
+
+    winners = ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
+
+    empty = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "user_id": pa.array([], pa.int64()),
+            "event_type": pa.array([], pa.string()),
+            "win": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_group(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group, sort_keys=[("user_id", "ascending"), ("event_type", "ascending"),
+                              ("win", "ascending"), ("ts", "ascending"),
+                              ("event_id", "ascending")]
+        )
+        t = group.take(idx)
+        u = np.asarray(t.column("user_id").to_numpy(zero_copy_only=False))
+        e = np.asarray(t.column("event_type").to_numpy(zero_copy_only=False))
+        w = np.asarray(t.column("win").to_numpy(zero_copy_only=False))
+        keep = np.r_[True, (u[1:] != u[:-1]) | (e[1:] != e[:-1]) | (w[1:] != w[:-1])]
+        t = t.filter(pa.array(keep))
+        return t.select(["event_id", "user_id", "event_type", "win"])
+
+    out = relops.bucketed_groupby(
+        winners, ["user_id", "event_type", "win"], per_group, empty=empty
+    )
+    df = out.to_pandas().sort_values("event_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+THROTTLE_SQL = """
+WITH w AS (
+  SELECT event_id, user_id, event_type,
+         CAST(epoch_us(ts) // 60000000 AS BIGINT) AS win,
+         row_number() OVER (
+           PARTITION BY user_id, event_type, epoch_us(ts) // 60000000
+           ORDER BY ts, event_id) AS rn
+  FROM events)
+SELECT event_id, user_id, event_type, win FROM w WHERE rn = 1
+"""
+
+
 def funnel_events(sf_dir: str):
     """Strict-sequence funnel: per user, the furthest stage reached in
     view → click → purchase order (each later event must be strictly
@@ -10698,6 +10821,8 @@ REGISTRY: dict[str, tuple] = {
     "redact_documents": (redact_documents, REDACT_SQL),
     "unigram_xent_documents": (unigram_xent_documents, UNIGRAM_XENT_SQL),
     "funnel_events": (funnel_events, FUNNEL_SQL),
+    "time_profile_events": (time_profile_events, TIME_PROFILE_SQL),
+    "throttle_events": (throttle_events, THROTTLE_SQL),
     "price_histogram_lineitem": (price_histogram_lineitem, PRICE_HIST_SQL),
     "q22_sales_opportunity": (q22_sales_opportunity, Q22_SQL),
     "q19_disjunctive_revenue": (q19_disjunctive_revenue, Q19_SQL),
