@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "embedding_topk_pq",
     "redact_pii_transcripts",
     "repetition_runs_documents",
+    "bm25_topk_documents",
+    "tool_latency_transcripts",
 ]
 
 

@@ -10648,6 +10648,71 @@ FROM c, tot
 """
 
 
+def compress_ratio_documents(sf_dir: str):
+    """Compression-ratio quality signal (CCNet/Gopher-family heuristic):
+    zlib-level-6 deflate ratio per document — highly repetitive or
+    degenerate text compresses far below natural prose, making the
+    ratio a cheap redundancy filter. Embarrassingly parallel map; the
+    per-row C calls are the hot loop (zlib releases the GIL), no
+    shuffle. Non-SQL-expressible: the full-value oracle is the
+    single-process python twin in PYTHON_ORACLES."""
+    ds = scan(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def ratio(batch: pa.Table) -> pa.Table:
+        import zlib
+
+        from .functions.rounding import round_away
+
+        texts = batch.column("text").to_pylist()
+        raw = np.array([len(t.encode("utf-8")) for t in texts], np.int64)
+        comp = np.array(
+            [len(zlib.compress(t.encode("utf-8"), 6)) for t in texts], np.int64
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "raw_len": pa.array(raw, pa.int64()),
+                "comp_len": pa.array(comp, pa.int64()),
+                "ratio": pa.array(
+                    round_away(
+                        comp.astype(np.float64) / np.maximum(raw, 1).astype(np.float64),
+                        4,
+                    ),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return ds.map_batches(ratio, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _oracle_compress_ratio(sf_dir: str) -> pa.Table:
+    """Single-process python twin for compress_ratio_documents."""
+    import zlib
+
+    from .functions.rounding import round_away
+
+    tbl = pq.read_table(
+        relops.table_path(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+    texts = tbl.column("text").to_pylist()
+    raw = np.array([len(t.encode("utf-8")) for t in texts], np.int64)
+    comp = np.array([len(zlib.compress(t.encode("utf-8"), 6)) for t in texts], np.int64)
+    return pa.table(
+        {
+            "doc_id": tbl.column("doc_id"),
+            "raw_len": pa.array(raw, pa.int64()),
+            "comp_len": pa.array(comp, pa.int64()),
+            "ratio": pa.array(
+                round_away(
+                    comp.astype(np.float64) / np.maximum(raw, 1).astype(np.float64), 4
+                ),
+                pa.float64(),
+            ),
+        }
+    )
+
+
 def bm25_topk_documents(sf_dir: str, k: int = 10):
     """BM25 retrieval (Robertson idf, k1=1.2, b=0.75): top-k documents
     for a fixed 3-term query — the ranking primitive a retrieval /
@@ -10818,6 +10883,7 @@ REGISTRY: dict[str, tuple] = {
     "inverted_index_documents": (inverted_index_documents, INVERTED_INDEX_SQL),
     "tfidf_top_terms_documents": (tfidf_top_terms_documents, TFIDF_SQL),
     "bm25_topk_documents": (bm25_topk_documents, BM25_SQL),
+    "compress_ratio_documents": (compress_ratio_documents, None),
     "redact_documents": (redact_documents, REDACT_SQL),
     "unigram_xent_documents": (unigram_xent_documents, UNIGRAM_XENT_SQL),
     "funnel_events": (funnel_events, FUNNEL_SQL),
@@ -11009,4 +11075,5 @@ PYTHON_ORACLES: dict[str, Any] = {
     "semdedup_embeddings": _oracle_semdedup,
     "embedding_pca_top_component": _oracle_pca,
     "pagerank_part_supplier": _oracle_pagerank,
+    "compress_ratio_documents": _oracle_compress_ratio,
 }
