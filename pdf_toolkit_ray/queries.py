@@ -10648,6 +10648,69 @@ FROM c, tot
 """
 
 
+def markdown_outline_transcripts(sf_dir: str):
+    """Markdown structure mining over assistant-authored rich text:
+    per-turn counts of H1 / deeper headings, bullet items, numbered
+    items and blockquote lines (CommonMark 'marker + space' rule, so
+    '#hash' / '-dash' near-misses don't count). One vectorized
+    multiline-RE2 pass per pattern (`(?m)` anchors at line starts), no
+    shuffle; DuckDB's regexp engine is the same RE2, so the twin agrees
+    by construction. The outline a doc-structure-aware chunker or a
+    formatting-quality filter keys on."""
+    pats = {
+        "n_h1": r"(?m)^# ",
+        "n_h2plus": r"(?m)^#{2,6} ",
+        "n_bullets": r"(?m)^[-*] ",
+        "n_numbered": r"(?m)^\d+\. ",
+        "n_quotes": r"(?m)^> ",
+    }
+    ds = relops.scan_path(_rich_path(sf_dir), columns=["conv_id", "turn_idx", "text"])
+
+    def outline(batch: pa.Table) -> pa.Table:
+        txt = batch.column("text")
+        counts = {
+            name: pc.cast(pc.count_substring_regex(txt, pat), pa.int64())
+            for name, pat in pats.items()
+        }
+        # '^# ' also matches nothing deeper, but '^#{2,6} ' would count a
+        # '### ' line once; h1 vs deeper are disjoint by construction
+        total = counts["n_h1"]
+        for k in list(pats)[1:]:
+            total = pc.add(total, counts[k])
+        out = pa.table(
+            {
+                "conv_id": batch.column("conv_id"),
+                "turn_idx": batch.column("turn_idx"),
+                **counts,
+            }
+        )
+        return out.filter(pc.greater(total, 0))
+
+    df = (
+        ds.map_batches(outline, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def markdown_outline_transcripts_sql(sf_dir: str | None = None) -> str:
+    path = _rich_sql_source(sf_dir)
+    return rf"""
+WITH c AS (
+  SELECT conv_id, turn_idx,
+         CAST(len(regexp_extract_all(text, '(?m)^# ')) AS BIGINT) AS n_h1,
+         CAST(len(regexp_extract_all(text, '(?m)^#{{2,6}} ')) AS BIGINT) AS n_h2plus,
+         CAST(len(regexp_extract_all(text, '(?m)^[-*] ')) AS BIGINT) AS n_bullets,
+         CAST(len(regexp_extract_all(text, '(?m)^\d+\. ')) AS BIGINT) AS n_numbered,
+         CAST(len(regexp_extract_all(text, '(?m)^> ')) AS BIGINT) AS n_quotes
+  FROM read_parquet('{path}'))
+SELECT * FROM c
+WHERE n_h1 + n_h2plus + n_bullets + n_numbered + n_quotes > 0
+"""
+
+
 def compress_ratio_documents(sf_dir: str):
     """Compression-ratio quality signal (CCNet/Gopher-family heuristic):
     zlib-level-6 deflate ratio per document — highly repetitive or
@@ -10884,6 +10947,7 @@ REGISTRY: dict[str, tuple] = {
     "tfidf_top_terms_documents": (tfidf_top_terms_documents, TFIDF_SQL),
     "bm25_topk_documents": (bm25_topk_documents, BM25_SQL),
     "compress_ratio_documents": (compress_ratio_documents, None),
+    "markdown_outline_transcripts": (markdown_outline_transcripts, None),
     "redact_documents": (redact_documents, REDACT_SQL),
     "unigram_xent_documents": (unigram_xent_documents, UNIGRAM_XENT_SQL),
     "funnel_events": (funnel_events, FUNNEL_SQL),
@@ -11032,6 +11096,7 @@ LAZY_SQL: dict[str, Any] = {
     "redact_pii_transcripts": redact_pii_transcripts_sql,
     "role_protocol_transcripts": role_protocol_transcripts_sql,
     "tool_latency_transcripts": tool_latency_transcripts_sql,
+    "markdown_outline_transcripts": markdown_outline_transcripts_sql,
     "role_vocab_divergence_transcripts": role_vocab_divergence_transcripts_sql,
     "pii_stats_transcripts": pii_stats_transcripts_sql,
     "code_blocks_transcripts": code_blocks_transcripts_sql,

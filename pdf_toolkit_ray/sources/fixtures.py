@@ -528,7 +528,7 @@ RICH_SIZES = {
 }
 
 #: bumped when the rich GENERATOR changes (cache key is the file name)
-RICH_VERSION = 1
+RICH_VERSION = 2
 
 _RICH_DOMAINS = (
     "example.com", "data.example.org", "docs.rayproject.dev",
@@ -571,6 +571,25 @@ def _rich_pii_items(rng: random.Random) -> list[str]:
         else:
             items.append(".".join(str(rng.randint(1, 254)) for _ in range(4)))
     return items
+
+
+def _rich_markdown_block(rng: random.Random) -> str:
+    """Markdown structure: a heading plus bullet / numbered / quote lines
+    (plus near-miss lines a naive parser over-counts: '#hash' without a
+    space, '-dash' without a space, mid-line '- not a bullet')."""
+    level = rng.randint(1, 3)
+    lines = [f"{'#' * level} " + " ".join(rng.choice(WORDS) for _ in range(3))]
+    for _ in range(rng.randint(1, 3)):
+        lines.append("- " + " ".join(rng.choice(WORDS) for _ in range(rng.randint(2, 5))))
+    if rng.random() < 0.5:
+        for j in range(rng.randint(1, 2)):
+            lines.append(f"{j + 1}. " + " ".join(rng.choice(WORDS) for _ in range(3)))
+    if rng.random() < 0.4:
+        lines.append("> " + " ".join(rng.choice(WORDS) for _ in range(4)))
+    if rng.random() < 0.3:
+        lines.append(rng.choice(["#hash without space", "-dash without space",
+                                 "text with - not a bullet", "5.no space after dot"]))
+    return "\n".join(lines)
 
 
 def _rich_code_block(rng: random.Random) -> str:
@@ -621,6 +640,8 @@ def _rich_turns(seed: int, k: int) -> list[tuple[int, str, str, str]]:
             extras.append("see " + " and ".join(_rich_urls(trng)))
         if trng.random() < 0.25:
             extras.append(trng.choice(_NEAR_MISSES))
+        if role == "assistant" and trng.random() < 0.18:
+            extras.append(_rich_markdown_block(trng))
         if role == "assistant" and trng.random() < 0.20:
             for _ in range(trng.randint(1, 2)):
                 extras.append(_rich_code_block(trng))
