@@ -10711,6 +10711,65 @@ WHERE n_h1 + n_h2plus + n_bullets + n_numbered + n_quotes > 0
 """
 
 
+def chunk_sliding_documents(sf_dir: str, window: int = 64, stride: int = 48):
+    """Sliding-window chunker with overlap — the other standard RAG /
+    pretraining chunking shape next to the greedy budget packer
+    (``chunk_documents``): fixed ``window``-token chunks every
+    ``stride`` tokens, so consecutive chunks share ``window - stride``
+    tokens and no token is dropped. Embarrassingly parallel: chunk
+    boundaries are pure integer arithmetic per doc (vectorized), the
+    chunk texts are slice-joins of the already-split token array. Row
+    fan-out is n/stride per doc — bounded, no shuffle."""
+    ds = scan(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(batch.column("text"), pattern=" ")
+        words = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+        n = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        flat = np.asarray(pc.list_flatten(words).to_numpy(zero_copy_only=False),
+                          dtype=object)
+        offs = np.r_[0, np.cumsum(n)]
+        k_counts = np.where(n <= window, 1, (n - window + stride - 1) // stride + 1)
+        parent = np.repeat(np.arange(len(n)), k_counts)
+        # chunk ordinal within each doc: global arange minus each doc's base
+        base = np.r_[0, np.cumsum(k_counts)][:-1]
+        k = np.arange(k_counts.sum(), dtype=np.int64) - np.repeat(base, k_counts)
+        starts = k * stride
+        ends = np.minimum(starts + window, n[parent])
+        texts = [
+            " ".join(flat[offs[p] + s : offs[p] + e])
+            for p, s, e in zip(parent, starts, ends)
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[parent], pa.int64()),
+                "chunk_idx": pa.array(k, pa.int64()),
+                "tok_start": pa.array(starts, pa.int64()),
+                "tok_len": pa.array(ends - starts, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    return ds.map_batches(chunks, batch_format="pyarrow", zero_copy_batch=True)
+
+
+CHUNK_SLIDING_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                  len(string_split(text, ' ')) AS n
+           FROM documents),
+k AS (SELECT doc_id, toks, n,
+        unnest(range(CASE WHEN n <= 64 THEN 1
+                          ELSE (n - 64 + 47) // 48 + 1 END)) AS k
+      FROM t)
+SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+       CAST(k*48 AS BIGINT) AS tok_start,
+       CAST(least(k*48 + 64, n) - k*48 AS BIGINT) AS tok_len,
+       array_to_string(toks[k*48 + 1 : least(k*48 + 64, n)], ' ') AS text
+FROM k
+"""
+
+
 def compress_ratio_documents(sf_dir: str):
     """Compression-ratio quality signal (CCNet/Gopher-family heuristic):
     zlib-level-6 deflate ratio per document — highly repetitive or
@@ -10947,6 +11006,7 @@ REGISTRY: dict[str, tuple] = {
     "tfidf_top_terms_documents": (tfidf_top_terms_documents, TFIDF_SQL),
     "bm25_topk_documents": (bm25_topk_documents, BM25_SQL),
     "compress_ratio_documents": (compress_ratio_documents, None),
+    "chunk_sliding_documents": (chunk_sliding_documents, CHUNK_SLIDING_SQL),
     "markdown_outline_transcripts": (markdown_outline_transcripts, None),
     "redact_documents": (redact_documents, REDACT_SQL),
     "unigram_xent_documents": (unigram_xent_documents, UNIGRAM_XENT_SQL),
