@@ -4812,6 +4812,93 @@ FROM documents
 """
 
 
+def zscore_outliers_events(sf_dir: str):
+    """Grouped anomaly detection: events whose value sits more than 3
+    population standard deviations from their event_type's mean. Two
+    streaming passes: (1) mergeable sufficient statistics (n, Σv, Σv²)
+    per type — exact integer 1e-4 units, one combiner pass + tiny
+    groupby; (2) a broadcast of the per-type (mean, std) doubles into a
+    vectorized filter pass. Every float op mirrors the twin
+    operation-for-operation (int→double casts, E[x²]−E[x]² variance,
+    IEEE sqrt/divide), so the z-scores are bit-identical. int64 bound:
+    Σv² ≈ 1e12/row — safe to ~9e6 rows per batch partial; beyond that
+    shard into hi/lo words (driver fold is already arbitrary-precision
+    Python int)."""
+    ds = scan(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = _cents(batch.column("value"), 10_000)
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "v": v,
+                "vv": pc.multiply(v, v),
+            }
+        )
+        return t.group_by(["event_type"]).aggregate(
+            [(c, "sum") for c in ("one", "v", "vv")]
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(*[Sum(f"{c}_sum", alias_name=c) for c in ("one", "v", "vv")])
+    )
+    import math
+
+    stats = {}
+    for row in pa.Table.from_pandas(agg.to_pandas()).to_pylist():
+        n, sv, svv = int(row["one"]), int(row["v"]), int(row["vv"])
+        mean = float(sv) / float(n)
+        std = math.sqrt(float(svv) / float(n) - mean * mean)
+        stats[row["event_type"]] = (mean, std)
+    stats_ref = ray.put(stats)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        from .functions.rounding import round_away
+
+        st = ray.get(stats_ref)
+        et = np.asarray(batch.column("event_type").to_numpy(zero_copy_only=False))
+        v = _cents(batch.column("value"), 10_000).to_numpy(zero_copy_only=False)
+        mean = np.array([st[t][0] for t in et], np.float64)
+        std = np.array([st[t][1] for t in et], np.float64)
+        z = (v.astype(np.float64) - mean) / std
+        keep = np.abs(z) > 3.0
+        return pa.table(
+            {
+                "event_id": pa.array(
+                    batch.column("event_id").to_numpy(zero_copy_only=False)[keep],
+                    pa.int64(),
+                ),
+                "event_type": pa.array(et[keep].tolist(), pa.string()),
+                "z": pa.array(round_away(z[keep], 4), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+ZSCORE_OUTLIERS_SQL = """
+WITH base AS (
+  SELECT event_id, event_type, CAST(round(value*10000) AS BIGINT) AS v FROM events),
+s AS (SELECT event_type, count(*) AS n,
+        sum(CAST(v AS HUGEINT)) AS sv,
+        sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS svv
+      FROM base GROUP BY event_type),
+p AS (SELECT event_type,
+        CAST(sv AS DOUBLE)/CAST(n AS DOUBLE) AS mean,
+        sqrt(CAST(svv AS DOUBLE)/CAST(n AS DOUBLE)
+             - (CAST(sv AS DOUBLE)/CAST(n AS DOUBLE))
+               * (CAST(sv AS DOUBLE)/CAST(n AS DOUBLE))) AS std
+      FROM s)
+SELECT event_id, base.event_type,
+       round((CAST(v AS DOUBLE) - mean)/std, 4) AS z
+FROM base JOIN p USING (event_type)
+WHERE abs((CAST(v AS DOUBLE) - mean)/std) > 3.0
+"""
+
+
 def time_profile_events(sf_dir: str):
     """Calendar-feature activity profile: events per (event_type,
     hour-of-day, ISO day-of-week) with exact 1e-4-unit value sums — the
@@ -11012,6 +11099,7 @@ REGISTRY: dict[str, tuple] = {
     "unigram_xent_documents": (unigram_xent_documents, UNIGRAM_XENT_SQL),
     "funnel_events": (funnel_events, FUNNEL_SQL),
     "time_profile_events": (time_profile_events, TIME_PROFILE_SQL),
+    "zscore_outliers_events": (zscore_outliers_events, ZSCORE_OUTLIERS_SQL),
     "throttle_events": (throttle_events, THROTTLE_SQL),
     "price_histogram_lineitem": (price_histogram_lineitem, PRICE_HIST_SQL),
     "q22_sales_opportunity": (q22_sales_opportunity, Q22_SQL),
