@@ -6297,6 +6297,115 @@ def _part_supplier_edges(sf_dir: str):
     )
 
 
+def triangle_count_suppliers(sf_dir: str):
+    """Triangle counting on the co-supplier graph (suppliers are
+    adjacent iff they supply a common part) — the third classic graph
+    kernel beside PageRank and connected components. Stages: (1)
+    distinct (part, supplier) pairs, batch-local first; (2) per-part
+    supplier pairs generated inside a part-bucketed groupby (fan-out
+    bounded by suppliers-per-part²); (3) distinct edges via an edge-
+    bucketed groupby; (4) adjacency lists broadcast once (node-bounded;
+    for graphs past the broadcast gate swap in an edge-partitioned
+    e1⋈e2⋈e3 join — same shape as the twin) and each edge batch counts
+    |N(u) ∩ N(v) ∩ {w > v}| with ordered-array intersections. Output is
+    the (n_nodes, n_edges, n_triangles) summary row."""
+    ds = scan(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    pairs = ds.map_batches(
+        lambda b: b.group_by(["l_partkey", "l_suppkey"]).aggregate([]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    edge_empty = pa.table(
+        {"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())}
+    )
+
+    def part_pairs(group: pa.Table) -> pa.Table:
+        d = group.group_by(["l_partkey", "l_suppkey"]).aggregate([])
+        idx = pc.sort_indices(
+            d, sort_keys=[("l_partkey", "ascending"), ("l_suppkey", "ascending")]
+        )
+        d = d.take(idx)
+        p = d.column("l_partkey").to_numpy(zero_copy_only=False)
+        s = d.column("l_suppkey").to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, p[1:] != p[:-1]])
+        bounds = np.r_[starts, len(p)]
+        us, vs = [], []
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            grp = s[lo:hi]
+            if len(grp) > 1:
+                iu, iv = np.triu_indices(len(grp), k=1)
+                us.append(grp[iu])
+                vs.append(grp[iv])
+        if not us:
+            return edge_empty
+        return pa.table(
+            {
+                "u": pa.array(np.concatenate(us), pa.int64()),
+                "v": pa.array(np.concatenate(vs), pa.int64()),
+            }
+        )
+
+    raw_edges = relops.bucketed_groupby(pairs, ["l_partkey"], part_pairs, empty=edge_empty)
+
+    def edge_distinct(group: pa.Table) -> pa.Table:
+        return group.group_by(["u", "v"]).aggregate([])
+
+    edges = relops.bucketed_groupby(
+        raw_edges.map_batches(
+            lambda b: b.group_by(["u", "v"]).aggregate([]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ),
+        ["u", "v"], edge_distinct, empty=edge_empty,
+    )
+
+    # adjacency (node-bounded) broadcast once; sorted neighbor arrays
+    adj_df = edges.to_pandas()
+    n_edges = len(adj_df)
+    nodes = np.union1d(adj_df["u"].unique(), adj_df["v"].unique())
+    adj: dict[int, np.ndarray] = {}
+    both = pd.concat(
+        [adj_df, adj_df.rename(columns={"u": "v", "v": "u"})], ignore_index=True
+    )
+    for node, grp in both.groupby("u")["v"]:
+        adj[int(node)] = np.sort(grp.to_numpy(np.int64))
+    adj_ref = ray.put(adj)
+
+    def count(batch: pa.Table) -> pa.Table:
+        a = ray.get(adj_ref)
+        u = batch.column("u").to_numpy(zero_copy_only=False)
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        total = 0
+        for uu, vv in zip(u, v):
+            common = np.intersect1d(a[int(uu)], a[int(vv)], assume_unique=True)
+            total += int((common > vv).sum())
+        return pa.table({"t": pa.array([total], pa.int64())})
+
+    parts = edges.map_batches(count, batch_format="pyarrow", zero_copy_batch=True)
+    n_tri = int(parts.to_pandas()["t"].sum())
+    return pa.table(
+        {
+            "n_nodes": pa.array([len(nodes)], pa.int64()),
+            "n_edges": pa.array([n_edges], pa.int64()),
+            "n_triangles": pa.array([n_tri], pa.int64()),
+        }
+    )
+
+
+TRIANGLE_COUNT_SQL = """
+WITH pairs AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+edges AS (SELECT DISTINCT a.s AS u, b.s AS v
+          FROM pairs a JOIN pairs b ON a.p = b.p AND a.s < b.s)
+SELECT
+  CAST((SELECT count(DISTINCT s) FROM (SELECT u AS s FROM edges
+        UNION ALL SELECT v FROM edges)) AS BIGINT) AS n_nodes,
+  CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
+  CAST((SELECT count(*)
+        FROM edges e1 JOIN edges e2 ON e2.u = e1.u AND e2.v > e1.v
+             JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v) AS BIGINT) AS n_triangles
+"""
+
+
 def pagerank_part_supplier(sf_dir: str):
     """Distributed PageRank over the part↔supplier co-occurrence graph
     (iterative graph algorithm beside connected components / k-means).
@@ -11085,6 +11194,7 @@ REGISTRY: dict[str, tuple] = {
         PRICE_QUANTILES_RANK_CHECK_SQL,
     ),
     "pagerank_part_supplier": (pagerank_part_supplier, None),
+    "triangle_count_suppliers": (triangle_count_suppliers, TRIANGLE_COUNT_SQL),
     "pagerank_part_supplier_nano": (pagerank_part_supplier_nano, PAGERANK_NANO_SQL),
     "embedding_kmeans_exact": (embedding_kmeans_exact, KMEANS_EXACT_SQL),
     "semdedup_exact_embeddings": (semdedup_exact_embeddings, SEMDEDUP_EXACT_SQL),
