@@ -10966,6 +10966,101 @@ FROM k
 """
 
 
+def rrf_hybrid_topk_documents(sf_dir: str, k: int = 10, n_list: int = 50, c: int = 60):
+    """Hybrid retrieval via reciprocal-rank fusion: fuse the BM25 lexical
+    ranking with the embedding-cosine ranking (vec_id ≡ doc_id in the
+    fixture corpus) as RRF(d) = 1/(c+rank_bm25) + 1/(c+rank_cos), each
+    list truncated at ``n_list`` — the standard two-tower retrieval
+    combiner. Both input rankings are the already-distributed operators
+    (per-batch-prune BM25 topk; broadcast-query brute-force cosine);
+    the fusion itself touches only 2×n_list rows on the driver. Ranks
+    use the same rounded-score + id tiebreak rule as each ranking's own
+    twin, so the fused ordering is bit-deterministic."""
+    from .functions.rounding import round_away
+
+    bm = bm25_topk_documents(sf_dir, k=n_list).to_pandas()
+    bm = bm.sort_values(["score", "doc_id"], ascending=[False, True]).reset_index(drop=True)
+    bm_rank = {int(d): i + 1 for i, d in enumerate(bm["doc_id"])}
+
+    qids, qm = _query_embeddings(sf_dir)
+    cos = ann_mod.brute_force_topk(
+        scan(sf_dir, "embeddings", columns=["vec_id", "embedding"]), qids, qm, k=n_list
+    ).to_pandas()
+    cos = cos[cos["query_id"] == qids[0]]
+    cos = cos.sort_values(["sim", "vec_id"], ascending=[False, True]).reset_index(drop=True)
+    cos_rank = {int(d): i + 1 for i, d in enumerate(cos["vec_id"])}
+
+    docs = sorted(set(bm_rank) | set(cos_rank))
+    rows = []
+    for d in docs:
+        rb = bm_rank.get(d, 0)
+        rc = cos_rank.get(d, 0)
+        # fixed-order sum, bm25 term first — mirrors the twin expression
+        s = (1.0 / (c + rb) if rb else 0.0) + (1.0 / (c + rc) if rc else 0.0)
+        rows.append((d, rb if rb else -1, rc if rc else -1, s))
+    rows.sort(key=lambda r: (-float(round_away(np.float64(r[3]), 6)), r[0]))
+    rows = rows[:k]
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "rank_bm25": pa.array([r[1] for r in rows], pa.int64()),
+            "rank_cos": pa.array([r[2] for r in rows], pa.int64()),
+            "rrf": pa.array(round_away(np.array([r[3] for r in rows]), 6), pa.float64()),
+        }
+    )
+
+
+RRF_HYBRID_SQL = """
+WITH ws AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM ws GROUP BY doc_id),
+n AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+             (SELECT count(*) FROM ws) AS n_tokens),
+df AS (SELECT
+        (SELECT count(DISTINCT doc_id) FROM ws WHERE word = 'join')   AS df0,
+        (SELECT count(DISTINCT doc_id) FROM ws WHERE word = 'spark')  AS df1,
+        (SELECT count(DISTINCT doc_id) FROM ws WHERE word = 'window') AS df2),
+tf AS (SELECT doc_id,
+        count(*) FILTER (WHERE word = 'join')   AS tf0,
+        count(*) FILTER (WHERE word = 'spark')  AS tf1,
+        count(*) FILTER (WHERE word = 'window') AS tf2
+       FROM ws GROUP BY doc_id),
+s AS (SELECT tf.doc_id,
+        round(
+          ln((n.n_docs - df.df0 + 0.5) / (df.df0 + 0.5) + 1.0)
+            * (tf.tf0 * 2.2)
+            / (tf.tf0 + 1.2 * (0.25 + 0.75 * (dl.dl / (n.n_tokens / CAST(n.n_docs AS DOUBLE)))))
+        + ln((n.n_docs - df.df1 + 0.5) / (df.df1 + 0.5) + 1.0)
+            * (tf.tf1 * 2.2)
+            / (tf.tf1 + 1.2 * (0.25 + 0.75 * (dl.dl / (n.n_tokens / CAST(n.n_docs AS DOUBLE)))))
+        + ln((n.n_docs - df.df2 + 0.5) / (df.df2 + 0.5) + 1.0)
+            * (tf.tf2 * 2.2)
+            / (tf.tf2 + 1.2 * (0.25 + 0.75 * (dl.dl / (n.n_tokens / CAST(n.n_docs AS DOUBLE)))))
+        , 4) AS score
+      FROM tf JOIN dl USING (doc_id), n, df),
+bm AS (SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rb
+       FROM s WHERE score > 0.0
+       ORDER BY score DESC, doc_id LIMIT 50),
+q AS (SELECT embedding AS qe FROM embeddings ORDER BY vec_id ASC LIMIT 1),
+cs AS (SELECT e.vec_id AS doc_id,
+         round(CAST(list_cosine_similarity(q.qe, e.embedding) AS DOUBLE), 3) AS sim
+       FROM q CROSS JOIN embeddings e),
+co AS (SELECT doc_id,
+         row_number() OVER (ORDER BY sim DESC, doc_id) AS rc
+       FROM cs ORDER BY sim DESC, doc_id LIMIT 50),
+f AS (SELECT COALESCE(bm.doc_id, co.doc_id) AS doc_id,
+        COALESCE(bm.rb, -1) AS rank_bm25,
+        COALESCE(co.rc, -1) AS rank_cos,
+        round(CASE WHEN bm.rb IS NULL THEN 0.0 ELSE 1.0/(60 + bm.rb) END
+            + CASE WHEN co.rc IS NULL THEN 0.0 ELSE 1.0/(60 + co.rc) END, 6) AS rrf
+      FROM bm FULL OUTER JOIN co ON bm.doc_id = co.doc_id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(rank_bm25 AS BIGINT) AS rank_bm25,
+       CAST(rank_cos AS BIGINT) AS rank_cos, rrf
+FROM f ORDER BY rrf DESC, doc_id LIMIT 10
+"""
+
+
 def compress_ratio_documents(sf_dir: str):
     """Compression-ratio quality signal (CCNet/Gopher-family heuristic):
     zlib-level-6 deflate ratio per document — highly repetitive or
@@ -11204,6 +11299,7 @@ REGISTRY: dict[str, tuple] = {
     "bm25_topk_documents": (bm25_topk_documents, BM25_SQL),
     "compress_ratio_documents": (compress_ratio_documents, None),
     "chunk_sliding_documents": (chunk_sliding_documents, CHUNK_SLIDING_SQL),
+    "rrf_hybrid_topk_documents": (rrf_hybrid_topk_documents, RRF_HYBRID_SQL),
     "markdown_outline_transcripts": (markdown_outline_transcripts, None),
     "redact_documents": (redact_documents, REDACT_SQL),
     "unigram_xent_documents": (unigram_xent_documents, UNIGRAM_XENT_SQL),
