@@ -11061,6 +11061,122 @@ FROM f ORDER BY rrf DESC, doc_id LIMIT 10
 """
 
 
+def ndcg_embedding_topk(sf_dir: str, k: int = 10):
+    """Retrieval EVALUATION metrics — nDCG@10 and MRR per query for the
+    exact cosine top-k, with the fixture's ``label`` column as the
+    relevance oracle (relevant = same label as the query, query itself
+    excluded). The eval harness a retrieval pipeline reports: DCG
+    contributions 1/log2(1+rank) are quantized to a 1e-6 integer grid
+    BEFORE summation (order-free, the pagerank/DSIR trick), IDCG uses
+    min(k, n_relevant) ideal positions, and each metric ends in one
+    double division. Distributed shape: brute-force top-(k+1) (self
+    dropped — still covers the top-k of corpus-minus-self), a bounded
+    label-count aggregate, and ≤(k×queries) label lookups via a pushed
+    is_in filter; the metric math touches only those rows."""
+    import math
+
+    qids, qm = _query_embeddings(sf_dir)
+    top = ann_mod.brute_force_topk(
+        scan(sf_dir, "embeddings", columns=["vec_id", "embedding"]), qids, qm, k=k + 1
+    ).to_pandas()
+
+    # bounded label-count aggregate (labels ≪ corpus)
+    lbl_counts = (
+        scan(sf_dir, "embeddings", columns=["vec_id", "label"])
+        .map_batches(
+            lambda b: b.group_by(["label"]).aggregate([("vec_id", "count")]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        .groupby("label")
+        .aggregate(Sum("vec_id_count", alias_name="n"))
+        .to_pandas()
+    )
+    n_per_label = dict(zip(lbl_counts["label"].astype(int), lbl_counts["n"].astype(int)))
+
+    # labels for just the queries + result rows (pushed semi-join)
+    need = sorted(set(qids) | set(top["vec_id"].astype(int)))
+    need_arr = pa.array(need, pa.int64())
+    lbl = (
+        scan(sf_dir, "embeddings", columns=["vec_id", "label"])
+        .map_batches(
+            lambda b: b.filter(pc.is_in(b.column("vec_id"), value_set=need_arr)),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        .to_pandas()
+    )
+    label_of = dict(zip(lbl["vec_id"].astype(int), lbl["label"].astype(int)))
+
+    def micro(r: int) -> int:
+        y = (1.0 / math.log2(1.0 + r)) * 1000000.0
+        return int(math.floor(y + 0.5))
+
+    from .functions.rounding import round_away_scalar
+
+    out = []
+    for q in qids:
+        ql = label_of[int(q)]
+        rows = top[top["query_id"] == q]
+        rows = rows[rows["vec_id"] != q]
+        rows = rows.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        dcg = 0
+        first_rel = None
+        for rank, vec in enumerate(rows["vec_id"].astype(int), start=1):
+            if label_of[vec] == ql:
+                dcg += micro(rank)
+                if first_rel is None:
+                    first_rel = rank
+        n_rel = n_per_label[ql] - 1  # exclude the query itself
+        idcg = sum(micro(i) for i in range(1, min(k, n_rel) + 1))
+        out.append(
+            (
+                int(q),
+                int(n_rel),
+                round_away_scalar(float(dcg) / float(idcg), 4) if idcg else 0.0,
+                round_away_scalar(1.0 / first_rel, 4) if first_rel else 0.0,
+            )
+        )
+    out.sort()
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in out], pa.int64()),
+            "n_rel": pa.array([r[1] for r in out], pa.int64()),
+            "ndcg10": pa.array([r[2] for r in out], pa.float64()),
+            "mrr": pa.array([r[3] for r in out], pa.float64()),
+        }
+    )
+
+
+NDCG_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS ql
+           FROM embeddings ORDER BY vec_id ASC LIMIT 5),
+r AS (SELECT q.query_id, q.ql, e.vec_id, e.label,
+        round(CAST(list_cosine_similarity(q.qe, e.embedding) AS DOUBLE), 3) AS sim
+      FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id),
+rk AS (SELECT query_id, ql, vec_id, label,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
+       FROM r),
+top AS (SELECT * FROM rk WHERE rnk <= 10),
+d AS (SELECT query_id,
+        sum(CASE WHEN label = ql
+                 THEN CAST(round((1.0/log2(1.0 + rnk)) * 1000000.0) AS BIGINT)
+                 ELSE 0 END) AS dcg_micro,
+        min(CASE WHEN label = ql THEN rnk END) AS first_rel
+      FROM top GROUP BY query_id),
+cnt AS (SELECT q.query_id, count(*) AS n_rel
+        FROM q JOIN embeddings e ON e.label = q.ql AND e.vec_id <> q.query_id
+        GROUP BY q.query_id),
+ideal AS (SELECT cnt.query_id,
+            sum(CAST(round((1.0/log2(1.0 + i)) * 1000000.0) AS BIGINT)) AS idcg_micro
+          FROM cnt, unnest(range(1, least(10, cnt.n_rel) + 1)) AS t(i)
+          GROUP BY cnt.query_id)
+SELECT d.query_id, CAST(cnt.n_rel AS BIGINT) AS n_rel,
+       round(CAST(d.dcg_micro AS DOUBLE) / CAST(ideal.idcg_micro AS DOUBLE), 4) AS ndcg10,
+       CASE WHEN d.first_rel IS NULL THEN 0.0
+            ELSE round(1.0 / d.first_rel, 4) END AS mrr
+FROM d JOIN cnt USING (query_id) JOIN ideal USING (query_id)
+"""
+
+
 def compress_ratio_documents(sf_dir: str):
     """Compression-ratio quality signal (CCNet/Gopher-family heuristic):
     zlib-level-6 deflate ratio per document — highly repetitive or
@@ -11300,6 +11416,7 @@ REGISTRY: dict[str, tuple] = {
     "compress_ratio_documents": (compress_ratio_documents, None),
     "chunk_sliding_documents": (chunk_sliding_documents, CHUNK_SLIDING_SQL),
     "rrf_hybrid_topk_documents": (rrf_hybrid_topk_documents, RRF_HYBRID_SQL),
+    "ndcg_embedding_topk": (ndcg_embedding_topk, NDCG_SQL),
     "markdown_outline_transcripts": (markdown_outline_transcripts, None),
     "redact_documents": (redact_documents, REDACT_SQL),
     "unigram_xent_documents": (unigram_xent_documents, UNIGRAM_XENT_SQL),
