@@ -11061,6 +11061,183 @@ FROM f ORDER BY rrf DESC, doc_id LIMIT 10
 """
 
 
+def copurchase_pairs_lineitem(sf_dir: str, k: int = 20):
+    """Market-basket co-occurrence mining: the top-k part pairs most
+    often ordered together (each order = one basket, each pair counted
+    once per basket). Shape: batch-local distinct (order, part) pairs,
+    per-order pair fan-out inside an order-bucketed groupby (bounded by
+    parts-per-order²), per-batch pre-agg counts, one (u,v)-bucketed sum,
+    then the per-batch-prune global topk — raw baskets never shuffle
+    twice and pair rows pre-aggregate before the final exchange."""
+    ds = scan(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    pairs = ds.map_batches(
+        lambda b: b.group_by(["l_orderkey", "l_partkey"]).aggregate([]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    edge_empty = pa.table(
+        {"part_a": pa.array([], pa.int64()), "part_b": pa.array([], pa.int64())}
+    )
+
+    def order_pairs(group: pa.Table) -> pa.Table:
+        d = group.group_by(["l_orderkey", "l_partkey"]).aggregate([])
+        idx = pc.sort_indices(
+            d, sort_keys=[("l_orderkey", "ascending"), ("l_partkey", "ascending")]
+        )
+        d = d.take(idx)
+        o = d.column("l_orderkey").to_numpy(zero_copy_only=False)
+        p = d.column("l_partkey").to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, o[1:] != o[:-1]])
+        bounds = np.r_[starts, len(o)]
+        us, vs = [], []
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            grp = p[lo:hi]
+            if len(grp) > 1:
+                iu, iv = np.triu_indices(len(grp), k=1)
+                us.append(grp[iu])
+                vs.append(grp[iv])
+        if not us:
+            return edge_empty
+        return pa.table(
+            {
+                "part_a": pa.array(np.concatenate(us), pa.int64()),
+                "part_b": pa.array(np.concatenate(vs), pa.int64()),
+            }
+        )
+
+    raw = relops.bucketed_groupby(pairs, ["l_orderkey"], order_pairs, empty=edge_empty)
+
+    cnt_empty = pa.table(
+        {
+            "part_a": pa.array([], pa.int64()),
+            "part_b": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def local_count(b: pa.Table) -> pa.Table:
+        g = b.group_by(["part_a", "part_b"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "part_a": g.column("part_a"),
+                "part_b": g.column("part_b"),
+                "n": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    def pair_sum(group: pa.Table) -> pa.Table:
+        g = group.group_by(["part_a", "part_b"]).aggregate([("n", "sum")])
+        return pa.table(
+            {
+                "part_a": g.column("part_a"),
+                "part_b": g.column("part_b"),
+                "n": pc.cast(g.column("n_sum"), pa.int64()),
+            }
+        )
+
+    counts = relops.bucketed_groupby(
+        raw.map_batches(local_count, batch_format="pyarrow", zero_copy_batch=True),
+        ["part_a", "part_b"], pair_sum, empty=cnt_empty,
+    )
+    return relops.topk(
+        counts,
+        [("n", "descending"), ("part_a", "ascending"), ("part_b", "ascending")],
+        k,
+    )
+
+
+COPURCHASE_SQL = """
+WITH p AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS s FROM lineitem),
+e AS (SELECT a.s AS part_a, b.s AS part_b
+      FROM p a JOIN p b ON a.o = b.o AND a.s < b.s),
+c AS (SELECT part_a, part_b, count(*) AS n FROM e GROUP BY part_a, part_b)
+SELECT CAST(part_a AS BIGINT) AS part_a, CAST(part_b AS BIGINT) AS part_b,
+       CAST(n AS BIGINT) AS n
+FROM c ORDER BY n DESC, part_a, part_b LIMIT 20
+"""
+
+
+def gini_conv_lengths_transcripts(sf_dir: str):
+    """Skew PROFILER over agent traces: the Gini coefficient of
+    conversation lengths — the one-number answer to 'how skewed is this
+    corpus toward mega-conversations', i.e. whether the salted-split /
+    skew-join valves are needed. Uses the range-partitioned global
+    row_number (no node materializes the order): conv lengths from one
+    conv-bucketed count, ranks from ``relops.global_row_number``, then
+    order-free integer sums (n, Σx, Σ rank·x) and one mirrored float
+    formula. int64 bound: Σ rank·x ≈ n²·x̄ — safe to ~10⁸ convs per
+    partial; the driver fold is arbitrary-precision."""
+    ds = relops.scan_path(_transcripts_path(sf_dir), columns=["conv_id", "turn_idx"])
+
+    pairs = ds.map_batches(
+        lambda b: b.group_by(["conv_id", "turn_idx"]).aggregate([]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    len_empty = pa.table(
+        {"conv_id": pa.array([], pa.string()), "x": pa.array([], pa.int64())}
+    )
+
+    def conv_len(group: pa.Table) -> pa.Table:
+        d = group.group_by(["conv_id", "turn_idx"]).aggregate([])
+        g = d.group_by(["conv_id"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "conv_id": g.column("conv_id"),
+                "x": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    lengths = relops.bucketed_groupby(pairs, ["conv_id"], conv_len, empty=len_empty)
+    ranked, total = relops.global_row_number(lengths, "x", ["conv_id"], rank_col="i")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column("x").to_numpy(zero_copy_only=False).astype(np.int64)
+        i = batch.column("i").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "n": pa.array([len(x)], pa.int64()),
+                "tx": pa.array([int(x.sum())], pa.int64()),
+                "sx": pa.array([int((i * x).sum())], pa.int64()),
+            }
+        )
+
+    folded = (
+        ranked.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    n = int(folded["n"].sum())
+    tx = int(folded["tx"].sum())
+    sx = int(folded["sx"].sum())
+    from .functions.rounding import round_away_scalar
+
+    gini = (2.0 * float(sx)) / (float(n) * float(tx)) - (float(n) + 1.0) / float(n)
+    return pa.table(
+        {
+            "n_convs": pa.array([n], pa.int64()),
+            "total_turns": pa.array([tx], pa.int64()),
+            "gini": pa.array([round_away_scalar(gini, 6)], pa.float64()),
+        }
+    )
+
+
+def gini_conv_lengths_transcripts_sql(sf_dir: str | None = None) -> str:
+    path = _transcripts_sql_source(sf_dir)
+    return f"""
+WITH t AS (SELECT DISTINCT conv_id, turn_idx FROM read_parquet('{path}')),
+l AS (SELECT conv_id, count(*) AS x FROM t GROUP BY conv_id),
+r AS (SELECT x, row_number() OVER (ORDER BY x, conv_id) AS i FROM l),
+s AS (SELECT count(*) AS n, sum(CAST(x AS HUGEINT)) AS tx,
+             sum(CAST(i AS HUGEINT) * CAST(x AS HUGEINT)) AS sx
+      FROM r)
+SELECT CAST(n AS BIGINT) AS n_convs, CAST(tx AS BIGINT) AS total_turns,
+       round((2.0 * CAST(sx AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(tx AS DOUBLE))
+             - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini
+FROM s
+"""
+
+
 def ndcg_embedding_topk(sf_dir: str, k: int = 10):
     """Retrieval EVALUATION metrics — nDCG@10 and MRR per query for the
     exact cosine top-k, with the fixture's ``label`` column as the
@@ -11417,6 +11594,8 @@ REGISTRY: dict[str, tuple] = {
     "chunk_sliding_documents": (chunk_sliding_documents, CHUNK_SLIDING_SQL),
     "rrf_hybrid_topk_documents": (rrf_hybrid_topk_documents, RRF_HYBRID_SQL),
     "ndcg_embedding_topk": (ndcg_embedding_topk, NDCG_SQL),
+    "copurchase_pairs_lineitem": (copurchase_pairs_lineitem, COPURCHASE_SQL),
+    "gini_conv_lengths_transcripts": (gini_conv_lengths_transcripts, None),
     "markdown_outline_transcripts": (markdown_outline_transcripts, None),
     "redact_documents": (redact_documents, REDACT_SQL),
     "unigram_xent_documents": (unigram_xent_documents, UNIGRAM_XENT_SQL),
@@ -11568,6 +11747,7 @@ LAZY_SQL: dict[str, Any] = {
     "role_protocol_transcripts": role_protocol_transcripts_sql,
     "tool_latency_transcripts": tool_latency_transcripts_sql,
     "markdown_outline_transcripts": markdown_outline_transcripts_sql,
+    "gini_conv_lengths_transcripts": gini_conv_lengths_transcripts_sql,
     "role_vocab_divergence_transcripts": role_vocab_divergence_transcripts_sql,
     "pii_stats_transcripts": pii_stats_transcripts_sql,
     "code_blocks_transcripts": code_blocks_transcripts_sql,
