@@ -2193,6 +2193,44 @@ FROM (VALUES (12, 377, 400, 4593037, 318748172431596604)) t(a, b, c, d, e)
 """
 
 
+def multimodal_png_conformance_digest(sf_dir: str):
+    """Driver-hashable pin of the PNG decoder's Adam7-interlace scatter
+    and palette bit-unpack paths (depths 1/2/4/8, sequential and
+    interlaced): encoder-twin fixtures flow through the SAME
+    ImageFeatures stage as every other image format; the pixel means and
+    thumbnail digests pin the full decode, so a pass-grid transposition
+    or bit-order flip cannot hide."""
+    import ray.data
+
+    from .stages.multimodal import image_features, synthesize_png_conformance_table
+
+    ds = image_features(ray.data.from_arrow(synthesize_png_conformance_table(12)))
+    return _feature_digest(
+        ds,
+        {
+            "n_images": lambda b: b.num_rows,
+            "sum_width": lambda b: pc.sum(b.column("width")).as_py() or 0,
+            "sum_height": lambda b: pc.sum(b.column("height")).as_py() or 0,
+            "sum_mean_milli": lambda b: int(
+                sum(
+                    round(m * 1000)
+                    for row in b.column("channel_means").to_pylist()
+                    for m in row
+                )
+            ),
+            "thumb_digest_sum": lambda b: _hex_digest_sum(b.column("thumb_digest")),
+        },
+    )
+
+
+MULTIMODAL_PNG_CONFORMANCE_SQL = """
+SELECT CAST(t.a AS BIGINT) AS n_images, CAST(t.b AS BIGINT) AS sum_width,
+       CAST(t.c AS BIGINT) AS sum_height, CAST(t.d AS BIGINT) AS sum_mean_milli,
+       CAST(t.e AS BIGINT) AS thumb_digest_sum
+FROM (VALUES (12, 268, 306, 4571270, 357301271227073878)) t(a, b, c, d, e)
+"""
+
+
 def multimodal_audio_spectral(sf_dir: str):
     """Driver-hashable spectral-feature pass: decode (WAV here; the FLAC
     twin digest covers the other real decode path) → zero-crossing rate,
@@ -11677,6 +11715,10 @@ REGISTRY: dict[str, tuple] = {
     ),
     "multimodal_image_features": (multimodal_image_features, None),
     "multimodal_image_digest": (multimodal_image_digest, MULTIMODAL_IMAGE_DIGEST_SQL),
+    "multimodal_png_conformance_digest": (
+        multimodal_png_conformance_digest,
+        MULTIMODAL_PNG_CONFORMANCE_SQL,
+    ),
     "multimodal_audio_digest": (multimodal_audio_digest, MULTIMODAL_AUDIO_DIGEST_SQL),
     "multimodal_video_digest": (multimodal_video_digest, MULTIMODAL_VIDEO_DIGEST_SQL),
     "multimodal_audio_features": (multimodal_audio_features, None),

@@ -92,17 +92,85 @@ def decode_image(payload: bytes) -> np.ndarray:
 _PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # gray, RGB, RGBA (8-bit only)
 
 
+#: Adam7 pass grid: (x0, y0, dx, dy) per PNG spec §8.2
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw: bytes, off: int, stride: int, height: int, bpp: int):
+    """Unfilter ``height`` scanlines of ``stride`` bytes starting at
+    ``off`` (left-neighbor distance ``bpp`` bytes). Returns the
+    (height, stride) reconstructed array and the new offset."""
+    if len(raw) - off < height * (stride + 1):
+        raise ValueError("PNG scanline data length mismatch")
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        row_off = off + y * (stride + 1)
+        ftype = raw[row_off]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=row_off + 1)
+        if ftype == 0:  # None
+            recon = line.copy()
+        elif ftype == 2:  # Up
+            recon = line + prev
+        elif ftype == 1:  # Sub: prefix sum along pixels (mod 256 via uint8 wrap)
+            if stride % bpp == 0:
+                recon = line.copy().reshape(stride // bpp, bpp)
+                np.cumsum(recon, axis=0, dtype=np.uint8, out=recon)
+                recon = recon.reshape(stride)
+            else:  # packed sub-byte rows: sequential
+                recon = np.empty(stride, dtype=np.uint8)
+                for x in range(stride):
+                    a = int(recon[x - bpp]) if x >= bpp else 0
+                    recon[x] = (int(line[x]) + a) & 0xFF
+        else:  # Average (3) / Paeth (4): sequential left-dependence
+            recon = np.empty(stride, dtype=np.uint8)
+            for x in range(stride):
+                a = int(recon[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                if ftype == 3:
+                    recon[x] = (int(line[x]) + ((a + b) >> 1)) & 0xFF
+                elif ftype == 4:
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    p = a + b - c
+                    pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa_ <= pb and pa_ <= pc_) else (b if pb <= pc_ else c)
+                    recon[x] = (int(line[x]) + pred) & 0xFF
+                else:
+                    raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = recon
+        prev = recon
+    return out, off + height * (stride + 1)
+
+
+def _png_unpack_rows(rows: np.ndarray, width: int, depth: int, ch: int) -> np.ndarray:
+    """(H, stride_bytes) filtered-row bytes → (H, width*ch) samples,
+    expanding sub-byte depths (MSB-first packing) to one byte each."""
+    if depth == 8:
+        return rows[:, : width * ch]
+    bits = np.unpackbits(rows, axis=1)
+    n = width * ch  # sub-byte depths only occur with ch == 1 (palette/gray)
+    vals = np.zeros((rows.shape[0], n), dtype=np.uint8)
+    for b in range(depth):
+        vals = (vals << 1) | bits[:, b : n * depth : depth][:, :n]
+    return vals
+
+
 def decode_png(payload: bytes) -> np.ndarray:
     """From-scratch PNG decoder (RFC 2083): chunk walk → zlib inflate →
     per-row unfilter (None/Sub/Up/Average/Paeth) → (H, W, 3) uint8.
-    Supports bit depth 8, color types 0/2/6, no interlace."""
+    Supports color types 0/2/6 at depth 8 and palette (type 3) at
+    depths 1/2/4/8, both sequential and Adam7-interlaced rasters."""
     import zlib
 
     if not payload.startswith(b"\x89PNG\r\n\x1a\n"):
         raise ValueError("not a PNG stream")
     off = 8
     width = height = None
-    color_type = None
+    color_type = depth = interlace = None
+    plte = None
     idat = bytearray()
     while off + 8 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, off)
@@ -113,55 +181,62 @@ def decode_png(payload: bytes) -> np.ndarray:
             width, height, depth, color_type, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
-            if depth != 8:
-                raise NotImplementedError("only 8-bit PNG supported")
-            if color_type not in _PNG_CHANNELS:
+            if color_type == 3:
+                if depth not in (1, 2, 4, 8):
+                    raise NotImplementedError(f"palette PNG depth {depth} unsupported")
+            elif color_type in _PNG_CHANNELS:
+                if depth != 8:
+                    raise NotImplementedError("only 8-bit PNG supported here")
+            else:
                 raise NotImplementedError(f"PNG color type {color_type} unsupported")
-            if interlace:
-                raise NotImplementedError("interlaced PNG unsupported")
+            if interlace not in (0, 1):
+                raise ValueError(f"bad PNG interlace method {interlace}")
+        elif ctype == b"PLTE":
+            if length % 3:
+                raise ValueError("PLTE length not a multiple of 3")
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat.extend(data)
         elif ctype == b"IEND":
             break
     if width is None:
         raise ValueError("PNG missing IHDR")
-    ch = _PNG_CHANNELS[color_type]
+    if color_type == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE")
+    ch = 1 if color_type == 3 else _PNG_CHANNELS[color_type]
     raw = zlib.decompress(bytes(idat))
-    stride = width * ch
-    if len(raw) != height * (stride + 1):
-        raise ValueError("PNG scanline data length mismatch")
-    out = np.empty((height, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(height):
-        row_off = y * (stride + 1)
-        ftype = raw[row_off]
-        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=row_off + 1)
-        if ftype == 0:  # None
-            recon = line.copy()
-        elif ftype == 2:  # Up
-            recon = line + prev
-        elif ftype == 1:  # Sub: prefix sum along pixels (mod 256 via uint8 wrap)
-            recon = line.copy().reshape(width, ch)
-            np.cumsum(recon, axis=0, dtype=np.uint8, out=recon)
-            recon = recon.reshape(stride)
-        else:  # Average (3) / Paeth (4): sequential left-dependence
-            recon = np.empty(stride, dtype=np.uint8)
-            for x in range(stride):
-                a = int(recon[x - ch]) if x >= ch else 0
-                b = int(prev[x])
-                if ftype == 3:
-                    recon[x] = (int(line[x]) + ((a + b) >> 1)) & 0xFF
-                elif ftype == 4:
-                    c = int(prev[x - ch]) if x >= ch else 0
-                    p = a + b - c
-                    pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if (pa_ <= pb and pa_ <= pc_) else (b if pb <= pc_ else c)
-                    recon[x] = (int(line[x]) + pred) & 0xFF
-                else:
-                    raise ValueError(f"bad PNG filter type {ftype}")
-        out[y] = recon
-        prev = recon
-    img = out.reshape(height, width, ch)
+    bpp = max(1, (depth * ch) // 8)
+
+    def stride_for(w: int) -> int:
+        return (w * depth * ch + 7) // 8
+
+    if interlace == 0:
+        stride = stride_for(width)
+        rows, consumed = _png_unfilter(raw, 0, stride, height, bpp)
+        if consumed != len(raw):
+            raise ValueError("PNG scanline data length mismatch")
+        samples = _png_unpack_rows(rows, width, depth, ch)
+    else:  # Adam7
+        samples = np.zeros((height, width * ch), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            rows, pos = _png_unfilter(raw, pos, stride_for(pw), ph, bpp)
+            sub = _png_unpack_rows(rows, pw, depth, ch).reshape(ph, pw, ch)
+            view = samples.reshape(height, width, ch)
+            view[y0::dy, x0::dx] = sub
+        if pos != len(raw):
+            raise ValueError("PNG scanline data length mismatch")
+
+    if color_type == 3:
+        idx = samples.reshape(height, width)
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("palette index out of range")
+        return np.ascontiguousarray(plte[idx])
+    img = samples.reshape(height, width, ch)
     if ch == 1:
         return np.repeat(img, 3, axis=2)
     if ch == 4:
@@ -188,6 +263,79 @@ def encode_png(img: np.ndarray) -> bytes:
         + chunk(b"IHDR", ihdr)
         + chunk(b"IDAT", zlib.compress(raw))
         + chunk(b"IEND", b"")
+    )
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+    return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+
+def encode_png_interlaced(img: np.ndarray) -> bytes:
+    """Adam7-interlaced RGB PNG writer (filter 0 rows per pass) — test
+    twin of :func:`decode_png`'s interlaced path."""
+    import zlib
+
+    h, w, _ = img.shape
+    body = img.astype(np.uint8)
+    parts = []
+    for x0, y0, dx, dy in _ADAM7:
+        sub = body[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        parts.extend(b"\x00" + sub[y].tobytes() for y in range(sub.shape[0]))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(parts)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png_palette(
+    idx: np.ndarray, palette: np.ndarray, depth: int = 8, interlace: bool = False
+) -> bytes:
+    """Palette (color type 3) PNG writer at depth 1/2/4/8, optionally
+    Adam7-interlaced (filter 0 rows) — test twin of the palette path."""
+    import zlib
+
+    h, w = idx.shape
+    idx = idx.astype(np.uint8)
+
+    def pack_rows(sub: np.ndarray) -> bytes:
+        ph, pw = sub.shape
+        if depth == 8:
+            return b"".join(b"\x00" + sub[y].tobytes() for y in range(ph))
+        out = []
+        for y in range(ph):
+            bits = np.zeros(pw * depth, dtype=np.uint8)
+            for b in range(depth):
+                bits[b::depth] = (sub[y] >> (depth - 1 - b)) & 1
+            pad = (-len(bits)) % 8
+            if pad:
+                bits = np.r_[bits, np.zeros(pad, dtype=np.uint8)]
+            out.append(b"\x00" + np.packbits(bits).tobytes())
+        return b"".join(out)
+
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = idx[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                parts.append(pack_rows(sub))
+        raw = b"".join(parts)
+    else:
+        raw = pack_rows(idx)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 1 if interlace else 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
     )
 
 
@@ -644,6 +792,33 @@ def synthesize_tiff_bmp_table(n: int = 12, seed: int = 46) -> pa.Table:
                 rng.randint(0, 256, (h, w), np.uint8),
                 byte_order="II", rows_per_strip=int(rng.randint(4, 12)),
             )
+        rows.append((i, payload))
+    return pa.table(
+        {
+            "media_id": pa.array([r[0] for r in rows], pa.int64()),
+            "kind": pa.array(["image"] * n),
+            "payload": pa.array([r[1] for r in rows], pa.binary()),
+        }
+    )
+
+
+def synthesize_png_conformance_table(n: int = 12, seed: int = 47) -> pa.Table:
+    """Deterministic PNG-conformance rows: Adam7-interlaced RGB and
+    palette (depths 1/2/4/8, sequential and interlaced) via the encoder
+    twins — pins the decoder's interlace scatter and bit-unpack paths."""
+    rows = []
+    for i in range(n):
+        rng = np.random.RandomState(seed * 99_991 + i)
+        w, h = int(rng.randint(9, 40)), int(rng.randint(9, 40))
+        kind = i % 3
+        if kind == 0:
+            payload = encode_png_interlaced(rng.randint(0, 256, (h, w, 3), np.uint8))
+        else:
+            depth = (1, 2, 4, 8)[i % 4]
+            ncol = 2 ** depth
+            pal = rng.randint(0, 256, (ncol, 3)).astype(np.uint8)
+            idx = rng.randint(0, ncol, (h, w)).astype(np.uint8)
+            payload = encode_png_palette(idx, pal, depth, interlace=(kind == 2))
         rows.append((i, payload))
     return pa.table(
         {

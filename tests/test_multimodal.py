@@ -509,3 +509,103 @@ def test_audio_spectral_analytic_sines(ray_session):
     # WAV and FLAC of the same tone must agree closely
     assert abs(out.loc[1, "centroid_hz"] - out.loc[3, "centroid_hz"]) < 1.0
     assert abs(out.loc[1, "zcr"] - out.loc[3, "zcr"]) < 1e-6
+
+
+def test_png_adam7_pass_matrix_matches_spec():
+    """The Adam7 grid itself, pinned against the PNG spec's 8x8 pattern —
+    guards against a mutual encoder/decoder transposition."""
+    import numpy as np
+
+    from pdf_toolkit_ray.stages.multimodal import _ADAM7
+
+    spec = np.array(
+        [
+            [1, 6, 4, 6, 2, 6, 4, 6],
+            [7, 7, 7, 7, 7, 7, 7, 7],
+            [5, 6, 5, 6, 5, 6, 5, 6],
+            [7, 7, 7, 7, 7, 7, 7, 7],
+            [3, 6, 4, 6, 3, 6, 4, 6],
+            [7, 7, 7, 7, 7, 7, 7, 7],
+            [5, 6, 5, 6, 5, 6, 5, 6],
+            [7, 7, 7, 7, 7, 7, 7, 7],
+        ]
+    )
+    got = np.zeros((8, 8), dtype=int)
+    for k, (x0, y0, dx, dy) in enumerate(_ADAM7, start=1):
+        got[y0::dy, x0::dx] = k  # later passes never overwrite earlier cells
+    assert np.array_equal(got, spec)
+
+
+def test_png_interlaced_and_palette_roundtrips():
+    """Adam7 + palette paths: encoder-twin roundtrips across shapes that
+    produce empty passes, single-pixel passes and packed sub-byte rows."""
+    import numpy as np
+
+    from pdf_toolkit_ray.stages.multimodal import (
+        decode_png,
+        encode_png,
+        encode_png_interlaced,
+        encode_png_palette,
+    )
+
+    rng = np.random.RandomState(7)
+    for h, w in [(1, 1), (2, 3), (7, 5), (16, 16), (33, 21), (64, 1), (1, 64)]:
+        img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png_interlaced(img)), img), (h, w)
+        # interlaced and sequential encodings of the same image decode equal
+        assert np.array_equal(
+            decode_png(encode_png_interlaced(img)), decode_png(encode_png(img))
+        )
+    for depth in (1, 2, 4, 8):
+        ncol = 2 ** depth
+        pal = rng.randint(0, 256, size=(ncol, 3), dtype=np.uint8)
+        for h, w in [(1, 1), (3, 7), (13, 11), (9, 16)]:
+            idx = rng.randint(0, ncol, size=(h, w)).astype(np.uint8)
+            exp = pal[idx]
+            assert np.array_equal(
+                decode_png(encode_png_palette(idx, pal, depth)), exp
+            ), (depth, h, w)
+            assert np.array_equal(
+                decode_png(encode_png_palette(idx, pal, depth, interlace=True)), exp
+            ), (depth, h, w, "interlaced")
+
+
+def test_png_interlaced_truncation_raises():
+    """Truncated interlaced streams fail loudly, never return garbage."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from pdf_toolkit_ray.stages.multimodal import (
+        _png_chunk,
+        decode_png,
+        encode_png_interlaced,
+    )
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    full = encode_png_interlaced(img)
+    assert np.array_equal(decode_png(full), img)
+
+    # rebuild with the inflated payload cut mid-pass
+    raw_parts = []
+    off = 8
+    while off + 8 <= len(full):
+        (ln,) = struct.unpack_from(">I", full, off)
+        ctype = full[off + 4 : off + 8]
+        data = full[off + 8 : off + 8 + ln]
+        off += 12 + ln
+        if ctype == b"IDAT":
+            raw_parts.append(data)
+    raw = zlib.decompress(b"".join(raw_parts))
+    cut = zlib.compress(raw[: len(raw) // 2])
+    broken = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 16, 16, 8, 2, 0, 0, 1))
+        + _png_chunk(b"IDAT", cut)
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_png(broken)
