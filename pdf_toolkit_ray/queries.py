@@ -11196,6 +11196,69 @@ FROM c ORDER BY n DESC, part_a, part_b LIMIT 20
 """
 
 
+def charset_audit_transcripts(sf_dir: str):
+    """Ingestion charset audit: per turn, counts of carriage returns,
+    tabs, other C0 control characters and non-ASCII bytes' codepoints —
+    the mojibake / line-ending-normalization signal an ingest pipeline
+    checks before text cleanup (the fixture's payload grammar plants
+    \\r\\n and tabs deliberately). One vectorized RE2 count per class,
+    no shuffle; DuckDB shares the RE2 engine so the twin agrees by
+    construction. Rows with all-zero counts are dropped (the common
+    case at scale)."""
+    pats = {
+        "n_cr": r"\r",
+        "n_tab": r"\t",
+        "n_ctrl_other": r"[\x00-\x08\x0b\x0c\x0e-\x1f]",
+        "n_nonascii": r"[^\x00-\x7f]",
+    }
+    ds = relops.scan_path(
+        _transcripts_path(sf_dir), columns=["conv_id", "turn_idx", "text"]
+    )
+
+    def audit(batch: pa.Table) -> pa.Table:
+        txt = batch.column("text")
+        counts = {
+            name: pc.cast(pc.count_substring_regex(txt, pat), pa.int64())
+            for name, pat in pats.items()
+        }
+        total = counts["n_cr"]
+        for k in list(pats)[1:]:
+            total = pc.add(total, counts[k])
+        out = pa.table(
+            {
+                "conv_id": batch.column("conv_id"),
+                "turn_idx": batch.column("turn_idx"),
+                **counts,
+            }
+        )
+        return out.filter(pc.greater(total, 0))
+
+    df = (
+        ds.map_batches(audit, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .drop_duplicates()  # re-logged duplicate rows audit identically
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def charset_audit_transcripts_sql(sf_dir: str | None = None) -> str:
+    path = _transcripts_sql_source(sf_dir)
+    return rf"""
+WITH t AS (SELECT DISTINCT conv_id, turn_idx, text FROM read_parquet('{path}')),
+c AS (
+  SELECT conv_id, turn_idx,
+         CAST(len(regexp_extract_all(text, '\r')) AS BIGINT) AS n_cr,
+         CAST(len(regexp_extract_all(text, '\t')) AS BIGINT) AS n_tab,
+         CAST(len(regexp_extract_all(text, '[\x00-\x08\x0b\x0c\x0e-\x1f]')) AS BIGINT)
+           AS n_ctrl_other,
+         CAST(len(regexp_extract_all(text, '[^\x00-\x7f]')) AS BIGINT) AS n_nonascii
+  FROM t)
+SELECT * FROM c WHERE n_cr + n_tab + n_ctrl_other + n_nonascii > 0
+"""
+
+
 def gini_conv_lengths_transcripts(sf_dir: str):
     """Skew PROFILER over agent traces: the Gini coefficient of
     conversation lengths — the one-number answer to 'how skewed is this
@@ -11634,6 +11697,7 @@ REGISTRY: dict[str, tuple] = {
     "ndcg_embedding_topk": (ndcg_embedding_topk, NDCG_SQL),
     "copurchase_pairs_lineitem": (copurchase_pairs_lineitem, COPURCHASE_SQL),
     "gini_conv_lengths_transcripts": (gini_conv_lengths_transcripts, None),
+    "charset_audit_transcripts": (charset_audit_transcripts, None),
     "markdown_outline_transcripts": (markdown_outline_transcripts, None),
     "redact_documents": (redact_documents, REDACT_SQL),
     "unigram_xent_documents": (unigram_xent_documents, UNIGRAM_XENT_SQL),
@@ -11790,6 +11854,7 @@ LAZY_SQL: dict[str, Any] = {
     "tool_latency_transcripts": tool_latency_transcripts_sql,
     "markdown_outline_transcripts": markdown_outline_transcripts_sql,
     "gini_conv_lengths_transcripts": gini_conv_lengths_transcripts_sql,
+    "charset_audit_transcripts": charset_audit_transcripts_sql,
     "role_vocab_divergence_transcripts": role_vocab_divergence_transcripts_sql,
     "pii_stats_transcripts": pii_stats_transcripts_sql,
     "code_blocks_transcripts": code_blocks_transcripts_sql,
