@@ -4850,6 +4850,77 @@ FROM documents
 """
 
 
+def event_transitions_events(sf_dir: str):
+    """Sequence mining over event streams: the event_type → next
+    event_type transition matrix per user (Markov-chain counts, the
+    input to next-action models and funnel diagnostics). ONE
+    user-bucketed shuffle co-locates each user's stream, adjacency is a
+    vectorized shifted comparison, and only (from, to, n) partials —
+    at most types² rows per bucket — reach the final tiny groupby."""
+    ds = scan(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+
+    empty = pa.table(
+        {
+            "from_type": pa.array([], pa.string()),
+            "to_type": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def bucket_fn(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group, sort_keys=[("user_id", "ascending"), ("ts", "ascending"),
+                              ("event_id", "ascending")]
+        )
+        g = group.take(idx)
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        et = np.asarray(g.column("event_type").to_numpy(zero_copy_only=False))
+        same = u[1:] == u[:-1]
+        t = pa.table(
+            {
+                "from_type": pa.array(et[:-1][same].tolist(), pa.string()),
+                "to_type": pa.array(et[1:][same].tolist(), pa.string()),
+            }
+        )
+        c = t.group_by(["from_type", "to_type"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "from_type": c.column("from_type"),
+                "to_type": c.column("to_type"),
+                "n": pc.cast(c.column("count_all"), pa.int64()),
+            }
+        )
+
+    partials = relops.bucketed_groupby(ds, ["user_id"], bucket_fn, empty=empty)
+    agg = (
+        partials.groupby(["from_type", "to_type"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # ≤ types² rows
+        .sort_values(["from_type", "to_type"])
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "from_type": pa.array(agg["from_type"].tolist(), pa.string()),
+            "to_type": pa.array(agg["to_type"].tolist(), pa.string()),
+            "n": pa.array(agg["n"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH w AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events)
+SELECT event_type AS from_type, next_type AS to_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM w WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+"""
+
+
 def zscore_outliers_events(sf_dir: str):
     """Grouped anomaly detection: events whose value sits more than 3
     population standard deviations from their event_type's mean. Two
@@ -11704,6 +11775,7 @@ REGISTRY: dict[str, tuple] = {
     "funnel_events": (funnel_events, FUNNEL_SQL),
     "time_profile_events": (time_profile_events, TIME_PROFILE_SQL),
     "zscore_outliers_events": (zscore_outliers_events, ZSCORE_OUTLIERS_SQL),
+    "event_transitions_events": (event_transitions_events, EVENT_TRANSITIONS_SQL),
     "throttle_events": (throttle_events, THROTTLE_SQL),
     "price_histogram_lineitem": (price_histogram_lineitem, PRICE_HIST_SQL),
     "q22_sales_opportunity": (q22_sales_opportunity, Q22_SQL),
