@@ -11267,6 +11267,106 @@ FROM c ORDER BY n DESC, part_a, part_b LIMIT 20
 """
 
 
+def schema_drift_union_transcripts(sf_dir: str):
+    """Schema-evolution ingestion (UNION BY NAME): one logical feed
+    written by three producer generations — gen0 (conv_id, turn_idx,
+    text), gen1 (+tool), gen2 (+ts, columns reordered) — read into ONE
+    dataset with missing columns as typed nulls, the long-lived-corpus
+    reality at 100 TB. Per-file align is a zero-copy column shuffle +
+    typed-null fill inside map_batches (no row work); the audit output
+    is per-generation row and null counts. Twin: DuckDB's own
+    ``read_parquet(..., union_by_name=true)``."""
+    from .sources.fixtures import schema_drift_paths_for
+
+    paths = schema_drift_paths_for(_sf_to_fixture_size(sf_dir))
+    target = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int32()),
+            ("text", pa.string()),
+            ("tool", pa.string()),
+            ("ts", pa.timestamp("us")),
+            ("gen", pa.int64()),
+        ]
+    )
+
+    parts = []
+    for g, p in enumerate(paths):
+        def align(batch: pa.Table, g: int = g) -> pa.Table:
+            cols = {}
+            for f in target:
+                if f.name == "gen":
+                    cols["gen"] = pa.array(
+                        np.full(batch.num_rows, g, np.int64), pa.int64()
+                    )
+                elif f.name in batch.column_names:
+                    cols[f.name] = batch.column(f.name).cast(f.type)
+                else:
+                    cols[f.name] = pa.nulls(batch.num_rows, f.type)
+            return pa.table(cols)
+
+        parts.append(
+            relops.scan_path(p).map_batches(
+                align, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+    unioned = parts[0].union(*parts[1:])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        gen = batch.column("gen").to_numpy(zero_copy_only=False)
+        null_tool = pc.is_null(batch.column("tool")).to_numpy(zero_copy_only=False)
+        null_ts = pc.is_null(batch.column("ts")).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "gen": pa.array(gen, pa.int64()),
+                "one": pa.array(np.ones(batch.num_rows, np.int64)),
+                "nt": pa.array(null_tool.astype(np.int64), pa.int64()),
+                "nts": pa.array(null_ts.astype(np.int64), pa.int64()),
+            }
+        )
+        return t.group_by(["gen"]).aggregate(
+            [("one", "sum"), ("nt", "sum"), ("nts", "sum")]
+        )
+
+    agg = (
+        unioned.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gen")
+        .aggregate(
+            Sum("one_sum", alias_name="n_rows"),
+            Sum("nt_sum", alias_name="n_null_tool"),
+            Sum("nts_sum", alias_name="n_null_ts"),
+        )
+        .to_pandas()
+        .sort_values("gen")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "gen": pa.array(agg["gen"].to_numpy(np.int64), pa.int64()),
+            "n_rows": pa.array(agg["n_rows"].to_numpy(np.int64), pa.int64()),
+            "n_null_tool": pa.array(agg["n_null_tool"].to_numpy(np.int64), pa.int64()),
+            "n_null_ts": pa.array(agg["n_null_ts"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
+def schema_drift_union_transcripts_sql(sf_dir: str | None = None) -> str:
+    from .sources.fixtures import schema_drift_paths_for
+
+    paths = schema_drift_paths_for(
+        _sf_to_fixture_size(sf_dir) if sf_dir else "correctness"
+    )
+    plist = ", ".join(f"'{p}'" for p in paths)
+    return rf"""
+SELECT CAST(regexp_extract(filename, 'gen(\d)', 1) AS BIGINT) AS gen,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN tool IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_tool,
+       CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_ts
+FROM read_parquet([{plist}], union_by_name=true, filename=true)
+GROUP BY 1
+"""
+
+
 def charset_audit_transcripts(sf_dir: str):
     """Ingestion charset audit: per turn, counts of carriage returns,
     tabs, other C0 control characters and non-ASCII bytes' codepoints —
@@ -11769,6 +11869,7 @@ REGISTRY: dict[str, tuple] = {
     "copurchase_pairs_lineitem": (copurchase_pairs_lineitem, COPURCHASE_SQL),
     "gini_conv_lengths_transcripts": (gini_conv_lengths_transcripts, None),
     "charset_audit_transcripts": (charset_audit_transcripts, None),
+    "schema_drift_union_transcripts": (schema_drift_union_transcripts, None),
     "markdown_outline_transcripts": (markdown_outline_transcripts, None),
     "redact_documents": (redact_documents, REDACT_SQL),
     "unigram_xent_documents": (unigram_xent_documents, UNIGRAM_XENT_SQL),
@@ -11927,6 +12028,7 @@ LAZY_SQL: dict[str, Any] = {
     "markdown_outline_transcripts": markdown_outline_transcripts_sql,
     "gini_conv_lengths_transcripts": gini_conv_lengths_transcripts_sql,
     "charset_audit_transcripts": charset_audit_transcripts_sql,
+    "schema_drift_union_transcripts": schema_drift_union_transcripts_sql,
     "role_vocab_divergence_transcripts": role_vocab_divergence_transcripts_sql,
     "pii_stats_transcripts": pii_stats_transcripts_sql,
     "code_blocks_transcripts": code_blocks_transcripts_sql,

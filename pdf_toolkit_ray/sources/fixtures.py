@@ -700,3 +700,47 @@ def rich_path_for(
     with open(done_marker, "w") as fh:
         fh.write("ok\n")
     return path
+
+
+# --------------------------------------------------------------------------
+# schema-drift fixture: one logical feed written by three generations of a
+# producer whose schema evolved (column added, column reordered/dropped) —
+# the union-by-name ingestion reality of long-lived 100-TB corpora.
+
+def generate_schema_drift_files(out_dir: str, size: str = "correctness",
+                                seed: int = 42) -> list[str]:
+    """Split the transcripts fixture into 3 parquet files with drifted
+    schemas: gen0 (conv_id, turn_idx, text), gen1 (+ tool), gen2
+    (+ ts, text reordered). Deterministic row routing by conv hash."""
+    tbl = pq.read_table(transcripts_path_for(size, seed=seed))
+    conv = tbl.column("conv_id").to_pylist()
+    import zlib as _z
+
+    gen = np.array([_z.crc32(c.encode()) % 3 for c in conv], np.int64)
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for g in range(3):
+        part = tbl.filter(pa.array(gen == g))
+        if g == 0:
+            part = part.select(["conv_id", "turn_idx", "text"])
+        elif g == 1:
+            part = part.select(["conv_id", "turn_idx", "text", "tool"])
+        else:
+            part = part.select(["conv_id", "ts", "turn_idx", "text"])
+        p = os.path.join(out_dir, f"gen{g}.parquet")
+        pq.write_table(part, p)
+        paths.append(p)
+    return paths
+
+
+def schema_drift_paths_for(size: str, base_dir: str = "/tmp/graft_fixtures",
+                           seed: int = 42) -> list[str]:
+    out_dir = os.path.join(base_dir, f"drift-{size}-s{seed}-v{FIXTURE_VERSION}")
+    done = os.path.join(out_dir, ".done")
+    paths = [os.path.join(out_dir, f"gen{g}.parquet") for g in range(3)]
+    if os.path.exists(done):
+        return paths
+    generate_schema_drift_files(out_dir, size=size, seed=seed)
+    with open(done, "w") as fh:
+        fh.write("ok\n")
+    return paths
