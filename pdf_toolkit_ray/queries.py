@@ -10843,6 +10843,99 @@ GROUP BY tool
 """
 
 
+def curate_conversations_transcripts(sf_dir: str):
+    """Conversation-level CURATION composition over agent traces — the
+    transcripts analog of ``curate_documents``: re-logged rows collapse,
+    then conversation gates fire in one pass (well-formed opening, no
+    orphan tool results, at least one assistant turn, 2..500 turns), and
+    the survivors come back with their stats. ONE conv-bucketed shuffle
+    computes every gate signal vectorized (the role_protocol adjacency
+    pass extended with role counts); the filter is a pure predicate on
+    the per-conv row, so the twin composes the same gates in SQL."""
+    ds = relops.scan_path(
+        _transcripts_path(sf_dir), columns=["conv_id", "turn_idx", "role", "ts"]
+    )
+
+    pairs = ds.map_batches(
+        lambda b: b.group_by(["conv_id", "turn_idx", "role", "ts"]).aggregate([]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    empty = pa.table(
+        {
+            "conv_id": pa.array([], pa.string()),
+            "n_turns": pa.array([], pa.int64()),
+            "n_user": pa.array([], pa.int64()),
+            "n_assistant": pa.array([], pa.int64()),
+        }
+    )
+
+    def bucket_fn(group: pa.Table) -> pa.Table:
+        d = group.group_by(["conv_id", "turn_idx", "role", "ts"]).aggregate([])
+        conv = np.asarray(d.column("conv_id").to_numpy(zero_copy_only=False))
+        turn = d.column("turn_idx").to_numpy(zero_copy_only=False)
+        role = np.asarray(d.column("role").to_numpy(zero_copy_only=False))
+        ts_us = d.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((role, ts_us, turn, conv))
+        conv, role = conv[order], role[order]
+        n = len(conv)
+        first = np.r_[True, conv[1:] != conv[:-1]]
+        prev_assistant = np.r_[False, role[:-1] == "assistant"] & ~first
+        orphan = (role == "tool") & ~prev_assistant
+        starts = np.flatnonzero(first)
+        bounds = np.r_[starts, n]
+        n_turns = bounds[1:] - bounds[:-1]
+        n_user = np.add.reduceat((role == "user").astype(np.int64), starts)
+        n_assistant = np.add.reduceat((role == "assistant").astype(np.int64), starts)
+        n_orphan = np.add.reduceat(orphan.astype(np.int64), starts)
+        good_start = role[starts] == "user"
+        keep = (
+            good_start
+            & (n_orphan == 0)
+            & (n_assistant >= 1)
+            & (n_turns >= 2)
+            & (n_turns <= 500)
+        )
+        return pa.table(
+            {
+                "conv_id": pa.array(conv[starts][keep]),
+                "n_turns": pa.array(n_turns[keep], pa.int64()),
+                "n_user": pa.array(n_user[keep], pa.int64()),
+                "n_assistant": pa.array(n_assistant[keep], pa.int64()),
+            }
+        )
+
+    out = relops.bucketed_groupby(pairs, ["conv_id"], bucket_fn, empty=empty)
+    df = out.to_pandas().sort_values("conv_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def curate_conversations_transcripts_sql(sf_dir: str | None = None) -> str:
+    path = _transcripts_sql_source(sf_dir)
+    return f"""
+WITH t AS (SELECT DISTINCT conv_id, turn_idx, role, ts FROM read_parquet('{path}')),
+w AS (SELECT conv_id, role,
+        lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx, ts, role) AS prev_role
+      FROM t),
+s AS (SELECT conv_id,
+        count(*) AS n_turns,
+        sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS n_user,
+        sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS n_assistant,
+        sum(CASE WHEN role = 'tool'
+                  AND (prev_role IS NULL OR prev_role <> 'assistant')
+                 THEN 1 ELSE 0 END) AS n_orphan,
+        max(CASE WHEN prev_role IS NULL AND role <> 'user' THEN 1 ELSE 0 END)
+          AS bad_start
+      FROM w GROUP BY conv_id)
+SELECT conv_id, CAST(n_turns AS BIGINT) AS n_turns,
+       CAST(n_user AS BIGINT) AS n_user,
+       CAST(n_assistant AS BIGINT) AS n_assistant
+FROM s
+WHERE bad_start = 0 AND n_orphan = 0 AND n_assistant >= 1
+  AND n_turns BETWEEN 2 AND 500
+"""
+
+
 def role_vocab_divergence_transcripts(sf_dir: str):
     """Distinctive-vocabulary signal over transcripts: per word, its
     count in user turns vs assistant turns plus the add-one-smoothed
@@ -11870,6 +11963,7 @@ REGISTRY: dict[str, tuple] = {
     "gini_conv_lengths_transcripts": (gini_conv_lengths_transcripts, None),
     "charset_audit_transcripts": (charset_audit_transcripts, None),
     "schema_drift_union_transcripts": (schema_drift_union_transcripts, None),
+    "curate_conversations_transcripts": (curate_conversations_transcripts, None),
     "markdown_outline_transcripts": (markdown_outline_transcripts, None),
     "redact_documents": (redact_documents, REDACT_SQL),
     "unigram_xent_documents": (unigram_xent_documents, UNIGRAM_XENT_SQL),
@@ -12029,6 +12123,7 @@ LAZY_SQL: dict[str, Any] = {
     "gini_conv_lengths_transcripts": gini_conv_lengths_transcripts_sql,
     "charset_audit_transcripts": charset_audit_transcripts_sql,
     "schema_drift_union_transcripts": schema_drift_union_transcripts_sql,
+    "curate_conversations_transcripts": curate_conversations_transcripts_sql,
     "role_vocab_divergence_transcripts": role_vocab_divergence_transcripts_sql,
     "pii_stats_transcripts": pii_stats_transcripts_sql,
     "code_blocks_transcripts": code_blocks_transcripts_sql,
