@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "repetition_runs_documents",
     "bm25_topk_documents",
     "tool_latency_transcripts",
+    "curate_conversations_transcripts",
 ]
 
 
