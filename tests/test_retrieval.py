@@ -61,3 +61,52 @@ def test_bm25_engineered(ray_session, tmp_path):
     # favors the short two-term doc2 over the diluted doc5
     assert want[2] > want[5]
     assert want[1] > want[5]
+
+
+def test_chunk_sliding_matches_reference(ray_session, tmp_path):
+    """Sliding-chunker boundary math vs a plain-python reference over
+    adversarial token counts (0 < n <= W, n == W, n % stride edges)."""
+    import pyarrow.parquet as pq2
+
+    docs = {}
+    # token counts around every boundary: 1, W-1, W, W+1, multiples of
+    # stride, stride+1, and a long one
+    for i, n in enumerate([1, 47, 48, 49, 63, 64, 65, 96, 97, 112, 113, 300]):
+        docs[i] = " ".join(f"t{i}_{j}" for j in range(n))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(docs.keys()), pa.int64()),
+            "text": pa.array(list(docs.values())),
+        }
+    )
+    pq2.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    got = (
+        queries.chunk_sliding_documents(str(tmp_path))
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+
+    W, S = 64, 48
+    expect = []
+    for d, text in docs.items():
+        toks = text.split(" ")
+        n = len(toks)
+        n_chunks = 1 if n <= W else (n - W + S - 1) // S + 1
+        for k in range(n_chunks):
+            s = k * S
+            e = min(s + W, n)
+            expect.append((d, k, s, e - s, " ".join(toks[s:e])))
+    assert len(got) == len(expect)
+    for row, (d, k, s, ln, txt) in zip(got.itertuples(), expect):
+        assert (row.doc_id, row.chunk_idx, row.tok_start, row.tok_len, row.text) == (
+            d, k, s, ln, txt
+        )
+    # every token of every doc appears in at least one chunk (no drops)
+    for d, text in docs.items():
+        toks = text.split(" ")
+        covered = set()
+        for row in got[got["doc_id"] == d].itertuples():
+            covered.update(range(row.tok_start, row.tok_start + row.tok_len))
+        assert covered == set(range(len(toks)))
