@@ -10726,7 +10726,7 @@ def role_protocol_transcripts(sf_dir: str):
             }
         )
 
-    out = relops.bucketed_groupby(pairs, ["conv_id"], bucket_fn, empty=empty)
+    out = relops.exchange_groupby(pairs, ["conv_id"], bucket_fn, empty=empty)
     df = out.to_pandas().sort_values("conv_id").reset_index(drop=True)
     return pa.Table.from_pandas(df, preserve_index=False)
 
@@ -10807,7 +10807,7 @@ def tool_latency_transcripts(sf_dir: str):
             }
         )
 
-    partials = relops.bucketed_groupby(pairs, ["conv_id"], bucket_fn, empty=empty)
+    partials = relops.exchange_groupby(pairs, ["conv_id"], bucket_fn, empty=empty)
     df = partials.to_pandas().groupby("tool", as_index=False).sum()  # tool-cardinality
     from .functions.rounding import round_away
 
@@ -10905,7 +10905,7 @@ def curate_conversations_transcripts(sf_dir: str):
             }
         )
 
-    out = relops.bucketed_groupby(pairs, ["conv_id"], bucket_fn, empty=empty)
+    out = relops.exchange_groupby(pairs, ["conv_id"], bucket_fn, empty=empty)
     df = out.to_pandas().sort_values("conv_id").reset_index(drop=True)
     return pa.Table.from_pandas(df, preserve_index=False)
 
@@ -10988,7 +10988,7 @@ def role_vocab_divergence_transcripts(sf_dir: str):
             }
         )
 
-    partials = relops.bucketed_groupby(pairs, ["conv_id"], bucket_fn, empty=empty)
+    partials = relops.exchange_groupby(pairs, ["conv_id"], bucket_fn, empty=empty)
 
     def word_sum(group: pa.Table) -> pa.Table:
         g = group.group_by(["word"]).aggregate([("cu", "sum"), ("ca", "sum")])
@@ -11000,7 +11000,7 @@ def role_vocab_divergence_transcripts(sf_dir: str):
             }
         )
 
-    c = relops.bucketed_groupby(
+    c = relops.exchange_groupby(
         partials, ["word"], word_sum, empty=empty.rename_columns(
             ["word", "n_user", "n_assistant"]
         )
@@ -11554,7 +11554,7 @@ def gini_conv_lengths_transcripts(sf_dir: str):
             }
         )
 
-    lengths = relops.bucketed_groupby(pairs, ["conv_id"], conv_len, empty=len_empty)
+    lengths = relops.exchange_groupby(pairs, ["conv_id"], conv_len, empty=len_empty)
     ranked, total = relops.global_row_number(lengths, "x", ["conv_id"], rank_col="i")
 
     def partial(batch: pa.Table) -> pa.Table:

@@ -488,6 +488,74 @@ def bucketed_groupby(
     return out
 
 
+@ray.remote
+def _xgb_split(block: pa.Table, keys: list[str], nb: int):
+    """Split one block into per-bucket zero-copy slices (argsort once).
+    Bucket = siphash(keys) % nb — identical hashing to bucketed_groupby's
+    tag stage, so the two paths co-locate keys identically."""
+    h = np.zeros(block.num_rows, dtype=np.uint64)
+    for k in keys:
+        h ^= pd.util.hash_pandas_object(
+            block.column(k).to_pandas(), index=False
+        ).to_numpy(dtype=np.uint64)
+    b = (h % np.uint64(nb)).astype(np.int64)
+    order = np.argsort(b, kind="stable")
+    sb = b[order]
+    tbl = block.take(pa.array(order))
+    bounds = np.searchsorted(sb, np.arange(nb + 1))
+    slices = tuple(
+        tbl.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i])) for i in range(nb)
+    )
+    # num_returns=1 means ONE return value, not a 1-tuple of values
+    return slices[0] if nb == 1 else slices
+
+
+@ray.remote
+def _xgb_reduce(per_group: Callable[[pa.Table], pa.Table], empty: pa.Table, *shards):
+    parts = [s for s in shards if s.num_rows]
+    if not parts:
+        return empty
+    return per_group(pa.concat_tables(parts).combine_chunks())
+
+
+def exchange_groupby(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    per_group: Callable[[pa.Table], pa.Table],
+    empty: pa.Table,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """``bucketed_groupby`` semantics over a DENSE-INT hash exchange on
+    raw Ray tasks — the generic cousin of the flagship's
+    ``stages/exchange.py`` (which measured 103 s → 10 s vs the sort
+    shuffle at 8 cpus). ``Dataset.groupby`` pays key sampling, range
+    partitioning and merge ordering the bucket key doesn't need; here
+    each block splits once (argsort + zero-copy slices,
+    ``num_returns=B``) and one reduce task per bucket concatenates its
+    shards and runs ``per_group`` vectorized. Same hashing as
+    ``bucketed_groupby`` so results are identical. ``empty`` (a typed
+    zero-row table) is REQUIRED: empty buckets return it so the
+    assembled dataset keeps its schema. Object count is blocks × B —
+    keep B ≤ ~1k or interpose the wave merge (exchange.py shows the
+    shape)."""
+    if num_buckets is None:
+        num_buckets = 4 * int(ray.cluster_resources().get("CPU", 8))
+    shard_refs: list[list[ray.ObjectRef]] = [[] for _ in range(num_buckets)]
+    splitter = _xgb_split.options(num_returns=num_buckets)
+    for bundle in ds.iter_internal_ref_bundles():
+        for block_ref in bundle.block_refs:
+            outs = splitter.remote(block_ref, keys, num_buckets)
+            if num_buckets == 1:
+                outs = [outs]
+            for i, ref in enumerate(outs):
+                shard_refs[i].append(ref)
+    out_refs = [
+        _xgb_reduce.remote(per_group, empty, *shard_refs[i])
+        for i in range(num_buckets)
+    ]
+    return ray.data.from_arrow_refs(out_refs)
+
+
 def global_row_number(
     ds: ray.data.Dataset,
     value_col: str,

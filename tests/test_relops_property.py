@@ -453,3 +453,40 @@ def test_global_row_number_matches_pandas(
     ref["row_num"] = np.arange(1, n + 1)
     ref = ref.sort_values("id").reset_index(drop=True)
     assert got["row_num"].tolist() == ref["row_num"].tolist()
+
+
+@given(keys=keys_st, vals=st.lists(st.integers(-100, 100), min_size=1, max_size=40),
+       nb=st.integers(1, 9), seed=st.integers(0, 2**20))
+@settings(**_SETTINGS)
+def test_exchange_groupby_matches_bucketed(ray_session, keys, vals, nb, seed):
+    """exchange_groupby (dense-int raw-task exchange) must be result-
+    identical to bucketed_groupby for any per_group closed over groups —
+    same hashing, different transport."""
+    n = min(len(keys), len(vals))
+    keys, vals = keys[:n], vals[:n]
+    tbl = pa.table({"k": pa.array(keys, pa.int64()), "v": pa.array(vals, pa.int64())})
+    rng = np.random.RandomState(seed)
+
+    def per_group(g: pa.Table) -> pa.Table:
+        a = g.group_by(["k"]).aggregate([("v", "sum"), ("v", "count")])
+        return pa.table(
+            {
+                "k": a.column("k"),
+                "s": a.column("v_sum"),
+                "c": a.column("v_count"),
+            }
+        )
+
+    empty = pa.table(
+        {"k": pa.array([], pa.int64()), "s": pa.array([], pa.int64()),
+         "c": pa.array([], pa.int64())}
+    )
+    got = _sorted_df(
+        relops.exchange_groupby(_ds_from(tbl, rng), ["k"], per_group, empty,
+                                num_buckets=nb).to_pandas()
+    )
+    want = _sorted_df(
+        relops.bucketed_groupby(_ds_from(tbl, rng), ["k"], per_group,
+                                num_buckets=nb, empty=empty).to_pandas()
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
