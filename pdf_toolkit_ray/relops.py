@@ -468,6 +468,13 @@ def bucketed_groupby(
     if num_buckets is None:
         num_buckets = 4 * int(ray.cluster_resources().get("CPU", 8))
 
+    # With a typed empty available, route through the dense-int raw-task
+    # exchange (result-identical — hypothesis parity property — and 2-4×
+    # faster than the sort shuffle; see exchange_groupby). The sort path
+    # remains for callers without an empty schema and as an escape hatch.
+    if empty is not None and os.environ.get("GRAFT_BUCKETED_SORT") != "1":
+        return exchange_groupby(ds, keys, per_group, empty, num_buckets=num_buckets)
+
     def _tag(batch: pa.Table) -> pa.Table:
         h = np.zeros(batch.num_rows, dtype=np.uint64)
         for k in keys:
@@ -493,6 +500,10 @@ def _xgb_split(block: pa.Table, keys: list[str], nb: int):
     """Split one block into per-bucket zero-copy slices (argsort once).
     Bucket = siphash(keys) % nb — identical hashing to bucketed_groupby's
     tag stage, so the two paths co-locate keys identically."""
+    if block.num_rows == 0:
+        # zero-row blocks can be schema-less (empty map_batches outputs);
+        # emit them unchanged — the reduce filters zero-row shards
+        return block if nb == 1 else tuple(block for _ in range(nb))
     h = np.zeros(block.num_rows, dtype=np.uint64)
     for k in keys:
         h ^= pd.util.hash_pandas_object(
@@ -543,7 +554,9 @@ def exchange_groupby(
     shard_refs: list[list[ray.ObjectRef]] = [[] for _ in range(num_buckets)]
     splitter = _xgb_split.options(num_returns=num_buckets)
     for bundle in ds.iter_internal_ref_bundles():
-        for block_ref in bundle.block_refs:
+        for block_ref, meta in bundle.blocks:
+            if meta.num_rows == 0:
+                continue  # schema-less empties never reach the tasks
             outs = splitter.remote(block_ref, keys, num_buckets)
             if num_buckets == 1:
                 outs = [outs]
@@ -553,7 +566,11 @@ def exchange_groupby(
         _xgb_reduce.remote(per_group, empty, *shard_refs[i])
         for i in range(num_buckets)
     ]
-    return ray.data.from_arrow_refs(out_refs)
+    # identical post-condition to the sort path: empty buckets dropped at
+    # the ref level (map_batches UDFs never run on zero-row blocks, so a
+    # pass-through empty with the wrong schema would poison consumers);
+    # a fully-empty result keeps the typed schema via ``empty``
+    return drop_empty_blocks(ray.data.from_arrow_refs(out_refs), empty)
 
 
 def global_row_number(
