@@ -11888,6 +11888,325 @@ ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+def cohort_retention_events(sf_dir: str):
+    """Cohort-retention matrix over the event stream: users are
+    cohorted by their first active day, and each cell counts how many
+    of a cohort's users were active again ``offset_days`` later — the
+    classic product-analytics retention triangle. Shape: a map-side
+    distinct collapses each batch to (user, day) pairs, ONE
+    user-bucketed shuffle co-locates each user's history (first-day =
+    head of the sorted run, no per-user groupby dispatch), and only
+    (cohort_day, offset) partial counts — at most days² rows per
+    bucket — reach the final tiny groupby. Day arithmetic is exact
+    integer microseconds, so the twin matches bit-for-bit."""
+    ds = scan(sf_dir, "events", columns=["user_id", "ts"])
+
+    def pre(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "day": pc.floor_temporal(batch.column("ts"), unit="day"),
+            }
+        )
+        return t.group_by(["user_id", "day"]).aggregate([])
+
+    pairs = ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+
+    empty = pa.table(
+        {
+            "cohort_day": pa.array([], pa.timestamp("us")),
+            "offset_days": pa.array([], pa.int64()),
+            "n_users": pa.array([], pa.int64()),
+        }
+    )
+
+    def bucket_fn(group: pa.Table) -> pa.Table:
+        d = group.group_by(["user_id", "day"]).aggregate([])
+        idx = pc.sort_indices(
+            d, sort_keys=[("user_id", "ascending"), ("day", "ascending")]
+        )
+        d = d.take(idx)
+        u = np.asarray(d.column("user_id").to_numpy(zero_copy_only=False))
+        day_us = d.column("day").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        runs = np.diff(np.r_[starts, len(u)])
+        cohort_us = np.repeat(day_us[starts], runs)
+        off = (day_us - cohort_us) // 86_400_000_000
+        t = pa.table(
+            {
+                "cohort_us": pa.array(cohort_us, pa.int64()),
+                "offset_days": pa.array(off, pa.int64()),
+            }
+        )
+        c = t.group_by(["cohort_us", "offset_days"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "cohort_day": pc.cast(c.column("cohort_us"), pa.timestamp("us")),
+                "offset_days": c.column("offset_days"),
+                "n_users": pc.cast(c.column("count_all"), pa.int64()),
+            }
+        )
+
+    part = relops.bucketed_groupby(pairs, ["user_id"], bucket_fn, empty=empty)
+    agg = (
+        part.groupby(["cohort_day", "offset_days"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .to_pandas()  # ≤ days² rows
+        .sort_values(["cohort_day", "offset_days"])
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "cohort_day": pa.array(agg["cohort_day"], pa.timestamp("us")),
+            "offset_days": pa.array(agg["offset_days"].to_numpy(np.int64)),
+            "n_users": pa.array(agg["n_users"].to_numpy(np.int64)),
+        }
+    )
+
+
+COHORT_RETENTION_SQL = """
+WITH d AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id)
+SELECT f.cohort_day,
+       CAST(date_diff('day', f.cohort_day, d.day) AS BIGINT) AS offset_days,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM d JOIN f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def merge_upsert_orders(sf_dir: str):
+    """CDC / SCD-style last-writer-wins upsert: a deterministic change
+    stream (updates to every 7th order, inserts keyed ``-k-1`` off
+    every 13th — strictly negative, so an insert key can never collide
+    with a base key, including k=0) is merged into the base table so
+    the newest version of each key survives. Shape: changes are synthesized map-side from
+    the same scan (no second input pass), base rows tag ver=0 and
+    changes ver=1, and ONE key-bucketed exchange resolves each key by
+    a vectorized sorted-run tail — no per-key groupby dispatch, no
+    broadcast of the (large) change stream. The returned slice
+    (keys ≡ 0 mod 97) keeps the driver compare small while the merge
+    itself runs over the full table. Money stays in exact int cents."""
+    ds = scan(
+        sf_dir,
+        "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"],
+    )
+
+    def expand(batch: pa.Table) -> pa.Table:
+        k = batch.column("o_orderkey")
+        price_c = _cents(batch.column("o_totalprice"), 100)
+        base = pa.table(
+            {
+                "k": k,
+                "o_custkey": batch.column("o_custkey"),
+                "status": batch.column("o_orderstatus"),
+                "price_c": price_c,
+                "ver": pa.array(np.zeros(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        k_np = k.to_numpy()
+        upd = np.flatnonzero(k_np % 7 == 0)
+        ins = np.flatnonzero(k_np % 13 == 0)
+        updates = pa.table(
+            {
+                "k": k.take(upd),
+                "o_custkey": batch.column("o_custkey").take(upd),
+                "status": pa.array(np.full(len(upd), "U"), pa.string()),
+                "price_c": pc.add(price_c.take(upd), pa.scalar(100055, pa.int64())),
+                "ver": pa.array(np.ones(len(upd), dtype=np.int64)),
+            }
+        )
+        inserts = pa.table(
+            {
+                "k": pa.array(-k_np[ins] - 1, pa.int64()),
+                "o_custkey": batch.column("o_custkey").take(ins),
+                "status": pa.array(np.full(len(ins), "N"), pa.string()),
+                "price_c": price_c.take(ins),
+                "ver": pa.array(np.ones(len(ins), dtype=np.int64)),
+            }
+        )
+        return pa.concat_tables([base, updates, inserts])
+
+    tagged = ds.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
+
+    empty = pa.table(
+        {
+            "o_orderkey": pa.array([], pa.int64()),
+            "o_custkey": pa.array([], pa.int64()),
+            "status": pa.array([], pa.string()),
+            "price_c": pa.array([], pa.int64()),
+            "src_ver": pa.array([], pa.int64()),
+        }
+    )
+
+    def bucket_fn(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group, sort_keys=[("k", "ascending"), ("ver", "ascending")]
+        )
+        t = group.take(idx)
+        k = t.column("k").to_numpy()
+        last = np.r_[k[1:] != k[:-1], True]
+        t = t.take(np.flatnonzero(last & (k % 97 == 0)))
+        return pa.table(
+            {
+                "o_orderkey": t.column("k"),
+                "o_custkey": t.column("o_custkey"),
+                "status": t.column("status"),
+                "price_c": t.column("price_c"),
+                "src_ver": t.column("ver"),
+            }
+        )
+
+    out = relops.bucketed_groupby(tagged, ["k"], bucket_fn, empty=empty)
+    df = out.to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+MERGE_UPSERT_SQL = """
+WITH base AS (
+  SELECT o_orderkey AS k, o_custkey, o_orderstatus AS status,
+         CAST(round(o_totalprice*100) AS BIGINT) AS price_c, 0 AS ver
+  FROM orders),
+chg AS (
+  SELECT o_orderkey AS k, o_custkey, 'U' AS status,
+         CAST(round(o_totalprice*100) AS BIGINT) + 100055 AS price_c, 1 AS ver
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT -o_orderkey - 1, o_custkey, 'N',
+         CAST(round(o_totalprice*100) AS BIGINT), 1
+  FROM orders WHERE o_orderkey % 13 = 0),
+all_rows AS (SELECT * FROM base UNION ALL SELECT * FROM chg),
+m AS (SELECT *, row_number() OVER (PARTITION BY k ORDER BY ver DESC) AS rn
+      FROM all_rows)
+SELECT k AS o_orderkey, o_custkey, status, price_c, CAST(ver AS BIGINT) AS src_ver
+FROM m WHERE rn = 1 AND k % 97 = 0
+"""
+
+
+def tool_assoc_rules_transcripts(sf_dir: str):
+    """Market-basket association rules over agent tool usage: for every
+    ordered pair of tools used in the same conversation, support,
+    confidence and lift (the which-tools-co-occur signal behind tool
+    routing and curriculum design). Shape: map-side distinct
+    (conv, tool) pairs, ONE conv-bucketed shuffle, per-bucket pair
+    fan-out over each conversation's (small) distinct tool set into
+    (a, b, n) partials — singles ride the same schema as (a, '') and
+    the conv denominator as ('', '') — then a tiny final groupby and
+    driver-side rule math: one IEEE division per metric of exact int
+    counts, mirrored op-for-op by the twin."""
+    ds = relops.scan_path(_transcripts_path(sf_dir), columns=["conv_id", "tool"])
+
+    def pre(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.not_equal(batch.column("tool"), ""))
+        return t.group_by(["conv_id", "tool"]).aggregate([])
+
+    pairs = ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+
+    empty = pa.table(
+        {
+            "a": pa.array([], pa.string()),
+            "b": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def bucket_fn(group: pa.Table) -> pa.Table:
+        d = group.group_by(["conv_id", "tool"]).aggregate([])
+        idx = pc.sort_indices(
+            d, sort_keys=[("conv_id", "ascending"), ("tool", "ascending")]
+        )
+        d = d.take(idx)
+        conv = np.asarray(d.column("conv_id").to_numpy(zero_copy_only=False))
+        tool = np.asarray(d.column("tool").to_numpy(zero_copy_only=False))
+        starts = np.flatnonzero(np.r_[True, conv[1:] != conv[:-1]])
+        bounds = np.r_[starts, len(conv)]
+        a_parts: list[str] = []
+        b_parts: list[str] = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            ts_ = tool[s:e]
+            m = len(ts_)
+            if m > 1:
+                ii, jj = np.triu_indices(m, k=1)
+                a_parts.extend(ts_[ii])
+                b_parts.extend(ts_[jj])
+                a_parts.extend(ts_[jj])
+                b_parts.extend(ts_[ii])
+        # pairs, then singles as (a, ''), then one ('', '') row per conv
+        t = pa.table(
+            {
+                "a": pa.array(
+                    list(a_parts) + list(tool) + [""] * len(starts), pa.string()
+                ),
+                "b": pa.array(
+                    list(b_parts) + [""] * len(tool) + [""] * len(starts),
+                    pa.string(),
+                ),
+            }
+        )
+        c = t.group_by(["a", "b"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "a": c.column("a"),
+                "b": c.column("b"),
+                "n": pc.cast(c.column("count_all"), pa.int64()),
+            }
+        )
+
+    part = relops.bucketed_groupby(pairs, ["conv_id"], bucket_fn, empty=empty)
+    agg = (
+        part.groupby(["a", "b"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # ≤ tools² + tools + 1 rows
+    )
+    counts = {(r["a"], r["b"]): int(r["n"]) for _, r in agg.iterrows()}
+    n_convs = counts.pop(("", ""), 0)
+    singles = {a: n for (a, b), n in counts.items() if b == ""}
+    rows = sorted((a, b, n) for (a, b), n in counts.items() if b != "")
+    tool_a = [r[0] for r in rows]
+    tool_b = [r[1] for r in rows]
+    n_ab = [r[2] for r in rows]
+    n_a = [singles[a] for a in tool_a]
+    n_b = [singles[b] for b in tool_b]
+    support = [float(x) / float(n_convs) for x in n_ab]
+    confidence = [float(x) / float(y) for x, y in zip(n_ab, n_a)]
+    lift = [
+        (float(x) * float(n_convs)) / (float(y) * float(z))
+        for x, y, z in zip(n_ab, n_a, n_b)
+    ]
+    return pa.table(
+        {
+            "tool_a": pa.array(tool_a, pa.string()),
+            "tool_b": pa.array(tool_b, pa.string()),
+            "n_ab": pa.array(n_ab, pa.int64()),
+            "n_a": pa.array(n_a, pa.int64()),
+            "n_b": pa.array(n_b, pa.int64()),
+            "support": pa.array(support, pa.float64()),
+            "confidence": pa.array(confidence, pa.float64()),
+            "lift": pa.array(lift, pa.float64()),
+        }
+    )
+
+
+def tool_assoc_rules_transcripts_sql(sf_dir: str | None = None) -> str:
+    path = _transcripts_sql_source(sf_dir)
+    return f"""
+WITH ct AS (SELECT DISTINCT conv_id, tool FROM read_parquet('{path}')
+            WHERE tool <> ''),
+n AS (SELECT CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs FROM ct),
+s AS (SELECT tool, CAST(count(*) AS BIGINT) AS n_tool FROM ct GROUP BY tool),
+p AS (SELECT x.tool AS tool_a, y.tool AS tool_b, CAST(count(*) AS BIGINT) AS n_ab
+      FROM ct x JOIN ct y ON x.conv_id = y.conv_id AND x.tool <> y.tool
+      GROUP BY x.tool, y.tool)
+SELECT p.tool_a, p.tool_b, p.n_ab, sa.n_tool AS n_a, sb.n_tool AS n_b,
+       CAST(p.n_ab AS DOUBLE) / n.n_convs AS support,
+       CAST(p.n_ab AS DOUBLE) / sa.n_tool AS confidence,
+       (CAST(p.n_ab AS DOUBLE) * n.n_convs)
+         / (CAST(sa.n_tool AS DOUBLE) * sb.n_tool) AS lift
+FROM p JOIN s sa ON sa.tool = p.tool_a JOIN s sb ON sb.tool = p.tool_b, n
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (callable, oracle_sql | None)
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
@@ -12096,6 +12415,9 @@ REGISTRY: dict[str, tuple] = {
     "code_blocks_transcripts": (code_blocks_transcripts, None),
     "url_domains_transcripts": (url_domains_transcripts, None),
     "repetition_runs_documents": (repetition_runs_documents, REPETITION_RUNS_SQL),
+    "cohort_retention_events": (cohort_retention_events, COHORT_RETENTION_SQL),
+    "merge_upsert_orders": (merge_upsert_orders, MERGE_UPSERT_SQL),
+    "tool_assoc_rules_transcripts": (tool_assoc_rules_transcripts, None),
 }
 
 #: oracle SQL that must be built lazily (embeds a generated-on-demand
@@ -12128,6 +12450,7 @@ LAZY_SQL: dict[str, Any] = {
     "pii_stats_transcripts": pii_stats_transcripts_sql,
     "code_blocks_transcripts": code_blocks_transcripts_sql,
     "url_domains_transcripts": url_domains_transcripts_sql,
+    "tool_assoc_rules_transcripts": tool_assoc_rules_transcripts_sql,
 }
 
 

@@ -1,0 +1,145 @@
+"""Engineered goldens for the round-4 session-8 ops: cohort retention,
+CDC upsert merge, and tool association rules."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pdf_toolkit_ray import queries
+
+D0 = np.datetime64("2026-03-01T08:15:00", "us")
+DAY = np.timedelta64(1, "D").astype("timedelta64[us]")
+
+
+def _write_events(tmp_path, rows):
+    """rows: (user_id, ts)."""
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array(["click"] * len(rows), pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    return str(tmp_path)
+
+
+def test_cohort_retention_engineered(ray_session, tmp_path):
+    # u1: days 0,1,3 (two events day 0 — same-day dup must not double
+    # count); u2: day 0 only; u3: days 1,2 (later cohort)
+    rows = [
+        (1, D0), (1, D0 + np.timedelta64(3, "h")), (1, D0 + DAY), (1, D0 + 3 * DAY),
+        (2, D0),
+        (3, D0 + DAY), (3, D0 + 2 * DAY),
+    ]
+    got = {
+        (str(r["cohort_day"]), r["offset_days"]): r["n_users"]
+        for r in queries.cohort_retention_events(_write_events(tmp_path, rows)).to_pylist()
+    }
+    d0 = "2026-03-01 00:00:00"
+    d1 = "2026-03-02 00:00:00"
+    assert got == {
+        (d0, 0): 2, (d0, 1): 1, (d0, 3): 1,
+        (d1, 0): 1, (d1, 1): 1,
+    }
+
+
+def _write_orders(tmp_path, rows):
+    """rows: (o_orderkey, o_custkey, o_orderstatus, o_totalprice)."""
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+            "o_orderstatus": pa.array([r[2] for r in rows], pa.string()),
+            "o_totalprice": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "orders.parquet")
+    return str(tmp_path)
+
+
+def test_merge_upsert_engineered(ray_session, tmp_path):
+    rows = [
+        (97, 1, "O", 100.10),    # base only, in slice
+        (679, 2, "F", 200.20),   # 7*97: updated, update wins in slice
+        (1066, 3, "O", 300.30),  # %13: insert keyed -1067 = -11*97, in slice
+        (91, 4, "O", 400.40),    # 7*13 but not %97: nothing lands in slice
+        (0, 5, "P", 500.50),     # k=0 is BOTH %7 and %13: the update owns
+                                 # key 0, the insert goes to -1 — no collision
+    ]
+    got = {
+        r["o_orderkey"]: r
+        for r in queries.merge_upsert_orders(_write_orders(tmp_path, rows)).to_pylist()
+    }
+    assert set(got) == {-1067, 0, 97, 679}
+    assert got[97] == {
+        "o_orderkey": 97, "o_custkey": 1, "status": "O",
+        "price_c": 10010, "src_ver": 0,
+    }
+    # last-writer-wins: the ver=1 update replaces the base row
+    assert got[679] == {
+        "o_orderkey": 679, "o_custkey": 2, "status": "U",
+        "price_c": 20020 + 100055, "src_ver": 1,
+    }
+    assert got[-1067] == {
+        "o_orderkey": -1067, "o_custkey": 3, "status": "N",
+        "price_c": 30030, "src_ver": 1,
+    }
+    assert got[0] == {
+        "o_orderkey": 0, "o_custkey": 5, "status": "U",
+        "price_c": 50050 + 100055, "src_ver": 1,
+    }
+
+
+def _pin_transcripts(monkeypatch, tmp_path, rows):
+    """rows: (conv_id, tool) — one tool-role turn each."""
+    base = np.datetime64("2026-01-01T00:00:00", "us")
+    tbl = pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array(range(len(rows)), pa.int32()),
+            "role": pa.array(
+                ["tool" if r[1] else "user" for r in rows], pa.string()
+            ),
+            "text": pa.array(["x"] * len(rows), pa.string()),
+            "tool": pa.array([r[1] for r in rows], pa.string()),
+            "ts": pa.array(
+                [base + np.timedelta64(i, "s") for i in range(len(rows))],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    p = tmp_path / "t.parquet"
+    pq.write_table(tbl, p)
+    monkeypatch.setattr(queries, "_transcripts_path", lambda sf: str(p))
+
+
+def test_tool_assoc_rules_engineered(ray_session, tmp_path, monkeypatch):
+    rows = [
+        ("c1", "search"), ("c1", "python"), ("c1", "search"),  # dup must collapse
+        ("c2", "search"), ("c2", ""),                          # '' is not a tool
+        ("c3", "search"), ("c3", "python"), ("c3", "browser"),
+    ]
+    _pin_transcripts(monkeypatch, tmp_path, rows)
+    got = {
+        (r["tool_a"], r["tool_b"]): r
+        for r in queries.tool_assoc_rules_transcripts("x").to_pylist()
+    }
+    # N=3 convs; singles: search 3, python 2, browser 1
+    assert set(got) == {
+        ("python", "search"), ("search", "python"),
+        ("browser", "python"), ("python", "browser"),
+        ("browser", "search"), ("search", "browser"),
+    }
+    r = got[("python", "search")]
+    assert (r["n_ab"], r["n_a"], r["n_b"]) == (2, 2, 3)
+    assert r["support"] == 2.0 / 3.0
+    assert r["confidence"] == 1.0
+    assert r["lift"] == (2.0 * 3.0) / (2.0 * 3.0)
+    r = got[("search", "browser")]
+    assert (r["n_ab"], r["n_a"], r["n_b"]) == (1, 3, 1)
+    assert r["confidence"] == 1.0 / 3.0
+    assert r["lift"] == (1.0 * 3.0) / (3.0 * 1.0)
