@@ -59,6 +59,8 @@ BENCH_QUERIES = [
     "bm25_topk_documents",
     "tool_latency_transcripts",
     "curate_conversations_transcripts",
+    "merge_upsert_orders",
+    "cohort_retention_events",
 ]
 
 

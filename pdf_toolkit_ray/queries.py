@@ -12084,6 +12084,240 @@ FROM m WHERE rn = 1 AND k % 97 = 0
 """
 
 
+def _orphan_counts(child_ds, child_key: str, parent_ds, parent_key: str):
+    """(n_orphan_rows, n_rows) of child rows whose key has no parent.
+
+    Scale shape: the child collapses to (key, row_count) partials
+    map-side, the parent to a distinct key set — both via ONE bucketed
+    exchange each — and a keyset-sized distributed join marks matches.
+    Nothing row-scale crosses the wire after the first combiner, and
+    neither side is ever broadcast (a 100-TB child may have billions of
+    distinct keys)."""
+
+    def local_cnt(batch: pa.Table) -> pa.Table:
+        c = pa.table({"k": batch.column(child_key)}).group_by(["k"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {"k": c.column("k"), "cnt": pc.cast(c.column("count_all"), pa.int64())}
+        )
+
+    key_empty = pa.table(
+        {"k": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
+    )
+
+    def bucket_cnt(group: pa.Table) -> pa.Table:
+        c = group.group_by(["k"]).aggregate([("cnt", "sum")])
+        return pa.table(
+            {"k": c.column("k"), "cnt": pc.cast(c.column("cnt_sum"), pa.int64())}
+        )
+
+    child_keys = relops.bucketed_groupby(
+        child_ds.map_batches(local_cnt, batch_format="pyarrow", zero_copy_batch=True),
+        ["k"], bucket_cnt, empty=key_empty,
+    )
+
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        return pa.table({"pk": pc.unique(batch.column(parent_key))})
+
+    def bucket_distinct(group: pa.Table) -> pa.Table:
+        u = pc.unique(group.column("pk"))
+        return pa.table(
+            {"pk": u, "_has": pa.array(np.ones(len(u), dtype=np.int64))}
+        )
+
+    parent_keys = relops.bucketed_groupby(
+        parent_ds.map_batches(
+            local_distinct, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["pk"], bucket_distinct,
+        empty=pa.table(
+            {"pk": pa.array([], pa.int64()), "_has": pa.array([], pa.int64())}
+        ),
+    )
+
+    joined = child_keys.join(
+        parent_keys, "left_outer", num_partitions=8, on=("k",), right_on=("pk",)
+    )
+
+    def tally(batch: pa.Table) -> pa.Table:
+        cnt = batch.column("cnt").to_numpy(zero_copy_only=False)
+        if "_has" in batch.column_names:
+            has = batch.column("_has").to_numpy(zero_copy_only=False)
+            orphan = int(cnt[np.asarray(pd.isna(has))].sum())
+        else:
+            orphan = int(cnt.sum())
+        return pa.table(
+            {
+                "n_bad": pa.array([orphan], pa.int64()),
+                "n": pa.array([int(cnt.sum())], pa.int64()),
+            }
+        )
+
+    parts = joined.map_batches(tally, batch_format="pyarrow").to_pandas()
+    return int(parts["n_bad"].sum()), int(parts["n"].sum())
+
+
+def dq_audit_tpch(sf_dir: str):
+    """Relational data-quality audit — the ingestion gate a warehouse
+    runs before accepting a batch: referential-integrity orphans
+    (lineitem→orders, orders→customer, customer→nation), duplicate-key
+    violations, and domain checks (non-positive quantity/price). One
+    row per check with violation and checked counts. Shapes: orphan
+    checks via keyset-sized bucketed exchanges + a distributed marker
+    join (`_orphan_counts`); dup checks count surplus rows per key
+    inside one bucketed exchange; domain checks are single-pass
+    combiner scans. The tiny nation key set is the only broadcast."""
+    rows: list[tuple[str, int, int]] = []
+
+    # --- domain checks: one combiner pass over lineitem ---------------
+    li = scan(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"],
+    )
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        q = batch.column("l_quantity")
+        p = batch.column("l_extendedprice")
+        t = pa.table({"k": batch.column("l_orderkey"), "ln": batch.column("l_linenumber")})
+        d = t.group_by(["k", "ln"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "n": pa.array([batch.num_rows], pa.int64()),
+                "bad_qty": pa.array(
+                    [pc.sum(pc.cast(pc.less_equal(q, 0.0), pa.int64())).as_py() or 0],
+                    pa.int64(),
+                ),
+                "bad_price": pa.array(
+                    [pc.sum(pc.cast(pc.less_equal(p, 0.0), pa.int64())).as_py() or 0],
+                    pa.int64(),
+                ),
+                "_pairs": pa.array([d.num_rows], pa.int64()),
+            }
+        )
+
+    li_stats = li.map_batches(
+        li_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    n_li = int(li_stats["n"].sum())
+    rows.append(("lineitem_nonpos_qty", int(li_stats["bad_qty"].sum()), n_li))
+    rows.append(("lineitem_nonpos_price", int(li_stats["bad_price"].sum()), n_li))
+
+    # --- duplicate (l_orderkey, l_linenumber): surplus rows per pair --
+    def pair_cnt(batch: pa.Table) -> pa.Table:
+        c = pa.table(
+            {"k": batch.column("l_orderkey"), "ln": batch.column("l_linenumber")}
+        ).group_by(["k", "ln"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "k": c.column("k"),
+                "ln": c.column("ln"),
+                "cnt": pc.cast(c.column("count_all"), pa.int64()),
+            }
+        )
+
+    def bucket_surplus(group: pa.Table) -> pa.Table:
+        c = group.group_by(["k", "ln"]).aggregate([("cnt", "sum")])
+        cnt = c.column("cnt_sum").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "surplus": pa.array([int((cnt - 1).sum())], pa.int64()),
+            }
+        )
+
+    sur = relops.bucketed_groupby(
+        li.map_batches(pair_cnt, batch_format="pyarrow", zero_copy_batch=True),
+        ["k"], bucket_surplus,
+        empty=pa.table({"surplus": pa.array([], pa.int64())}),
+    ).to_pandas()
+    rows.append(("lineitem_dup_line", int(sur["surplus"].sum()), n_li))
+
+    # --- orphan checks -------------------------------------------------
+    orders_keys = scan(sf_dir, "orders", columns=["o_orderkey"])
+    n_bad, n = _orphan_counts(
+        scan(sf_dir, "lineitem", columns=["l_orderkey"]), "l_orderkey",
+        orders_keys, "o_orderkey",
+    )
+    rows.append(("lineitem_orphan_orderkey", n_bad, n))
+
+    n_bad, n = _orphan_counts(
+        scan(sf_dir, "orders", columns=["o_custkey"]), "o_custkey",
+        scan(sf_dir, "customer", columns=["c_custkey"]), "c_custkey",
+    )
+    rows.append(("orders_orphan_custkey", n_bad, n))
+
+    # --- customer→nation: the one genuinely tiny side, broadcast ------
+    nation_keys = set(
+        pq.read_table(
+            os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey"]
+        ).column("n_nationkey").to_pylist()
+    )
+    cust = scan(sf_dir, "customer", columns=["c_nationkey"])
+    nk = pa.array(sorted(nation_keys), pa.int64())
+
+    def cust_partial(batch: pa.Table) -> pa.Table:
+        ok = pc.is_in(batch.column("c_nationkey"), value_set=nk)
+        return pa.table(
+            {
+                "n": pa.array([batch.num_rows], pa.int64()),
+                "bad": pa.array(
+                    [batch.num_rows - (pc.sum(pc.cast(ok, pa.int64())).as_py() or 0)],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    cs = cust.map_batches(
+        cust_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    rows.append(("customer_bad_nationkey", int(cs["bad"].sum()), int(cs["n"].sum())))
+
+    rows.sort()
+    return pa.table(
+        {
+            "check_name": pa.array([r[0] for r in rows], pa.string()),
+            "n_bad": pa.array([r[1] for r in rows], pa.int64()),
+            "n_checked": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+DQ_AUDIT_SQL = """
+SELECT * FROM (
+  SELECT 'customer_bad_nationkey' AS check_name,
+         CAST(count(*) FILTER (WHERE n.n_nationkey IS NULL) AS BIGINT) AS n_bad,
+         CAST(count(*) AS BIGINT) AS n_checked
+  FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+  UNION ALL
+  SELECT 'lineitem_dup_line',
+         CAST(count(*) - (SELECT count(*) FROM
+              (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)) AS BIGINT),
+         CAST(count(*) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem_nonpos_price',
+         CAST(count(*) FILTER (WHERE l_extendedprice <= 0) AS BIGINT),
+         CAST(count(*) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem_nonpos_qty',
+         CAST(count(*) FILTER (WHERE l_quantity <= 0) AS BIGINT),
+         CAST(count(*) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem_orphan_orderkey',
+         CAST(count(*) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT),
+         CAST(count(*) AS BIGINT)
+  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+  UNION ALL
+  SELECT 'orders_orphan_custkey',
+         CAST(count(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT),
+         CAST(count(*) AS BIGINT)
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+) ORDER BY check_name
+"""
+
+
 def tool_assoc_rules_transcripts(sf_dir: str):
     """Market-basket association rules over agent tool usage: for every
     ordered pair of tools used in the same conversation, support,
@@ -12418,6 +12652,7 @@ REGISTRY: dict[str, tuple] = {
     "cohort_retention_events": (cohort_retention_events, COHORT_RETENTION_SQL),
     "merge_upsert_orders": (merge_upsert_orders, MERGE_UPSERT_SQL),
     "tool_assoc_rules_transcripts": (tool_assoc_rules_transcripts, None),
+    "dq_audit_tpch": (dq_audit_tpch, DQ_AUDIT_SQL),
 }
 
 #: oracle SQL that must be built lazily (embeds a generated-on-demand

@@ -143,3 +143,66 @@ def test_tool_assoc_rules_engineered(ray_session, tmp_path, monkeypatch):
     assert (r["n_ab"], r["n_a"], r["n_b"]) == (1, 3, 1)
     assert r["confidence"] == 1.0 / 3.0
     assert r["lift"] == (1.0 * 3.0) / (3.0 * 1.0)
+
+
+def _write_tpch_mini(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([1, 1, 2, 2, 9], pa.int64()),
+                "l_linenumber": pa.array([1, 1, 1, 2, 1], pa.int64()),
+                "l_quantity": pa.array([5.0, 0.0, 3.0, 2.0, 1.0], pa.float64()),
+                "l_extendedprice": pa.array(
+                    [10.0, 20.0, -1.0, 30.0, 40.0], pa.float64()
+                ),
+            }
+        ),
+        tmp_path / "lineitem.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+                "o_custkey": pa.array([10, 10, 99], pa.int64()),
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([10, 11], pa.int64()),
+                "c_nationkey": pa.array([0, 7], pa.int64()),
+            }
+        ),
+        tmp_path / "customer.parquet",
+    )
+    pq.write_table(
+        pa.table({"n_nationkey": pa.array([0, 1, 2], pa.int64())}),
+        tmp_path / "nation.parquet",
+    )
+    return str(tmp_path)
+
+
+def test_dq_audit_engineered(ray_session, tmp_path):
+    got = {
+        r["check_name"]: (r["n_bad"], r["n_checked"])
+        for r in queries.dq_audit_tpch(_write_tpch_mini(tmp_path)).to_pylist()
+    }
+    assert got == {
+        # c_nationkey 7 has no nation row
+        "customer_bad_nationkey": (1, 2),
+        # (1,1) appears twice -> one surplus row
+        "lineitem_dup_line": (1, 5),
+        # price -1.0
+        "lineitem_nonpos_price": (1, 5),
+        # quantity 0.0
+        "lineitem_nonpos_qty": (1, 5),
+        # l_orderkey 9 has no order
+        "lineitem_orphan_orderkey": (1, 5),
+        # o_custkey 99 has no customer
+        "orders_orphan_custkey": (1, 3),
+    }
