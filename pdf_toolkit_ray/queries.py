@@ -12084,6 +12084,213 @@ FROM m WHERE rn = 1 AND k % 97 = 0
 """
 
 
+def bigram_xent_documents(sf_dir: str):
+    """Bigram-LM cross-entropy per document (the order-2 KenLM quality
+    signal beside ``unigram_xent``): train add-one-smoothed bigram
+    probabilities p(w2|w1) = (c(w1,w2)+1)/(c(w1·)+V) on the corpus, then
+    score every doc by mean -ln p over its bigram stream. Unlike the
+    unigram op, the LM here is NOT broadcast — a bigram table scales
+    with corpus size, so scoring is a distributed JOIN: (1) one bigram-
+    bucketed exchange builds c(w1,w2); context counts c(w1·) fold out of
+    that same table; (2) the scored-bigram table (key → quantized log
+    term) attaches to c(w1·) and then to the bigram instance stream via
+    ``size_gated_join`` (broadcast under the byte gate, hash join
+    above); (3) one doc-bucketed exchange sums EXACT int64 1e-6-grid
+    log terms, so distributed summation order cannot flip the twin
+    hash. Docs with <2 tokens have no bigrams and drop out, mirroring
+    the twin's join semantics."""
+    ds = scan(sf_dir, "documents", columns=["doc_id", "text"])
+    SEP = "\x1f"
+
+    def _bigram_arrays(batch: pa.Table):
+        parent, flat, lens = _exploded_words(batch)
+        n = len(flat)
+        if n < 2:
+            return None
+        same = np.ones(n - 1, dtype=bool)
+        ends = np.cumsum(lens) - 1
+        same[ends[ends < n - 1]] = False
+        i = np.flatnonzero(same)
+        w1 = flat.take(pa.array(i))
+        w2 = flat.take(pa.array(i + 1))
+        key = pc.binary_join_element_wise(w1, w2, SEP)
+        return parent[i], w1, key
+
+    def bigram_partial(batch: pa.Table) -> pa.Table:
+        tri = _bigram_arrays(batch)
+        if tri is None:
+            return pa.table(
+                {
+                    "key": pa.array([], pa.string()),
+                    "w1": pa.array([], pa.string()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        _, w1, key = tri
+        c = pa.table({"key": key, "w1": w1}).group_by(["key", "w1"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {
+                "key": c.column("key"),
+                "w1": c.column("w1"),
+                "c": pc.cast(c.column("count_all"), pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(
+        bigram_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    bi_empty = pa.table(
+        {
+            "key": pa.array([], pa.string()),
+            "w1": pa.array([], pa.string()),
+            "c": pa.array([], pa.int64()),
+        }
+    )
+
+    def bucket_sum(group: pa.Table) -> pa.Table:
+        c = group.group_by(["key", "w1"]).aggregate([("c", "sum")])
+        return pa.table(
+            {
+                "key": c.column("key"),
+                "w1": c.column("w1"),
+                "c": pc.cast(c.column("c_sum"), pa.int64()),
+            }
+        )
+
+    bigrams = relops.bucketed_groupby(partials, ["key"], bucket_sum, empty=bi_empty)
+
+    # context counts c(w1·) fold out of the bigram table — keyset-scale
+    ctx_empty = pa.table(
+        {"w1": pa.array([], pa.string()), "cu": pa.array([], pa.int64())}
+    )
+
+    def ctx_sum(group: pa.Table) -> pa.Table:
+        c = group.group_by(["w1"]).aggregate([("c", "sum")])
+        return pa.table(
+            {"w1": c.column("w1"), "cu": pc.cast(c.column("c_sum"), pa.int64())}
+        )
+
+    contexts = relops.bucketed_groupby(
+        bigrams.map_batches(
+            lambda b: b.select(["w1", "c"]), batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        ["w1"], ctx_sum, empty=ctx_empty,
+    )
+
+    # V: distinct corpus words — per-batch unique, per-bucket count, sum
+    def word_unique(batch: pa.Table) -> pa.Table:
+        _, flat, _ = _exploded_words(batch)
+        return pa.table({"word": pc.unique(flat)})
+
+    def bucket_vocab(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {"nv": pa.array([len(pc.unique(group.column("word")))], pa.int64())}
+        )
+
+    V = int(
+        relops.bucketed_groupby(
+            ds.map_batches(word_unique, batch_format="pyarrow", zero_copy_batch=True),
+            ["word"], bucket_vocab,
+            empty=pa.table({"nv": pa.array([], pa.int64())}),
+        )
+        .to_pandas()["nv"].sum()
+    )
+
+    scored_src = relops.size_gated_join(bigrams, contexts, on="w1")
+
+    def to_terms(batch: pa.Table) -> pa.Table:
+        num = (batch.column("c").to_numpy(zero_copy_only=False) + 1).astype(
+            np.float64
+        )
+        den = (batch.column("cu").to_numpy(zero_copy_only=False) + V).astype(
+            np.float64
+        )
+        q = np.round(np.log(num / den) * 1e6).astype(np.int64)
+        return pa.table({"key": batch.column("key"), "q": pa.array(q, pa.int64())})
+
+    scored = scored_src.map_batches(
+        to_terms, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    # instance stream: (doc_id, key) per bigram occurrence
+    def instances_fn(batch: pa.Table) -> pa.Table:
+        tri = _bigram_arrays(batch)
+        if tri is None:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "key": pa.array([], pa.string())}
+            )
+        docs, _, key = tri
+        return pa.table({"doc_id": pa.array(docs, pa.int64()), "key": key})
+
+    inst = ds.map_batches(instances_fn, batch_format="pyarrow", zero_copy_batch=True)
+    joined = relops.size_gated_join(inst, scored, on="key")
+
+    def doc_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"doc_id": batch.column("doc_id"), "q": batch.column("q")})
+        c = t.group_by(["doc_id"]).aggregate([("q", "sum"), ([], "count_all")])
+        return pa.table(
+            {
+                "doc_id": c.column("doc_id"),
+                "sq": pc.cast(c.column("q_sum"), pa.int64()),
+                "n": pc.cast(c.column("count_all"), pa.int64()),
+            }
+        )
+
+    doc_empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "n_bigrams": pa.array([], pa.int64()),
+            "xent": pa.array([], pa.float64()),
+        }
+    )
+
+    def doc_final(group: pa.Table) -> pa.Table:
+        c = group.group_by(["doc_id"]).aggregate([("sq", "sum"), ("n", "sum")])
+        sq = c.column("sq_sum").to_numpy(zero_copy_only=False).astype(np.float64)
+        nn = c.column("n_sum").to_numpy(zero_copy_only=False)
+        xent = np.negative((sq / 1e6) / nn)
+        return pa.table(
+            {
+                "doc_id": c.column("doc_id"),
+                "n_bigrams": pc.cast(c.column("n_sum"), pa.int64()),
+                "xent": pa.array(xent, pa.float64()),
+            }
+        )
+
+    return relops.bucketed_groupby(
+        joined.map_batches(doc_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["doc_id"], doc_final, empty=doc_empty,
+    )
+
+
+BIGRAM_XENT_SQL = """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+bi AS MATERIALIZED (
+  SELECT doc_id, w[CAST(t.i AS INTEGER)] AS w1,
+         w[CAST(t.i + 1 AS INTEGER)] AS w2
+  FROM toks, unnest(range(1, len(w))) t(i)),
+cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM bi GROUP BY w1, w2),
+cu AS (SELECT w1, CAST(count(*) AS BIGINT) AS cu FROM bi GROUP BY w1),
+v AS (SELECT count(DISTINCT word) AS v FROM
+       (SELECT unnest(string_split(text, ' ')) AS word FROM documents)),
+q AS (SELECT cb.w1, cb.w2,
+        CAST(round(ln((cb.c + 1) / CAST(cu.cu + v.v AS DOUBLE)) * 1000000)
+             AS BIGINT) AS q
+      FROM cb JOIN cu USING (w1), v),
+s AS (SELECT bi.doc_id, CAST(sum(q.q) AS BIGINT) AS sq,
+             CAST(count(*) AS BIGINT) AS n
+      FROM bi JOIN q ON bi.w1 = q.w1 AND bi.w2 = q.w2
+      GROUP BY bi.doc_id)
+SELECT doc_id, n AS n_bigrams,
+       -((CAST(sq AS DOUBLE) / 1000000.0) / n) AS xent
+FROM s
+"""
+
+
 def _orphan_counts(child_ds, child_key: str, parent_ds, parent_key: str):
     """(n_orphan_rows, n_rows) of child rows whose key has no parent.
 
@@ -12653,6 +12860,7 @@ REGISTRY: dict[str, tuple] = {
     "merge_upsert_orders": (merge_upsert_orders, MERGE_UPSERT_SQL),
     "tool_assoc_rules_transcripts": (tool_assoc_rules_transcripts, None),
     "dq_audit_tpch": (dq_audit_tpch, DQ_AUDIT_SQL),
+    "bigram_xent_documents": (bigram_xent_documents, BIGRAM_XENT_SQL),
 }
 
 #: oracle SQL that must be built lazily (embeds a generated-on-demand

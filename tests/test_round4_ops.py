@@ -206,3 +206,31 @@ def test_dq_audit_engineered(ray_session, tmp_path):
         # o_custkey 99 has no customer
         "orders_orphan_custkey": (1, 3),
     }
+
+
+def test_bigram_xent_engineered(ray_session, tmp_path):
+    # corpus: d1 = "a b a", d2 = "b a"
+    # cb: (a,b)=1, (b,a)=2 ; cu: a=1, b=2 ; V=2
+    # p(b|a)=(1+1)/(1+2)=2/3 ; p(a|b)=(2+1)/(2+2)=3/4
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["a b a", "b a"], pa.string()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    import math
+
+    q_ab = round(math.log(2.0 / 3.0) * 1e6)   # -405465
+    q_ba = round(math.log(3.0 / 4.0) * 1e6)   # -287682
+    got = {
+        int(r["doc_id"]): r
+        for _, r in queries.bigram_xent_documents(str(tmp_path))
+        .to_pandas().iterrows()
+    }
+    assert got[1]["n_bigrams"] == 2
+    assert got[1]["xent"] == -(((q_ab + q_ba) / 1e6) / 2)
+    assert got[2]["n_bigrams"] == 1
+    assert got[2]["xent"] == -((q_ba / 1e6) / 1)
