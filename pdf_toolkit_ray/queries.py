@@ -12291,6 +12291,221 @@ FROM s
 """
 
 
+def analyze_stats_lineitem(sf_dir: str):
+    """ANALYZE-style statistics catalog over a table — the planner-stats
+    collection pass every warehouse runs (row count, null count, exact
+    NDV, min/max per column). Shapes: n/null/min/max come from ONE
+    combiner scan (a 10-row partial per batch, merged on the driver);
+    exact NDV for ALL columns shares ONE bucketed exchange — each value
+    is encoded injectively as ``col:bytes`` (float64 bit pattern, int64
+    bytes, raw strings), bucketed by the encoded pair, counted distinct
+    per bucket, summed per column. Timestamps surface as epoch-µs; both
+    engines make the SAME int→double IEEE rounding for min/max, so the
+    twin is bit-exact. String columns report the -1 sentinel (typed
+    NULL reprs differ between engines)."""
+    num_cols = [
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax",
+    ]
+    str_cols = ["l_returnflag", "l_linestatus"]
+    all_cols = num_cols + str_cols + ["l_shipdate"]
+    ds = scan(sf_dir, "lineitem", columns=all_cols)
+
+    def stat_partial(batch: pa.Table) -> pa.Table:
+        cols, ns, nulls, mins, maxs = [], [], [], [], []
+        for c in all_cols:
+            col = batch.column(c)
+            cols.append(c)
+            ns.append(batch.num_rows)
+            nulls.append(col.null_count)
+            if c in str_cols:
+                mins.append(-1.0)
+                maxs.append(-1.0)
+            else:
+                v = col.cast(pa.int64()) if c == "l_shipdate" else col
+                lo, hi = pc.min(v).as_py(), pc.max(v).as_py()
+                # an all-null block slice has no min/max; ±inf partials
+                # are identity under the driver's min/max merge
+                mins.append(float(lo) if lo is not None else float("inf"))
+                maxs.append(float(hi) if hi is not None else float("-inf"))
+        return pa.table(
+            {
+                "col": pa.array(cols, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+                "n_null": pa.array(nulls, pa.int64()),
+                "min_val": pa.array(mins, pa.float64()),
+                "max_val": pa.array(maxs, pa.float64()),
+            }
+        )
+
+    base = (
+        ds.map_batches(stat_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .groupby("col")
+        .agg(
+            n=("n", "sum"), n_null=("n_null", "sum"),
+            min_val=("min_val", "min"), max_val=("max_val", "max"),
+        )
+    )
+
+    def enc_partial(batch: pa.Table) -> pa.Table:
+        parts = []
+        for c in all_cols:
+            # SQL count(DISTINCT col) excludes NULLs — drop before encoding
+            col = batch.column(c).drop_null()
+            if c in str_cols:
+                u = pc.unique(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+                enc = pc.binary_join_element_wise(
+                    pa.array([c] * len(u), pa.string()), u.cast(pa.string()), ":"
+                )
+            else:
+                v = col.cast(pa.int64()) if c == "l_shipdate" else col
+                a = v.to_numpy(zero_copy_only=False)
+                u = np.unique(a)
+                # injective bytes: int64/float64 bit patterns, hex-encoded
+                hexs = [u.tobytes()[i * 8 : i * 8 + 8].hex() for i in range(len(u))]
+                enc = pa.array([f"{c}:{h}" for h in hexs], pa.string())
+            parts.append(pa.table({"pair": enc}))
+        return pa.concat_tables(parts)
+
+    def bucket_ndv(group: pa.Table) -> pa.Table:
+        u = pc.unique(group.column("pair"))
+        col = pc.replace_substring_regex(u, ":.*$", "")
+        t = pa.table({"col": col}).group_by(["col"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "col": t.column("col"),
+                "nd": pc.cast(t.column("count_all"), pa.int64()),
+            }
+        )
+
+    ndv = (
+        relops.bucketed_groupby(
+            ds.map_batches(enc_partial, batch_format="pyarrow", zero_copy_batch=True),
+            ["pair"], bucket_ndv,
+            empty=pa.table(
+                {"col": pa.array([], pa.string()), "nd": pa.array([], pa.int64())}
+            ),
+        )
+        .to_pandas()
+        .groupby("col")["nd"].sum()
+    )
+
+    base["ndv"] = ndv
+    base = base.sort_index().reset_index()
+    return pa.table(
+        {
+            "col": pa.array(base["col"], pa.string()),
+            "n": pa.array(base["n"].to_numpy(np.int64)),
+            "n_null": pa.array(base["n_null"].to_numpy(np.int64)),
+            "ndv": pa.array(base["ndv"].to_numpy(np.int64)),
+            "min_val": pa.array(base["min_val"].to_numpy(np.float64)),
+            "max_val": pa.array(base["max_val"].to_numpy(np.float64)),
+        }
+    )
+
+
+def _analyze_col_sql(col: str, kind: str) -> str:
+    if kind == "str":
+        mn = mx = "CAST(-1.0 AS DOUBLE)"
+    elif kind == "ts":
+        mn = f"CAST(epoch_us(min({col})) AS DOUBLE)"
+        mx = f"CAST(epoch_us(max({col})) AS DOUBLE)"
+    else:
+        mn = f"CAST(min({col}) AS DOUBLE)"
+        mx = f"CAST(max({col}) AS DOUBLE)"
+    return (
+        f"SELECT '{col}' AS col, CAST(count(*) AS BIGINT) AS n, "
+        f"CAST(count(*) - count({col}) AS BIGINT) AS n_null, "
+        f"CAST(count(DISTINCT {col}) AS BIGINT) AS ndv, "
+        f"{mn} AS min_val, {mx} AS max_val FROM lineitem"
+    )
+
+
+ANALYZE_STATS_SQL = (
+    "SELECT * FROM (\n"
+    + "\nUNION ALL\n".join(
+        [_analyze_col_sql(c, "num") for c in (
+            "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax")]
+        + [_analyze_col_sql(c, "str") for c in ("l_returnflag", "l_linestatus")]
+        + [_analyze_col_sql("l_shipdate", "ts")]
+    )
+    + "\n) ORDER BY col"
+)
+
+
+def zorder_layout_lineitem(sf_dir: str):
+    """Z-order (Morton-curve) data-layout optimization — the
+    Delta/Iceberg ``OPTIMIZE ZORDER BY`` shape: interleave the low 16
+    bits of (l_partkey, l_suppkey) into a space-filling-curve key and
+    assign every row its GLOBAL clustered position, so rows close in
+    BOTH dimensions land in the same output file and two-column range
+    predicates prune. The rank is ``relops.global_row_number`` — a
+    range-partitioned total order, no node ever holds the table. The
+    driver-hashed result is the every-499th-rank slice (the full layout
+    is row-scale); a writer would feed the ranked stream straight to
+    partitioned parquet."""
+    ds = scan(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"],
+    )
+
+    def add_z(batch: pa.Table) -> pa.Table:
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        z = np.zeros(len(pk), np.int64)
+        for i in range(16):
+            z |= ((pk >> i) & 1) << (2 * i + 1)
+            z |= ((sk >> i) & 1) << (2 * i)
+        return batch.append_column("zval", pa.array(z, pa.int64()))
+
+    dz = ds.map_batches(add_z, batch_format="pyarrow", zero_copy_batch=True)
+    ranked, _total = relops.global_row_number(
+        dz, "zval",
+        ["l_partkey", "l_suppkey", "l_orderkey", "l_linenumber"],
+        rank_col="rnk",
+    )
+
+    def slice_fn(batch: pa.Table) -> pa.Table:
+        r = batch.column("rnk").to_numpy(zero_copy_only=False)
+        t = batch.take(np.flatnonzero(r % 499 == 0))
+        return pa.table(
+            {
+                "rnk": pc.cast(t.column("rnk"), pa.int64()),
+                "zval": t.column("zval"),
+                "l_partkey": t.column("l_partkey"),
+                "l_suppkey": t.column("l_suppkey"),
+            }
+        )
+
+    df = (
+        ranked.map_batches(slice_fn, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .sort_values("rnk")
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+_ZEXPR = " + ".join(
+    f"(((l_partkey >> {i}) & 1) << {2 * i + 1}) + "
+    f"(((l_suppkey >> {i}) & 1) << {2 * i})"
+    for i in range(16)
+)
+
+ZORDER_SQL = f"""
+WITH z AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                  CAST({_ZEXPR} AS BIGINT) AS zval
+           FROM lineitem),
+r AS (SELECT *, row_number() OVER (
+        ORDER BY zval, l_partkey, l_suppkey, l_orderkey, l_linenumber) AS rnk
+      FROM z)
+SELECT CAST(rnk AS BIGINT) AS rnk, zval, l_partkey, l_suppkey
+FROM r WHERE rnk % 499 = 0
+"""
+
+
 def _orphan_counts(child_ds, child_key: str, parent_ds, parent_key: str):
     """(n_orphan_rows, n_rows) of child rows whose key has no parent.
 
@@ -12861,6 +13076,8 @@ REGISTRY: dict[str, tuple] = {
     "tool_assoc_rules_transcripts": (tool_assoc_rules_transcripts, None),
     "dq_audit_tpch": (dq_audit_tpch, DQ_AUDIT_SQL),
     "bigram_xent_documents": (bigram_xent_documents, BIGRAM_XENT_SQL),
+    "analyze_stats_lineitem": (analyze_stats_lineitem, ANALYZE_STATS_SQL),
+    "zorder_layout_lineitem": (zorder_layout_lineitem, ZORDER_SQL),
 }
 
 #: oracle SQL that must be built lazily (embeds a generated-on-demand

@@ -234,3 +234,76 @@ def test_bigram_xent_engineered(ray_session, tmp_path):
     assert got[1]["xent"] == -(((q_ab + q_ba) / 1e6) / 2)
     assert got[2]["n_bigrams"] == 1
     assert got[2]["xent"] == -((q_ba / 1e6) / 1)
+
+
+def test_analyze_stats_engineered(ray_session, tmp_path):
+    base = np.datetime64("2026-03-01T00:00:00", "us")
+    tbl = pa.table(
+        {
+            "l_orderkey": pa.array([1, 1, 2, None], pa.int64()),
+            "l_partkey": pa.array([10, 20, 10, 30], pa.int64()),
+            "l_suppkey": pa.array([5, 5, 5, 5], pa.int64()),
+            "l_quantity": pa.array([1.0, 2.0, 2.0, None], pa.float64()),
+            "l_extendedprice": pa.array([9.5, 8.5, 7.5, 6.5], pa.float64()),
+            "l_discount": pa.array([0.0, 0.1, 0.0, 0.1], pa.float64()),
+            "l_tax": pa.array([0.02, 0.02, 0.02, 0.02], pa.float64()),
+            "l_returnflag": pa.array(["A", "R", "A", "N"], pa.string()),
+            "l_linestatus": pa.array(["O", "O", "F", "F"], pa.string()),
+            "l_shipdate": pa.array(
+                [base, base + np.timedelta64(1, "D"), base, base], pa.timestamp("us")
+            ),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "lineitem.parquet")
+    got = {
+        r["col"]: r
+        for r in queries.analyze_stats_lineitem(str(tmp_path)).to_pylist()
+    }
+    # NULLs: excluded from ndv/min/max, counted in n_null
+    assert got["l_orderkey"] == {
+        "col": "l_orderkey", "n": 4, "n_null": 1, "ndv": 2,
+        "min_val": 1.0, "max_val": 2.0,
+    }
+    assert got["l_quantity"]["ndv"] == 2 and got["l_quantity"]["n_null"] == 1
+    assert got["l_returnflag"] == {
+        "col": "l_returnflag", "n": 4, "n_null": 0, "ndv": 3,
+        "min_val": -1.0, "max_val": -1.0,
+    }
+    ep0 = float(np.datetime64("2026-03-01T00:00:00", "us").astype(np.int64))
+    assert got["l_shipdate"]["ndv"] == 2
+    assert got["l_shipdate"]["min_val"] == ep0
+
+
+def test_zorder_layout_engineered(ray_session, tmp_path):
+    n = 1200
+    pk = (np.arange(n, dtype=np.int64) * 13) % 101
+    sk = (np.arange(n, dtype=np.int64) * 7) % 53
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(np.arange(n, dtype=np.int64)),
+                "l_linenumber": pa.array(np.ones(n, dtype=np.int64)),
+                "l_partkey": pa.array(pk),
+                "l_suppkey": pa.array(sk),
+            }
+        ),
+        tmp_path / "lineitem.parquet",
+    )
+    z = np.zeros(n, np.int64)
+    for i in range(16):
+        z |= ((pk >> i) & 1) << (2 * i + 1)
+        z |= ((sk >> i) & 1) << (2 * i)
+    order = np.lexsort((np.ones(n), np.arange(n), sk, pk, z))
+    got = queries.zorder_layout_lineitem(str(tmp_path)).to_pylist()
+    assert [r["rnk"] for r in got] == [499, 998]
+    for r in got:
+        j = order[r["rnk"] - 1]
+        assert (r["zval"], r["l_partkey"], r["l_suppkey"]) == (
+            int(z[j]), int(pk[j]), int(sk[j])
+        )
+    # Morton interleave spot check: pk=3, sk=1 -> 0b1011
+    zz = np.int64(0)
+    for i in range(16):
+        zz |= ((np.int64(3) >> i) & 1) << (2 * i + 1)
+        zz |= ((np.int64(1) >> i) & 1) << (2 * i)
+    assert zz == 0b1011
