@@ -12506,6 +12506,82 @@ FROM r WHERE rnk % 499 = 0
 """
 
 
+def cusum_changepoint_events(sf_dir: str):
+    """CUSUM change-point detection over daily event volumes: for each
+    event_type, the day where the cumulative deviation from the type's
+    mean daily count peaks — the classic level-shift detector for
+    telemetry streams. The deviation is kept EXACT by scaling: with D
+    observed days and total T, cusum_k = Σ_{i≤k} (D·c_i − T) is pure
+    int64, so no float ever enters and the twin matches bit-for-bit.
+    Shape: ONE distributed pre-agg collapses the stream to (type, day)
+    counts — the only row-scale pass — and the D-length trajectory per
+    type is driver-side numpy (days × types rows, microscopic).
+    Ties on |cusum| break to the earliest day, mirroring the twin's
+    ORDER BY."""
+    ds = scan(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "day": pc.floor_temporal(batch.column("ts"), unit="day"),
+            }
+        )
+        c = t.group_by(["event_type", "day"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "event_type": c.column("event_type"),
+                "day": c.column("day"),
+                "c": pc.cast(c.column("count_all"), pa.int64()),
+            }
+        )
+
+    daily = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "day"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()  # days × types rows
+        .sort_values(["event_type", "day"])
+        .reset_index(drop=True)
+    )
+    out = []
+    for et, g in daily.groupby("event_type", sort=True):
+        c = g["c"].to_numpy(np.int64)
+        days = g["day"].to_numpy("datetime64[us]")
+        D, T = np.int64(len(c)), np.int64(c.sum())
+        cusum = np.cumsum(D * c - T)
+        k = int(np.argmax(np.abs(cusum)))  # first max = earliest day
+        out.append((et, days[k], int(cusum[k]), int(D)))
+    return pa.table(
+        {
+            "event_type": pa.array([r[0] for r in out], pa.string()),
+            "cp_day": pa.array([r[1] for r in out], pa.timestamp("us")),
+            "cusum_scaled": pa.array([r[2] for r in out], pa.int64()),
+            "n_days": pa.array([r[3] for r in out], pa.int64()),
+        }
+    )
+
+
+CUSUM_SQL = """
+WITH d AS (SELECT event_type, date_trunc('day', ts) AS day,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+             CAST(sum(c) AS BIGINT) AS tot
+      FROM d GROUP BY 1),
+s AS (SELECT d.event_type, d.day, t.nd,
+             CAST(sum(t.nd * d.c - t.tot) OVER (
+               PARTITION BY d.event_type ORDER BY d.day) AS BIGINT) AS cusum
+      FROM d JOIN t USING (event_type)),
+m AS (SELECT event_type, day, cusum, nd,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY abs(cusum) DESC, day) AS rn
+      FROM s)
+SELECT event_type, day AS cp_day, cusum AS cusum_scaled, nd AS n_days
+FROM m WHERE rn = 1
+"""
+
+
 def _orphan_counts(child_ds, child_key: str, parent_ds, parent_key: str):
     """(n_orphan_rows, n_rows) of child rows whose key has no parent.
 
@@ -13078,6 +13154,7 @@ REGISTRY: dict[str, tuple] = {
     "bigram_xent_documents": (bigram_xent_documents, BIGRAM_XENT_SQL),
     "analyze_stats_lineitem": (analyze_stats_lineitem, ANALYZE_STATS_SQL),
     "zorder_layout_lineitem": (zorder_layout_lineitem, ZORDER_SQL),
+    "cusum_changepoint_events": (cusum_changepoint_events, CUSUM_SQL),
 }
 
 #: oracle SQL that must be built lazily (embeds a generated-on-demand

@@ -307,3 +307,20 @@ def test_zorder_layout_engineered(ray_session, tmp_path):
         zz |= ((np.int64(3) >> i) & 1) << (2 * i + 1)
         zz |= ((np.int64(1) >> i) & 1) << (2 * i)
     assert zz == 0b1011
+
+
+def test_cusum_changepoint_engineered(ray_session, tmp_path):
+    # type x: daily counts [1,1,5,5] -> scaled terms 4c-12 = [-8,-8,8,8],
+    # cusum [-8,-16,-8,0] -> peak |.| at day 1 with value -16
+    rows = []
+    for day, n in enumerate([1, 1, 5, 5]):
+        rows += [(7, D0 + day * DAY)] * n
+    got = queries.cusum_changepoint_events(
+        _write_events(tmp_path, rows)
+    ).to_pylist()
+    assert len(got) == 1
+    r = got[0]
+    assert r["event_type"] == "click"
+    assert str(r["cp_day"]) == "2026-03-02 00:00:00"
+    assert r["cusum_scaled"] == -16
+    assert r["n_days"] == 4
