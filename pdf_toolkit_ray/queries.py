@@ -9533,8 +9533,6 @@ def sft_spans_transcripts(sf_dir: str):
     conv-bucketed exchange; everything inside a bucket is vectorized
     column math (``pc.utf8_length`` matches the twin's ``length()``
     character semantics)."""
-    from .stages.convdedup import _md5_prefix_i64
-
     ds = relops.scan_path(
         _transcripts_path(sf_dir), columns=["conv_id", "turn_idx", "role", "text"]
     )
@@ -9552,8 +9550,14 @@ def sft_spans_transcripts(sf_dir: str):
                 "turn_idx": d.column("turn_idx"),
                 "role": d.column("role"),
                 "tl": pc.cast(pc.utf8_length(d.column("text")), pa.int64()),
+                # tkey is INTERNAL (dropped before output): it only stands
+                # in for text identity in the bucket distinct, so the
+                # vectorized C siphash replaces the old per-row md5 loop
                 "tkey": pa.array(
-                    _md5_prefix_i64(d.column("text").to_pylist()), pa.int64()
+                    pd.util.hash_pandas_object(
+                        d.column("text").to_pandas(), index=False
+                    ).to_numpy(dtype=np.uint64).view(np.int64),
+                    pa.int64(),
                 ),
             }
         )
@@ -12506,6 +12510,120 @@ FROM r WHERE rnk % 499 = 0
 """
 
 
+def bfs_hops_parts(sf_dir: str):
+    """Multi-source-free BFS over the co-purchase part graph (parts are
+    adjacent iff they appear in the same order): min-hop distance from
+    the smallest part key, capped at 4 hops — the iterative frontier-
+    expansion kernel beside PageRank/components/triangles. Stages:
+    (1) distinct (order, part) pairs map-side; (2) per-order pair
+    fan-out inside an order-bucketed exchange (bounded by
+    parts-per-order²); (3) edge-bucketed distinct → a ref-backed edge
+    dataset reused across rounds; (4) each BFS round is ONE distributed
+    ``is_in`` filter pass over the edges with the (node-bounded)
+    frontier broadcast — only node-scale sets ever reach the driver.
+    Past the node-broadcast gate, keep visited/frontier as datasets and
+    swap the collect for a distributed anti-join (the dedup keep-rows
+    shape); the edge-side work is already distributed."""
+    ds = scan(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    pairs = ds.map_batches(
+        lambda b: b.group_by(["l_orderkey", "l_partkey"]).aggregate([]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    edge_empty = pa.table(
+        {"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())}
+    )
+
+    def order_pairs(group: pa.Table) -> pa.Table:
+        d = group.group_by(["l_orderkey", "l_partkey"]).aggregate([])
+        idx = pc.sort_indices(
+            d, sort_keys=[("l_orderkey", "ascending"), ("l_partkey", "ascending")]
+        )
+        d = d.take(idx)
+        o = d.column("l_orderkey").to_numpy(zero_copy_only=False)
+        p = d.column("l_partkey").to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, o[1:] != o[:-1]])
+        bounds = np.r_[starts, len(o)]
+        us, vs = [], []
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            grp = p[lo:hi]
+            if len(grp) > 1:
+                iu, iv = np.triu_indices(len(grp), k=1)
+                us.append(grp[iu]); vs.append(grp[iv])
+        if not us:
+            return edge_empty
+        u = np.concatenate(us); v = np.concatenate(vs)
+        return pa.table(  # both directions
+            {
+                "u": pa.array(np.concatenate([u, v]), pa.int64()),
+                "v": pa.array(np.concatenate([v, u]), pa.int64()),
+            }
+        )
+
+    raw = relops.bucketed_groupby(pairs, ["l_orderkey"], order_pairs, empty=edge_empty)
+    edges = relops.bucketed_groupby(
+        raw.map_batches(
+            lambda b: b.group_by(["u", "v"]).aggregate([]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ),
+        ["u", "v"],
+        lambda g: g.group_by(["u", "v"]).aggregate([]),
+        empty=edge_empty,
+    )
+
+    src_df = edges.map_batches(
+        lambda b: pa.table({"m": pa.array([pc.min(b.column("u")).as_py()], pa.int64())}),
+        batch_format="pyarrow",
+    ).to_pandas()
+    if src_df.empty or src_df["m"].isna().all():
+        return pa.table(
+            {"partkey": pa.array([], pa.int64()), "hop": pa.array([], pa.int64())}
+        )
+    src = int(src_df["m"].min())
+
+    visited: dict[int, int] = {src: 0}
+    frontier = {src}
+    for hop in range(1, 5):
+        fr = pa.array(sorted(frontier), pa.int64())
+
+        def neighbors(batch: pa.Table, fr=fr) -> pa.Table:
+            m = pc.is_in(batch.column("u"), value_set=fr)
+            return pa.table({"v": pc.unique(batch.filter(m).column("v"))})
+
+        neigh = set(
+            edges.map_batches(neighbors, batch_format="pyarrow")
+            .to_pandas()["v"].astype(np.int64)
+        )
+        frontier = neigh - visited.keys()
+        if not frontier:
+            break
+        for n in frontier:
+            visited[n] = hop
+
+    out = sorted(visited.items())
+    return pa.table(
+        {
+            "partkey": pa.array([k for k, _ in out], pa.int64()),
+            "hop": pa.array([h for _, h in out], pa.int64()),
+        }
+    )
+
+
+BFS_HOPS_SQL = """
+WITH RECURSIVE lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lp a JOIN lp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+src AS (SELECT min(u) AS s FROM e),
+bfs(n, hop) AS (
+  SELECT s, 0 FROM src
+  UNION
+  SELECT e.v, bfs.hop + 1 FROM bfs JOIN e ON e.u = bfs.n WHERE bfs.hop < 4
+)
+SELECT n AS partkey, CAST(min(hop) AS BIGINT) AS hop FROM bfs GROUP BY n
+"""
+
+
 def cusum_changepoint_events(sf_dir: str):
     """CUSUM change-point detection over daily event volumes: for each
     event_type, the day where the cumulative deviation from the type's
@@ -13155,6 +13273,7 @@ REGISTRY: dict[str, tuple] = {
     "analyze_stats_lineitem": (analyze_stats_lineitem, ANALYZE_STATS_SQL),
     "zorder_layout_lineitem": (zorder_layout_lineitem, ZORDER_SQL),
     "cusum_changepoint_events": (cusum_changepoint_events, CUSUM_SQL),
+    "bfs_hops_parts": (bfs_hops_parts, BFS_HOPS_SQL),
 }
 
 #: oracle SQL that must be built lazily (embeds a generated-on-demand

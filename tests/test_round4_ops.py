@@ -324,3 +324,27 @@ def test_cusum_changepoint_engineered(ray_session, tmp_path):
     assert str(r["cp_day"]) == "2026-03-02 00:00:00"
     assert r["cusum_scaled"] == -16
     assert r["n_days"] == 4
+
+
+def test_bfs_hops_engineered(ray_session, tmp_path):
+    # path graph 1-2-3-4-5-6-7 via chained orders; {8,9} is a separate
+    # component (unreachable); hop cap 4 excludes parts 6 and 7
+    orders = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7), (8, 9)]
+    ok, pk = [], []
+    for i, (a, b) in enumerate(orders):
+        ok += [i, i]
+        pk += [a, b]
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(ok, pa.int64()),
+                "l_partkey": pa.array(pk, pa.int64()),
+            }
+        ),
+        tmp_path / "lineitem.parquet",
+    )
+    got = {
+        r["partkey"]: r["hop"]
+        for r in queries.bfs_hops_parts(str(tmp_path)).to_pylist()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
