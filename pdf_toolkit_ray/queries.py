@@ -13057,6 +13057,47 @@ FROM p JOIN s sa ON sa.tool = p.tool_a JOIN s sb ON sb.tool = p.tool_b, n
 """
 
 
+#: rational quantiles for the exact-selection op: (numerator, denominator, label)
+_QUANT_FRACS = [(1, 4, "p25"), (1, 2, "p50"), (3, 4, "p75"),
+                (9, 10, "p90"), (99, 100, "p99")]
+
+
+def exact_quantiles_lineitem(sf_dir: str):
+    """EXACT global quantiles of ``l_extendedprice`` by distributed rank
+    selection (``relops.select_quantiles``) — the Munro-Paterson shape:
+    sampled range buckets → one column-pruned histogram pass → only the
+    ≤5 rank-owning buckets (each ~n/num_buckets rows) are shuffled and
+    locally sorted. NO global sort, and the driver never sees more than
+    the histogram + 5 values. Ranks are pure integer math
+    ``ceil(q·n) = (qn·n + qd - 1) // qd``, so the twin's ``//`` agrees
+    bit-for-bit; the value at a global rank is well-defined under
+    duplicates regardless of tie order. Contrast with
+    ``price_quantiles_approx`` (sketch): this is the exact companion."""
+    ds = scan(sf_dir, "lineitem", columns=["l_extendedprice"])
+    values, ranks, _total = relops.select_quantiles(
+        ds, "l_extendedprice", [(n, d) for n, d, _ in _QUANT_FRACS]
+    )
+    return pa.table(
+        {
+            "pct": pa.array([lbl for _, _, lbl in _QUANT_FRACS], pa.string()),
+            "rank": pa.array(ranks, pa.int64()),
+            "value": pa.array([float(v) for v in values], pa.float64()),
+        }
+    )
+
+
+EXACT_QUANTILES_SQL = """
+WITH t AS (SELECT l_extendedprice AS v FROM lineitem),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t),
+f AS (SELECT * FROM (VALUES ('p25', 1, 4), ('p50', 1, 2), ('p75', 3, 4),
+                            ('p90', 9, 10), ('p99', 99, 100)) AS f(pct, qn, qd)),
+k AS (SELECT pct, CAST((qn * n.n + qd - 1) // qd AS BIGINT) AS rank FROM f, n),
+s AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM t)
+SELECT k.pct, k.rank, s.v AS value
+FROM k JOIN s ON s.rn = k.rank
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (callable, oracle_sql | None)
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
@@ -13274,6 +13315,7 @@ REGISTRY: dict[str, tuple] = {
     "zorder_layout_lineitem": (zorder_layout_lineitem, ZORDER_SQL),
     "cusum_changepoint_events": (cusum_changepoint_events, CUSUM_SQL),
     "bfs_hops_parts": (bfs_hops_parts, BFS_HOPS_SQL),
+    "exact_quantiles_lineitem": (exact_quantiles_lineitem, EXACT_QUANTILES_SQL),
 }
 
 #: oracle SQL that must be built lazily (embeds a generated-on-demand

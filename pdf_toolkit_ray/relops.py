@@ -660,6 +660,119 @@ def global_row_number(
     return ranked, total
 
 
+def select_quantiles(
+    ds: ray.data.Dataset,
+    value_col: str,
+    fracs: Sequence[tuple[int, int]],
+    *,
+    num_buckets: int | None = None,
+    sample_size: int = 4096,
+) -> tuple[list[Any], list[int], int]:
+    """EXACT distributed quantiles by rank selection — no global sort.
+
+    ``fracs`` are rational quantiles ``(num, den)``; each resolves to the
+    1-based rank ``k = ceil(num*n/den)`` computed in pure integer math
+    (``(num*n + den - 1) // den``), so no float ever touches the rank and
+    a SQL twin using ``//`` agrees bit-for-bit. Returns
+    ``(values, ranks, total)`` with values in ``fracs`` order.
+
+    Scale shape (the Munro-Paterson / quickselect-over-ranges idea):
+
+    1. SPLITS: sampled split points range-partition the value domain
+       (balance only — correctness never depends on the sample, same
+       contract as ``global_row_number``).
+    2. HISTOGRAM: one column-pruned combiner pass; ``num_buckets`` ints
+       reach the driver.
+    3. LOCATE: driver prefix sums find, for each requested rank, the
+       owning bucket and the local index within it.
+    4. FETCH: one filtered pass ships ONLY the owning buckets (≤
+       len(fracs) buckets, each ~n/num_buckets rows) through a groupby;
+       each bucket sorts locally and takes its requested positions.
+
+    At 10^12 rows a bucket is still ~n/num_buckets rows; if that exceeds
+    worker memory, recurse: re-run steps 1-4 over the single fetched
+    bucket (values are a contiguous range), shrinking by num_buckets×
+    per level — log_B(n) passes, never a global sort."""
+    if num_buckets is None:
+        num_buckets = 4 * int(ray.cluster_resources().get("CPU", 8))
+    sample = ds.select_columns([value_col]).limit(sample_size).take_all()
+    vals = np.sort(np.array([r[value_col] for r in sample]))
+    if len(vals):
+        qs = np.linspace(0, 1, num_buckets + 1)[1:-1]
+        splits = np.unique(np.quantile(vals, qs, method="lower"))
+    else:
+        splits = vals
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        b = np.searchsorted(splits, v, side="right").astype(np.int32)
+        return batch.append_column("_rbucket", pa.array(b))
+
+    def _cnt(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["_rbucket"]).aggregate([([], "count_all")])
+        return pa.table({"_rbucket": g.column("_rbucket"), "n": g.column("count_all")})
+
+    pruned = ds.select_columns([value_col])
+    hist = (
+        pruned.map_batches(_tag, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(_cnt, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_rbucket")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    counts = (
+        dict(zip(hist["_rbucket"].astype(int), hist["n"].astype(int)))
+        if "_rbucket" in hist.columns else {}
+    )
+    order = sorted(counts)
+    offsets, acc = {}, 0
+    for b in order:
+        offsets[b] = acc
+        acc += counts[b]
+    total = acc
+
+    ranks = [(num * total + den - 1) // den for num, den in fracs]
+    if total == 0:
+        return [], ranks, 0
+    if any(r < 1 or r > total for r in ranks):
+        raise ValueError(f"rank out of range for n={total}: {ranks}")
+
+    # rank -> (owning bucket, 0-based local index); buckets in ascending
+    # value order, so a driver-side walk over the tiny histogram suffices
+    need: dict[int, list[tuple[int, int]]] = {}
+    for j, r in enumerate(ranks):
+        for b in order:
+            if offsets[b] < r <= offsets[b] + counts[b]:
+                need.setdefault(b, []).append((r - offsets[b] - 1, j))
+                break
+
+    wanted = pa.array(sorted(need), pa.int32())
+
+    def _pick(group: pa.Table) -> pa.Table:
+        b = int(group.column("_rbucket")[0].as_py())
+        v = np.sort(group.column(value_col).to_numpy(zero_copy_only=False))
+        loc = need[b]
+        return pa.table(
+            {
+                "_j": pa.array([j for _, j in loc], pa.int64()),
+                "_v": pa.array([v[i] for i, _ in loc]),
+            }
+        )
+
+    picked = (
+        pruned.map_batches(_tag, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(
+            lambda t: t.filter(pc.is_in(t.column("_rbucket"), value_set=wanted)),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        .groupby("_rbucket")
+        .map_groups(_pick, batch_format="pyarrow")
+        .to_pandas()
+    )
+    by_j = dict(zip(picked["_j"].astype(int), picked["_v"]))
+    return [by_j[j] for j in range(len(ranks))], ranks, total
+
+
 def tree_fold(ds: ray.data.Dataset, combine, fan_in: int = 16) -> pa.Table:
     """Associative fold of a dataset's blocks through a fan-in tree of
     Ray tasks: ``combine(list[pa.Table]) -> pa.Table`` (single row) runs

@@ -490,3 +490,23 @@ def test_exchange_groupby_matches_bucketed(ray_session, keys, vals, nb, seed):
                                 num_buckets=nb, empty=empty).to_pandas()
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@given(vals=st.lists(st.integers(-50, 50), min_size=1, max_size=60),
+       seed=st.integers(0, 2**20),
+       nb=st.integers(1, 9))
+@settings(**_SETTINGS)
+def test_select_quantiles_matches_sorted_ranks(ray_session, vals, seed, nb):
+    """Exact rank selection == value at ceil(q*n) in the sorted array,
+    for any layout, bucket count, and duplicate-heavy multiset."""
+    tbl = pa.table({"v": pa.array(vals, pa.int64())})
+    rng = np.random.RandomState(seed)
+    fracs = [(1, 4), (1, 2), (3, 4), (1, 1)]
+    got, ranks, total = relops.select_quantiles(
+        _ds_from(tbl, rng), "v", fracs, num_buckets=nb, sample_size=16
+    )
+    assert total == len(vals)
+    s = np.sort(np.array(vals, dtype=np.int64))
+    for (num, den), r, g in zip(fracs, ranks, got):
+        assert r == (num * total + den - 1) // den
+        assert int(g) == int(s[r - 1])
