@@ -13098,6 +13098,72 @@ FROM k JOIN s ON s.rn = k.rank
 """
 
 
+def funnel_events(sf_dir: str):
+    """Ordered conversion funnel view → click → purchase per user: t1 =
+    first view, t2 = first click strictly after t1, t3 = first purchase
+    strictly after t2 — the product-analytics kernel (Amplitude/GA
+    shape). ONE user-bucketed exchange is the only shuffle: every user's
+    rows land in one bucket, where the chained firsts are three
+    vectorized groupby-min passes (no per-user dispatch); each bucket
+    emits a single 5-int partial row and the driver sums ~num_buckets
+    rows. Time-to-convert is the EXACT int64 µs sum over converting
+    users, so the twin's date_diff sum matches bit-for-bit."""
+    ds = scan(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+    steps = pa.array(["view", "click", "purchase"], pa.string())
+
+    pre = ds.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("event_type"), value_set=steps)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    cols = ["n_step1", "n_step2", "n_step3", "sum_us_12", "sum_us_13"]
+    empty = pa.table({c: pa.array([], pa.int64()) for c in cols})
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        t = df["ts"].to_numpy("datetime64[us]").view("int64")
+        df = pd.DataFrame({"u": df["user_id"], "e": df["event_type"], "t": t})
+        t1 = df[df["e"] == "view"].groupby("u")["t"].min()
+
+        def first_after(etype: str, prev: pd.Series) -> pd.Series:
+            s = df[df["e"] == etype]
+            p = prev.reindex(s["u"]).to_numpy()
+            s = s[(~np.isnan(p)) & (s["t"].to_numpy() > p)]
+            return s.groupby("u")["t"].min()
+
+        t2 = first_after("click", t1)
+        t3 = first_after("purchase", t2)
+        vals = [
+            len(t1), len(t2), len(t3),
+            int((t2 - t1.reindex(t2.index)).sum()),
+            int((t3 - t1.reindex(t3.index)).sum()),
+        ]
+        return pa.table({c: pa.array([v], pa.int64()) for c, v in zip(cols, vals)})
+
+    partials = relops.bucketed_groupby(pre, ["user_id"], per_bucket, empty=empty)
+    tot = partials.to_pandas().sum()  # ~num_buckets rows
+    return pa.table({c: pa.array([int(tot[c])], pa.int64()) for c in cols})
+
+
+FUNNEL_SQL = """
+WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+t2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN t1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY 1),
+t3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN t2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM t1) AS n_step1,
+       (SELECT CAST(count(*) AS BIGINT) FROM t2) AS n_step2,
+       (SELECT CAST(count(*) AS BIGINT) FROM t3) AS n_step3,
+       (SELECT COALESCE(CAST(sum(date_diff('microsecond', t1.t1, t2.t2))
+                             AS BIGINT), 0)
+        FROM t2 JOIN t1 USING (user_id)) AS sum_us_12,
+       (SELECT COALESCE(CAST(sum(date_diff('microsecond', t1.t1, t3.t3))
+                             AS BIGINT), 0)
+        FROM t3 JOIN t1 USING (user_id)) AS sum_us_13
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (callable, oracle_sql | None)
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
@@ -13316,6 +13382,7 @@ REGISTRY: dict[str, tuple] = {
     "cusum_changepoint_events": (cusum_changepoint_events, CUSUM_SQL),
     "bfs_hops_parts": (bfs_hops_parts, BFS_HOPS_SQL),
     "exact_quantiles_lineitem": (exact_quantiles_lineitem, EXACT_QUANTILES_SQL),
+    "funnel_events": (funnel_events, FUNNEL_SQL),
 }
 
 #: oracle SQL that must be built lazily (embeds a generated-on-demand

@@ -348,3 +348,36 @@ def test_bfs_hops_engineered(ray_session, tmp_path):
         for r in queries.bfs_hops_parts(str(tmp_path)).to_pylist()
     }
     assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+
+
+def test_funnel_engineered(ray_session, tmp_path):
+    # u1 completes view->click->purchase; u2 clicks BEFORE viewing (click
+    # must not count — strict ordering); u3 views only; u4 purchases
+    # before clicking (step3 requires t2 first).
+    H = np.timedelta64(1, "h").astype("timedelta64[us]")
+    rows = [
+        (1, "view", D0), (1, "click", D0 + H), (1, "purchase", D0 + 3 * H),
+        (2, "click", D0), (2, "view", D0 + H), (2, "purchase", D0 + 2 * H),
+        (3, "view", D0),
+        (4, "view", D0), (4, "purchase", D0 + H), (4, "click", D0 + 2 * H),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[1] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = queries.funnel_events(str(tmp_path)).to_pylist()[0]
+    us = 3_600_000_000
+    assert got == {
+        "n_step1": 4,          # u1..u4 all view
+        "n_step2": 2,          # u1 (click after view), u4 (click at +2h)
+        "n_step3": 1,          # only u1 purchases after a valid click
+        "sum_us_12": 1 * us + 2 * us,
+        "sum_us_13": 3 * us,
+    }
