@@ -13164,6 +13164,121 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM t1) AS n_step1,
 """
 
 
+def corpus_divergence_documents(sf_dir: str):
+    """Vocabulary-drift detector between two corpus slices (here: doc_id
+    parity — stand-in for crawl snapshots / domains / time windows):
+    add-one-smoothed unigram KL(A‖B) and KL(B‖A) over the union vocab.
+    Decomposition keeps distributed sums EXACT: KL(A‖B) =
+    (1/(Ta+V))·Σ_w (ca+1)·ln[((ca+1)(Tb+V))/((cb+1)(Ta+V))], so the
+    per-word term is quantized to an int64 1e-6 grid and summation order
+    cannot flip the hash; the final scale-out is ONE IEEE division.
+    Shape: per-batch (word, ca, cb) combiner partials → ONE word-bucketed
+    exchange → a vocabulary-scale table (materialized: keyset-sized, not
+    corpus-sized) reused for totals and terms. No broadcast, no second
+    corpus pass."""
+    ds = scan(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        parent, flat, _ = _exploded_words(batch)
+        half = (np.asarray(parent, dtype=np.int64) % 2)
+        t = pa.table(
+            {
+                "word": flat,
+                "a": pa.array(1 - half, type=pa.int64()),
+                "b": pa.array(half, type=pa.int64()),
+            }
+        )
+        g = t.group_by(["word"]).aggregate([("a", "sum"), ("b", "sum")])
+        return pa.table(
+            {
+                "word": g.column("word"),
+                "ca": pc.cast(g.column("a_sum"), pa.int64()),
+                "cb": pc.cast(g.column("b_sum"), pa.int64()),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "word": pa.array([], pa.string()),
+            "ca": pa.array([], pa.int64()),
+            "cb": pa.array([], pa.int64()),
+        }
+    )
+
+    def bucket(group: pa.Table) -> pa.Table:
+        g = group.group_by(["word"]).aggregate([("ca", "sum"), ("cb", "sum")])
+        return pa.table(
+            {
+                "word": g.column("word"),
+                "ca": pc.cast(g.column("ca_sum"), pa.int64()),
+                "cb": pc.cast(g.column("cb_sum"), pa.int64()),
+            }
+        )
+
+    wc = relops.bucketed_groupby(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["word"], bucket, empty=empty,
+    ).materialize()  # vocabulary-scale
+
+    tot = wc.aggregate(Sum("ca", alias_name="ta"), Sum("cb", alias_name="tb"))
+    ta, tb = int(tot["ta"]), int(tot["tb"])
+    v = wc.count()
+
+    def terms(batch: pa.Table) -> pa.Table:
+        ca = batch.column("ca").to_numpy(zero_copy_only=False)
+        cb = batch.column("cb").to_numpy(zero_copy_only=False)
+        num_ab = ((ca + 1) * (tb + v)).astype(np.float64)
+        den_ab = ((cb + 1) * (ta + v)).astype(np.float64)
+        qab = np.round(
+            (ca + 1).astype(np.float64) * np.log(num_ab / den_ab) * 1e6
+        ).astype(np.int64)
+        qba = np.round(
+            (cb + 1).astype(np.float64) * np.log(den_ab / num_ab) * 1e6
+        ).astype(np.int64)
+        return pa.table({"qab": pa.array(qab), "qba": pa.array(qba)})
+
+    s = wc.map_batches(terms, batch_format="pyarrow", zero_copy_batch=True).aggregate(
+        Sum("qab", alias_name="sab"), Sum("qba", alias_name="sba")
+    )
+    sab, sba = int(s["sab"]), int(s["sba"])
+    return pa.table(
+        {
+            "vocab": pa.array([v], pa.int64()),
+            "total_a": pa.array([ta], pa.int64()),
+            "total_b": pa.array([tb], pa.int64()),
+            "sum_q_ab": pa.array([sab], pa.int64()),
+            "sum_q_ba": pa.array([sba], pa.int64()),
+            "kl_ab": pa.array([(float(sab) / 1e6) / float(ta + v)], pa.float64()),
+            "kl_ba": pa.array([(float(sba) / 1e6) / float(tb + v)], pa.float64()),
+        }
+    )
+
+
+CORPUS_DIVERGENCE_SQL = """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+c AS (SELECT word,
+        CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM w GROUP BY word),
+t AS (SELECT CAST(sum(ca) AS BIGINT) AS ta, CAST(sum(cb) AS BIGINT) AS tb,
+             CAST(count(*) AS BIGINT) AS v FROM c),
+q AS (SELECT
+        CAST(round((c.ca + 1) * ln(CAST((c.ca + 1) * (t.tb + t.v) AS DOUBLE)
+                                   / CAST((c.cb + 1) * (t.ta + t.v) AS DOUBLE))
+                   * 1000000) AS BIGINT) AS qab,
+        CAST(round((c.cb + 1) * ln(CAST((c.cb + 1) * (t.ta + t.v) AS DOUBLE)
+                                   / CAST((c.ca + 1) * (t.tb + t.v) AS DOUBLE))
+                   * 1000000) AS BIGINT) AS qba
+      FROM c, t)
+SELECT t.v AS vocab, t.ta AS total_a, t.tb AS total_b,
+       CAST(sum(q.qab) AS BIGINT) AS sum_q_ab,
+       CAST(sum(q.qba) AS BIGINT) AS sum_q_ba,
+       (CAST(sum(q.qab) AS DOUBLE) / 1000000.0) / (t.ta + t.v) AS kl_ab,
+       (CAST(sum(q.qba) AS DOUBLE) / 1000000.0) / (t.tb + t.v) AS kl_ba
+FROM q, t GROUP BY t.v, t.ta, t.tb
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (callable, oracle_sql | None)
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
@@ -13383,6 +13498,8 @@ REGISTRY: dict[str, tuple] = {
     "bfs_hops_parts": (bfs_hops_parts, BFS_HOPS_SQL),
     "exact_quantiles_lineitem": (exact_quantiles_lineitem, EXACT_QUANTILES_SQL),
     "funnel_events": (funnel_events, FUNNEL_SQL),
+    "corpus_divergence_documents": (corpus_divergence_documents,
+                                    CORPUS_DIVERGENCE_SQL),
 }
 
 #: oracle SQL that must be built lazily (embeds a generated-on-demand

@@ -381,3 +381,46 @@ def test_funnel_engineered(ray_session, tmp_path):
         "sum_us_12": 1 * us + 2 * us,
         "sum_us_13": 3 * us,
     }
+
+
+def test_corpus_divergence_engineered(ray_session, tmp_path):
+    # A (even ids) favors "alpha", B (odd ids) favors "beta"; "gamma" is
+    # B-only so add-one smoothing must cover the union vocab on both sides.
+    docs = [
+        (0, "alpha alpha beta"),
+        (2, "alpha alpha"),
+        (1, "beta beta alpha"),
+        (3, "beta gamma"),
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": pa.array([t for _, t in docs], pa.string()),
+            "lang": pa.array(["en"] * len(docs), pa.string()),
+            "source": pa.array(["x"] * len(docs), pa.string()),
+            "n_chars": pa.array([len(t) for _, t in docs], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    got = queries.corpus_divergence_documents(str(tmp_path)).to_pylist()[0]
+
+    import math
+    from collections import Counter
+
+    ca = Counter("alpha alpha beta alpha alpha".split())
+    cb = Counter("beta beta alpha beta gamma".split())
+    vocab = set(ca) | set(cb)
+    v, ta, tb = len(vocab), sum(ca.values()), sum(cb.values())
+    assert (got["vocab"], got["total_a"], got["total_b"]) == (v, ta, tb)
+
+    def kl(cx, tx, cy, ty):
+        return sum(
+            (cx[w] + 1) / (tx + v) * math.log(
+                ((cx[w] + 1) * (ty + v)) / ((cy[w] + 1) * (tx + v))
+            )
+            for w in vocab
+        )
+
+    assert abs(got["kl_ab"] - kl(ca, ta, cb, tb)) < 1e-5
+    assert abs(got["kl_ba"] - kl(cb, tb, ca, ta)) < 1e-5
+    assert got["kl_ab"] > 0 and got["kl_ba"] > 0
