@@ -13279,6 +13279,112 @@ FROM q, t GROUP BY t.v, t.ta, t.tb
 """
 
 
+def selfrep_adjacent_transcripts(sf_dir: str):
+    """Degenerate-loop detector for agent traces: word-3-gram-set Jaccard
+    between CONSECUTIVE assistant turns of a conversation (an agent
+    stuck in a retry loop emits near-identical successive responses —
+    the complement of ``context_repeat``'s quote-of-earlier-context
+    signal). Emits one row per adjacent assistant-turn pair with a
+    non-empty gram union: (conv_id, turn_a, turn_b, n_inter, n_union,
+    jac) where jac is ONE IEEE division of exact ints.
+
+    Shape: role filter + (conv, turn, text) distinct map-side, then ONE
+    conv-bucketed exchange; inside a bucket the adjacent-pair walk runs
+    over rows sorted by (conv, turn) with per-turn gram sets built once
+    and reused for both neighbors — no join, no gram shuffle (gram text
+    never leaves the bucket)."""
+    ds = relops.scan_path(
+        _transcripts_path(sf_dir), columns=["conv_id", "turn_idx", "role", "text"]
+    )
+
+    def pre(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch.column("role"), "assistant"))
+        return b.group_by(["conv_id", "turn_idx", "text"]).aggregate([])
+
+    rows = ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+
+    empty = pa.table(
+        {
+            "conv_id": pa.array([], pa.string()),
+            "turn_a": pa.array([], pa.int32()),
+            "turn_b": pa.array([], pa.int32()),
+            "n_inter": pa.array([], pa.int64()),
+            "n_union": pa.array([], pa.int64()),
+            "jac": pa.array([], pa.float64()),
+        }
+    )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        d = group.group_by(["conv_id", "turn_idx", "text"]).aggregate([])
+        df = d.to_pandas().sort_values(["conv_id", "turn_idx"])
+        out: list[tuple] = []
+        prev_conv, prev_turn, prev_set = None, None, set()
+        for c, t, x in zip(df["conv_id"], df["turn_idx"], df["text"]):
+            # single-space split (NOT .split()): transcript text carries
+            # \n/\t/double spaces and the twin's string_split(text, ' ')
+            # keeps them inside tokens — both sides must agree exactly
+            toks = (x or "").split(" ")
+            s = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+            if c == prev_conv:
+                inter = len(s & prev_set)
+                union = len(s) + len(prev_set) - inter
+                if union > 0:
+                    out.append((c, prev_turn, t, inter, union, inter / union))
+            prev_conv, prev_turn, prev_set = c, t, s
+        if not out:
+            return empty
+        return pa.table(
+            {
+                "conv_id": pa.array([r[0] for r in out], pa.string()),
+                "turn_a": pa.array([int(r[1]) for r in out], pa.int32()),
+                "turn_b": pa.array([int(r[2]) for r in out], pa.int32()),
+                "n_inter": pa.array([r[3] for r in out], pa.int64()),
+                "n_union": pa.array([r[4] for r in out], pa.int64()),
+                "jac": pa.array([r[5] for r in out], pa.float64()),
+            }
+        )
+
+    return relops.bucketed_groupby(rows, ["conv_id"], per_bucket, empty=empty)
+
+
+def selfrep_adjacent_transcripts_sql(sf_dir: str | None = None) -> str:
+    path = _transcripts_sql_source(sf_dir)
+    return f"""
+WITH d AS (SELECT DISTINCT conv_id, turn_idx, text
+           FROM read_parquet('{path}') WHERE role = 'assistant'),
+p AS (SELECT conv_id, turn_idx AS turn_a, text AS xa,
+             lead(turn_idx) OVER w AS turn_b, lead(text) OVER w AS xb
+      FROM d WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+pr AS MATERIALIZED (SELECT * FROM p WHERE turn_b IS NOT NULL),
+ga AS (SELECT DISTINCT conv_id, turn_a, turn_b,
+              w[CAST(i AS INTEGER)] || ' ' || w[CAST(i + 1 AS INTEGER)] || ' '
+                || w[CAST(i + 2 AS INTEGER)] AS gram
+       FROM (SELECT conv_id, turn_a, turn_b, string_split(xa, ' ') AS w FROM pr),
+            unnest(range(1, len(w) - 1)) t(i)),
+gb AS (SELECT DISTINCT conv_id, turn_a, turn_b,
+              w[CAST(i AS INTEGER)] || ' ' || w[CAST(i + 1 AS INTEGER)] || ' '
+                || w[CAST(i + 2 AS INTEGER)] AS gram
+       FROM (SELECT conv_id, turn_a, turn_b, string_split(xb, ' ') AS w FROM pr),
+            unnest(range(1, len(w) - 1)) t(i)),
+na AS (SELECT conv_id, turn_a, turn_b, CAST(count(*) AS BIGINT) AS na
+       FROM ga GROUP BY 1, 2, 3),
+nb AS (SELECT conv_id, turn_a, turn_b, CAST(count(*) AS BIGINT) AS nb
+       FROM gb GROUP BY 1, 2, 3),
+ii AS (SELECT ga.conv_id, ga.turn_a, ga.turn_b, CAST(count(*) AS BIGINT) AS ni
+       FROM ga JOIN gb USING (conv_id, turn_a, turn_b, gram) GROUP BY 1, 2, 3),
+j AS (SELECT pr.conv_id, pr.turn_a, pr.turn_b,
+             COALESCE(ii.ni, 0) AS n_inter,
+             COALESCE(na.na, 0) + COALESCE(nb.nb, 0) - COALESCE(ii.ni, 0)
+               AS n_union
+      FROM pr LEFT JOIN na USING (conv_id, turn_a, turn_b)
+              LEFT JOIN nb USING (conv_id, turn_a, turn_b)
+              LEFT JOIN ii USING (conv_id, turn_a, turn_b))
+SELECT conv_id, turn_a, turn_b, n_inter, n_union,
+       CAST(n_inter AS DOUBLE) / n_union AS jac
+FROM j WHERE n_union > 0
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (callable, oracle_sql | None)
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
@@ -13500,6 +13606,7 @@ REGISTRY: dict[str, tuple] = {
     "funnel_events": (funnel_events, FUNNEL_SQL),
     "corpus_divergence_documents": (corpus_divergence_documents,
                                     CORPUS_DIVERGENCE_SQL),
+    "selfrep_adjacent_transcripts": (selfrep_adjacent_transcripts, None),
 }
 
 #: oracle SQL that must be built lazily (embeds a generated-on-demand
@@ -13533,6 +13640,7 @@ LAZY_SQL: dict[str, Any] = {
     "code_blocks_transcripts": code_blocks_transcripts_sql,
     "url_domains_transcripts": url_domains_transcripts_sql,
     "tool_assoc_rules_transcripts": tool_assoc_rules_transcripts_sql,
+    "selfrep_adjacent_transcripts": selfrep_adjacent_transcripts_sql,
 }
 
 

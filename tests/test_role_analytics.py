@@ -98,3 +98,36 @@ def test_role_vocab_divergence_engineered(ray_session, tmp_path, monkeypatch):
         assert rows[w].llr == expect
     # direction: user-heavy word positive, assistant-only word negative
     assert rows["hello"].llr > 0 > rows["hi"].llr
+
+
+def test_selfrep_adjacent_engineered(ray_session, tmp_path, monkeypatch):
+    rows = [
+        # c1: assistant turns 1 and 3 are identical 5-token texts (3
+        # grams, all shared -> jac 1.0); turn 5 is disjoint (jac 0).
+        ("c1", 0, "user", "q"),
+        ("c1", 1, "assistant", "a b c d e"),
+        ("c1", 2, "user", "q2"),
+        ("c1", 3, "assistant", "a b c d e"),
+        ("c1", 4, "user", "q3"),
+        ("c1", 5, "assistant", "x y z w v"),
+        # re-logged duplicate of an assistant turn: must not add a pair
+        ("c1", 3, "assistant", "a b c d e"),
+        # c2: single assistant turn -> no adjacent pair; short texts (<3
+        # tokens) on both sides -> union 0 row suppressed
+        ("c2", 0, "assistant", "only one"),
+        # c3: one side has grams, other too short -> union>0, inter 0
+        ("c3", 0, "assistant", "p q r s"),
+        ("c3", 1, "assistant", "hm"),
+    ]
+    _pin(monkeypatch, tmp_path, _table(rows))
+    got = {
+        (r["conv_id"], r["turn_a"], r["turn_b"]):
+            (r["n_inter"], r["n_union"], r["jac"])
+        for r in queries.selfrep_adjacent_transcripts("ignored")
+        .to_pandas().to_dict("records")
+    }
+    assert got == {
+        ("c1", 1, 3): (3, 3, 1.0),
+        ("c1", 3, 5): (0, 6, 0.0),
+        ("c3", 0, 1): (0, 2, 0.0),
+    }
