@@ -13385,6 +13385,67 @@ FROM j WHERE n_union > 0
 """
 
 
+def running_balance_events(sf_dir: str):
+    """Per-user running balance: cumulative value over each user's event
+    stream in (ts, event_id) order — the ROWS UNBOUNDED PRECEDING window
+    every ledger/metering pipeline needs, output at ROW scale (one row
+    per event). Shape: ONE user-bucketed exchange; inside a bucket the
+    cumsum is a single vectorized pass over rows sorted by (user, ts,
+    event_id) — a global np.cumsum with per-user segment offsets
+    subtracted (np.repeat of the boundary prefix), NO per-user dispatch.
+    Values ride the exact 1e-2 cents grid (int64), so distributed order
+    cannot flip the hash; the double `running` is one int→double
+    division mirrored by the twin."""
+    ds = scan(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    empty = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "user_id": pa.array([], pa.int64()),
+            "running_cents": pa.array([], pa.int64()),
+            "running": pa.array([], pa.float64()),
+        }
+    )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[("user_id", "ascending"), ("ts", "ascending"),
+                          ("event_id", "ascending")]
+        )
+        g = g.take(idx)
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        c = _cents(g.column("value"), 100).to_numpy(zero_copy_only=False)
+        cs = np.cumsum(c)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        offsets = np.empty(len(starts), dtype=np.int64)
+        offsets[0] = 0
+        offsets[1:] = cs[starts[1:] - 1]
+        reps = np.diff(np.r_[starts, len(u)])
+        run = cs - np.repeat(offsets, reps)
+        return pa.table(
+            {
+                "event_id": g.column("event_id"),
+                "user_id": g.column("user_id"),
+                "running_cents": pa.array(run, pa.int64()),
+                "running": pa.array(run.astype(np.float64) / 100.0, pa.float64()),
+            }
+        )
+
+    return relops.bucketed_groupby(ds, ["user_id"], per_bucket, empty=empty)
+
+
+RUNNING_BALANCE_SQL = """
+WITH r AS (SELECT event_id, user_id,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+           FROM events)
+SELECT event_id, user_id, running_cents,
+       CAST(running_cents AS DOUBLE) / 100.0 AS running
+FROM r
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (callable, oracle_sql | None)
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
@@ -13607,6 +13668,7 @@ REGISTRY: dict[str, tuple] = {
     "corpus_divergence_documents": (corpus_divergence_documents,
                                     CORPUS_DIVERGENCE_SQL),
     "selfrep_adjacent_transcripts": (selfrep_adjacent_transcripts, None),
+    "running_balance_events": (running_balance_events, RUNNING_BALANCE_SQL),
 }
 
 #: oracle SQL that must be built lazily (embeds a generated-on-demand

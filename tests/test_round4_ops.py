@@ -424,3 +424,37 @@ def test_corpus_divergence_engineered(ray_session, tmp_path):
     assert abs(got["kl_ab"] - kl(ca, ta, cb, tb)) < 1e-5
     assert abs(got["kl_ba"] - kl(cb, tb, ca, ta)) < 1e-5
     assert got["kl_ab"] > 0 and got["kl_ba"] > 0
+
+
+def test_running_balance_engineered(ray_session, tmp_path):
+    # u1: three events with a ts TIE broken by event_id; u2: single
+    # event; negative values exercise signed cents.
+    H = np.timedelta64(1, "h").astype("timedelta64[us]")
+    rows = [  # (event_id, user_id, ts, value)
+        (10, 1, D0, 1.25),
+        (11, 1, D0 + H, -0.75),
+        (12, 1, D0 + H, 2.00),   # same ts as 11 -> ordered after by id
+        (20, 2, D0, 0.10),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array(["click"] * len(rows), pa.string()),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = {
+        r["event_id"]: (r["running_cents"], r["running"])
+        for r in queries.running_balance_events(str(tmp_path))
+        .to_pandas().to_dict("records")
+    }
+    assert got == {
+        10: (125, 1.25),
+        11: (50, 0.50),
+        12: (250, 2.50),
+        20: (10, 0.10),
+    }
