@@ -13446,6 +13446,102 @@ FROM r
 """
 
 
+def incremental_mv_orders(sf_dir: str):
+    """Incremental materialized-view maintenance: a daily
+    (n_orders, sum_cents) revenue MV is REFRESHED from a CDC change
+    stream by delta algebra instead of recomputation — updates
+    (every 7th key: price replaced by the absolute 100000 + k % 9973)
+    contribute (day, 0, new−old), inserts (every 13th key, keyed −k−1)
+    contribute (day, +1, +price); the refreshed MV must equal the full
+    recompute over the upserted table, which is exactly what the twin
+    does. Shape: the base MV is one combiner pass (the artifact a real
+    deployment already has on disk); the refresh itself touches ONLY the
+    affected base rows (here a predicate-pushdown filtered pass; a
+    keyed CDC feed would fetch them with the keyset-scale
+    ``size_gated_join``) and ships day-keyed int partials — never the
+    table. Money stays in exact int cents; the one double division is
+    mirrored by the twin."""
+    ds = scan(sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def base_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "d": pc.floor_temporal(batch.column("o_orderdate"), unit="day"),
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "s": _cents(batch.column("o_totalprice"), 100),
+            }
+        )
+        g = t.group_by(["d"]).aggregate([("n", "sum"), ("s", "sum")])
+        return g.rename_columns(["d", "n", "s"])
+
+    base_mv = (
+        ds.map_batches(base_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("d")
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"))
+        .to_pandas()  # days-scale
+    )
+
+    def delta_partial(batch: pa.Table) -> pa.Table:
+        k = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        d = pc.floor_temporal(batch.column("o_orderdate"), unit="day")
+        p = _cents(batch.column("o_totalprice"), 100).to_numpy(zero_copy_only=False)
+        upd = np.flatnonzero(k % 7 == 0)
+        ins = np.flatnonzero(k % 13 == 0)
+        new_p = 100000 + (k[upd] % 9973)
+        t = pa.table(
+            {
+                "d": pa.concat_arrays([d.take(pa.array(upd)).combine_chunks(),
+                                       d.take(pa.array(ins)).combine_chunks()]),
+                "dn": pa.array(
+                    np.r_[np.zeros(len(upd), dtype=np.int64),
+                          np.ones(len(ins), dtype=np.int64)]
+                ),
+                "dsum": pa.array(np.r_[new_p - p[upd], p[ins]], type=pa.int64()),
+            }
+        )
+        g = t.group_by(["d"]).aggregate([("dn", "sum"), ("dsum", "sum")])
+        return g.rename_columns(["d", "dn", "dsum"])
+
+    delta = (
+        ds.map_batches(delta_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("d")
+        .aggregate(Sum("dn", alias_name="dn"), Sum("dsum", alias_name="dsum"))
+        .to_pandas()
+    )
+
+    mv = base_mv.merge(delta, on="d", how="outer").fillna(0)
+    n = (mv["n"].to_numpy(np.int64) + mv["dn"].to_numpy(np.int64))
+    s = (mv["s"].to_numpy(np.int64) + mv["dsum"].to_numpy(np.int64))
+    order = np.argsort(mv["d"].to_numpy("datetime64[us]"))
+    return pa.table(
+        {
+            "order_day": pa.array(mv["d"].to_numpy("datetime64[us]")[order],
+                                  pa.timestamp("us")),
+            "n_orders": pa.array(n[order], pa.int64()),
+            "sum_cents": pa.array(s[order], pa.int64()),
+            "revenue": pa.array(s[order].astype(np.float64) / 100.0, pa.float64()),
+        }
+    )
+
+
+INCREMENTAL_MV_SQL = """
+WITH base AS (SELECT o_orderkey AS k, date_trunc('day', o_orderdate) AS d,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS p, 0 AS ver
+              FROM orders),
+chg AS (SELECT k, d, CAST(100000 + (k % 9973) AS BIGINT) AS p, 1 AS ver
+        FROM base WHERE k % 7 = 0
+        UNION ALL
+        SELECT -k - 1, d, p, 1 FROM base WHERE k % 13 = 0),
+all_rows AS (SELECT * FROM base UNION ALL SELECT * FROM chg),
+m AS (SELECT *, row_number() OVER (PARTITION BY k ORDER BY ver DESC) AS rn
+      FROM all_rows)
+SELECT d AS order_day, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(p) AS BIGINT) AS sum_cents,
+       CAST(sum(p) AS DOUBLE) / 100.0 AS revenue
+FROM m WHERE rn = 1 GROUP BY d
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (callable, oracle_sql | None)
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
@@ -13669,6 +13765,7 @@ REGISTRY: dict[str, tuple] = {
                                     CORPUS_DIVERGENCE_SQL),
     "selfrep_adjacent_transcripts": (selfrep_adjacent_transcripts, None),
     "running_balance_events": (running_balance_events, RUNNING_BALANCE_SQL),
+    "incremental_mv_orders": (incremental_mv_orders, INCREMENTAL_MV_SQL),
 }
 
 #: oracle SQL that must be built lazily (embeds a generated-on-demand

@@ -458,3 +458,40 @@ def test_running_balance_engineered(ray_session, tmp_path):
         12: (250, 2.50),
         20: (10, 0.10),
     }
+
+
+def test_incremental_mv_engineered(ray_session, tmp_path):
+    # k=0 is both updated (0%7==0) and spawns insert -1 (0%13==0);
+    # k=7 updated only; k=13 insert only; k=5 untouched. Two days.
+    rows = [  # (o_orderkey, day_offset, totalprice)
+        (0, 0, 10.00),
+        (7, 0, 20.00),
+        (13, 1, 30.00),
+        (5, 1, 40.00),
+    ]
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "o_custkey": pa.array([1] * len(rows), pa.int64()),
+            "o_orderstatus": pa.array(["O"] * len(rows), pa.string()),
+            "o_totalprice": pa.array([r[2] for r in rows], pa.float64()),
+            "o_orderdate": pa.array(
+                [D0 + r[1] * DAY for r in rows], pa.timestamp("us")
+            ),
+            "o_orderpriority": pa.array(["1"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "orders.parquet")
+    got = {
+        str(np.datetime64(r["order_day"], "D")): (r["n_orders"], r["sum_cents"])
+        for r in queries.incremental_mv_orders(str(tmp_path))
+        .to_pandas().to_dict("records")
+    }
+    # day0: k=0 (updated -> 100000+0=100000c), k=7 (updated -> 100007c),
+    #       insert -1 from k=0 (+1000c)  => n=3, sum=201007
+    # day1: k=13 (30.00), k=5 (40.00), insert -14 from k=13 (+3000c)
+    #       => n=3, sum=10000
+    assert got == {
+        "2026-03-01": (3, 100000 + 100007 + 1000),
+        "2026-03-02": (3, 3000 + 4000 + 3000),
+    }
