@@ -61,6 +61,11 @@ BENCH_QUERIES = [
     "curate_conversations_transcripts",
     "merge_upsert_orders",
     "cohort_retention_events",
+    "selfrep_adjacent_transcripts",
+    "running_balance_events",
+    "corpus_divergence_documents",
+    "incremental_mv_orders",
+    "exact_quantiles_lineitem",
 ]
 
 

@@ -13542,6 +13542,190 @@ FROM m WHERE rn = 1 GROUP BY d
 """
 
 
+#: fixed event-type vocabulary for the pivot (a pivot's output schema
+#: must be known up front — the SQL PIVOT restriction, kept deliberately)
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def pivot_users_events(sf_dir: str):
+    """PIVOT / crosstab: one row per user with per-event-type counts as
+    COLUMNS (long→wide, the warehouse `PIVOT ... FOR type IN (...)`).
+    Shape: (user, type) count partials collapse map-side, ONE
+    user-bucketed exchange, and the widening is a vectorized pandas
+    unstack per bucket — output rows scale with users, never events.
+    Unknown event types are ignored (the fixed IN-list, as in SQL);
+    absent combinations fill 0."""
+    ds = scan(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["user_id", "event_type"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "user_id": g.column("user_id"),
+                "event_type": g.column("event_type"),
+                "n": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    cols = [f"n_{t}" for t in _EVENT_TYPES]
+    empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            **{c: pa.array([], pa.int64()) for c in cols},
+            "n_total": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        df = df[df["event_type"].isin(_EVENT_TYPES)]
+        if df.empty:
+            return empty
+        wide = (
+            df.groupby(["user_id", "event_type"])["n"].sum().unstack(fill_value=0)
+            .reindex(columns=_EVENT_TYPES, fill_value=0)
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(wide.index.to_numpy(np.int64), pa.int64()),
+                **{
+                    f"n_{t}": pa.array(wide[t].to_numpy(np.int64), pa.int64())
+                    for t in _EVENT_TYPES
+                },
+                "n_total": pa.array(
+                    wide.to_numpy().sum(axis=1).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return relops.bucketed_groupby(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"], per_bucket, empty=empty,
+    )
+
+
+PIVOT_USERS_SQL = """
+SELECT user_id,
+  CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_click,
+  CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS n_error,
+  CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchase,
+  CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS n_signup,
+  CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS n_view,
+  CAST(count(CASE WHEN event_type IN ('click','error','purchase','signup','view')
+             THEN 1 END) AS BIGINT) AS n_total
+FROM events GROUP BY user_id
+"""
+
+
+def grouped_median_lineitem(sf_dir: str):
+    """Exact GROUPED quantiles (median + p90 of l_quantity per
+    returnflag) through the low-cardinality-domain path: the global
+    ``select_quantiles`` range-partitions a continuous domain, but an
+    integer-like domain (quantities 1..50) collapses to a (group, value)
+    COUNTING HISTOGRAM — one combiner pass, a groups×values-sized
+    groupby, and the rank walk ``k = ceil(q·n)`` happens driver-side on
+    the tiny histogram. No row ever shuffles. Rank math is the same
+    pure-integer ``(qn·n + qd − 1) // qd`` the twin uses."""
+    ds = scan(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["l_returnflag", "l_quantity"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {
+                "flag": g.column("l_returnflag"),
+                "v": g.column("l_quantity"),
+                "n": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["flag", "v"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # groups × distinct values
+        .sort_values(["flag", "v"])
+    )
+    out = []
+    for flag, g in hist.groupby("flag", sort=True):
+        v = g["v"].to_numpy(np.float64)
+        c = g["n"].to_numpy(np.int64)
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        med = v[np.searchsorted(cum, (n + 1) // 2)]
+        p90 = v[np.searchsorted(cum, (9 * n + 9) // 10)]
+        out.append((flag, n, float(med), float(p90)))
+    return pa.table(
+        {
+            "l_returnflag": pa.array([r[0] for r in out], pa.string()),
+            "n": pa.array([r[1] for r in out], pa.int64()),
+            "median_qty": pa.array([r[2] for r in out], pa.float64()),
+            "p90_qty": pa.array([r[3] for r in out], pa.float64()),
+        }
+    )
+
+
+GROUPED_MEDIAN_SQL = """
+WITH s AS (SELECT l_returnflag, l_quantity AS v,
+                  row_number() OVER (PARTITION BY l_returnflag
+                                     ORDER BY l_quantity) AS rn,
+                  count(*) OVER (PARTITION BY l_returnflag) AS n
+           FROM lineitem)
+SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n,
+       max(CASE WHEN rn = (n + 1) // 2 THEN v END) AS median_qty,
+       max(CASE WHEN rn = (9 * n + 9) // 10 THEN v END) AS p90_qty
+FROM s GROUP BY l_returnflag
+"""
+
+
+def concat_orders_customer(sf_dir: str):
+    """Ordered list aggregation (collect_list / string_agg): per
+    customer, the comma-joined ascending o_orderkey list — the
+    feature-store "events as one string per entity" shape. ONE
+    cust-bucketed exchange; inside a bucket rows sort once by
+    (cust, key) and the join is a per-group reduction over the
+    already-sorted run. Output rows scale with customers, never
+    orders; ORDER BY inside the aggregate makes the result
+    deterministic, matching the twin's ``string_agg(... ORDER BY)``."""
+    ds = scan(sf_dir, "orders", columns=["o_custkey", "o_orderkey"])
+
+    empty = pa.table(
+        {
+            "o_custkey": pa.array([], pa.int64()),
+            "n_orders": pa.array([], pa.int64()),
+            "order_keys": pa.array([], pa.string()),
+        }
+    )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values(["o_custkey", "o_orderkey"])
+        keys = df["o_orderkey"].astype(str)
+        agg = (
+            pd.DataFrame({"c": df["o_custkey"], "k": keys})
+            .groupby("c")["k"]
+            .agg(n_orders="size", order_keys=",".join)
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "o_custkey": pa.array(agg["c"].to_numpy(np.int64), pa.int64()),
+                "n_orders": pa.array(agg["n_orders"].to_numpy(np.int64), pa.int64()),
+                "order_keys": pa.array(agg["order_keys"], pa.string()),
+            }
+        )
+
+    return relops.bucketed_groupby(ds, ["o_custkey"], per_bucket, empty=empty)
+
+
+CONCAT_ORDERS_SQL = """
+SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+       string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey)
+         AS order_keys
+FROM orders GROUP BY o_custkey
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (callable, oracle_sql | None)
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
@@ -13766,6 +13950,9 @@ REGISTRY: dict[str, tuple] = {
     "selfrep_adjacent_transcripts": (selfrep_adjacent_transcripts, None),
     "running_balance_events": (running_balance_events, RUNNING_BALANCE_SQL),
     "incremental_mv_orders": (incremental_mv_orders, INCREMENTAL_MV_SQL),
+    "pivot_users_events": (pivot_users_events, PIVOT_USERS_SQL),
+    "grouped_median_lineitem": (grouped_median_lineitem, GROUPED_MEDIAN_SQL),
+    "concat_orders_customer": (concat_orders_customer, CONCAT_ORDERS_SQL),
 }
 
 #: oracle SQL that must be built lazily (embeds a generated-on-demand

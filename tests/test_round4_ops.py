@@ -495,3 +495,78 @@ def test_incremental_mv_engineered(ray_session, tmp_path):
         "2026-03-01": (3, 100000 + 100007 + 1000),
         "2026-03-02": (3, 3000 + 4000 + 3000),
     }
+
+
+def test_pivot_users_engineered(ray_session, tmp_path):
+    rows = [  # (user, type) — includes an unknown type to be ignored
+        (1, "click"), (1, "click"), (1, "view"), (1, "mystery"),
+        (2, "error"),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([D0] * len(rows), pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[1] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = {
+        r["user_id"]: (r["n_click"], r["n_error"], r["n_view"], r["n_total"])
+        for r in queries.pivot_users_events(str(tmp_path))
+        .to_pandas().to_dict("records")
+    }
+    assert got == {1: (2, 0, 1, 3), 2: (0, 1, 0, 1)}
+
+
+def test_grouped_median_engineered(ray_session, tmp_path):
+    # flag A: qties [1,2,3,4] -> n=4, median rank ceil(4/2)=2 -> 2,
+    # p90 rank ceil(3.6)=4 -> 4; flag B: [5,5,7] -> median rank 2 -> 5,
+    # p90 rank ceil(2.7)=3 -> 7
+    q = [("A", 1.0), ("A", 2.0), ("A", 3.0), ("A", 4.0),
+         ("B", 5.0), ("B", 5.0), ("B", 7.0)]
+    tbl = pa.table(
+        {
+            "l_orderkey": pa.array(range(len(q)), pa.int64()),
+            "l_partkey": pa.array([1] * len(q), pa.int64()),
+            "l_suppkey": pa.array([1] * len(q), pa.int64()),
+            "l_linenumber": pa.array([1] * len(q), pa.int32()),
+            "l_quantity": pa.array([x[1] for x in q], pa.float64()),
+            "l_extendedprice": pa.array([1.0] * len(q), pa.float64()),
+            "l_discount": pa.array([0.0] * len(q), pa.float64()),
+            "l_tax": pa.array([0.0] * len(q), pa.float64()),
+            "l_returnflag": pa.array([x[0] for x in q], pa.string()),
+            "l_linestatus": pa.array(["O"] * len(q), pa.string()),
+            "l_shipdate": pa.array([D0] * len(q), pa.timestamp("us")),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "lineitem.parquet")
+    got = {
+        r["l_returnflag"]: (r["n"], r["median_qty"], r["p90_qty"])
+        for r in queries.grouped_median_lineitem(str(tmp_path))
+        .to_pylist()
+    }
+    assert got == {"A": (4, 2.0, 4.0), "B": (3, 5.0, 7.0)}
+
+
+def test_concat_orders_engineered(ray_session, tmp_path):
+    rows = [(1, 30), (1, 10), (1, 20), (2, 5)]  # (cust, orderkey) unsorted
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array([r[1] for r in rows], pa.int64()),
+            "o_custkey": pa.array([r[0] for r in rows], pa.int64()),
+            "o_orderstatus": pa.array(["O"] * len(rows), pa.string()),
+            "o_totalprice": pa.array([1.0] * len(rows), pa.float64()),
+            "o_orderdate": pa.array([D0] * len(rows), pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "orders.parquet")
+    got = {
+        r["o_custkey"]: (r["n_orders"], r["order_keys"])
+        for r in queries.concat_orders_customer(str(tmp_path))
+        .to_pandas().to_dict("records")
+    }
+    assert got == {1: (3, "10,20,30"), 2: (1, "5")}
