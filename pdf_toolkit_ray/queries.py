@@ -13726,6 +13726,149 @@ FROM orders GROUP BY o_custkey
 """
 
 
+def tool_retry_loops_transcripts(sf_dir: str):
+    """Structural retry-loop detector for agent traces: maximal runs of
+    ≥2 CONSECUTIVE identical tool calls within a conversation (the agent
+    hammering the same tool — the companion to ``selfrep_adjacent``'s
+    text-level signal). "Consecutive" is defined on the subsequence of
+    tool turns ordered by turn_idx, so interleaved user/assistant turns
+    don't break a run. Emits (conv_id, tool, run_len, start_turn,
+    end_turn) per island. Shape: role filter + (conv, turn, tool)
+    distinct map-side (re-logged feed rows collapse), ONE conv-bucketed
+    exchange, vectorized run-length over the bucket-sorted rows — the
+    gaps-and-islands kernel with no window shuffle."""
+    ds = relops.scan_path(
+        _transcripts_path(sf_dir), columns=["conv_id", "turn_idx", "role", "tool"]
+    )
+
+    def pre(batch: pa.Table) -> pa.Table:
+        b = batch.filter(
+            pc.and_(
+                pc.equal(batch.column("role"), "tool"),
+                pc.not_equal(batch.column("tool"), ""),
+            )
+        )
+        return b.group_by(["conv_id", "turn_idx", "tool"]).aggregate([])
+
+    rows = ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+
+    empty = pa.table(
+        {
+            "conv_id": pa.array([], pa.string()),
+            "tool": pa.array([], pa.string()),
+            "run_len": pa.array([], pa.int64()),
+            "start_turn": pa.array([], pa.int32()),
+            "end_turn": pa.array([], pa.int32()),
+        }
+    )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        d = group.group_by(["conv_id", "turn_idx", "tool"]).aggregate([])
+        d = d.take(pc.sort_indices(
+            d, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
+        ))
+        conv = d.column("conv_id").to_numpy(zero_copy_only=False)
+        tool = d.column("tool").to_numpy(zero_copy_only=False)
+        turn = d.column("turn_idx").to_numpy(zero_copy_only=False)
+        n = len(conv)
+        if n == 0:
+            return empty
+        brk = np.r_[True, (conv[1:] != conv[:-1]) | (tool[1:] != tool[:-1])]
+        starts = np.flatnonzero(brk)
+        lens = np.diff(np.r_[starts, n])
+        keep = lens >= 2
+        s, ln = starts[keep], lens[keep]
+        return pa.table(
+            {
+                "conv_id": pa.array(conv[s], pa.string()),
+                "tool": pa.array(tool[s], pa.string()),
+                "run_len": pa.array(ln.astype(np.int64), pa.int64()),
+                "start_turn": pa.array(turn[s].astype(np.int32), pa.int32()),
+                "end_turn": pa.array(turn[s + ln - 1].astype(np.int32), pa.int32()),
+            }
+        )
+
+    return relops.bucketed_groupby(rows, ["conv_id"], per_bucket, empty=empty)
+
+
+def tool_retry_loops_transcripts_sql(sf_dir: str | None = None) -> str:
+    path = _transcripts_sql_source(sf_dir)
+    return f"""
+WITH d AS (SELECT DISTINCT conv_id, turn_idx, tool
+           FROM read_parquet('{path}')
+           WHERE role = 'tool' AND tool <> ''),
+s AS (SELECT conv_id, turn_idx, tool,
+             row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+             - row_number() OVER (PARTITION BY conv_id, tool ORDER BY turn_idx)
+               AS grp
+      FROM d)
+SELECT conv_id, tool, CAST(count(*) AS BIGINT) AS run_len,
+       min(turn_idx) AS start_turn, max(turn_idx) AS end_turn
+FROM s GROUP BY conv_id, tool, grp HAVING count(*) >= 2
+"""
+
+
+def histogram_value_events(sf_dir: str):
+    """Equi-width numeric histogram of the event value (16 bins between
+    the exact min and max) — the column-profiling pass behind every
+    planner/quality dashboard. All boundary math is PURE INTEGER on the
+    1e-2 cents grid: bin = (v−min)·16 // (max−min+1), bounds via the
+    matching ceil-division identities, so the twin's ``//`` agrees
+    bit-for-bit with no float anywhere. Two streaming passes: an exact
+    min/max aggregate, then per-batch bincount partials; only 16-row
+    partials shuffle. Empty bins are omitted (GROUP BY semantics)."""
+    NB = 16
+    ds = scan(sf_dir, "events", columns=["value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table({"vc": _cents(batch.column("value"), 100)})
+
+    cds = ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    mm = cds.aggregate(Min("vc", alias_name="mn"), Max("vc", alias_name="mx"))
+    mn, mx = int(mm["mn"]), int(mm["mx"])
+    r = mx - mn + 1
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = batch.column("vc").to_numpy(zero_copy_only=False)
+        b = (vc - mn) * NB // r
+        cnt = np.bincount(b, minlength=NB)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "bin": pa.array(nz.astype(np.int64), pa.int64()),
+                "n": pa.array(cnt[nz].astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        cds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("bin")
+    )
+    b = agg["bin"].to_numpy(np.int64)
+    return pa.table(
+        {
+            "bin": pa.array(b, pa.int64()),
+            "n_events": pa.array(agg["n"].to_numpy(np.int64), pa.int64()),
+            "lo_cents": pa.array(mn + (b * r + NB - 1) // NB, pa.int64()),
+            "hi_cents": pa.array(mn + ((b + 1) * r + NB - 1) // NB - 1, pa.int64()),
+        }
+    )
+
+
+HISTOGRAM_VALUE_SQL = """
+WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+mm AS (SELECT min(vc) AS mn, max(vc) AS mx, max(vc) - min(vc) + 1 AS r FROM c),
+b AS (SELECT (vc - mn) * 16 // r AS bin FROM c, mm)
+SELECT bin, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(mn + (bin * r + 15) // 16 AS BIGINT) AS lo_cents,
+       CAST(mn + ((bin + 1) * r + 15) // 16 - 1 AS BIGINT) AS hi_cents
+FROM b, mm GROUP BY bin, mn, r
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (callable, oracle_sql | None)
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
@@ -13953,6 +14096,8 @@ REGISTRY: dict[str, tuple] = {
     "pivot_users_events": (pivot_users_events, PIVOT_USERS_SQL),
     "grouped_median_lineitem": (grouped_median_lineitem, GROUPED_MEDIAN_SQL),
     "concat_orders_customer": (concat_orders_customer, CONCAT_ORDERS_SQL),
+    "tool_retry_loops_transcripts": (tool_retry_loops_transcripts, None),
+    "histogram_value_events": (histogram_value_events, HISTOGRAM_VALUE_SQL),
 }
 
 #: oracle SQL that must be built lazily (embeds a generated-on-demand
@@ -13987,6 +14132,7 @@ LAZY_SQL: dict[str, Any] = {
     "url_domains_transcripts": url_domains_transcripts_sql,
     "tool_assoc_rules_transcripts": tool_assoc_rules_transcripts_sql,
     "selfrep_adjacent_transcripts": selfrep_adjacent_transcripts_sql,
+    "tool_retry_loops_transcripts": tool_retry_loops_transcripts_sql,
 }
 
 

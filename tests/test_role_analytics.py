@@ -131,3 +131,38 @@ def test_selfrep_adjacent_engineered(ray_session, tmp_path, monkeypatch):
         ("c1", 3, 5): (0, 6, 0.0),
         ("c3", 0, 1): (0, 2, 0.0),
     }
+
+
+def test_tool_retry_loops_engineered(ray_session, tmp_path, monkeypatch):
+    rows = [
+        # c1: grep x3 (user turn interleaved must NOT break the run),
+        # then sed x1 (no island), then grep x2 again (second island)
+        ("c1", 0, "tool", "t"),
+        ("c1", 1, "user", "q"),
+        ("c1", 2, "tool", "t"),
+        ("c1", 3, "tool", "t"),
+        ("c1", 4, "tool", "u"),
+        ("c1", 5, "tool", "t"),
+        ("c1", 6, "tool", "t"),
+        # re-logged duplicate of a tool turn: must not inflate run_len
+        ("c1", 2, "tool", "t"),
+        # c2: single tool call -> nothing
+        ("c2", 0, "tool", "t"),
+    ]
+    tbl = _table(rows)
+    # _table assigns tool="grep" for role tool; override with per-row names
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("tool"),
+        "tool",
+        pa.array([r[3] if r[2] == "tool" else "" for r in rows], pa.string()),
+    )
+    _pin(monkeypatch, tmp_path, tbl)
+    got = {
+        (r["conv_id"], r["tool"], r["start_turn"]): (r["run_len"], r["end_turn"])
+        for r in queries.tool_retry_loops_transcripts("ignored")
+        .to_pandas().to_dict("records")
+    }
+    assert got == {
+        ("c1", "t", 0): (3, 3),
+        ("c1", "t", 5): (2, 6),
+    }

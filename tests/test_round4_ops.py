@@ -570,3 +570,25 @@ def test_concat_orders_engineered(ray_session, tmp_path):
         .to_pandas().to_dict("records")
     }
     assert got == {1: (3, "10,20,30"), 2: (1, "5")}
+
+
+def test_histogram_value_engineered(ray_session, tmp_path):
+    # values 0.00..0.15 cents 0..15, r=16, 16 bins -> one per cent, plus
+    # a fat bin at the max
+    vals = [i / 100.0 for i in range(16)] + [0.15, 0.15]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(vals)), pa.int64()),
+            "ts": pa.array([D0] * len(vals), pa.timestamp("us")),
+            "user_id": pa.array([1] * len(vals), pa.int64()),
+            "event_type": pa.array(["click"] * len(vals), pa.string()),
+            "value": pa.array(vals, pa.float64()),
+            "props": pa.array(["{}"] * len(vals), pa.string()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    rows = queries.histogram_value_events(str(tmp_path)).to_pylist()
+    assert len(rows) == 16
+    for r in rows:
+        assert r["lo_cents"] == r["hi_cents"] == r["bin"]  # width-1 bins
+    assert {r["bin"]: r["n_events"] for r in rows}[15] == 3
