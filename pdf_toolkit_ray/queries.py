@@ -13869,6 +13869,69 @@ FROM b, mm GROUP BY bin, mn, r
 """
 
 
+def jsonl_source_events(sf_dir: str):
+    """Multi-format SOURCE parity: the same aggregate computed from an
+    NDJSON rendering of the events table via ``ray.data.read_json``
+    (pyarrow's streaming JSON reader under the hood, one block per file
+    chunk) must hash-match DuckDB's ``read_json_auto`` over the SAME
+    file — pinning JSON int64 (epoch-µs timestamps) and double
+    (repr-round-trip) fidelity through a second source format beside
+    parquet (S1 family: parquet, drifted parquet, now NDJSON). The
+    aggregate itself is the standard combiner → tiny groupby, money on
+    the exact cents grid."""
+    from .sources.fixtures import events_jsonl_path_for
+
+    path = events_jsonl_path_for(sf_dir)
+    ds = ray.data.read_json(path)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "vc": _cents(batch.column("value"), 100),
+                "ts_us": batch.column("ts_us"),
+            }
+        )
+        g = t.group_by(["event_type"]).aggregate(
+            [("one", "sum"), ("vc", "sum"), ("ts_us", "min"), ("ts_us", "max")]
+        )
+        return g.rename_columns(["event_type", "n", "sc", "tmin", "tmax"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"), Sum("sc", alias_name="sc"),
+            Min("tmin", alias_name="tmin"), Max("tmax", alias_name="tmax"),
+        )
+        .to_pandas()
+        .sort_values("event_type")
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(agg["event_type"], pa.string()),
+            "n": pa.array(agg["n"].to_numpy(np.int64), pa.int64()),
+            "sum_cents": pa.array(agg["sc"].to_numpy(np.int64), pa.int64()),
+            "min_ts_us": pa.array(agg["tmin"].to_numpy(np.int64), pa.int64()),
+            "max_ts_us": pa.array(agg["tmax"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
+def jsonl_source_events_sql(sf_dir: str | None = None) -> str:
+    from .sources.fixtures import events_jsonl_path_for
+
+    path = events_jsonl_path_for(sf_dir or "/root/testdata/sf0.01")
+    return f"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(min(ts_us) AS BIGINT) AS min_ts_us,
+       CAST(max(ts_us) AS BIGINT) AS max_ts_us
+FROM read_json_auto('{path}') GROUP BY event_type
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (callable, oracle_sql | None)
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
@@ -14098,6 +14161,7 @@ REGISTRY: dict[str, tuple] = {
     "concat_orders_customer": (concat_orders_customer, CONCAT_ORDERS_SQL),
     "tool_retry_loops_transcripts": (tool_retry_loops_transcripts, None),
     "histogram_value_events": (histogram_value_events, HISTOGRAM_VALUE_SQL),
+    "jsonl_source_events": (jsonl_source_events, None),
 }
 
 #: oracle SQL that must be built lazily (embeds a generated-on-demand
@@ -14133,6 +14197,7 @@ LAZY_SQL: dict[str, Any] = {
     "tool_assoc_rules_transcripts": tool_assoc_rules_transcripts_sql,
     "selfrep_adjacent_transcripts": selfrep_adjacent_transcripts_sql,
     "tool_retry_loops_transcripts": tool_retry_loops_transcripts_sql,
+    "jsonl_source_events": jsonl_source_events_sql,
 }
 
 

@@ -744,3 +744,41 @@ def schema_drift_paths_for(size: str, base_dir: str = "/tmp/graft_fixtures",
     with open(done, "w") as fh:
         fh.write("ok\n")
     return paths
+
+
+def events_jsonl_path_for(sf_dir: str, base_dir: str = "/tmp/graft_fixtures") -> str:
+    """NDJSON twin of ``{sf_dir}/events.parquet`` for the multi-format
+    source-parity op: one JSON object per line with ts as exact epoch-µs
+    int (no timestamp-format parsing drift) and floats via Python repr
+    (shortest round-trip — every correct JSON parser recovers the same
+    double). Cached by source identity (path, size, mtime); conversion
+    is driver-side pyarrow, fine for fixture scale — a production
+    converter would be one Ray map_batches + write_json pass."""
+    import hashlib
+    import json
+
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}:{st.st_size}:{int(st.st_mtime)}".encode()
+    ).hexdigest()[:12]
+    os.makedirs(base_dir, exist_ok=True)
+    path = os.path.join(base_dir, f"events-jsonl-{key}-v{FIXTURE_VERSION}.jsonl")
+    if os.path.exists(path):
+        return path
+    tbl = pq.read_table(src, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    ts_us = tbl.column("ts").cast(pa.int64()).to_pylist()
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        for eid, t, u, et, v in zip(
+            tbl.column("event_id").to_pylist(), ts_us,
+            tbl.column("user_id").to_pylist(),
+            tbl.column("event_type").to_pylist(),
+            tbl.column("value").to_pylist(),
+        ):
+            fh.write(json.dumps(
+                {"event_id": eid, "ts_us": t, "user_id": u,
+                 "event_type": et, "value": v}
+            ) + "\n")
+    os.replace(tmp, path)
+    return path

@@ -592,3 +592,26 @@ def test_histogram_value_engineered(ray_session, tmp_path):
     for r in rows:
         assert r["lo_cents"] == r["hi_cents"] == r["bin"]  # width-1 bins
     assert {r["bin"]: r["n_events"] for r in rows}[15] == 3
+
+
+def test_jsonl_source_roundtrip_engineered(ray_session, tmp_path):
+    # adversarial doubles: repr-round-trip values that are NOT exact
+    # binary fractions, plus µs-precision timestamps
+    vals = [0.1, 123.45, -9.99]
+    us = np.timedelta64(1, "us").astype("timedelta64[us]")
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(3), pa.int64()),
+            "ts": pa.array([D0, D0 + us, D0 + 2 * us], pa.timestamp("us")),
+            "user_id": pa.array([1, 1, 2], pa.int64()),
+            "event_type": pa.array(["a", "a", "b"], pa.string()),
+            "value": pa.array(vals, pa.float64()),
+            "props": pa.array(["{}"] * 3, pa.string()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = {
+        r["event_type"]: (r["n"], r["sum_cents"], r["max_ts_us"] - r["min_ts_us"])
+        for r in queries.jsonl_source_events(str(tmp_path)).to_pylist()
+    }
+    assert got == {"a": (2, 10 + 12345, 1), "b": (1, -999, 0)}
