@@ -13932,6 +13932,147 @@ FROM read_json_auto('{path}') GROUP BY event_type
 """
 
 
+def rolling_7d_user_events(sf_dir: str):
+    """Time-RANGE window frame at row scale: for every event, the sum
+    and count of the SAME USER's values over the trailing 7 days
+    (``RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW`` —
+    boundary inclusive, equal-ts peers included, exactly SQL's RANGE
+    peer semantics). Shape: ONE user-bucketed exchange; per bucket the
+    frame is two vectorized searchsorted probes into the per-user
+    cumsum (lo = left(ts−7d), hi = right(ts)) — O(n log n) per bucket,
+    no per-row rescan, no per-user dispatch. Money on the exact cents
+    grid so summation order can't flip the hash."""
+    W = 7 * 24 * 3600 * 1_000_000  # µs
+    ds = scan(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    empty = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "user_id": pa.array([], pa.int64()),
+            "n7": pa.array([], pa.int64()),
+            "sum7_cents": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.take(pc.sort_indices(
+            g, sort_keys=[("user_id", "ascending"), ("ts", "ascending"),
+                          ("event_id", "ascending")]
+        ))
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        t = g.column("ts").to_numpy(zero_copy_only=False).view("int64")
+        c = _cents(g.column("value"), 100).to_numpy(zero_copy_only=False)
+        n = len(u)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        ends = np.r_[starts[1:], n]
+        cum = np.r_[0, np.cumsum(c)]
+        n7 = np.empty(n, dtype=np.int64)
+        s7 = np.empty(n, dtype=np.int64)
+        for a, b in zip(starts, ends):  # loop over USERS in the bucket,
+            tt = t[a:b]                 # all probes vectorized inside
+            lo = a + np.searchsorted(tt, tt - W, side="left")
+            hi = a + np.searchsorted(tt, tt, side="right")
+            n7[a:b] = hi - lo
+            s7[a:b] = cum[hi] - cum[lo]
+        return pa.table(
+            {
+                "event_id": g.column("event_id"),
+                "user_id": g.column("user_id"),
+                "n7": pa.array(n7, pa.int64()),
+                "sum7_cents": pa.array(s7, pa.int64()),
+            }
+        )
+
+    return relops.bucketed_groupby(ds, ["user_id"], per_bucket, empty=empty)
+
+
+ROLLING_7D_SQL = """
+SELECT event_id, user_id,
+  CAST(count(*) OVER w AS BIGINT) AS n7,
+  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS sum7_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+"""
+
+
+def range_join_events(sf_dir: str):
+    """Interval/range join with OVERLAPPING intervals — the campaign-
+    attribution shape a hash join cannot express (one event can land in
+    several intervals). Seven deterministic intervals are derived from
+    the exact global [min,max] µs span (lo_i = mn + i·R//8,
+    hi_i = mn + (i+2)·R//8, half-open, each overlapping its neighbor);
+    being dimension-sized they BROADCAST into one combiner pass — per
+    batch a vectorized mask per interval, only 7-row partials shuffle.
+    The all-integer boundary math makes the twin's ``//`` agree
+    bit-for-bit. Zero-match intervals survive with n=0 (LEFT JOIN
+    semantics). At scale the interval side stays small by construction;
+    a large interval side would bucket by coarse time grain instead."""
+    K, D = 7, 8
+    ds = scan(sf_dir, "events", columns=["ts", "value"])
+    mm = ds.map_batches(
+        lambda b: pa.table({"t": pc.cast(b.column("ts"), pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).aggregate(Min("t", alias_name="mn"), Max("t", alias_name="mx"))
+    mn, mx = int(mm["mn"]), int(mm["mx"])
+    r = mx - mn + 1
+    lo = np.array([mn + i * r // D for i in range(K)], dtype=np.int64)
+    hi = np.array([mn + (i + 2) * r // D for i in range(K)], dtype=np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.column("ts").to_numpy(zero_copy_only=False).view("int64")
+        c = _cents(batch.column("value"), 100).to_numpy(zero_copy_only=False)
+        ids, ns, ss = [], [], []
+        for i in range(K):  # 7 intervals, vectorized mask per interval
+            m = (t >= lo[i]) & (t < hi[i])
+            ids.append(i)
+            ns.append(int(m.sum()))
+            ss.append(int(c[m].sum()))
+        return pa.table(
+            {
+                "interval_id": pa.array(ids, pa.int64()),
+                "n": pa.array(ns, pa.int64()),
+                "s": pa.array(ss, pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("interval_id")
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"))
+        .to_pandas()
+        .set_index("interval_id")
+        .reindex(range(K), fill_value=0)
+    )
+    return pa.table(
+        {
+            "interval_id": pa.array(range(K), pa.int64()),
+            "lo_us": pa.array(lo, pa.int64()),
+            "hi_us": pa.array(hi, pa.int64()),
+            "n_events": pa.array(agg["n"].to_numpy(np.int64), pa.int64()),
+            "sum_cents": pa.array(agg["s"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
+RANGE_JOIN_SQL = """
+WITH mm AS (SELECT CAST(min(epoch_us(ts)) AS BIGINT) AS mn,
+                   CAST(max(epoch_us(ts)) - min(epoch_us(ts)) + 1 AS BIGINT) AS r
+            FROM events),
+iv AS (SELECT CAST(i AS BIGINT) AS interval_id,
+              CAST(mn + i * r // 8 AS BIGINT) AS lo_us,
+              CAST(mn + (i + 2) * r // 8 AS BIGINT) AS hi_us
+       FROM range(7) t(i), mm)
+SELECT iv.interval_id, iv.lo_us, iv.hi_us,
+       CAST(count(e.ts) AS BIGINT) AS n_events,
+       COALESCE(CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT), 0)
+         AS sum_cents
+FROM iv LEFT JOIN events e
+  ON epoch_us(e.ts) >= iv.lo_us AND epoch_us(e.ts) < iv.hi_us
+GROUP BY 1, 2, 3
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (callable, oracle_sql | None)
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
@@ -14162,6 +14303,8 @@ REGISTRY: dict[str, tuple] = {
     "tool_retry_loops_transcripts": (tool_retry_loops_transcripts, None),
     "histogram_value_events": (histogram_value_events, HISTOGRAM_VALUE_SQL),
     "jsonl_source_events": (jsonl_source_events, None),
+    "rolling_7d_user_events": (rolling_7d_user_events, ROLLING_7D_SQL),
+    "range_join_events": (range_join_events, RANGE_JOIN_SQL),
 }
 
 #: oracle SQL that must be built lazily (embeds a generated-on-demand

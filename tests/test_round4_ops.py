@@ -615,3 +615,61 @@ def test_jsonl_source_roundtrip_engineered(ray_session, tmp_path):
         for r in queries.jsonl_source_events(str(tmp_path)).to_pylist()
     }
     assert got == {"a": (2, 10 + 12345, 1), "b": (1, -999, 0)}
+
+
+def test_rolling_7d_engineered(ray_session, tmp_path):
+    # u1: events at day 0, 3, 7, 7 (tie), 8 — the 7-day frame is
+    # boundary-INCLUSIVE and equal-ts peers see each other's rows
+    rows = [  # (event_id, user, day_offset, value)
+        (0, 1, 0, 1.00),
+        (1, 1, 3, 2.00),
+        (2, 1, 7, 4.00),
+        (3, 1, 7, 8.00),
+        (4, 1, 8, 16.00),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([D0 + r[2] * DAY for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array(["click"] * len(rows), pa.string()),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = {
+        r["event_id"]: (r["n7"], r["sum7_cents"])
+        for r in queries.rolling_7d_user_events(str(tmp_path))
+        .to_pandas().to_dict("records")
+    }
+    assert got == {
+        0: (1, 100),
+        1: (2, 300),
+        2: (4, 1500),          # day0 still inside (inclusive boundary)
+        3: (4, 1500),          # tie peer sees identical frame
+        4: (4, 3000),          # day0 dropped, day3+7+7+8
+    }
+
+
+def test_range_join_engineered(ray_session, tmp_path):
+    # span exactly 8 units -> interval i = [i, i+2): event at t=1 falls
+    # in intervals 0 and 1 (overlap); t=7 only in 6 (half-open ends)
+    us = np.timedelta64(1, "us").astype("timedelta64[us]")
+    offs = [0, 1, 7]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(offs)), pa.int64()),
+            "ts": pa.array([D0 + o * us for o in offs], pa.timestamp("us")),
+            "user_id": pa.array([1] * len(offs), pa.int64()),
+            "event_type": pa.array(["click"] * len(offs), pa.string()),
+            "value": pa.array([1.0] * len(offs), pa.float64()),
+            "props": pa.array(["{}"] * len(offs), pa.string()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = {
+        r["interval_id"]: r["n_events"]
+        for r in queries.range_join_events(str(tmp_path)).to_pylist()
+    }
+    assert got == {0: 2, 1: 1, 2: 0, 3: 0, 4: 0, 5: 0, 6: 1}
