@@ -14073,6 +14073,79 @@ GROUP BY 1, 2, 3
 """
 
 
+def winsorized_stats_lineitem(sf_dir: str):
+    """Robust statistics by winsorization: clip ``l_extendedprice`` at
+    the EXACT p01/p99 (rank selection via ``relops.select_quantiles`` —
+    no global sort) and report the clipped sum/mean, the
+    outlier-hardened aggregate every metrics pipeline wants. After the
+    two-rank selection, ONE combiner pass clips on the exact cents grid
+    (pc.min/max element-wise), so the winsorized sum is an order-free
+    int64 and the mean is one IEEE division mirrored by the twin."""
+    ds = scan(sf_dir, "lineitem", columns=["l_extendedprice"])
+    (v01, v99), _ranks, total = relops.select_quantiles(
+        ds, "l_extendedprice", [(1, 100), (99, 100)]
+    )
+    lo_c = int(round(float(v01) * 100))
+    hi_c = int(round(float(v99) * 100))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = _cents(batch.column("l_extendedprice"), 100)
+        w = pc.min_element_wise(
+            pc.max_element_wise(c, pa.scalar(lo_c, pa.int64())),
+            pa.scalar(hi_c, pa.int64()),
+        )
+        return pa.table(
+            {
+                "s": pa.array([pc.sum(w).as_py() or 0], pa.int64()),
+                "n_lo": pa.array(
+                    [pc.sum(pc.cast(pc.less(c, pa.scalar(lo_c, pa.int64())),
+                                    pa.int64())).as_py() or 0], pa.int64()),
+                "n_hi": pa.array(
+                    [pc.sum(pc.cast(pc.greater(c, pa.scalar(hi_c, pa.int64())),
+                                    pa.int64())).as_py() or 0], pa.int64()),
+            }
+        )
+
+    agg = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).aggregate(
+        Sum("s", alias_name="s"), Sum("n_lo", alias_name="n_lo"),
+        Sum("n_hi", alias_name="n_hi"),
+    )
+    s, n_lo, n_hi = int(agg["s"]), int(agg["n_lo"]), int(agg["n_hi"])
+    return pa.table(
+        {
+            "n": pa.array([total], pa.int64()),
+            "p01_cents": pa.array([lo_c], pa.int64()),
+            "p99_cents": pa.array([hi_c], pa.int64()),
+            "n_clipped_lo": pa.array([n_lo], pa.int64()),
+            "n_clipped_hi": pa.array([n_hi], pa.int64()),
+            "winsorized_sum_cents": pa.array([s], pa.int64()),
+            "winsorized_mean": pa.array(
+                [(float(s) / 100.0) / float(total)], pa.float64()),
+        }
+    )
+
+
+WINSORIZED_SQL = """
+WITH t AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+           FROM lineitem),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t),
+s AS (SELECT c, row_number() OVER (ORDER BY c) AS rn FROM t),
+b AS (SELECT
+        max(CASE WHEN rn = (n.n + 99) // 100 THEN c END) AS lo,
+        max(CASE WHEN rn = (99 * n.n + 99) // 100 THEN c END) AS hi
+      FROM s, n GROUP BY n.n)
+SELECT n.n,
+       b.lo AS p01_cents, b.hi AS p99_cents,
+       CAST(count(CASE WHEN t.c < b.lo THEN 1 END) AS BIGINT) AS n_clipped_lo,
+       CAST(count(CASE WHEN t.c > b.hi THEN 1 END) AS BIGINT) AS n_clipped_hi,
+       CAST(sum(least(greatest(t.c, b.lo), b.hi)) AS BIGINT)
+         AS winsorized_sum_cents,
+       (CAST(sum(least(greatest(t.c, b.lo), b.hi)) AS DOUBLE) / 100.0) / n.n
+         AS winsorized_mean
+FROM t, b, n GROUP BY n.n, b.lo, b.hi
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (callable, oracle_sql | None)
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
@@ -14305,6 +14378,7 @@ REGISTRY: dict[str, tuple] = {
     "jsonl_source_events": (jsonl_source_events, None),
     "rolling_7d_user_events": (rolling_7d_user_events, ROLLING_7D_SQL),
     "range_join_events": (range_join_events, RANGE_JOIN_SQL),
+    "winsorized_stats_lineitem": (winsorized_stats_lineitem, WINSORIZED_SQL),
 }
 
 #: oracle SQL that must be built lazily (embeds a generated-on-demand

@@ -673,3 +673,31 @@ def test_range_join_engineered(ray_session, tmp_path):
         for r in queries.range_join_events(str(tmp_path)).to_pylist()
     }
     assert got == {0: 2, 1: 1, 2: 0, 3: 0, 4: 0, 5: 0, 6: 1}
+
+
+def test_winsorized_stats_engineered(ray_session, tmp_path):
+    # 100 values 1.00..100.00: p01 rank ceil(100/100)=1 -> 1.00,
+    # p99 rank ceil(9900/100)=99 -> 99.00; only the 100.00 row clips
+    vals = [float(i) for i in range(1, 101)]
+    tbl = pa.table(
+        {
+            "l_orderkey": pa.array(range(len(vals)), pa.int64()),
+            "l_partkey": pa.array([1] * len(vals), pa.int64()),
+            "l_suppkey": pa.array([1] * len(vals), pa.int64()),
+            "l_linenumber": pa.array([1] * len(vals), pa.int32()),
+            "l_quantity": pa.array([1.0] * len(vals), pa.float64()),
+            "l_extendedprice": pa.array(vals, pa.float64()),
+            "l_discount": pa.array([0.0] * len(vals), pa.float64()),
+            "l_tax": pa.array([0.0] * len(vals), pa.float64()),
+            "l_returnflag": pa.array(["A"] * len(vals), pa.string()),
+            "l_linestatus": pa.array(["O"] * len(vals), pa.string()),
+            "l_shipdate": pa.array([D0] * len(vals), pa.timestamp("us")),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "lineitem.parquet")
+    r = queries.winsorized_stats_lineitem(str(tmp_path)).to_pylist()[0]
+    assert (r["n"], r["p01_cents"], r["p99_cents"]) == (100, 100, 9900)
+    assert (r["n_clipped_lo"], r["n_clipped_hi"]) == (0, 1)
+    # sum 1..100 = 5050.00 -> clip 100.00 down to 99.00 => 5049.00
+    assert r["winsorized_sum_cents"] == 504900
+    assert r["winsorized_mean"] == 5049.0 / 100
