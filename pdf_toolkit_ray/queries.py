@@ -14146,6 +14146,95 @@ FROM t, b, n GROUP BY n.n, b.lo, b.hi
 """
 
 
+def knn_loo_accuracy_embeddings(sf_dir: str):
+    """Leave-one-out 1-NN label accuracy over the labeled embedding
+    table — the standard intrinsic embedding-quality eval. EXACT and
+    layout-independent: vectors quantize once to the 1e-6 grid
+    (half-even, the engine-wide convention), squared L2 distances are
+    pure int64 (64 dims × ~1e12/term ≈ 6e13, far under 2^53 so the
+    twin's integer-valued-double ``list_dot_product`` agrees), the
+    neighbor ties to the SMALLEST vec_id, and per-label accuracy is one
+    IEEE division of exact counts. Shape: the quantized corpus
+    broadcasts ONCE via ray.put (MB-scale here; the billion-vector
+    variant pre-filters through the IVF/PQ candidate machinery in
+    stages/ann.py); each batch computes one int-matmul block × corpus
+    and ships per-label partial counts only."""
+    from .stages.ann import _matrix
+
+    ds = scan(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    corpus = pq.read_table(
+        relops.table_path(sf_dir, "embeddings"),
+        columns=["vec_id", "embedding", "label"],
+    )
+    corpus = corpus.take(pc.sort_indices(corpus, sort_keys=[("vec_id", "ascending")]))
+    ids = corpus.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    labels = corpus.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+    Q = np.round(_matrix(corpus.column("embedding")) / 1e-6).astype(np.int64)
+    qq = (Q * Q).sum(axis=1)
+    ref = ray.put((ids, labels, Q, qq))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cids, clabels, cq, cqq = ray.get(ref)
+        bids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        bl = batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        bq = np.round(_matrix(batch.column("embedding")) / 1e-6).astype(np.int64)
+        d2 = (bq * bq).sum(axis=1)[:, None] + cqq[None, :] - 2 * (bq @ cq.T)
+        self_pos = np.searchsorted(cids, bids)
+        d2[np.arange(len(bids)), self_pos] = np.iinfo(np.int64).max
+        pred = clabels[np.argmin(d2, axis=1)]  # first min = smallest vec_id
+        t = pa.table(
+            {
+                "label": pa.array(bl, pa.int64()),
+                "one": pa.array(np.ones(len(bl), dtype=np.int64)),
+                "ok": pa.array((pred == bl).astype(np.int64)),
+            }
+        )
+        g = t.group_by(["label"]).aggregate([("one", "sum"), ("ok", "sum")])
+        return g.rename_columns(["label", "n", "ok"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("label")
+        .aggregate(Sum("n", alias_name="n"), Sum("ok", alias_name="ok"))
+        .to_pandas()
+        .sort_values("label")
+    )
+    n = agg["n"].to_numpy(np.int64)
+    ok = agg["ok"].to_numpy(np.int64)
+    return pa.table(
+        {
+            "label": pa.array(agg["label"].to_numpy(np.int64), pa.int64()),
+            "n": pa.array(n, pa.int64()),
+            "n_correct": pa.array(ok, pa.int64()),
+            "accuracy": pa.array(ok.astype(np.float64) / n.astype(np.float64),
+                                 pa.float64()),
+        }
+    )
+
+
+def _build_knn_loo_sql() -> str:
+    fe = _sql_round_even
+    return _materialize_ctes(f"""
+WITH qv AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         list_transform(embedding,
+           e -> CAST({fe('CAST(e AS DOUBLE) / 1e-6')} AS DOUBLE)) AS q
+  FROM embeddings),
+sq AS (SELECT vec_id, label, q, list_dot_product(q, q) AS qq FROM qv),
+d AS (SELECT a.vec_id, a.label AS la, b.label AS lb, b.vec_id AS nb_id,
+             a.qq + b.qq - 2 * list_dot_product(a.q, b.q) AS d2
+      FROM sq a JOIN sq b ON a.vec_id <> b.vec_id),
+nn AS (SELECT vec_id, la, lb,
+              row_number() OVER (PARTITION BY vec_id ORDER BY d2, nb_id) AS rn
+       FROM d)
+SELECT la AS label, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(CASE WHEN lb = la THEN 1 END) AS BIGINT) AS n_correct,
+       CAST(count(CASE WHEN lb = la THEN 1 END) AS DOUBLE) / count(*)
+         AS accuracy
+FROM nn WHERE rn = 1 GROUP BY la
+""")
+
+
 REGISTRY: dict[str, tuple] = {
     # (callable, oracle_sql | None)
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
@@ -14379,6 +14468,8 @@ REGISTRY: dict[str, tuple] = {
     "rolling_7d_user_events": (rolling_7d_user_events, ROLLING_7D_SQL),
     "range_join_events": (range_join_events, RANGE_JOIN_SQL),
     "winsorized_stats_lineitem": (winsorized_stats_lineitem, WINSORIZED_SQL),
+    "knn_loo_accuracy_embeddings": (knn_loo_accuracy_embeddings,
+                                    _build_knn_loo_sql()),
 }
 
 #: oracle SQL that must be built lazily (embeds a generated-on-demand

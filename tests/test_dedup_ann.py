@@ -892,3 +892,37 @@ def test_pq_topk_rerank_and_layout_determinism(ray_session):
         key = (int(r.query_id), int(r.vec_id))
         if key in esim:  # rerank rescoring equals the brute-force contract
             assert r.sim == esim[key]
+
+
+def test_knn_loo_accuracy_engineered(ray_session, tmp_path):
+    import pyarrow.parquet as pq_mod
+
+    # two tight clusters + one vector planted nearer the WRONG cluster;
+    # a distance tie (vecs 0 and 1 identical) must resolve to the
+    # smallest vec_id
+    vecs = [
+        (0, [0.0, 0.0], 1),
+        (1, [0.0, 0.0], 1),      # tie with 0 -> both predict each other (1)
+        (2, [0.1, 0.0], 1),
+        (3, [5.0, 5.0], 2),
+        (4, [5.1, 5.0], 2),
+        (5, [4.9, 5.0], 1),      # mislabeled plant: nearest are label 2
+    ]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([v[0] for v in vecs], pa.int64()),
+            "embedding": pa.array([v[1] for v in vecs], pa.list_(pa.float32())),
+            "label": pa.array([v[2] for v in vecs], pa.int32()),
+        }
+    )
+    pq_mod.write_table(tbl, tmp_path / "embeddings.parquet")
+    from pdf_toolkit_ray import queries
+
+    got = {
+        r["label"]: (r["n"], r["n_correct"])
+        for r in queries.knn_loo_accuracy_embeddings(str(tmp_path)).to_pylist()
+    }
+    # label 1: vecs 0,1,2 correct; vec 5's NN is 4 (label 2) -> wrong => 3/4
+    # label 2: vec 3 -> NN 4 ok; vec 4 -> NN 3 ok (5 is closer? |4.9-5.1|=0.2
+    # vs |5.0-5.1|... vec4 (5.1,5) nearest is 3 (5.0,5.0) d=0.1 -> ok) => 2/2
+    assert got == {1: (4, 3), 2: (2, 2)}
