@@ -14235,6 +14235,87 @@ FROM nn WHERE rn = 1 GROUP BY la
 """)
 
 
+def kmeans_purity_embeddings(sf_dir: str):
+    """Clustering-quality eval: per-cluster LABEL PURITY of the
+    integer-exact distributed k-means — the metric that closes the loop
+    between the clustering family (``embedding_kmeans_exact``) and the
+    labeled table. Shape: assignments stream out of
+    ``kmeans_exact_assign`` (bit-reproducible by construction), labels
+    ride a second column-pruned scan, ``size_gated_join`` attaches them,
+    and only (cluster,label) count partials shuffle (≤ k×|labels| rows).
+    Majority ties resolve to the smallest label; purity is one IEEE
+    division of exact counts, both mirrored by the twin (which extends
+    the same Lloyd CTE unroll — no pinned constants)."""
+    from .stages.ann import kmeans_exact_assign
+
+    ds = scan(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    asg = kmeans_exact_assign(ds, k=8, iters=5).map_batches(
+        lambda t: t.select(["vec_id", "cluster"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    labels = scan(sf_dir, "embeddings", columns=["vec_id", "label"])
+    joined = relops.size_gated_join(asg, labels, on="vec_id")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "cluster": pc.cast(batch.column("cluster"), pa.int64()),
+                "label": pc.cast(batch.column("label"), pa.int64()),
+            }
+        )
+        g = t.group_by(["cluster", "label"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "cluster": g.column("cluster"),
+                "label": g.column("label"),
+                "n": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    cl = (
+        joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["cluster", "label"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # ≤ k × |labels| rows
+    )
+    out = []
+    for c, g in cl.groupby("cluster", sort=True):
+        g = g.sort_values(["n", "label"], ascending=[False, True])
+        tot = int(g["n"].sum())
+        maj_label, maj_n = int(g.iloc[0]["label"]), int(g.iloc[0]["n"])
+        out.append((int(c), tot, maj_label, maj_n, float(maj_n) / float(tot)))
+    return pa.table(
+        {
+            "cluster": pa.array([r[0] for r in out], pa.int64()),
+            "n": pa.array([r[1] for r in out], pa.int64()),
+            "majority_label": pa.array([r[2] for r in out], pa.int64()),
+            "n_majority": pa.array([r[3] for r in out], pa.int64()),
+            "purity": pa.array([r[4] for r in out], pa.float64()),
+        }
+    )
+
+
+def _build_kmeans_purity_sql(k: int = 8, iters: int = 5) -> str:
+    parts = _kmeans_exact_cte_prefix(k, iters)
+    parts[-1] = "), j AS ("  # splice after asg, as in the semdedup twin
+    parts += [
+        "  SELECT a.cluster, CAST(e.label AS BIGINT) AS label,",
+        "         CAST(count(*) AS BIGINT) AS n",
+        "  FROM asg a JOIN embeddings e USING (vec_id) GROUP BY 1, 2",
+        "), r AS (",
+        "  SELECT cluster, label, n,",
+        "         row_number() OVER (PARTITION BY cluster",
+        "                            ORDER BY n DESC, label) AS rn,",
+        "         CAST(sum(n) OVER (PARTITION BY cluster) AS BIGINT) AS tot",
+        "  FROM j",
+        ")",
+        "SELECT cluster, tot AS n, label AS majority_label, n AS n_majority,",
+        "       CAST(n AS DOUBLE) / tot AS purity",
+        "FROM r WHERE rn = 1",
+    ]
+    return _materialize_ctes("\n".join(parts))
+
+
 REGISTRY: dict[str, tuple] = {
     # (callable, oracle_sql | None)
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
@@ -14470,6 +14551,8 @@ REGISTRY: dict[str, tuple] = {
     "winsorized_stats_lineitem": (winsorized_stats_lineitem, WINSORIZED_SQL),
     "knn_loo_accuracy_embeddings": (knn_loo_accuracy_embeddings,
                                     _build_knn_loo_sql()),
+    "kmeans_purity_embeddings": (kmeans_purity_embeddings,
+                                 _build_kmeans_purity_sql()),
 }
 
 #: oracle SQL that must be built lazily (embeds a generated-on-demand

@@ -926,3 +926,17 @@ def test_knn_loo_accuracy_engineered(ray_session, tmp_path):
     # label 2: vec 3 -> NN 4 ok; vec 4 -> NN 3 ok (5 is closer? |4.9-5.1|=0.2
     # vs |5.0-5.1|... vec4 (5.1,5) nearest is 3 (5.0,5.0) d=0.1 -> ok) => 2/2
     assert got == {1: (4, 3), 2: (2, 2)}
+
+
+def test_kmeans_purity_shape(ray_session):
+    """Purity invariants over the real fixture: clusters partition the
+    table, majority counts bound purity in (0, 1], and n_majority is
+    consistent with the division."""
+    from pdf_toolkit_ray import queries
+
+    rows = queries.kmeans_purity_embeddings("/root/testdata/sf0.001").to_pylist()
+    assert sum(r["n"] for r in rows) == 500
+    for r in rows:
+        assert 1 <= r["n_majority"] <= r["n"]
+        assert r["purity"] == r["n_majority"] / r["n"]
+        assert 0 <= r["majority_label"] <= 9
