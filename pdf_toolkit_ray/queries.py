@@ -14316,6 +14316,85 @@ def _build_kmeans_purity_sql(k: int = 8, iters: int = 5) -> str:
     return _materialize_ctes("\n".join(parts))
 
 
+def first_touch_attribution_events(sf_dir: str):
+    """Marketing attribution kernel: every purchase is attributed to the
+    user's EARLIEST view/click in the trailing 3 days (first-touch;
+    boundary-inclusive start, strict end), '(none)' when the window is
+    empty. Shape: ONE user-bucketed exchange; per bucket both streams
+    sort once and each purchase resolves with two searchsorted probes
+    into the candidate run (secondary event_id sort makes ts-ties
+    deterministic) — no per-purchase rescan, no row-scale join. Only
+    per-type count partials shuffle."""
+    W = 3 * 24 * 3600 * 1_000_000  # µs
+    ds = scan(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    kinds = pa.array(["purchase", "view", "click"], pa.string())
+    pre = ds.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("event_type"), value_set=kinds)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    empty = pa.table(
+        {
+            "attributed_type": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        df["t"] = df["ts"].to_numpy("datetime64[us]").view("int64")
+        out: dict[str, int] = {}
+        for _, ug in df.groupby("user_id", sort=False):
+            cand = ug[ug["event_type"] != "purchase"].sort_values(["t", "event_id"])
+            ct = cand["t"].to_numpy()
+            ctype = cand["event_type"].to_numpy()
+            for t in ug.loc[ug["event_type"] == "purchase", "t"].to_numpy():
+                lo = np.searchsorted(ct, t - W, side="left")
+                hi = np.searchsorted(ct, t, side="left")
+                key = str(ctype[lo]) if lo < hi else "(none)"
+                out[key] = out.get(key, 0) + 1
+        if not out:
+            return empty
+        return pa.table(
+            {
+                "attributed_type": pa.array(list(out), pa.string()),
+                "n": pa.array(list(out.values()), pa.int64()),
+            }
+        )
+
+    partials = relops.bucketed_groupby(pre, ["user_id"], per_bucket, empty=empty)
+    agg = (
+        partials.groupby("attributed_type")
+        .aggregate(Sum("n", alias_name="n_purchases"))
+        .to_pandas()
+        .sort_values("attributed_type")
+    )
+    return pa.table(
+        {
+            "attributed_type": pa.array(agg["attributed_type"], pa.string()),
+            "n_purchases": pa.array(agg["n_purchases"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
+FIRST_TOUCH_SQL = """
+WITH p AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts, event_id, event_type FROM events
+      WHERE event_type IN ('view', 'click')),
+j AS (SELECT p.event_id, c.event_type,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY c.ts, c.event_id) AS rn
+      FROM p JOIN c ON c.user_id = p.user_id
+        AND c.ts >= p.ts - INTERVAL 3 DAYS AND c.ts < p.ts),
+a AS (SELECT p.event_id, coalesce(j.event_type, '(none)') AS attributed_type
+      FROM p LEFT JOIN (SELECT event_id, event_type FROM j WHERE rn = 1) j
+        USING (event_id))
+SELECT attributed_type, CAST(count(*) AS BIGINT) AS n_purchases
+FROM a GROUP BY attributed_type
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (callable, oracle_sql | None)
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
@@ -14553,6 +14632,8 @@ REGISTRY: dict[str, tuple] = {
                                     _build_knn_loo_sql()),
     "kmeans_purity_embeddings": (kmeans_purity_embeddings,
                                  _build_kmeans_purity_sql()),
+    "first_touch_attribution_events": (first_touch_attribution_events,
+                                       FIRST_TOUCH_SQL),
 }
 
 #: oracle SQL that must be built lazily (embeds a generated-on-demand

@@ -701,3 +701,35 @@ def test_winsorized_stats_engineered(ray_session, tmp_path):
     # sum 1..100 = 5050.00 -> clip 100.00 down to 99.00 => 5049.00
     assert r["winsorized_sum_cents"] == 504900
     assert r["winsorized_mean"] == 5049.0 / 100
+
+
+def test_first_touch_attribution_engineered(ray_session, tmp_path):
+    H = np.timedelta64(1, "h").astype("timedelta64[us]")
+    rows = [  # (event_id, user, type, ts)
+        # u1: view then click then purchase -> first-touch = view
+        (0, 1, "view", D0), (1, 1, "click", D0 + H), (2, 1, "purchase", D0 + 2 * H),
+        # u2: candidate OUTSIDE the 3-day window -> (none)
+        (3, 2, "view", D0), (4, 2, "purchase", D0 + 4 * DAY),
+        # u3: candidate exactly at ts-3d (inclusive) and a click at the
+        # purchase instant (strict end -> excluded)
+        (5, 3, "click", D0), (6, 3, "click", D0 + 3 * DAY),
+        (7, 3, "purchase", D0 + 3 * DAY),
+        # u4: ts tie between two candidates -> smaller event_id (view) wins
+        (8, 4, "click", D0), (9, 4, "purchase", D0 + H),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = {
+        r["attributed_type"]: r["n_purchases"]
+        for r in queries.first_touch_attribution_events(str(tmp_path)).to_pylist()
+    }
+    assert got == {"view": 1, "(none)": 1, "click": 2}
