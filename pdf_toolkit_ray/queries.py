@@ -9140,7 +9140,7 @@ FROM t GROUP BY conv_id
 """
 
 
-def response_latency_transcripts(sf_dir: str):
+def _response_latency_ds(sf_dir: str):
     """Per-assistant-turn RESPONSE LATENCY over agent traces: for every
     assistant turn, microseconds since the most recent PRIOR user
     activity in the same conversation (running max of user ``ts`` —
@@ -9197,9 +9197,61 @@ def response_latency_transcripts(sf_dir: str):
             }
         )
 
-    out = relops.bucketed_groupby(pairs, ["conv_id"], bucket_fn, empty=empty)
+    return relops.bucketed_groupby(pairs, ["conv_id"], bucket_fn, empty=empty)
+
+
+def response_latency_transcripts(sf_dir: str):
+    """Row-scale result of :func:`_response_latency_ds` (see there for
+    the distributed shape), sorted for the stable driver compare."""
+    out = _response_latency_ds(sf_dir)
     df = out.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def latency_percentiles_transcripts(sf_dir: str):
+    """SLO percentiles of assistant response latency: EXACT p50/p90/p99
+    by distributed rank selection over the row-scale latency stream —
+    the conv-bucketed running-max latency kernel
+    (:func:`_response_latency_ds`) composed with
+    ``relops.select_quantiles`` (sampled range buckets; only the three
+    rank-owning buckets ever sort). The dashboard number every agent
+    deployment watches, end to end without a global sort."""
+    out = _response_latency_ds(sf_dir)
+    fracs = [(1, 2, "p50"), (9, 10, "p90"), (99, 100, "p99")]
+    values, ranks, total = relops.select_quantiles(
+        out, "latency_us", [(n, d) for n, d, _ in fracs]
+    )
+    return pa.table(
+        {
+            "pct": pa.array([lbl for _, _, lbl in fracs], pa.string()),
+            "rank": pa.array(ranks, pa.int64()),
+            "n": pa.array([total] * len(fracs), pa.int64()),
+            "latency_us": pa.array([int(v) for v in values], pa.int64()),
+        }
+    )
+
+
+def latency_percentiles_transcripts_sql(sf_dir: str | None = None) -> str:
+    path = _transcripts_sql_source(sf_dir)
+    return f"""
+WITH t AS (SELECT DISTINCT conv_id, turn_idx, role, ts FROM read_parquet('{path}')),
+w AS (SELECT conv_id, turn_idx, role, ts,
+             max(CASE WHEN role = 'user' THEN ts END) OVER (
+               PARTITION BY conv_id ORDER BY turn_idx, ts, role
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_user_ts
+      FROM t),
+l AS (SELECT CAST(date_diff('microsecond', prev_user_ts, ts) AS BIGINT)
+        AS latency_us
+      FROM w WHERE role = 'assistant' AND prev_user_ts IS NOT NULL),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM l),
+f AS (SELECT * FROM (VALUES ('p50', 1, 2), ('p90', 9, 10),
+                            ('p99', 99, 100)) AS f(pct, qn, qd)),
+k AS (SELECT pct, CAST((qn * n.n + qd - 1) // qd AS BIGINT) AS rank, n.n
+      FROM f, n),
+s AS (SELECT latency_us, row_number() OVER (ORDER BY latency_us) AS rn FROM l)
+SELECT k.pct, k.rank, k.n, s.latency_us
+FROM k JOIN s ON s.rn = k.rank
+"""
 
 
 def response_latency_transcripts_sql(sf_dir: str | None = None) -> str:
@@ -14634,6 +14686,7 @@ REGISTRY: dict[str, tuple] = {
                                  _build_kmeans_purity_sql()),
     "first_touch_attribution_events": (first_touch_attribution_events,
                                        FIRST_TOUCH_SQL),
+    "latency_percentiles_transcripts": (latency_percentiles_transcripts, None),
 }
 
 #: oracle SQL that must be built lazily (embeds a generated-on-demand
@@ -14670,6 +14723,7 @@ LAZY_SQL: dict[str, Any] = {
     "selfrep_adjacent_transcripts": selfrep_adjacent_transcripts_sql,
     "tool_retry_loops_transcripts": tool_retry_loops_transcripts_sql,
     "jsonl_source_events": jsonl_source_events_sql,
+    "latency_percentiles_transcripts": latency_percentiles_transcripts_sql,
 }
 
 
