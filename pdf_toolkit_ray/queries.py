@@ -14447,6 +14447,107 @@ FROM a GROUP BY attributed_type
 """
 
 
+def tool_latency_percentiles_transcripts(sf_dir: str):
+    """Per-TOOL latency percentiles (exact p50/p95) — the tail-latency
+    companion to ``tool_latency_transcripts``' means. Two exchanges:
+    (1) the conv-bucketed adjacency pass emits raw (tool, latency) pairs
+    (same assistant→tool definition as the mean op), (2) a tool-bucketed
+    pass sorts each tool's latencies once and picks the integer ceil
+    ranks. Tool cardinality is tiny so a bucket holds one tool's full
+    stream — at 10^12 turns route each tool through
+    ``relops.select_quantiles`` instead (same ranks, log_B(n) passes);
+    here the direct sort keeps the op one-pass."""
+    ds = relops.scan_path(
+        _transcripts_path(sf_dir), columns=["conv_id", "turn_idx", "role", "tool", "ts"]
+    )
+
+    pairs = ds.map_batches(
+        lambda b: b.group_by(["conv_id", "turn_idx", "role", "tool", "ts"]).aggregate([]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    raw_empty = pa.table(
+        {"tool": pa.array([], pa.string()), "lat": pa.array([], pa.int64())}
+    )
+
+    def conv_bucket(group: pa.Table) -> pa.Table:
+        d = group.group_by(["conv_id", "turn_idx", "role", "tool", "ts"]).aggregate([])
+        conv = np.asarray(d.column("conv_id").to_numpy(zero_copy_only=False))
+        turn = d.column("turn_idx").to_numpy(zero_copy_only=False)
+        role = np.asarray(d.column("role").to_numpy(zero_copy_only=False))
+        tool = np.asarray(d.column("tool").to_numpy(zero_copy_only=False), dtype=object)
+        ts_us = d.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((role, ts_us, turn, conv))
+        conv, role, tool, ts_us = conv[order], role[order], tool[order], ts_us[order]
+        first = np.r_[True, conv[1:] != conv[:-1]]
+        prev_assistant = np.r_[False, role[:-1] == "assistant"] & ~first
+        hit = (role == "tool") & prev_assistant
+        lat = np.zeros(len(conv), np.int64)
+        lat[1:] = ts_us[1:] - ts_us[:-1]
+        return pa.table(
+            {
+                "tool": pa.array(tool[hit].tolist(), pa.string()),
+                "lat": pa.array(lat[hit], pa.int64()),
+            }
+        )
+
+    raw = relops.bucketed_groupby(pairs, ["conv_id"], conv_bucket, empty=raw_empty)
+
+    out_empty = pa.table(
+        {
+            "tool": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "p50_us": pa.array([], pa.int64()),
+            "p95_us": pa.array([], pa.int64()),
+        }
+    )
+
+    def tool_bucket(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        tools, ns, p50s, p95s = [], [], [], []
+        for tname, g in df.groupby("tool", sort=True):
+            v = np.sort(g["lat"].to_numpy(np.int64))
+            n = len(v)
+            tools.append(tname)
+            ns.append(n)
+            p50s.append(int(v[(n + 1) // 2 - 1]))
+            p95s.append(int(v[(19 * n + 19) // 20 - 1]))
+        return pa.table(
+            {
+                "tool": pa.array(tools, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+                "p50_us": pa.array(p50s, pa.int64()),
+                "p95_us": pa.array(p95s, pa.int64()),
+            }
+        )
+
+    return relops.bucketed_groupby(raw, ["tool"], tool_bucket, empty=out_empty)
+
+
+def tool_latency_percentiles_transcripts_sql(sf_dir: str | None = None) -> str:
+    path = _transcripts_sql_source(sf_dir)
+    return f"""
+WITH t AS (SELECT DISTINCT conv_id, turn_idx, role, tool, ts
+           FROM read_parquet('{path}')),
+w AS (SELECT conv_id, role, tool, ts,
+        lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx, ts, role) AS prev_role,
+        lag(ts)   OVER (PARTITION BY conv_id ORDER BY turn_idx, ts, role) AS prev_ts
+      FROM t),
+l AS (SELECT tool,
+             CAST(date_diff('microsecond', prev_ts, ts) AS BIGINT) AS lat
+      FROM w WHERE role = 'tool' AND prev_role = 'assistant'),
+s AS (SELECT tool, lat,
+             row_number() OVER (PARTITION BY tool ORDER BY lat) AS rn,
+             count(*) OVER (PARTITION BY tool) AS n
+      FROM l)
+SELECT tool, CAST(max(n) AS BIGINT) AS n,
+       CAST(max(CASE WHEN rn = (n + 1) // 2 THEN lat END) AS BIGINT) AS p50_us,
+       CAST(max(CASE WHEN rn = (19 * n + 19) // 20 THEN lat END) AS BIGINT)
+         AS p95_us
+FROM s GROUP BY tool
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (callable, oracle_sql | None)
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
@@ -14687,6 +14788,8 @@ REGISTRY: dict[str, tuple] = {
     "first_touch_attribution_events": (first_touch_attribution_events,
                                        FIRST_TOUCH_SQL),
     "latency_percentiles_transcripts": (latency_percentiles_transcripts, None),
+    "tool_latency_percentiles_transcripts": (
+        tool_latency_percentiles_transcripts, None),
 }
 
 #: oracle SQL that must be built lazily (embeds a generated-on-demand
@@ -14724,6 +14827,8 @@ LAZY_SQL: dict[str, Any] = {
     "tool_retry_loops_transcripts": tool_retry_loops_transcripts_sql,
     "jsonl_source_events": jsonl_source_events_sql,
     "latency_percentiles_transcripts": latency_percentiles_transcripts_sql,
+    "tool_latency_percentiles_transcripts":
+        tool_latency_percentiles_transcripts_sql,
 }
 
 
