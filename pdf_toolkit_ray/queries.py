@@ -1532,7 +1532,7 @@ def range_join_event_bands(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
-RANGE_JOIN_SQL = """
+RANGE_JOIN_BANDS_SQL = """
 SELECT e.event_id, b.band
 FROM events e
 JOIN (VALUES (0.0, 5.0, 'low'), (5.0, 20.0, 'mid'), (20.0, 1e9, 'high')) b(lo, hi, band)
@@ -5131,14 +5131,15 @@ SELECT event_id, user_id, event_type, win FROM w WHERE rn = 1
 """
 
 
-def funnel_events(sf_dir: str):
+def funnel_stages_events(sf_dir: str):
     """Strict-sequence funnel: per user, the furthest stage reached in
     view → click → purchase order (each later event must be strictly
     after the chosen earlier one: first view, first click after it,
     first purchase after that). user_id cardinality scales, so users
     route through the bucketed groupby; inside a bucket the three stage
     timestamps come from vectorized masked groupby-mins, no per-user
-    loop. Users with no view are omitted (stage 0)."""
+    loop. Users with no view are omitted (stage 0). Per-USER detail
+    companion to the aggregate ``funnel_events`` counts."""
     ds = scan(sf_dir, "events", columns=["user_id", "ts", "event_type"])
 
     def prune(batch: pa.Table) -> pa.Table:
@@ -5178,7 +5179,7 @@ def funnel_events(sf_dir: str):
     )
 
 
-FUNNEL_SQL = """
+FUNNEL_STAGES_SQL = """
 WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
            WHERE event_type = 'view' GROUP BY user_id),
 c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v USING (user_id)
@@ -13594,11 +13595,6 @@ FROM m WHERE rn = 1 GROUP BY d
 """
 
 
-#: fixed event-type vocabulary for the pivot (a pivot's output schema
-#: must be known up front — the SQL PIVOT restriction, kept deliberately)
-_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
-
-
 def pivot_users_events(sf_dir: str):
     """PIVOT / crosstab: one row per user with per-event-type counts as
     COLUMNS (long→wide, the warehouse `PIVOT ... FOR type IN (...)`).
@@ -14564,7 +14560,7 @@ REGISTRY: dict[str, tuple] = {
     "string_fns_part": (string_fns_part, STRING_FNS_SQL),
     "sessionize_events": (sessionize_events, SESSIONIZE_SQL),
     "asof_clicks_before_errors": (asof_clicks_before_errors, ASOF_SQL),
-    "range_join_event_bands": (range_join_event_bands, RANGE_JOIN_SQL),
+    "range_join_event_bands": (range_join_event_bands, RANGE_JOIN_BANDS_SQL),
     "sliding_avg_events": (sliding_avg_events, SLIDING_AVG_SQL),
     "join_big_revenue_by_priority": (join_big_revenue_by_priority, JOIN_BIG_SQL),
     "union_quantity_extremes": (union_quantity_extremes, UNION_SQL),
@@ -14627,7 +14623,7 @@ REGISTRY: dict[str, tuple] = {
     "markdown_outline_transcripts": (markdown_outline_transcripts, None),
     "redact_documents": (redact_documents, REDACT_SQL),
     "unigram_xent_documents": (unigram_xent_documents, UNIGRAM_XENT_SQL),
-    "funnel_events": (funnel_events, FUNNEL_SQL),
+    "funnel_stages_events": (funnel_stages_events, FUNNEL_STAGES_SQL),
     "time_profile_events": (time_profile_events, TIME_PROFILE_SQL),
     "zscore_outliers_events": (zscore_outliers_events, ZSCORE_OUTLIERS_SQL),
     "event_transitions_events": (event_transitions_events, EVENT_TRANSITIONS_SQL),

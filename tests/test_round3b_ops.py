@@ -21,7 +21,7 @@ def _ts(*secs):
 
 
 def test_funnel_strict_ordering(ray_session, tmp_path):
-    from pdf_toolkit_ray.queries import funnel_events
+    from pdf_toolkit_ray.queries import funnel_stages_events
 
     # u1: full funnel; u2: click BEFORE its first view -> stage 1;
     # u3: click at the SAME ts as the view (not strictly after) -> 1;
@@ -42,7 +42,7 @@ def test_funnel_strict_ordering(ray_session, tmp_path):
         }
     )
     sf = _write(tmp_path, "events", events)
-    out = funnel_events(sf).to_pandas().set_index("user_id")["funnel_stage"]
+    out = funnel_stages_events(sf).to_pandas().set_index("user_id")["funnel_stage"]
     assert out.to_dict() == {1: 3, 2: 1, 3: 1, 5: 2}
 
 
