@@ -14544,6 +14544,64 @@ FROM s GROUP BY tool
 """
 
 
+def train_shard_assign_documents(sf_dir: str, n_shards: int = 16):
+    """Deterministic GLOBAL training-data shuffle — the step that turns a
+    curated corpus into training shards: every doc gets a (shard, pos)
+    that is a pure function of the corpus content, independent of
+    cluster size, block layout, or scan order. Order key = 48-bit md5
+    prefix of ``'shuf' || doc_id`` (salt distinct from the train/val
+    split hash so the two assignments are independent), made TOTAL by
+    the doc_id tiebreak; the global 1-based rank comes from
+    ``relops.global_row_number`` (range-partitioned rank: histogram
+    pass + ONE bucket-keyed shuffle, no global sort, no driver
+    materialization). shard = (rn-1) % n_shards — round-robin off the
+    hash order, so shard sizes differ by ≤1 AND each shard is itself a
+    uniform sample; pos = (rn-1) // n_shards is the write position
+    within the shard file."""
+    from .stages.convdedup import _md5_prefix_i64
+
+    ds = scan(sf_dir, "documents", columns=["doc_id"])
+
+    def key(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        h = _md5_prefix_i64([f"shuf{i}" for i in ids])
+        return batch.append_column("h48", pa.array(h, pa.int64()))
+
+    ranked, _total = relops.global_row_number(
+        ds.map_batches(key, batch_format="pyarrow", zero_copy_batch=True),
+        "h48",
+        ["doc_id"],
+        rank_col="rn",
+    )
+
+    def assign(batch: pa.Table) -> pa.Table:
+        rn = batch.column("rn").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "shard": pa.array((rn - 1) % n_shards, pa.int64()),
+                "pos": pa.array((rn - 1) // n_shards, pa.int64()),
+            }
+        )
+
+    return ranked.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+TRAIN_SHARD_SQL = """
+WITH r AS (
+  SELECT doc_id,
+         row_number() OVER (
+           ORDER BY CAST(('0x' || substr(md5('shuf' || CAST(doc_id AS VARCHAR)), 1, 12))
+                         AS BIGINT),
+                    doc_id) AS rn
+  FROM documents)
+SELECT doc_id,
+       CAST((rn - 1) % 16 AS BIGINT) AS shard,
+       CAST((rn - 1) // 16 AS BIGINT) AS pos
+FROM r
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (callable, oracle_sql | None)
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
@@ -14786,6 +14844,7 @@ REGISTRY: dict[str, tuple] = {
     "latency_percentiles_transcripts": (latency_percentiles_transcripts, None),
     "tool_latency_percentiles_transcripts": (
         tool_latency_percentiles_transcripts, None),
+    "train_shard_assign_documents": (train_shard_assign_documents, TRAIN_SHARD_SQL),
 }
 
 #: oracle SQL that must be built lazily (embeds a generated-on-demand

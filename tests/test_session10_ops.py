@@ -1,0 +1,86 @@
+"""Engineered goldens for the round-4 session-10 ops."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pdf_toolkit_ray import queries
+
+
+def _write_docs(tmp_path, doc_ids, texts=None, name="documents"):
+    n = len(doc_ids)
+    texts = texts if texts is not None else [f"text {i}" for i in doc_ids]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+            "source": pa.array(["web"] * n, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / f"{name}.parquet")
+    return str(tmp_path)
+
+
+def _reference_assignment(doc_ids, n_shards=16):
+    h = [
+        int(hashlib.md5(f"shuf{i}".encode()).hexdigest()[:12], 16)
+        for i in doc_ids
+    ]
+    order = sorted(range(len(doc_ids)), key=lambda j: (h[j], doc_ids[j]))
+    out = {}
+    for rn0, j in enumerate(order):
+        out[doc_ids[j]] = (rn0 % n_shards, rn0 // n_shards)
+    return out
+
+
+def test_train_shard_assign_matches_reference_and_balances(ray_session, tmp_path):
+    ids = list(range(101))
+    sf = _write_docs(tmp_path, ids)
+    out = queries.train_shard_assign_documents(sf).to_pandas()
+    got = {r.doc_id: (r.shard, r.pos) for r in out.itertuples()}
+    assert got == _reference_assignment(ids)
+
+    sizes = out.groupby("shard").size()
+    assert sizes.max() - sizes.min() <= 1 and len(sizes) == 16
+    # pos is dense 0..size-1 within each shard
+    for _, g in out.groupby("shard"):
+        assert sorted(g["pos"]) == list(range(len(g)))
+
+
+def test_train_shard_assign_layout_independent(ray_session, tmp_path):
+    rng = np.random.default_rng(7)
+    ids = rng.permutation(257).tolist()  # shuffled write order
+    d1 = tmp_path / "a"
+    d1.mkdir()
+    sf1 = _write_docs(d1, ids)
+    # same rows, sorted order, tiny row groups -> different block layout
+    d2 = tmp_path / "b"
+    d2.mkdir()
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(sorted(ids), pa.int64()),
+            "text": pa.array([f"text {i}" for i in sorted(ids)], pa.string()),
+            "lang": pa.array(["en"] * len(ids), pa.string()),
+            "source": pa.array(["web"] * len(ids), pa.string()),
+            "n_chars": pa.array([1] * len(ids), pa.int64()),
+        }
+    )
+    pq.write_table(tbl, d2 / "documents.parquet", row_group_size=16)
+
+    a = (
+        queries.train_shard_assign_documents(sf1)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        queries.train_shard_assign_documents(str(d2))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
