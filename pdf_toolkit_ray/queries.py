@@ -14587,6 +14587,52 @@ def train_shard_assign_documents(sf_dir: str, n_shards: int = 16):
     return ranked.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def perplexity_buckets_documents(sf_dir: str):
+    """CCNet-style perplexity bucketing: score every doc with the
+    corpus unigram LM (mean token cross-entropy, the exact
+    ``unigram_xent_documents`` contract at 4dp), find the EXACT tercile
+    thresholds by distributed rank selection (``relops.select_quantiles``
+    — ceil-rank ``k = (num*n+den-1)//den``, no global sort), and label
+    docs head / middle / tail (lower xent = more fluent = head; docs
+    equal to a threshold take the lower bucket, so ties are
+    deterministic). The scored table is materialized ONCE (2 columns,
+    object-store-resident and spillable) because the quantile selection
+    needs a histogram pass and a fetch pass over it; the final label
+    pass is a pure per-batch comparison against two broadcast
+    doubles."""
+    scored = unigram_xent_documents(sf_dir).materialize()
+    (t1, t2), _ranks, _n = relops.select_quantiles(
+        scored, "xent", [(1, 3), (2, 3)]
+    )
+
+    def label(batch: pa.Table) -> pa.Table:
+        x = batch.column("xent").to_numpy(zero_copy_only=False)
+        b = np.where(x <= t1, "head", np.where(x <= t2, "middle", "tail"))
+        return batch.append_column("bucket", pa.array(b, pa.string()))
+
+    return scored.map_batches(label, batch_format="pyarrow", zero_copy_batch=True)
+
+
+PERPLEXITY_BUCKETS_SQL = """
+WITH ws AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+cnt AS (SELECT word, count(*) AS n FROM ws GROUP BY word),
+tot AS (SELECT sum(n) AS t, count(*) AS v FROM cnt),
+x AS (SELECT doc_id, round(avg(-ln((cnt.n + 1) / (tot.t + tot.v))), 4) AS xent
+      FROM ws JOIN cnt USING (word), tot GROUP BY doc_id),
+nn AS (SELECT count(*) AS n FROM x),
+r AS (SELECT xent, row_number() OVER (ORDER BY xent) AS rn FROM x),
+th AS (SELECT
+         max(CASE WHEN rn = (SELECT (n + 2) // 3 FROM nn) THEN xent END) AS t1,
+         max(CASE WHEN rn = (SELECT (2 * n + 2) // 3 FROM nn) THEN xent END) AS t2
+       FROM r)
+SELECT doc_id, xent,
+       CASE WHEN xent <= th.t1 THEN 'head'
+            WHEN xent <= th.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM x, th
+"""
+
+
 TRAIN_SHARD_SQL = """
 WITH r AS (
   SELECT doc_id,
@@ -14845,6 +14891,8 @@ REGISTRY: dict[str, tuple] = {
     "tool_latency_percentiles_transcripts": (
         tool_latency_percentiles_transcripts, None),
     "train_shard_assign_documents": (train_shard_assign_documents, TRAIN_SHARD_SQL),
+    "perplexity_buckets_documents": (perplexity_buckets_documents,
+                                     PERPLEXITY_BUCKETS_SQL),
 }
 
 #: oracle SQL that must be built lazily (embeds a generated-on-demand

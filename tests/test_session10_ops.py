@@ -51,6 +51,31 @@ def test_train_shard_assign_matches_reference_and_balances(ray_session, tmp_path
         assert sorted(g["pos"]) == list(range(len(g)))
 
 
+def test_perplexity_buckets_order_and_ties(ray_session, tmp_path):
+    # 3 docs of very common words, 3 of mid-frequency, 3 of singleton
+    # words -> xent strictly increases across the groups; terciles must
+    # recover them exactly
+    texts = (
+        ["a a a a a a"] * 3
+        + ["b c b c b c", "c b c b c b", "b b c c b c"]
+        + ["q w e r t y", "u i o p s d", "f g h j k l"]
+    )
+    sf = _write_docs(tmp_path, list(range(9)), texts)
+    out = queries.perplexity_buckets_documents(sf).to_pandas()
+    by_doc = out.set_index("doc_id")["bucket"]
+    assert list(by_doc.loc[[0, 1, 2]]) == ["head"] * 3
+    assert list(by_doc.loc[[3, 4, 5]]) == ["middle"] * 3
+    assert list(by_doc.loc[[6, 7, 8]]) == ["tail"] * 3
+
+
+def test_perplexity_buckets_all_tied(ray_session, tmp_path):
+    # identical docs -> one xent value -> both thresholds equal it ->
+    # every doc deterministically lands in 'head'
+    sf = _write_docs(tmp_path, list(range(7)), ["same words here"] * 7)
+    out = queries.perplexity_buckets_documents(sf).to_pandas()
+    assert set(out["bucket"]) == {"head"}
+
+
 def test_train_shard_assign_layout_independent(ray_session, tmp_path):
     rng = np.random.default_rng(7)
     ids = rng.permutation(257).tolist()  # shuffled write order
