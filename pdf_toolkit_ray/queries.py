@@ -14587,6 +14587,35 @@ def train_shard_assign_documents(sf_dir: str, n_shards: int = 16):
     return ranked.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def source_cap_documents(sf_dir: str, cap: int = 10):
+    """Per-source (domain) cap — the web-corpus curation step that stops
+    one domain from dominating the training mix: keep at most ``cap``
+    docs per source, preferring the longest (n_chars desc, doc_id
+    tiebreak), with the per-source rank kept for audit. Runs on the
+    pruned (doc_id, source, n_chars) projection — the text column never
+    leaves storage — through ``relops.window_topk_per_key``: the
+    per-batch Arrow combiner keeps ≤ cap rows per source BEFORE the
+    shuffle, so the exchange moves ≤ cap·sources·blocks rows regardless
+    of corpus size."""
+    ds = scan(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    return relops.window_topk_per_key(
+        ds,
+        "source",
+        [("n_chars", "descending"), ("doc_id", "ascending")],
+        k=cap,
+        rank_col="rn",
+    )
+
+
+SOURCE_CAP_SQL = """
+SELECT doc_id, source, n_chars,
+       CAST(row_number() OVER (PARTITION BY source
+                               ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rn
+FROM documents
+QUALIFY rn <= 10
+"""
+
+
 def perplexity_buckets_documents(sf_dir: str):
     """CCNet-style perplexity bucketing: score every doc with the
     corpus unigram LM (mean token cross-entropy, the exact
@@ -14893,6 +14922,7 @@ REGISTRY: dict[str, tuple] = {
     "train_shard_assign_documents": (train_shard_assign_documents, TRAIN_SHARD_SQL),
     "perplexity_buckets_documents": (perplexity_buckets_documents,
                                      PERPLEXITY_BUCKETS_SQL),
+    "source_cap_documents": (source_cap_documents, SOURCE_CAP_SQL),
 }
 
 #: oracle SQL that must be built lazily (embeds a generated-on-demand

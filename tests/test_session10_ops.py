@@ -76,6 +76,30 @@ def test_perplexity_buckets_all_tied(ray_session, tmp_path):
     assert set(out["bucket"]) == {"head"}
 
 
+def test_source_cap_keeps_longest_with_ties(ray_session, tmp_path):
+    # source A: 4 docs, lengths 5,9,9,2 -> cap 2 keeps the two 9s
+    # (tie broken by doc_id); source B: 1 doc -> kept with rn=1
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array(["x"] * 5, pa.string()),
+            "lang": pa.array(["en"] * 5, pa.string()),
+            "source": pa.array(["A", "A", "A", "A", "B"], pa.string()),
+            "n_chars": pa.array([5, 9, 9, 2, 7], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = (
+        queries.source_cap_documents(str(tmp_path), cap=2)
+        .to_pandas()
+        .sort_values(["source", "rn"])
+        .reset_index(drop=True)
+    )
+    assert list(zip(out["source"], out["doc_id"], out["rn"])) == [
+        ("A", 2, 1), ("A", 3, 2), ("B", 5, 1),
+    ]
+
+
 def test_train_shard_assign_layout_independent(ray_session, tmp_path):
     rng = np.random.default_rng(7)
     ids = rng.permutation(257).tolist()  # shuffled write order
