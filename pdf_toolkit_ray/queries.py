@@ -14587,6 +14587,68 @@ def train_shard_assign_documents(sf_dir: str, n_shards: int = 16):
     return ranked.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def silhouette_embeddings(sf_dir: str, k: int = 8, iters: int = 5):
+    """Simplified (centroid-based) silhouette for the integer-exact
+    k-means — the third clustering eval beside purity and 1-NN accuracy:
+    per vector, a = distance to its OWN final centroid, b = min distance
+    to any OTHER centroid, sil = (b-a)/max(a,b) (0 when both are 0).
+    Distances are sqrt of the exact int64 squared distances, so every
+    double here is one correctly-rounded IEEE op on identical integer
+    inputs — bit-reproducible by any engine, no rounding gate, no pinned
+    constants (the twin extends the same Lloyd CTE unroll). Shape: the
+    centroid matrix is model-sized driver state broadcast once; the
+    scoring pass is one batch-local matmul-free distance computation —
+    no shuffle at all."""
+    from .stages.ann import _cached_ref, _matrix, kmeans_exact_centroids
+
+    ds = scan(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cents = kmeans_exact_centroids(ds, k=k, iters=iters)
+    ref = ray.put(cents)
+
+    def score(batch: pa.Table) -> pa.Table:
+        c = _cached_ref(ref)  # int64 [k, d]
+        m = np.round(_matrix(batch.column("embedding")).astype(np.float64) / 1e-6)
+        m = m.astype(np.int64)
+        d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)  # exact int64
+        own = np.argmin(d2, axis=1)
+        rows = np.arange(len(own))
+        a = np.sqrt(d2[rows, own].astype(np.float64))
+        masked = d2.astype(np.float64)
+        masked[rows, own] = np.inf
+        b = np.sqrt(masked.min(axis=1))
+        denom = np.maximum(a, b)
+        sil = np.where(denom == 0, 0.0, (b - a) / np.where(denom == 0, 1.0, denom))
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "cluster": pa.array(own.astype(np.int64)),
+                "sil": pa.array(sil, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _build_silhouette_sql(k: int = 8, iters: int = 5) -> str:
+    """Silhouette twin: dF (all vec × cluster exact squared distances to
+    the FINAL centroids) already exists in the Lloyd unroll; b² is its
+    min over clusters ≠ own."""
+    parts = _kmeans_exact_cte_prefix(k, iters)
+    parts[-1] = "), b2 AS ("  # splice after asg
+    parts += [
+        "  SELECT d.vec_id, CAST(min(d.d2) AS BIGINT) AS b2",
+        "  FROM dF d JOIN asg a USING (vec_id) WHERE d.cluster <> a.cluster",
+        "  GROUP BY d.vec_id",
+        ")",
+        "SELECT a.vec_id, a.cluster,",
+        "       CASE WHEN greatest(sqrt(a.dist2q), sqrt(b.b2)) = 0 THEN 0.0",
+        "            ELSE (sqrt(b.b2) - sqrt(a.dist2q))",
+        "                 / greatest(sqrt(a.dist2q), sqrt(b.b2)) END AS sil",
+        "FROM asg a JOIN b2 b USING (vec_id)",
+    ]
+    return _materialize_ctes("\n".join(parts))
+
+
 def source_cap_documents(sf_dir: str, cap: int = 10):
     """Per-source (domain) cap — the web-corpus curation step that stops
     one domain from dominating the training mix: keep at most ``cap``
@@ -14923,6 +14985,7 @@ REGISTRY: dict[str, tuple] = {
     "perplexity_buckets_documents": (perplexity_buckets_documents,
                                      PERPLEXITY_BUCKETS_SQL),
     "source_cap_documents": (source_cap_documents, SOURCE_CAP_SQL),
+    "silhouette_embeddings": (silhouette_embeddings, _build_silhouette_sql()),
 }
 
 #: oracle SQL that must be built lazily (embeds a generated-on-demand

@@ -818,6 +818,20 @@ def kmeans_assign(
     return work.map_batches(_assign, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def kmeans_exact_centroids(
+    ds: ray.data.Dataset,
+    *,
+    k: int = 8,
+    iters: int = 5,
+    grid: float = 1e-6,
+) -> np.ndarray:
+    """The Lloyd iteration of :func:`kmeans_exact_assign`, exposed so
+    evals (silhouette) can score against the SAME bit-reproducible final
+    centroids without re-deriving the trajectory. Returns the int64
+    [k, d] centroid matrix on the quantized grid."""
+    return _kmeans_exact_iterate(ds, k=k, iters=iters, grid=grid)
+
+
 def kmeans_exact_assign(
     ds: ray.data.Dataset,
     *,
@@ -847,6 +861,38 @@ def kmeans_exact_assign(
     unrolls into DuckDB CTEs (queries.py::KMEANS_NANO_SQL) and matches
     exactly — not a pinned golden. Returns (vec_id, cluster, dist2q)
     with dist2q on the squared-grid integer scale."""
+    cents = _kmeans_exact_iterate(ds, k=k, iters=iters, grid=grid)
+    work = ds.select_columns(["vec_id", "embedding"])
+
+    def _quant(m: np.ndarray) -> np.ndarray:
+        return np.round(m.astype(np.float64) / grid).astype(np.int64)
+
+    final_ref = ray.put(cents)
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        c = _cached_ref(final_ref)
+        m = _quant(_matrix(batch.column("embedding")))
+        d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d2, axis=1)
+        cols = {
+            "vec_id": batch.column("vec_id"),
+            "cluster": pa.array(a.astype(np.int64)),
+            "dist2q": pa.array(d2[np.arange(len(a)), a].astype(np.int64)),
+        }
+        if keep_embedding:
+            cols["embedding"] = batch.column("embedding")
+        return pa.table(cols)
+
+    return work.map_batches(_assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _kmeans_exact_iterate(
+    ds: ray.data.Dataset,
+    *,
+    k: int,
+    iters: int,
+    grid: float,
+) -> np.ndarray:
     from ..relops import topk, tree_fold
 
     work = ds.select_columns(["vec_id", "embedding"])
@@ -914,23 +960,7 @@ def kmeans_exact_assign(
         upd = np.round(sums.astype(np.float64) / np.maximum(counts[:, None], 1))
         cents = np.where(counts[:, None] > 0, upd.astype(np.int64), cents)
 
-    final_ref = ray.put(cents)
-
-    def _assign(batch: pa.Table) -> pa.Table:
-        c = _cached_ref(final_ref)
-        m = _quant(_matrix(batch.column("embedding")))
-        d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-        a = np.argmin(d2, axis=1)
-        cols = {
-            "vec_id": batch.column("vec_id"),
-            "cluster": pa.array(a.astype(np.int64)),
-            "dist2q": pa.array(d2[np.arange(len(a)), a].astype(np.int64)),
-        }
-        if keep_embedding:
-            cols["embedding"] = batch.column("embedding")
-        return pa.table(cols)
-
-    return work.map_batches(_assign, batch_format="pyarrow", zero_copy_batch=True)
+    return cents
 
 
 def semdedup_exact(

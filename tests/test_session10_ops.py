@@ -100,6 +100,31 @@ def test_source_cap_keeps_longest_with_ties(ray_session, tmp_path):
     ]
 
 
+def test_silhouette_geometry(ray_session, tmp_path):
+    # k=2, iters=1: seeds are vec 0 (0,0) and vec 1 (10,0); the tight
+    # far-apart pair means centroids stay put. vec 2 sits exactly halfway
+    # -> a == b -> sil 0; vecs 0/1 sit ON their centroid -> a=0, b=10 ->
+    # sil 1.
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([0, 1, 2], pa.int64()),
+            "embedding": pa.array(
+                [[0.0, 0.0], [10.0, 0.0], [5.0, 0.0]], pa.list_(pa.float32())
+            ),
+            "label": pa.array([0, 1, 0], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+    out = (
+        queries.silhouette_embeddings(str(tmp_path), k=2, iters=0)
+        .to_pandas()
+        .set_index("vec_id")
+    )
+    assert out.loc[0, "sil"] == 1.0 and out.loc[1, "sil"] == 1.0
+    # halfway point: argmin tie -> cluster 0, a == b -> sil exactly 0
+    assert out.loc[2, "cluster"] == 0 and out.loc[2, "sil"] == 0.0
+
+
 def test_train_shard_assign_layout_independent(ray_session, tmp_path):
     rng = np.random.default_rng(7)
     ids = rng.permutation(257).tolist()  # shuffled write order
