@@ -14587,6 +14587,104 @@ def train_shard_assign_documents(sf_dir: str, n_shards: int = 16):
     return ranked.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def watermark_late_events(sf_dir: str, tolerance_us: int = 60_000_000):
+    """Event-time vs arrival-order audit — the streaming-ingestion
+    watermark question asked of a batch table: treating event_id as the
+    arrival order, how far behind the high-watermark (max event time
+    seen so far) does each event arrive, and which are LATE (more than
+    the tolerance behind)? The watermark is a GLOBAL ordered prefix
+    scan, computed by ``relops.global_running_max`` (range-partitioned
+    two-pass scan: per-bucket max up-sweep → driver prefix over
+    num_buckets scalars → one bucket-keyed shuffle with a local
+    ``np.maximum.accumulate`` down-sweep) — no global sort, nothing
+    driver-side at row scale. Exact integer µs everywhere."""
+    ds = scan(sf_dir, "events", columns=["event_id", "ts"])
+    scanned = relops.global_running_max(
+        ds, "event_id", "ts", out_col="wm_us", exclusive=True
+    )
+
+    def flag(batch: pa.Table) -> pa.Table:
+        t = pc.cast(batch.column("ts"), pa.int64())
+        wm = batch.column("wm_us")
+        late = pc.and_kleene(
+            pc.is_valid(wm),
+            pc.less(pc.add(t, pa.scalar(tolerance_us, pa.int64())), wm),
+        )
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "wm_us": wm,
+                "is_late": pc.fill_null(late, False),
+            }
+        )
+
+    return scanned.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+WATERMARK_LATE_SQL = """
+WITH w AS (
+  SELECT event_id, epoch_us(ts) AS t,
+         max(epoch_us(ts)) OVER (
+           ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+  FROM events)
+SELECT event_id, CAST(wm AS BIGINT) AS wm_us,
+       COALESCE(t + 60000000 < wm, FALSE) AS is_late
+FROM w
+"""
+
+
+def record_highs_events(sf_dir: str):
+    """Running-record detector: per event (arrival order = event_id),
+    the running max of all PRIOR event values and whether this event
+    sets a new record — the second consumer of the global prefix-scan
+    kernel, and one whose flag actually varies on real data (unlike the
+    watermark's late flag on a time-ordered feed). Values ride the
+    exact cents grid so the scan is pure int64."""
+    ds = scan(sf_dir, "events", columns=["event_id", "value"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "cents": _cents(batch.column("value"), 100),
+            }
+        )
+
+    pre = ds.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
+    scanned = relops.global_running_max(
+        pre, "event_id", "cents", out_col="wm_cents", exclusive=True
+    )
+
+    def flag(batch: pa.Table) -> pa.Table:
+        wm = batch.column("wm_cents")
+        rec = pc.or_kleene(
+            pc.is_null(wm), pc.greater(batch.column("cents"), wm)
+        )
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "wm_cents": wm,
+                "is_record": pc.fill_null(rec, True),
+            }
+        )
+
+    return scanned.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+RECORD_HIGHS_SQL = """
+WITH w AS (
+  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents,
+         max(CAST(round(value * 100) AS BIGINT)) OVER (
+           ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+  FROM events)
+SELECT event_id, wm AS wm_cents,
+       COALESCE(cents > wm, TRUE) AS is_record
+FROM w
+"""
+
+
 def silhouette_embeddings(sf_dir: str, k: int = 8, iters: int = 5):
     """Simplified (centroid-based) silhouette for the integer-exact
     k-means — the third clustering eval beside purity and 1-NN accuracy:
@@ -14986,6 +15084,8 @@ REGISTRY: dict[str, tuple] = {
                                      PERPLEXITY_BUCKETS_SQL),
     "source_cap_documents": (source_cap_documents, SOURCE_CAP_SQL),
     "silhouette_embeddings": (silhouette_embeddings, _build_silhouette_sql()),
+    "watermark_late_events": (watermark_late_events, WATERMARK_LATE_SQL),
+    "record_highs_events": (record_highs_events, RECORD_HIGHS_SQL),
 }
 
 #: oracle SQL that must be built lazily (embeds a generated-on-demand

@@ -773,6 +773,107 @@ def select_quantiles(
     return [by_j[j] for j in range(len(ranks))], ranks, total
 
 
+def global_running_max(
+    ds: ray.data.Dataset,
+    order_col: str,
+    value_col: str,
+    *,
+    out_col: str = "running_max",
+    exclusive: bool = True,
+    num_buckets: int | None = None,
+    sample_size: int = 4096,
+) -> ray.data.Dataset:
+    """Distributed PREFIX SCAN over a total order: for every row, the
+    max of ``value_col`` across all rows with strictly smaller
+    ``order_col`` (``exclusive=True``, SQL ``ROWS BETWEEN UNBOUNDED
+    PRECEDING AND 1 PRECEDING``; null for the first row) or including
+    the row itself (``exclusive=False``). ``order_col`` must be unique
+    (a total order) or the exclusive scan is ambiguous.
+
+    The classic two-pass scan, range-partitioned like
+    :func:`global_row_number`:
+
+    1. SPLITS: sampled ``order_col`` split points (balance only — equal
+       keys co-bucket and buckets are contiguous order ranges).
+    2. UP-SWEEP: a column-pruned pass computes each bucket's max;
+       ``num_buckets`` scalars reach the driver, which prefix-maxes them
+       in bucket order to get each bucket's exclusive CARRY-IN.
+    3. DOWN-SWEEP: ONE bucket-keyed shuffle; each bucket sorts by
+       ``order_col`` and runs a local ``np.maximum.accumulate`` seeded
+       with its carry-in.
+
+    Values must be int64-comparable (ints / timestamps cast upstream)."""
+    if num_buckets is None:
+        num_buckets = 4 * int(ray.cluster_resources().get("CPU", 8))
+    sample = ds.select_columns([order_col]).limit(sample_size).take_all()
+    vals = np.sort(np.array([r[order_col] for r in sample]))
+    if len(vals):
+        qs = np.linspace(0, 1, num_buckets + 1)[1:-1]
+        splits = np.unique(np.quantile(vals, qs, method="lower"))
+    else:
+        splits = vals
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        v = batch.column(order_col).to_numpy(zero_copy_only=False)
+        b = np.searchsorted(splits, v, side="right").astype(np.int32)
+        return batch.append_column("_rbucket", pa.array(b))
+
+    def _bmax(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "_rbucket": batch.column("_rbucket"),
+                "m": pc.cast(batch.column(value_col), pa.int64()),
+            }
+        )
+        g = t.group_by(["_rbucket"]).aggregate([("m", "max")])
+        return pa.table({"_rbucket": g.column("_rbucket"), "m": g.column("m_max")})
+
+    hist = (
+        ds.select_columns([order_col, value_col])
+        .map_batches(_tag, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(_bmax, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_rbucket")
+        .aggregate(Max("m", alias_name="m"))
+        .to_pandas()
+    )
+    bmax = (
+        dict(zip(hist["_rbucket"].astype(int), hist["m"].astype(np.int64)))
+        if "_rbucket" in hist.columns else {}
+    )
+    carry: dict[int, int | None] = {}
+    acc: int | None = None
+    for b in sorted(bmax):
+        carry[b] = acc
+        acc = bmax[b] if acc is None else max(acc, bmax[b])
+
+    def _scan(group: pa.Table) -> pa.Table:
+        b = int(group.column("_rbucket")[0].as_py())
+        g = group.take(pc.sort_indices(group, sort_keys=[(order_col, "ascending")]))
+        v = pc.cast(g.column(value_col), pa.int64()).to_numpy(zero_copy_only=False)
+        inc = np.maximum.accumulate(v)
+        seed = carry.get(b)
+        if exclusive:
+            prev = np.empty_like(inc)
+            prev[1:] = inc[:-1]
+            if seed is None:
+                # globally-first row: no preceding row anywhere -> null
+                prev[0] = np.iinfo(np.int64).min
+                null_mask = np.zeros(len(prev), dtype=bool)
+                null_mask[0] = True
+                arr = pa.array(prev, pa.int64(), mask=null_mask)
+            else:
+                prev[0] = seed
+                arr = pa.array(np.maximum(prev, seed), pa.int64())
+        else:
+            out = inc if seed is None else np.maximum(inc, seed)
+            arr = pa.array(out, pa.int64())
+        g = g.drop_columns(["_rbucket"])
+        return g.append_column(out_col, arr)
+
+    tagged = ds.map_batches(_tag, batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby("_rbucket").map_groups(_scan, batch_format="pyarrow")
+
+
 def tree_fold(ds: ray.data.Dataset, combine, fan_in: int = 16) -> pa.Table:
     """Associative fold of a dataset's blocks through a fan-in tree of
     Ray tasks: ``combine(list[pa.Table]) -> pa.Table`` (single row) runs

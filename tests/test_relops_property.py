@@ -510,3 +510,38 @@ def test_select_quantiles_matches_sorted_ranks(ray_session, vals, seed, nb):
     for (num, den), r, g in zip(fracs, ranks, got):
         assert r == (num * total + den - 1) // den
         assert int(g) == int(s[r - 1])
+
+
+@given(vals=st.lists(st.integers(-50, 50), min_size=1, max_size=60),
+       seed=st.integers(0, 2**20),
+       nb=st.integers(1, 9),
+       exclusive=st.booleans())
+@settings(**_SETTINGS)
+def test_global_running_max_matches_cummax(ray_session, vals, seed, nb, exclusive):
+    """Distributed prefix scan == pandas cummax (shifted for exclusive)
+    over a unique order column, for any layout and bucket count."""
+    n = len(vals)
+    tbl = pa.table(
+        {
+            "o": pa.array(range(n), pa.int64()),
+            "v": pa.array(vals, pa.int64()),
+        }
+    )
+    rng = np.random.RandomState(seed)
+    out = (
+        relops.global_running_max(
+            _ds_from(tbl, rng), "o", "v",
+            out_col="m", exclusive=exclusive, num_buckets=nb, sample_size=16,
+        )
+        .to_pandas()
+        .sort_values("o")
+        .reset_index(drop=True)
+    )
+    ref = pd.Series(vals, dtype="int64").cummax()
+    if exclusive:
+        ref = ref.shift(1)  # first row -> NaN (null)
+    got = out["m"].astype("float64")
+    ref = ref.astype("float64")
+    assert ((got.isna() == ref.isna()) & ((got == ref) | ref.isna())).all(), (
+        out, ref,
+    )

@@ -2,6 +2,8 @@
 
 import hashlib
 
+import pandas as pd
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -123,6 +125,39 @@ def test_silhouette_geometry(ray_session, tmp_path):
     assert out.loc[0, "sil"] == 1.0 and out.loc[1, "sil"] == 1.0
     # halfway point: argmin tie -> cluster 0, a == b -> sil exactly 0
     assert out.loc[2, "cluster"] == 0 and out.loc[2, "sil"] == 0.0
+
+
+def test_watermark_flags_planted_late_arrival(ray_session, tmp_path):
+    # arrival order (event_id) with one event whose ts regressed 2 min
+    # behind the watermark -> late at 60s tolerance; a 30s regression is
+    # within tolerance -> not late
+    base = np.datetime64("2026-04-01T00:00:00", "us")
+    mins = [0, 5, 10, 8, 15, 14 + 35 / 60]  # event 3 is 2min late, 5 is ~35s
+    ts = [base + np.timedelta64(int(m * 60_000_000), "us") for m in mins]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(6), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array([1] * 6, pa.int64()),
+            "event_type": pa.array(["view"] * 6, pa.string()),
+            "value": pa.array([1.0] * 6, pa.float64()),
+            "props": pa.array(["{}"] * 6, pa.string()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    out = (
+        queries.watermark_late_events(str(tmp_path))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["is_late"]) == [False, False, False, True, False, False]
+    # first row has no watermark
+    assert pd.isna(out.loc[0, "wm_us"])
+    # watermark at event 3 is event 2's ts (10 min)
+    assert out.loc[3, "wm_us"] == (base + np.timedelta64(10, "m")).astype(
+        "datetime64[us]"
+    ).astype("int64")
 
 
 def test_train_shard_assign_layout_independent(ray_session, tmp_path):
