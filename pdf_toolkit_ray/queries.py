@@ -14587,6 +14587,84 @@ def train_shard_assign_documents(sf_dir: str, n_shards: int = 16):
     return ranked.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def ks_doclen_documents(sf_dir: str, lang_a: str = "en", lang_b: str = "de"):
+    """Two-sample Kolmogorov-Smirnov distance between the doc-length
+    distributions of two corpus slices (here: languages) — the
+    distribution-drift test a data pipeline runs when a new crawl
+    snapshot lands. EXACT: the per-value divergence is the integer
+    ``|cum_a*nb - cum_b*na|`` (cross-multiplied ECDFs, no float until
+    the very end), D is ONE IEEE division of the max; ``at_x`` reports
+    the smallest length achieving it. Shape: per-batch (n_chars, a, b)
+    count partials → one value-domain-sized groupby (doc lengths are a
+    bounded integer domain) → driver cumulative walk over ≤ |domain|
+    rows. At extreme corpus sizes the int64 cross-products need the
+    driver walk to run in Python bigints (it already materializes only
+    the domain-sized histogram)."""
+    ds = scan(sf_dir, "documents", columns=["lang", "n_chars"])
+    pair = pa.array([lang_a, lang_b], pa.string())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_in(batch.column("lang"), value_set=pair))
+        a = pc.cast(pc.equal(t.column("lang"), lang_a), pa.int64())
+        b = pc.cast(pc.equal(t.column("lang"), lang_b), pa.int64())
+        g = (
+            pa.table({"x": t.column("n_chars"), "a": a, "b": b})
+            .group_by(["x"])
+            .aggregate([("a", "sum"), ("b", "sum")])
+        )
+        return pa.table(
+            {"x": g.column("x"), "a": g.column("a_sum"), "b": g.column("b_sum")}
+        )
+
+    hist = (
+        relops.coalesce_partials(
+            ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        )
+        .groupby("x")
+        .aggregate(Sum("a", alias_name="a"), Sum("b", alias_name="b"))
+        .to_pandas()  # value-domain-sized
+        .sort_values("x")
+    )
+    na, nb = int(hist["a"].sum()), int(hist["b"].sum())
+    ca = hist["a"].cumsum().to_numpy(np.int64)
+    cb = hist["b"].cumsum().to_numpy(np.int64)
+    num = np.abs(ca * nb - cb * na)
+    best = int(num.max()) if len(num) else 0
+    at_x = int(hist["x"].to_numpy()[num.argmax()]) if len(num) else 0
+    return pa.table(
+        {
+            "na": pa.array([na], pa.int64()),
+            "nb": pa.array([nb], pa.int64()),
+            "d_num": pa.array([best], pa.int64()),
+            "at_x": pa.array([at_x], pa.int64()),
+            "ks_d": pa.array(
+                [float(best) / float(na * nb) if na and nb else 0.0], pa.float64()
+            ),
+        }
+    )
+
+
+KS_DOCLEN_SQL = """
+WITH v AS (
+  SELECT n_chars AS x,
+         CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS a,
+         CAST(count(*) FILTER (lang = 'de') AS BIGINT) AS b
+  FROM documents WHERE lang IN ('en', 'de') GROUP BY 1),
+t AS (SELECT CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb FROM v),
+c AS (SELECT x,
+             CAST(sum(a) OVER (ORDER BY x) AS BIGINT) AS ca,
+             CAST(sum(b) OVER (ORDER BY x) AS BIGINT) AS cb
+      FROM v),
+d AS (SELECT x, abs(ca * t.nb - cb * t.na) AS num FROM c, t)
+SELECT t.na, t.nb,
+       CAST((SELECT max(num) FROM d) AS BIGINT) AS d_num,
+       CAST((SELECT min(x) FROM d
+             WHERE num = (SELECT max(num) FROM d)) AS BIGINT) AS at_x,
+       CAST((SELECT max(num) FROM d) AS DOUBLE) / (t.na * t.nb) AS ks_d
+FROM t
+"""
+
+
 def watermark_late_events(sf_dir: str, tolerance_us: int = 60_000_000):
     """Event-time vs arrival-order audit — the streaming-ingestion
     watermark question asked of a batch table: treating event_id as the
@@ -15086,6 +15164,7 @@ REGISTRY: dict[str, tuple] = {
     "silhouette_embeddings": (silhouette_embeddings, _build_silhouette_sql()),
     "watermark_late_events": (watermark_late_events, WATERMARK_LATE_SQL),
     "record_highs_events": (record_highs_events, RECORD_HIGHS_SQL),
+    "ks_doclen_documents": (ks_doclen_documents, KS_DOCLEN_SQL),
 }
 
 #: oracle SQL that must be built lazily (embeds a generated-on-demand

@@ -160,6 +160,25 @@ def test_watermark_flags_planted_late_arrival(ray_session, tmp_path):
     ).astype("int64")
 
 
+def test_ks_doclen_hand_computed(ray_session, tmp_path):
+    # en lengths {1,2,3}, de lengths {3,4}; cross-multiplied divergence
+    # |ca*nb - cb*na| over x: 2, 4, 3, 0 -> max 4 at x=2; D = 4/6
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "text": pa.array(["t"] * 6, pa.string()),
+            "lang": pa.array(["en", "en", "en", "de", "de", "zh"], pa.string()),
+            "source": pa.array(["s"] * 6, pa.string()),
+            "n_chars": pa.array([1, 2, 3, 3, 4, 999], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = queries.ks_doclen_documents(str(tmp_path)).to_pylist()[0]
+    assert out == {
+        "na": 3, "nb": 2, "d_num": 4, "at_x": 2, "ks_d": 4.0 / 6.0,
+    }
+
+
 def test_train_shard_assign_layout_independent(ray_session, tmp_path):
     rng = np.random.default_rng(7)
     ids = rng.permutation(257).tolist()  # shuffled write order
