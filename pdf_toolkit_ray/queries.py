@@ -14587,6 +14587,44 @@ def train_shard_assign_documents(sf_dir: str, n_shards: int = 16):
     return ranked.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def hard_negatives_embeddings(sf_dir: str, k: int = 5):
+    """Contrastive-training data prep: for every embedding, the top-k
+    most cosine-similar vectors with a DIFFERENT label (plus the rank
+    and the bit-deterministic cosine). Goes through the size-gated
+    ``stages.ann.hard_negatives_topk``: exact broadcast scoring at
+    driver scale (what the twin pins), the IVF-co-partitioned
+    no-broadcast path above the gate."""
+    from .stages.ann import hard_negatives_topk
+
+    ds = scan(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    return hard_negatives_topk(ds, k=k)
+
+
+def _build_hard_negatives_sql(k: int = 5) -> str:
+    fe = _sql_round_even
+    q = fe("CAST(e AS DOUBLE) / 1e-6")
+    return f"""
+WITH qv AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         list_transform(embedding, e -> CAST({q} AS DOUBLE)) AS qe
+  FROM embeddings),
+nv AS (SELECT vec_id, sqrt(list_dot_product(qe, qe)) AS nrm FROM qv),
+p AS (
+  SELECT a.vec_id, b.vec_id AS neg_id,
+         list_dot_product(a.qe, b.qe) / (na.nrm * nb.nrm) AS cos
+  FROM qv a JOIN qv b ON b.vec_id <> a.vec_id AND b.label <> a.label
+  JOIN nv na ON na.vec_id = a.vec_id
+  JOIN nv nb ON nb.vec_id = b.vec_id
+  WHERE na.nrm > 0 AND nb.nrm > 0),
+r AS (
+  SELECT vec_id, neg_id, cos,
+         CAST(row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cos DESC, neg_id) AS BIGINT) AS rank
+  FROM p)
+SELECT vec_id, neg_id, cos, rank FROM r WHERE rank <= {k}
+"""
+
+
 def ks_doclen_documents(sf_dir: str, lang_a: str = "en", lang_b: str = "de"):
     """Two-sample Kolmogorov-Smirnov distance between the doc-length
     distributions of two corpus slices (here: languages) — the
@@ -15165,6 +15203,8 @@ REGISTRY: dict[str, tuple] = {
     "watermark_late_events": (watermark_late_events, WATERMARK_LATE_SQL),
     "record_highs_events": (record_highs_events, RECORD_HIGHS_SQL),
     "ks_doclen_documents": (ks_doclen_documents, KS_DOCLEN_SQL),
+    "hard_negatives_embeddings": (hard_negatives_embeddings,
+                                  _build_hard_negatives_sql()),
 }
 
 #: oracle SQL that must be built lazily (embeds a generated-on-demand

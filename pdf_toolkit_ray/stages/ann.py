@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -580,6 +581,206 @@ def pq_topk(
     return rescored.groupby("query_id").map_groups(
         _final_topk(k), batch_format="pyarrow"
     )
+
+
+def _hn_quant(m: np.ndarray, grid: float = 1e-6) -> np.ndarray:
+    return np.round(m.astype(np.float64) / grid).astype(np.int64)
+
+
+def _hn_score_block(
+    q_ids: np.ndarray, q_lab: np.ndarray, qm: np.ndarray,
+    c_ids: np.ndarray, c_lab: np.ndarray, cm: np.ndarray,
+    k: int,
+) -> pa.Table:
+    """Exact label-masked cosine top-k of one query block against one
+    candidate block. Candidates MUST be pre-sorted by id so the stable
+    argsort's tie rule is 'lowest neg_id'. All doubles are single IEEE
+    ops on exact int64 dots/norms — bit-reproducible anywhere."""
+    dots = qm @ cm.T  # int64, exact
+    nq = np.sqrt((qm * qm).sum(axis=1).astype(np.float64))
+    nc = np.sqrt((cm * cm).sum(axis=1).astype(np.float64))
+    denom = nq[:, None] * nc[None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = dots.astype(np.float64) / denom
+    bad = (
+        (q_lab[:, None] == c_lab[None, :])
+        | (q_ids[:, None] == c_ids[None, :])
+        | (denom == 0)
+    )
+    cos[bad] = -np.inf
+    order = np.argsort(-cos, axis=1, kind="stable")[:, :k]
+    rows_id, rows_neg, rows_cos, rows_rank = [], [], [], []
+    for i in range(len(q_ids)):
+        sel = order[i]
+        good = cos[i, sel] > -np.inf
+        sel = sel[good]
+        rows_id.append(np.full(len(sel), q_ids[i], np.int64))
+        rows_neg.append(c_ids[sel])
+        rows_cos.append(cos[i, sel])
+        rows_rank.append(np.arange(1, len(sel) + 1, dtype=np.int64))
+    if not rows_id:
+        return _HN_EMPTY
+    return pa.table(
+        {
+            "vec_id": pa.array(np.concatenate(rows_id), pa.int64()),
+            "neg_id": pa.array(np.concatenate(rows_neg), pa.int64()),
+            "cos": pa.array(np.concatenate(rows_cos), pa.float64()),
+            "rank": pa.array(np.concatenate(rows_rank), pa.int64()),
+        }
+    )
+
+
+_HN_EMPTY = pa.table(
+    {
+        "vec_id": pa.array([], pa.int64()),
+        "neg_id": pa.array([], pa.int64()),
+        "cos": pa.array([], pa.float64()),
+        "rank": pa.array([], pa.int64()),
+    }
+)
+
+
+def hard_negatives_topk(
+    ds: ray.data.Dataset,
+    k: int = 5,
+    *,
+    gate_bytes: int | None = None,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 3,
+    train_sample: int = 2048,
+) -> ray.data.Dataset:
+    """Contrastive-training hard-negative mining — for EVERY vector, the
+    top-k most cosine-similar vectors with a DIFFERENT label. Size-gated
+    like :func:`cosine_near_dup_pairs`: at or under the gate the corpus
+    broadcasts once (``ray.put``) and each batch scores against it with
+    exact int64 dots (bit-identical to the SQL oracle); above it the
+    IVF-co-partitioned path runs — NO corpus broadcast: every vector is
+    a candidate in its own coarse cell and a query replicated to its
+    ``n_probe`` nearest cells, one cell-bucketed exchange scores inside
+    cells, and a per-vector bucketed merge takes the global top-k. With
+    ``n_probe == n_cells`` the IVF path covers every pair and equals the
+    exact path (the forced-gate parity pytest pins this)."""
+    from .. import relops
+
+    proj = ds.select_columns(["vec_id", "embedding", "label"]).materialize()
+    gate = relops.BROADCAST_GATE_BYTES if gate_bytes is None else gate_bytes
+    if int(proj.size_bytes() or 0) <= gate:
+        return _hard_negatives_exact(proj, k)
+    return _hard_negatives_ivf(
+        proj, k, n_cells=n_cells, n_probe=n_probe, seed=seed,
+        train_sample=train_sample,
+    )
+
+
+def _hard_negatives_exact(proj: ray.data.Dataset, k: int) -> ray.data.Dataset:
+    rows = proj.take_all()  # under the gate by construction
+    rows.sort(key=lambda r: r["vec_id"])  # stable tie rule = lowest neg_id
+    c_ids = np.array([r["vec_id"] for r in rows], np.int64)
+    c_lab = np.array([r["label"] for r in rows], np.int64)
+    cm = _hn_quant(np.array([r["embedding"] for r in rows], np.float64))
+    ref = ray.put((c_ids, c_lab, cm))
+
+    def _score(batch: pa.Table) -> pa.Table:
+        ids, lab, m = _cached_ref(ref)
+        q_ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        q_lab = batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        qm = _hn_quant(_matrix(batch.column("embedding")))
+        return _hn_score_block(q_ids, q_lab, qm, ids, lab, m, k)
+
+    return proj.map_batches(_score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _hard_negatives_ivf(
+    proj: ray.data.Dataset,
+    k: int,
+    *,
+    n_cells: int,
+    n_probe: int,
+    seed: int,
+    train_sample: int,
+) -> ray.data.Dataset:
+    from ..relops import bucketed_groupby
+
+    sample_rows = proj.select_columns(["embedding"]).limit(train_sample).take_all()
+    sample = np.array([np.asarray(r["embedding"], np.float64) for r in sample_rows])
+    cents = _train_centroids(sample, n_cells, seed)
+    cents_ref = ray.put(cents)
+    n_probe = min(n_probe, n_cells)
+
+    def _fanout(batch: pa.Table) -> pa.Table:
+        c = _cached_ref(cents_ref)
+        m = _normalize(_matrix(batch.column("embedding")))
+        if m.shape[0] == 0:
+            return pa.table(
+                {
+                    "cell": pa.array([], pa.int32()),
+                    "is_query": pa.array([], pa.bool_()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "label": pa.array([], pa.int64()),
+                    "embedding": batch.column("embedding"),
+                }
+            )
+        sims = m @ c.T
+        probes = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+        own = probes[:, 0]
+        n = m.shape[0]
+        # candidate copy in own cell + query copies in each probed cell
+        cell = np.concatenate([own.astype(np.int32), probes.ravel().astype(np.int32)])
+        is_q = np.concatenate([np.zeros(n, bool), np.ones(n * n_probe, bool)])
+        rep = np.concatenate(
+            [np.arange(n), np.repeat(np.arange(n), n_probe)]
+        )
+        idx = pa.array(rep)
+        return pa.table(
+            {
+                "cell": pa.array(cell),
+                "is_query": pa.array(is_q),
+                "vec_id": pc.cast(batch.column("vec_id"), pa.int64()).take(idx),
+                "label": pc.cast(batch.column("label"), pa.int64()).take(idx),
+                "embedding": batch.column("embedding").take(idx),
+            }
+        )
+
+    fanned = proj.map_batches(_fanout, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _per_cell(g: pa.Table) -> pa.Table:
+        # a hash bucket can hold SEVERAL cells — score each cell's
+        # queries only against that same cell's candidates
+        cells = g.column("cell").to_numpy(zero_copy_only=False)
+        isq = g.column("is_query").to_numpy(zero_copy_only=False)
+        ids = g.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = g.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _hn_quant(_matrix(g.column("embedding")))
+        parts = []
+        for cell in np.unique(cells):
+            in_cell = cells == cell
+            qi = np.flatnonzero(in_cell & isq)
+            ci = np.flatnonzero(in_cell & ~isq)
+            if len(qi) == 0 or len(ci) == 0:
+                continue
+            order = np.argsort(ids[ci], kind="stable")
+            ci = ci[order]
+            parts.append(
+                _hn_score_block(ids[qi], lab[qi], m[qi], ids[ci], lab[ci], m[ci], k)
+            )
+        if not parts:
+            return _HN_EMPTY
+        return pa.concat_tables(parts)
+
+    local = bucketed_groupby(fanned, ["cell"], _per_cell, empty=_HN_EMPTY)
+
+    def _merge(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().sort_values(
+            ["vec_id", "cos", "neg_id"], ascending=[True, False, True]
+        )
+        out = df.groupby("vec_id", sort=False).head(k).copy()
+        out["rank"] = (out.groupby("vec_id", sort=False).cumcount() + 1).astype(
+            np.int64
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return bucketed_groupby(local, ["vec_id"], _merge, empty=_HN_EMPTY)
 
 
 def cosine_near_dup_pairs_exact(ds: ray.data.Dataset, threshold: float = 0.99) -> ray.data.Dataset:

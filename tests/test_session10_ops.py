@@ -160,6 +160,52 @@ def test_watermark_flags_planted_late_arrival(ray_session, tmp_path):
     ).astype("int64")
 
 
+def test_hard_negatives_forced_gate_parity(ray_session):
+    """IVF-co-partitioned path with n_probe == n_cells covers every
+    (query, candidate) pair, so it must equal the exact broadcast path
+    bit-for-bit on the real fixture."""
+    import ray.data
+
+    from pdf_toolkit_ray import relops
+    from pdf_toolkit_ray.stages.ann import hard_negatives_topk
+
+    ds = relops.scan("/root/testdata/sf0.001", "embeddings",
+                     columns=["vec_id", "embedding", "label"])
+    exact = (
+        hard_negatives_topk(ds, k=5)
+        .to_pandas()
+        .sort_values(["vec_id", "rank"])
+        .reset_index(drop=True)
+    )
+    ivf = (
+        hard_negatives_topk(ds, k=5, gate_bytes=0, n_cells=4, n_probe=4)
+        .to_pandas()
+        .sort_values(["vec_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(exact, ivf[exact.columns], check_exact=True)
+
+
+def test_hard_negatives_excludes_same_label(ray_session, tmp_path):
+    # 2D plants: anchor (1,0) label 0; same-label near-twin (1,0.01) must
+    # NOT appear; nearest other-label is (0.9,0.1)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "embedding": pa.array(
+                [[1.0, 0.0], [1.0, 0.01], [0.9, 0.1], [-1.0, 0.0]],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([0, 0, 1, 1], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+    out = queries.hard_negatives_embeddings(str(tmp_path), k=2).to_pandas()
+    anchor = out[out["vec_id"] == 0].sort_values("rank")
+    assert list(anchor["neg_id"]) == [2, 3]
+    assert 1 not in set(anchor["neg_id"])
+
+
 def test_ks_doclen_hand_computed(ray_session, tmp_path):
     # en lengths {1,2,3}, de lengths {3,4}; cross-multiplied divergence
     # |ca*nb - cb*na| over x: 2, 4, 3, 0 -> max 4 at x=2; D = 4/6
