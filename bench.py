@@ -66,6 +66,10 @@ BENCH_QUERIES = [
     "corpus_divergence_documents",
     "incremental_mv_orders",
     "exact_quantiles_lineitem",
+    "hard_negatives_embeddings",
+    "train_shard_assign_documents",
+    "perplexity_buckets_documents",
+    "watermark_late_events",
 ]
 
 
