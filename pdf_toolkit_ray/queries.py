@@ -13980,6 +13980,45 @@ FROM read_json_auto('{path}') GROUP BY event_type
 """
 
 
+def text_source_documents(sf_dir: str):
+    """THIRD source format pinned end-to-end: ``ray.data.read_text``
+    over a plain ``doc_id<TAB>text`` file must return byte-identical
+    lines to DuckDB's CSV line reader over the SAME file — the op
+    re-parses each line with one vectorized split-at-first-tab and
+    returns the FULL text column, so the hash compare pins the whole
+    byte stream (encoding, line splitting, field parsing), not a
+    summary. Parse is pyarrow kernels only (split_pattern + cast)."""
+    from .sources.fixtures import documents_tsv_path_for
+
+    path = documents_tsv_path_for(sf_dir)
+    ds = ray.data.read_text(path)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(batch.column("text"), pattern="\t", max_splits=1)
+        return pa.table(
+            {
+                "doc_id": pc.cast(pc.list_element(parts, 0), pa.int64()),
+                "text": pc.list_element(parts, 1),
+                "n_chars": pc.cast(
+                    pc.utf8_length(pc.list_element(parts, 1)), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(parse, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def text_source_documents_sql(sf_dir: str | None = None) -> str:
+    from .sources.fixtures import documents_tsv_path_for
+
+    path = documents_tsv_path_for(sf_dir or "/root/testdata/sf0.01")
+    return f"""
+SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars
+FROM read_csv('{path}', delim='\\t', quote='', escape='', header=false,
+              columns={{'doc_id': 'BIGINT', 'text': 'VARCHAR'}})
+"""
+
+
 def rolling_7d_user_events(sf_dir: str):
     """Time-RANGE window frame at row scale: for every event, the sum
     and count of the SAME USER's values over the trailing 7 days
@@ -15183,6 +15222,7 @@ REGISTRY: dict[str, tuple] = {
     "tool_retry_loops_transcripts": (tool_retry_loops_transcripts, None),
     "histogram_value_events": (histogram_value_events, HISTOGRAM_VALUE_SQL),
     "jsonl_source_events": (jsonl_source_events, None),
+    "text_source_documents": (text_source_documents, None),
     "rolling_7d_user_events": (rolling_7d_user_events, ROLLING_7D_SQL),
     "range_join_events": (range_join_events, RANGE_JOIN_SQL),
     "winsorized_stats_lineitem": (winsorized_stats_lineitem, WINSORIZED_SQL),
@@ -15241,6 +15281,7 @@ LAZY_SQL: dict[str, Any] = {
     "selfrep_adjacent_transcripts": selfrep_adjacent_transcripts_sql,
     "tool_retry_loops_transcripts": tool_retry_loops_transcripts_sql,
     "jsonl_source_events": jsonl_source_events_sql,
+    "text_source_documents": text_source_documents_sql,
     "latency_percentiles_transcripts": latency_percentiles_transcripts_sql,
     "tool_latency_percentiles_transcripts":
         tool_latency_percentiles_transcripts_sql,

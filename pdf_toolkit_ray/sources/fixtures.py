@@ -746,6 +746,35 @@ def schema_drift_paths_for(size: str, base_dir: str = "/tmp/graft_fixtures",
     return paths
 
 
+def documents_tsv_path_for(sf_dir: str, base_dir: str = "/tmp/graft_fixtures") -> str:
+    """Plain-text TSV twin of ``{sf_dir}/documents.parquet`` (one
+    ``doc_id<TAB>text`` line per doc) for the line-oriented
+    source-parity op: the corpus texts contain no tab/newline/CR (the
+    writer asserts it), so the byte stream is unambiguous for any line
+    reader. Cached by source identity like the NDJSON twin."""
+    import hashlib
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}:{st.st_size}:{int(st.st_mtime)}".encode()
+    ).hexdigest()[:12]
+    os.makedirs(base_dir, exist_ok=True)
+    path = os.path.join(base_dir, f"documents-tsv-{key}-v{FIXTURE_VERSION}.tsv")
+    if os.path.exists(path):
+        return path
+    tbl = pq.read_table(src, columns=["doc_id", "text"])
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        for did, tx in zip(
+            tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()
+        ):
+            assert "\t" not in tx and "\n" not in tx and "\r" not in tx
+            fh.write(f"{did}\t{tx}\n")
+    os.replace(tmp, path)
+    return path
+
+
 def events_jsonl_path_for(sf_dir: str, base_dir: str = "/tmp/graft_fixtures") -> str:
     """NDJSON twin of ``{sf_dir}/events.parquet`` for the multi-format
     source-parity op: one JSON object per line with ts as exact epoch-µs

@@ -206,6 +206,19 @@ def test_hard_negatives_excludes_same_label(ray_session, tmp_path):
     assert 1 not in set(anchor["neg_id"])
 
 
+def test_text_source_roundtrips_empty_and_unicode(ray_session, tmp_path):
+    texts = ["", "héllo wörld", "a  double  space", "ascii"]
+    sf = _write_docs(tmp_path, [10, 11, 12, 13], texts)
+    out = (
+        queries.text_source_documents(sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["text"]) == texts
+    assert list(out["n_chars"]) == [len(t) for t in texts]
+
+
 def test_ks_doclen_hand_computed(ray_session, tmp_path):
     # en lengths {1,2,3}, de lengths {3,4}; cross-multiplied divergence
     # |ca*nb - cb*na| over x: 2, 4, 3, 0 -> max 4 at x=2; D = 4/6
