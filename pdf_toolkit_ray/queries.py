@@ -13980,6 +13980,62 @@ FROM read_json_auto('{path}') GROUP BY event_type
 """
 
 
+def conv_split_assign_transcripts(sf_dir: str):
+    """Leakage-safe train/val/test split at CONVERSATION granularity —
+    the transcripts analog of ``split_assign_documents``: hashing the
+    GROUP key (not the row) guarantees every turn of a conversation
+    lands in one split, so context from a held-out conversation can
+    never leak into training. md5('cv' || conv_id) first-byte
+    thresholds 'e6'/'f3' (~89.8/4.9/5.3%). Shape: per-batch distinct
+    (conv, turn) partials → one conv-bucketed exchange where the
+    distinct-turn count and the split label are vectorized per bucket —
+    rows out = conversations, not turns."""
+    ds = relops.scan_path(_transcripts_path(sf_dir), columns=["conv_id", "turn_idx"])
+
+    pairs = ds.map_batches(
+        lambda b: b.group_by(["conv_id", "turn_idx"]).aggregate([]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    empty = pa.table(
+        {
+            "conv_id": pa.array([], pa.string()),
+            "n_turns": pa.array([], pa.int64()),
+            "split": pa.array([], pa.string()),
+        }
+    )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        import hashlib
+
+        d = g.group_by(["conv_id", "turn_idx"]).aggregate([])
+        c = d.group_by(["conv_id"]).aggregate([([], "count_all")])
+        convs = c.column("conv_id").to_pylist()
+        hs = [hashlib.md5(f"cv{x}".encode()).hexdigest()[:2] for x in convs]
+        split = ["train" if h < "e6" else ("val" if h < "f3" else "test") for h in hs]
+        return pa.table(
+            {
+                "conv_id": c.column("conv_id"),
+                "n_turns": pc.cast(c.column("count_all"), pa.int64()),
+                "split": pa.array(split, pa.string()),
+            }
+        )
+
+    return relops.bucketed_groupby(pairs, ["conv_id"], per_bucket, empty=empty)
+
+
+def conv_split_assign_transcripts_sql(sf_dir: str | None = None) -> str:
+    path = _transcripts_sql_source(sf_dir)
+    return f"""
+WITH t AS (SELECT DISTINCT conv_id, turn_idx FROM read_parquet('{path}'))
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+  CASE WHEN substr(md5('cv' || conv_id), 1, 2) < 'e6' THEN 'train'
+       WHEN substr(md5('cv' || conv_id), 1, 2) < 'f3' THEN 'val'
+       ELSE 'test' END AS split
+FROM t GROUP BY conv_id
+"""
+
+
 def text_source_documents(sf_dir: str):
     """THIRD source format pinned end-to-end: ``ray.data.read_text``
     over a plain ``doc_id<TAB>text`` file must return byte-identical
@@ -15223,6 +15279,7 @@ REGISTRY: dict[str, tuple] = {
     "histogram_value_events": (histogram_value_events, HISTOGRAM_VALUE_SQL),
     "jsonl_source_events": (jsonl_source_events, None),
     "text_source_documents": (text_source_documents, None),
+    "conv_split_assign_transcripts": (conv_split_assign_transcripts, None),
     "rolling_7d_user_events": (rolling_7d_user_events, ROLLING_7D_SQL),
     "range_join_events": (range_join_events, RANGE_JOIN_SQL),
     "winsorized_stats_lineitem": (winsorized_stats_lineitem, WINSORIZED_SQL),
@@ -15282,6 +15339,7 @@ LAZY_SQL: dict[str, Any] = {
     "tool_retry_loops_transcripts": tool_retry_loops_transcripts_sql,
     "jsonl_source_events": jsonl_source_events_sql,
     "text_source_documents": text_source_documents_sql,
+    "conv_split_assign_transcripts": conv_split_assign_transcripts_sql,
     "latency_percentiles_transcripts": latency_percentiles_transcripts_sql,
     "tool_latency_percentiles_transcripts":
         tool_latency_percentiles_transcripts_sql,
