@@ -996,6 +996,37 @@ FROM documents d LEFT JOIN c ON d.doc_id = c.node
 """
 
 
+def dedup_minhash_online_documents(sf_dir: str):
+    """INCREMENTAL near-dup clusters through the persisted cross-job band
+    index: the corpus arrives in three disjoint ingests (doc_id % 3 —
+    near-dup groups span increments, so cross-increment candidate
+    discovery is exercised, not just within-batch), each signatured
+    exactly once into ``make_neardup_index`` shard actors; clustering
+    probes the persisted bands, exact-verifies with word-trigram Jaccard
+    >= 0.8 and must be row-identical to the one-shot batch twin
+    (``MINHASH_CLUSTERS_SQL``). Reference analog: skip-if-exists resume
+    (page_images.py:740-752) lifted to signature granularity."""
+    ds = scan(sf_dir, "documents", columns=["doc_id", "text"])
+    index = dedup_mod.make_neardup_index(num_shards=4, num_perm=64, bands=32)
+    try:
+        for k in range(3):
+            def _part(batch: pa.Table, k=k) -> pa.Table:
+                ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+                return batch.filter(pa.array(ids % 3 == k))
+
+            dedup_mod.neardup_ingest(
+                ds.map_batches(_part, batch_format="pyarrow", zero_copy_batch=True),
+                index,
+                "doc_id",
+                "text",
+            )
+        return dedup_mod.neardup_clusters(
+            index, ds, "doc_id", "text", threshold=0.8, n=3
+        ).materialize()
+    finally:
+        dedup_mod.destroy_neardup_index(index)
+
+
 def simhash_documents(sf_dir: str):
     ds = scan(sf_dir, "documents", columns=["doc_id", "text"])
     return dedup_mod.add_simhash(ds, "doc_id", "text")
@@ -7315,7 +7346,7 @@ def mixture_sample_documents(sf_dir: str):
     k_l x #batches). For quotas near the corpus size, switch to
     hash-THRESHOLD sampling (keep h < t_l with t_l a sampled quantile,
     trim the boundary band exactly) — the stratified_sample_orders shape."""
-    import hashlib
+    from .stages.convdedup import _md5_prefix_i64
 
     counts_ds = (
         scan(sf_dir, "documents", columns=["lang"])
@@ -7338,8 +7369,11 @@ def mixture_sample_documents(sf_dir: str):
     ds = scan(sf_dir, "documents", columns=["doc_id", "lang"])
 
     def rank_and_prune(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        h = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        # int64 md5 prefix via the shared batch helper — ranks sort as
+        # 8-byte ints, not 32-char hex strings (the twin orders by the
+        # same 12-hex-char prefix, so parity is exact by construction)
+        h = _md5_prefix_i64([str(int(i)) for i in ids])
         df = pd.DataFrame(
             {"doc_id": ids, "lang": batch.column("lang").to_pylist(), "h": h}
         ).sort_values(["lang", "h", "doc_id"])
@@ -7375,7 +7409,8 @@ ks AS (SELECT lang, CAST(floor(w * t.cap) AS BIGINT) AS k FROM counts, t),
 ranked AS (
   SELECT doc_id, lang,
     row_number() OVER (PARTITION BY lang
-                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+                       ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 12),
+                                doc_id) AS rn
   FROM documents)
 SELECT r.doc_id, r.lang FROM ranked r JOIN ks USING (lang) WHERE r.rn <= ks.k
 """
@@ -15183,6 +15218,10 @@ REGISTRY: dict[str, tuple] = {
     "lang_id_documents": (lang_id_documents, LANG_ID_SQL),
     "fingerprint_documents": (fingerprint_documents, FINGERPRINT_SQL),
     "minhash_clusters_documents": (minhash_clusters_documents, MINHASH_CLUSTERS_SQL),
+    "dedup_minhash_online_documents": (
+        dedup_minhash_online_documents,
+        MINHASH_CLUSTERS_SQL,
+    ),
     "simhash_documents": (simhash_documents, SIMHASH_SQL),
     "ngram_dup_pairs_documents": (ngram_dup_pairs_documents, NGRAM_PAIRS_SQL),
     "fuzzy_lev_pairs_documents": (fuzzy_lev_pairs_documents, FUZZY_LEV_SQL),

@@ -667,6 +667,7 @@ def select_quantiles(
     *,
     num_buckets: int | None = None,
     sample_size: int = 4096,
+    max_fetch_rows: int = 8_000_000,
 ) -> tuple[list[Any], list[int], int]:
     """EXACT distributed quantiles by rank selection — no global sort.
 
@@ -689,12 +690,47 @@ def select_quantiles(
        len(fracs) buckets, each ~n/num_buckets rows) through a groupby;
        each bucket sorts locally and takes its requested positions.
 
-    At 10^12 rows a bucket is still ~n/num_buckets rows; if that exceeds
-    worker memory, recurse: re-run steps 1-4 over the single fetched
-    bucket (values are a contiguous range), shrinking by num_buckets×
-    per level — log_B(n) passes, never a global sort."""
+    RECURSION: a rank-owning bucket bigger than ``max_fetch_rows`` (at
+    10^12 rows a bucket is still ~n/num_buckets; a skewed domain can
+    concentrate most of the corpus in one) is never fetched whole —
+    steps 1-4 re-run over just that bucket's rows with the rank
+    re-based locally, shrinking ~num_buckets× per level: log_B(n)
+    column-pruned passes, bounded fetch, never a global sort. A bucket
+    that stops shrinking (all-equal values defeat the splits) falls
+    back to the direct fetch after ``_MAX_SELECT_DEPTH`` levels —
+    correctness never depends on the recursion triggering."""
+    pruned = ds.select_columns([value_col])
+    return _select_ranks(
+        pruned,
+        value_col,
+        fracs=fracs,
+        num_buckets=num_buckets,
+        sample_size=sample_size,
+        max_fetch_rows=max_fetch_rows,
+    )
+
+
+_MAX_SELECT_DEPTH = 8
+
+
+def _select_ranks(
+    pruned: ray.data.Dataset,
+    value_col: str,
+    *,
+    fracs: Sequence[tuple[int, int]] | None = None,
+    ranks: list[int] | None = None,
+    num_buckets: int | None = None,
+    sample_size: int = 4096,
+    max_fetch_rows: int = 8_000_000,
+    _depth: int = 0,
+) -> tuple[list[Any], list[int], int]:
+    """Rank-selection engine behind :func:`select_quantiles`: resolves
+    either rational ``fracs`` (top level — ranks derive from the total
+    this call measures) or explicit 1-based ``ranks`` (recursive calls —
+    the parent already re-based them into this bucket)."""
     if num_buckets is None:
         num_buckets = 4 * int(ray.cluster_resources().get("CPU", 8))
+    ds = pruned
     sample = ds.select_columns([value_col]).limit(sample_size).take_all()
     vals = np.sort(np.array([r[value_col] for r in sample]))
     if len(vals):
@@ -712,7 +748,7 @@ def select_quantiles(
         g = batch.group_by(["_rbucket"]).aggregate([([], "count_all")])
         return pa.table({"_rbucket": g.column("_rbucket"), "n": g.column("count_all")})
 
-    pruned = ds.select_columns([value_col])
+    pruned = ds
     hist = (
         pruned.map_batches(_tag, batch_format="pyarrow", zero_copy_batch=True)
         .map_batches(_cnt, batch_format="pyarrow", zero_copy_batch=True)
@@ -731,7 +767,8 @@ def select_quantiles(
         acc += counts[b]
     total = acc
 
-    ranks = [(num * total + den - 1) // den for num, den in fracs]
+    if ranks is None:
+        ranks = [(num * total + den - 1) // den for num, den in fracs]
     if total == 0:
         return [], ranks, 0
     if any(r < 1 or r > total for r in ranks):
@@ -746,30 +783,72 @@ def select_quantiles(
                 need.setdefault(b, []).append((r - offsets[b] - 1, j))
                 break
 
-    wanted = pa.array(sorted(need), pa.int32())
+    # budget split: an owning bucket over max_fetch_rows recurses instead
+    # of being shipped whole to one sort task. len(splits) < 2 means the
+    # domain stopped splitting (all-equal sample) — recursing can't shrink
+    # it, so fetch directly (correct, and all-equal sorts are cheap).
+    can_recurse = _depth < _MAX_SELECT_DEPTH and len(splits) >= 1
+    small = {
+        b: loc
+        for b, loc in need.items()
+        if counts[b] <= max_fetch_rows or not can_recurse
+    }
+    big = {b: loc for b, loc in need.items() if b not in small}
 
-    def _pick(group: pa.Table) -> pa.Table:
-        b = int(group.column("_rbucket")[0].as_py())
-        v = np.sort(group.column(value_col).to_numpy(zero_copy_only=False))
-        loc = need[b]
-        return pa.table(
-            {
-                "_j": pa.array([j for _, j in loc], pa.int64()),
-                "_v": pa.array([v[i] for i, _ in loc]),
-            }
-        )
+    by_j: dict[int, Any] = {}
+    if small:
+        wanted = pa.array(sorted(small), pa.int32())
 
-    picked = (
-        pruned.map_batches(_tag, batch_format="pyarrow", zero_copy_batch=True)
-        .map_batches(
-            lambda t: t.filter(pc.is_in(t.column("_rbucket"), value_set=wanted)),
-            batch_format="pyarrow", zero_copy_batch=True,
+        def _pick(group: pa.Table) -> pa.Table:
+            b = int(group.column("_rbucket")[0].as_py())
+            v = np.sort(group.column(value_col).to_numpy(zero_copy_only=False))
+            loc = small[b]
+            return pa.table(
+                {
+                    "_j": pa.array([j for _, j in loc], pa.int64()),
+                    "_v": pa.array([v[i] for i, _ in loc]),
+                }
+            )
+
+        picked = (
+            pruned.map_batches(_tag, batch_format="pyarrow", zero_copy_batch=True)
+            .map_batches(
+                lambda t: t.filter(pc.is_in(t.column("_rbucket"), value_set=wanted)),
+                batch_format="pyarrow", zero_copy_batch=True,
+            )
+            .groupby("_rbucket")
+            .map_groups(_pick, batch_format="pyarrow")
+            .to_pandas()
         )
-        .groupby("_rbucket")
-        .map_groups(_pick, batch_format="pyarrow")
-        .to_pandas()
-    )
-    by_j = dict(zip(picked["_j"].astype(int), picked["_v"]))
+        by_j.update(zip(picked["_j"].astype(int), picked["_v"]))
+
+    for b, loc in big.items():
+        sub = pruned.map_batches(
+            _tag, batch_format="pyarrow", zero_copy_batch=True
+        ).map_batches(
+            lambda t, b=b: t.filter(
+                pc.equal(t.column("_rbucket"), pa.scalar(b, pa.int32()))
+            ).drop_columns(["_rbucket"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        sub_vals, _, sub_total = _select_ranks(
+            sub,
+            value_col,
+            ranks=[i + 1 for i, _ in loc],
+            num_buckets=num_buckets,
+            sample_size=sample_size,
+            max_fetch_rows=max_fetch_rows,
+            _depth=_depth + 1,
+        )
+        if sub_total != counts[b]:  # histogram vs recursion disagree
+            raise RuntimeError(
+                f"select_quantiles recursion drift: bucket {b} counted "
+                f"{counts[b]} rows but re-scan saw {sub_total}"
+            )
+        for v, (_, j) in zip(sub_vals, loc):
+            by_j[j] = v
+
     return [by_j[j] for j in range(len(ranks))], ranks, total
 
 

@@ -339,13 +339,22 @@ def conv_overlap_pairs(
 
 
 def shared_turn_texts(
-    ds: ray.data.Dataset, *, min_convs: int = 5
+    ds: ray.data.Dataset, *, min_convs: int = 5, max_texts: int = 10_000
 ) -> pa.Table:
     """Boilerplate detection: turn texts appearing in >= min_convs
     distinct conversations, with conversation and row counts. Texts are
-    hashed map-side; the (tiny) flagged-hash set is broadcast back over
-    a second scan to recover the actual texts — corpus text bytes never
-    enter a shuffle. Returns a driver-sized Arrow table."""
+    hashed map-side; the flagged-hash set is broadcast back over a
+    second scan to recover the actual texts — corpus text bytes never
+    enter a shuffle. Returns a driver-sized Arrow table.
+
+    ``max_texts`` is the driver-memory valve (same pattern as
+    ``relops.skew_join.max_hot_keys``): the flagged-hash aggregation
+    stays fully distributed, and when more than ``max_texts`` distinct
+    texts clear the threshold — a low ``min_convs`` over a heavily
+    templated 100-TB corpus — only the top-``max_texts`` by
+    (n_convs, n_rows, hash) reach the driver, selected with the
+    per-batch-pruned ``relops.topk`` (no global sort of the flag set).
+    Under the cap the result is byte-identical to the uncapped one."""
 
     def _content_hash(batch: pa.Table) -> pa.Table:
         text = batch.column("text").to_pylist()
@@ -375,7 +384,7 @@ def shared_turn_texts(
         joined = nc_t.join(nr_t, keys=["v"])
         return joined.filter(pc.greater_equal(joined.column("n_convs"), min_convs))
 
-    flagged = bucketed_groupby(
+    flagged_ds = bucketed_groupby(
         hashed.select_columns(["conv_id", "v"]),
         ["v"],
         per_hash,
@@ -386,7 +395,17 @@ def shared_turn_texts(
                 "n_rows": pa.array([], pa.int64()),
             }
         ),
-    ).to_pandas()
+    ).materialize()
+    if flagged_ds.count() > max_texts:
+        # deterministic top-N: most prevalent first, hash as tiebreak
+        from ..relops import topk
+
+        flagged_ds = topk(
+            flagged_ds,
+            [("n_convs", "descending"), ("n_rows", "descending"), ("v", "ascending")],
+            max_texts,
+        )
+    flagged = flagged_ds.to_pandas()
     if len(flagged) == 0:
         return pa.table(
             {

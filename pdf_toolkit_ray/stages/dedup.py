@@ -720,7 +720,19 @@ def attach_cluster_ids(
         from ..relops import choose_num_partitions_for
 
         num_partitions = choose_num_partitions_for(slim)
-    if labels.count() <= broadcast_limit:
+    n_labels = labels.count()
+    if n_labels == 0:
+        # no component touches any row — every row is its own cluster.
+        # (An empty union-find output is NULL-typed; joining it would
+        # crash on the type mismatch, so short-circuit.)
+        def _self(batch: pa.Table) -> pa.Table:
+            cols = {id_col: batch.column(id_col), "cluster_id": batch.column(id_col)}
+            for c in keep:
+                cols[c] = batch.column(c)
+            return pa.table(cols)
+
+        return slim.map_batches(_self, batch_format="pyarrow", zero_copy_batch=True)
+    if n_labels <= broadcast_limit:
         # broadcast the label map as an ARROW table (zero-copy plasma get
         # per task, no per-actor dict rebuild, no per-row python lookup):
         # per batch a vectorized pa.Table.join + coalesce
@@ -1266,3 +1278,300 @@ def fuzzy_lev_pairs(
         broadcast_pair_limit=broadcast_pair_limit,
         num_partitions=8,
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted cross-job NEAR-dup index (MinHash band keys)
+# ---------------------------------------------------------------------------
+
+
+def _same_band_pairs(t: pa.Table) -> pa.Table:
+    """Distinct unordered id pairs sharing a band key within one table —
+    the vectorized Arrow self-join shape proven in
+    ``_bucket_candidate_pairs.per_bucket``."""
+    left = pa.table({"band_key": t.column("band_key"), "a": t.column("id")})
+    right = pa.table({"band_key": t.column("band_key"), "b": t.column("id")})
+    j = left.join(right, keys=["band_key"], join_type="inner")
+    kept = j.filter(pc.less(j.column("a"), j.column("b")))
+    return (
+        pa.table({"a": kept.column("a"), "b": kept.column("b")})
+        .group_by(["a", "b"])
+        .aggregate([])
+    )
+
+
+@ray.remote(num_cpus=0)
+class _BandShardActor:
+    """One shard of a cluster-wide persisted MinHash BAND index
+    (band_key → member ids) — the near-dup analog of
+    :class:`_DigestShardActor`, with the same RAM valve: ``max_entries``
+    bounds the in-actor entry count; past it, entries flush to
+    sub-bucketed parquet RUNS under ``spill_dir`` and steady-state actor
+    RAM is one budget's worth regardless of how many billions of
+    (band_key, id) rows a 100-TB ingest streams through.
+
+    Unlike the digest index (whose merge must arbitrate keep-min vs
+    first-wins), band entries are a pure SET — merge-on-read is a concat,
+    and candidate pairs are generated one sub-bucket at a time
+    (``candidate_sub_refs``) so the pair-generation peak is
+    (total entries / sub_buckets), never the whole shard. The same
+    band_key always lands in the same sub (SplitMix-mixed hash of the
+    key), so every same-band pair forms inside exactly one sub merge.
+
+    Reference analog: skip-if-exists resume semantics
+    (/root/reference/src/pdf-toolkit/page_images.py:740-752) lifted to
+    signature granularity — a document's MinHash is computed ONCE, at
+    ingest, and every later job probes the persisted bands instead of
+    re-signaturing the corpus."""
+
+    def __init__(
+        self,
+        max_entries: int | None = None,
+        spill_dir: str | None = None,
+        sub_buckets: int = 8,
+    ) -> None:
+        import tempfile
+        import uuid
+
+        self._keys: list[np.ndarray] = []
+        self._ids: list[np.ndarray] = []
+        self._live = 0
+        self._max = int(max_entries) if max_entries else None
+        self._subs = max(1, int(sub_buckets))
+        base = spill_dir or os.path.join(tempfile.gettempdir(), "pdf_toolkit_ray_spill")
+        self._dir = os.path.join(base, uuid.uuid4().hex)
+        self._runs = 0
+        self._spilled_rows = 0
+
+    def _sub_of(self, keys: np.ndarray) -> np.ndarray:
+        mixed = keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        return ((mixed >> np.uint64(33)) % np.uint64(self._subs)).astype(np.int64)
+
+    def _flush(self) -> None:
+        import pyarrow.parquet as pq
+
+        os.makedirs(self._dir, exist_ok=True)
+        k = np.concatenate(self._keys)
+        i = np.concatenate(self._ids)
+        sub = self._sub_of(k)
+        for j in range(self._subs):
+            mask = sub == j
+            if not mask.any():
+                continue
+            pq.write_table(
+                pa.table(
+                    {
+                        "band_key": pa.array(k[mask], pa.int64()),
+                        "id": pa.array(i[mask], pa.int64()),
+                    }
+                ),
+                os.path.join(self._dir, f"run{self._runs:06d}_sub{j:04d}.parquet"),
+            )
+        self._spilled_rows += self._live
+        self._runs += 1
+        self._keys, self._ids, self._live = [], [], 0
+
+    def offer(self, band_keys: np.ndarray, ids: np.ndarray) -> int:
+        self._keys.append(np.asarray(band_keys, np.int64))
+        self._ids.append(np.asarray(ids, np.int64))
+        self._live += len(band_keys)
+        if self._max is not None and self._live > self._max:
+            self._flush()
+        return self._live
+
+    def size(self) -> int:
+        return self._live + self._spilled_rows
+
+    def spilled_runs(self) -> int:
+        return self._runs
+
+    def _merged_sub(self, sub: int) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        parts: list[pa.Table] = []
+        for r in range(self._runs):
+            path = os.path.join(self._dir, f"run{r:06d}_sub{sub:04d}.parquet")
+            if os.path.exists(path):
+                parts.append(pq.read_table(path))
+        if self._live:
+            k = np.concatenate(self._keys)
+            i = np.concatenate(self._ids)
+            mask = self._sub_of(k) == sub
+            if mask.any():
+                parts.append(
+                    pa.table(
+                        {
+                            "band_key": pa.array(k[mask], pa.int64()),
+                            "id": pa.array(i[mask], pa.int64()),
+                        }
+                    )
+                )
+        if not parts:
+            return pa.table(
+                {"band_key": pa.array([], pa.int64()), "id": pa.array([], pa.int64())}
+            )
+        return pa.concat_tables(parts).combine_chunks()
+
+    def candidate_sub_refs(self) -> list:
+        """Distinct same-band id pairs, one OBJECT REF per non-empty
+        sub-bucket: the actor holds one merged sub at a time and the
+        consumer assembles refs into a Dataset — no whole-shard pair
+        table ever exists in actor or driver memory. Cross-shard/sub
+        duplicates (a pair sharing bands that hashed apart) survive;
+        the caller's size-gated global distinct removes those."""
+        out = []
+        for j in range(self._subs):
+            t = self._merged_sub(j)
+            if t.num_rows < 2:
+                continue
+            pairs = _same_band_pairs(t)
+            if pairs.num_rows:
+                out.append(ray.put(pairs))
+        return out
+
+    def cleanup(self) -> None:
+        import shutil
+
+        shutil.rmtree(self._dir, ignore_errors=True)
+
+
+class NearDupIndex:
+    """Handle for a persisted cross-job near-dup index: band shard actors
+    plus the MinHash geometry they were built with (probes MUST use the
+    same num_perm/bands or band keys won't align — enforced at ingest)."""
+
+    def __init__(self, shards: list, num_perm: int, bands: int):
+        self.shards = shards
+        self.num_perm = num_perm
+        self.bands = bands
+
+
+def make_neardup_index(
+    num_shards: int | None = None,
+    *,
+    num_perm: int = 64,
+    bands: int = 32,
+    max_entries_per_shard: int | None = None,
+    spill_dir: str | None = None,
+) -> NearDupIndex:
+    """Create a persistent sharded MinHash band index to pass across
+    several :func:`neardup_ingest` calls — incremental / cross-job
+    near-dedup, where signatures must be computed once per document EVER
+    rather than once per run. ``max_entries_per_shard`` caps each actor's
+    RAM exactly as in :func:`make_digest_index`."""
+    if num_shards is None:
+        num_shards = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    shards = [
+        _BandShardActor.remote(max_entries=max_entries_per_shard, spill_dir=spill_dir)
+        for _ in range(num_shards)
+    ]
+    return NearDupIndex(shards, num_perm, bands)
+
+
+def neardup_ingest(
+    ds: ray.data.Dataset,
+    index: NearDupIndex,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """Ingest a corpus increment into the persisted band index: signature
+    + band explode map-side (the only time these texts are ever hashed),
+    then (band_key, id) rows — ~16 bytes each, never text — routed to
+    shards by band-key hash. Returns the row count ingested. Blocks until
+    every offer landed, so a subsequent :func:`neardup_clusters` sees a
+    complete index."""
+    shards = index.shards
+    num_shards = len(shards)
+    num_perm, bands = index.num_perm, index.bands
+
+    def route(batch: pa.Table) -> pa.Table:
+        exploded = _id_stage_for(id_col, text_col, num_perm, bands)(batch)
+        keys = exploded.column("band_key").to_numpy(zero_copy_only=False)
+        ids = pc.cast(exploded.column(id_col), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        shard_of = (keys.astype(np.uint64) % np.uint64(num_shards)).astype(np.int64)
+        order = np.argsort(shard_of, kind="stable")
+        sorted_shards = shard_of[order]
+        starts = np.flatnonzero(np.r_[True, sorted_shards[1:] != sorted_shards[:-1]])
+        bounds = np.r_[starts, len(order)]
+        refs = [
+            shards[int(sorted_shards[a])].offer.remote(
+                keys[order[a:b]], ids[order[a:b]]
+            )
+            for a, b in zip(bounds[:-1], bounds[1:])
+        ]
+        ray.get(refs)  # offers land before this task reports done
+        return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
+
+    counts = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(route, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )
+    return sum(int(r["n"]) for r in counts)
+
+
+def neardup_candidate_pairs(index: NearDupIndex) -> ray.data.Dataset:
+    """(a, b) candidate Dataset assembled from per-sub-bucket object refs
+    across every shard — possibly with cross-shard duplicates (dedup'd
+    downstream by the verify attach)."""
+    refs = []
+    for s in index.shards:
+        refs.extend(ray.get(s.candidate_sub_refs.remote()))
+    if not refs:
+        return ray.data.from_arrow(
+            pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        )
+    return ray.data.from_arrow_refs(refs)
+
+
+def neardup_clusters(
+    index: NearDupIndex,
+    corpus: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    threshold: float = 0.8,
+    n: int = 3,
+    broadcast_pair_limit: int = 100_000,
+    num_partitions: int = 8,
+    method: str = "auto",
+) -> ray.data.Dataset:
+    """(id, cluster_id) over ``corpus`` using the PERSISTED index for
+    candidate generation — the corpus is scanned only for the exact
+    n-gram-Jaccard verify payloads and the final attach, never
+    re-signatured. Fed the same corpus the batch path saw, the result is
+    row-identical to ``minhash_clusters_documents``'s
+    ``ngram_jaccard_pairs`` → components → attach pipeline (same MinHash
+    geometry ⇒ same candidate set; same exact verify ⇒ same edges)."""
+    id_type = corpus.schema().base_schema.field(id_col).type
+    texts_ds = corpus.select_columns([id_col, text_col])
+    cand = neardup_candidate_pairs(index)
+
+    def _verify(batch: pa.Table) -> pa.Table:
+        return _verify_pairs_batch(batch, n, threshold)
+
+    pairs = _attach_verify_pairs(
+        texts_ds,
+        cand,
+        id_col,
+        id_type,
+        payload_of=lambda b: b.column(text_col),
+        verify_fn=_verify,
+        out_empty=_pairs_empty(id_type),
+        broadcast_pair_limit=broadcast_pair_limit,
+        num_partitions=num_partitions,
+    )
+    labels = connected_components(pairs, method=method)
+    return attach_cluster_ids(corpus, labels, id_col)
+
+
+def destroy_neardup_index(index: NearDupIndex) -> None:
+    """Release spill files and kill the shard actors. Any object refs
+    previously returned by :func:`neardup_candidate_pairs` die with the
+    actors — materialize results first."""
+    ray.get([s.cleanup.remote() for s in index.shards])
+    for s in index.shards:
+        ray.kill(s)
+    index.shards = []

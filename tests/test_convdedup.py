@@ -274,3 +274,33 @@ def test_convdup_fixture_has_quoting_turns():
     )
     assert quoted.num_rows > 0
     assert set(pc.unique(quoted.column("role")).to_pylist()) == {"assistant"}
+
+
+def test_shared_turn_texts_cap(ray_session):
+    """max_texts valve: over the cap, only the top-N most prevalent
+    boilerplate texts reach the driver (deterministic prevalence order);
+    under the cap the output is identical to the uncapped run."""
+    import ray
+
+    from pdf_toolkit_ray.stages.convdedup import shared_turn_texts
+
+    rows = []
+    # boilerplate k appears in (4 + k) distinct convs -> prevalence order
+    # is bp4 > bp3 > bp2 > bp1 > bp0, all >= min_convs=3
+    for k in range(5):
+        for c in range(4 + k):
+            rows += _conv(f"b{k}c{c}", [f"boilerplate {k}", f"solo {k}-{c}"])
+    ds = ray.data.from_arrow(_transcripts(rows))
+
+    full = shared_turn_texts(ds, min_convs=3).to_pandas()
+    assert sorted(full["text"]) == [f"boilerplate {k}" for k in range(5)]
+
+    capped = shared_turn_texts(ds, min_convs=3, max_texts=2).to_pandas()
+    assert sorted(capped["text"]) == ["boilerplate 3", "boilerplate 4"]
+    assert sorted(capped["n_convs"]) == [7, 8]
+
+    # cap >= flag count: byte-identical to uncapped
+    same = shared_turn_texts(ds, min_convs=3, max_texts=5).to_pandas()
+    assert same.sort_values("text").reset_index(drop=True).equals(
+        full.sort_values("text").reset_index(drop=True)
+    )

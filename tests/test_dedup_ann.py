@@ -940,3 +940,124 @@ def test_kmeans_purity_shape(ray_session):
         assert 1 <= r["n_majority"] <= r["n"]
         assert r["purity"] == r["n_majority"] / r["n"]
         assert 0 <= r["majority_label"] <= 9
+
+
+def _neardup_corpus(n_groups: int = 12) -> pa.Table:
+    """Deterministic corpus with known near-dup structure: per group a
+    base sentence, a one-word near variant (trigram jaccard > 0.8), an
+    exact copy, and an unrelated singleton."""
+    ids, texts = [], []
+    nxt = 0
+    for g in range(n_groups):
+        base = (
+            f"group {g} shared sentence about ray data pipelines with many "
+            f"common words repeated across documents for stable shingles v{g}"
+        )
+        near = base.replace("stable", "steady")
+        far = f"singleton {g} document with entirely unrelated vocabulary item{g} token{g * 7} marker{g * 13}"
+        for t in (base, near, base, far):
+            ids.append(nxt)
+            texts.append(t)
+            nxt += 1
+    return pa.table(
+        {"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts, pa.string())}
+    )
+
+
+def test_neardup_online_matches_batch_and_spills(ray_session):
+    """Persisted band index parity: ingesting the corpus in three disjoint
+    increments through a spill-FORCED index (max_entries_per_shard far
+    below the band volume) then clustering must equal the one-shot batch
+    pipeline (ngram_jaccard_pairs -> components -> attach) row for row —
+    near-dup groups span increments, so cross-increment candidates only
+    exist if spilled runs are probed correctly."""
+    import ray
+    import ray.data
+
+    from pdf_toolkit_ray.stages import dedup as dedup_mod
+
+    tbl = _neardup_corpus()
+    ds = ray.data.from_arrow(tbl)
+
+    batch_pairs = dedup_mod.ngram_jaccard_pairs(ds, "doc_id", "text", threshold=0.8)
+    batch_labels = dedup_mod.connected_components(batch_pairs)
+    expected = (
+        dedup_mod.attach_cluster_ids(ds, batch_labels, "doc_id")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # fixture sanity: real clusters exist (base+near+copy share a cluster)
+    assert (expected["cluster_id"] != expected["doc_id"]).any()
+
+    index = dedup_mod.make_neardup_index(
+        num_shards=3, num_perm=64, bands=32, max_entries_per_shard=16
+    )
+    try:
+        for k in range(3):
+            mask = pa.array(
+                tbl.column("doc_id").to_numpy(zero_copy_only=False) % 3 == k
+            )
+            n = dedup_mod.neardup_ingest(
+                ray.data.from_arrow(tbl.filter(mask)), index, "doc_id", "text"
+            )
+            assert n == tbl.filter(mask).num_rows
+        assert any(
+            ray.get(s.spilled_runs.remote()) > 0 for s in index.shards
+        ), "budget was meant to force spill runs"
+        got = (
+            dedup_mod.neardup_clusters(index, ds, "doc_id", "text", threshold=0.8, n=3)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+    finally:
+        dedup_mod.destroy_neardup_index(index)
+    assert got.equals(expected)
+
+
+def test_neardup_index_incremental_reclustering(ray_session):
+    """Cross-job shape: after job A's ingest, clustering sees only A's
+    dups; job B's ingest adds documents near-duplicating A's WITHOUT
+    re-signaturing A (A's texts are only rescanned for verify payloads),
+    and reclustering merges across jobs."""
+    import ray.data
+
+    from pdf_toolkit_ray.stages import dedup as dedup_mod
+
+    base = (
+        "job alpha canonical sentence with plenty of shared trigram "
+        "material across revisions of the same underlying document text "
+        "padded with further stable words so a single substitution keeps "
+        "the exact word trigram jaccard similarity comfortably above the "
+        "clustering threshold used by the persisted band index pipeline"
+    )
+    job_a = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array([base, "unrelated alpha content entirely"], pa.string()),
+        }
+    )
+    job_b = pa.table(
+        {
+            "doc_id": pa.array([10], pa.int64()),
+            "text": pa.array([base.replace("plenty", "lots")], pa.string()),
+        }
+    )
+    index = dedup_mod.make_neardup_index(num_shards=2, num_perm=64, bands=32)
+    try:
+        dedup_mod.neardup_ingest(ray.data.from_arrow(job_a), index)
+        first = dedup_mod.neardup_clusters(
+            index, ray.data.from_arrow(job_a), threshold=0.8, n=3
+        ).to_pandas()
+        assert sorted(first["cluster_id"]) == [0, 1]  # no dups within A
+        dedup_mod.neardup_ingest(ray.data.from_arrow(job_b), index)
+        corpus = ray.data.from_arrow(pa.concat_tables([job_a, job_b]))
+        second = (
+            dedup_mod.neardup_clusters(index, corpus, threshold=0.8, n=3)
+            .to_pandas()
+            .set_index("doc_id")["cluster_id"]
+        )
+        assert second[10] == 0 and second[0] == 0 and second[1] == 1
+    finally:
+        dedup_mod.destroy_neardup_index(index)

@@ -545,3 +545,26 @@ def test_global_running_max_matches_cummax(ray_session, vals, seed, nb, exclusiv
     assert ((got.isna() == ref.isna()) & ((got == ref) | ref.isna())).all(), (
         out, ref,
     )
+
+
+@given(vals=st.lists(st.integers(-50, 50), min_size=1, max_size=60),
+       seed=st.integers(0, 2**20),
+       nb=st.integers(1, 9),
+       budget=st.integers(1, 8))
+@settings(**_SETTINGS)
+def test_select_quantiles_recursion_matches_direct(ray_session, vals, seed, nb, budget):
+    """Forced-tiny-budget recursion: with max_fetch_rows far below any
+    bucket size every rank-owning bucket recurses (duplicate-heavy
+    multisets exercise the no-shrink depth fallback too), and the result
+    must equal the direct-fetch path exactly."""
+    tbl = pa.table({"v": pa.array(vals, pa.int64())})
+    rng = np.random.RandomState(seed)
+    fracs = [(1, 4), (1, 2), (1, 1)]
+    got, ranks, total = relops.select_quantiles(
+        _ds_from(tbl, rng), "v", fracs,
+        num_buckets=nb, sample_size=16, max_fetch_rows=budget,
+    )
+    assert total == len(vals)
+    s = np.sort(np.array(vals, dtype=np.int64))
+    for r, g in zip(ranks, got):
+        assert int(g) == int(s[r - 1])
