@@ -14106,6 +14106,7 @@ def text_source_documents_sql(sf_dir: str | None = None) -> str:
     return f"""
 SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars
 FROM read_csv('{path}', delim='\\t', quote='', escape='', header=false,
+              force_not_null=['text'],
               columns={{'doc_id': 'BIGINT', 'text': 'VARCHAR'}})
 """
 
@@ -14723,11 +14724,19 @@ def hard_negatives_embeddings(sf_dir: str, k: int = 5):
     and the bit-deterministic cosine). Goes through the size-gated
     ``stages.ann.hard_negatives_topk``: exact broadcast scoring at
     driver scale (what the twin pins), the IVF-co-partitioned
-    no-broadcast path above the gate."""
+    no-broadcast path above the gate.
+
+    GATE ASSUMPTION (oracle-parity contract): the registered SQL twin
+    is the EXACT all-pairs ranking, so this entry forces the exact path
+    regardless of fixture size — above the gate the engine would switch
+    to approximate IVF recall (n_probe < n_cells) and a larger fixture
+    would otherwise produce a confusing parity failure that is really
+    just the gate tripping. The IVF path's own parity is pinned by
+    ``test_hard_negatives_forced_gate_parity`` (n_probe == n_cells)."""
     from .stages.ann import hard_negatives_topk
 
     ds = scan(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
-    return hard_negatives_topk(ds, k=k)
+    return hard_negatives_topk(ds, k=k, gate_bytes=1 << 62)
 
 
 def _build_hard_negatives_sql(k: int = 5) -> str:
@@ -14796,9 +14805,21 @@ def ks_doclen_documents(sf_dir: str, lang_a: str = "en", lang_b: str = "de"):
     na, nb = int(hist["a"].sum()), int(hist["b"].sum())
     ca = hist["a"].cumsum().to_numpy(np.int64)
     cb = hist["b"].cumsum().to_numpy(np.int64)
-    num = np.abs(ca * nb - cb * na)
-    best = int(num.max()) if len(num) else 0
-    at_x = int(hist["x"].to_numpy()[num.argmax()]) if len(num) else 0
+    if len(ca) and max(int(ca[-1]) * nb, int(cb[-1]) * na) >= 2**62:
+        # int64 cross-products would wrap SILENTLY; the walk is already
+        # domain-sized, so exact Python bigints cost nothing extra
+        nums = [abs(int(x) * nb - int(y) * na) for x, y in zip(ca, cb)]
+        best = max(nums)
+        at_x = int(hist["x"].to_numpy()[nums.index(best)])
+        if best >= 2**63:
+            raise OverflowError(
+                f"KS numerator {best} exceeds the int64 output column; "
+                "corpus slice sizes are beyond this op's d_num schema"
+            )
+    else:
+        num = np.abs(ca * nb - cb * na)
+        best = int(num.max()) if len(num) else 0
+        at_x = int(hist["x"].to_numpy()[num.argmax()]) if len(num) else 0
     return pa.table(
         {
             "na": pa.array([na], pa.int64()),

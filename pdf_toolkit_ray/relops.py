@@ -30,6 +30,19 @@ from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 _HASH_SHUFFLE_PATCHED = False
 
+#: Ray minor versions on which the hash-shuffle empty-block patch below is
+#: REQUIRED and its private attach points are known to exist. On any other
+#: version the patch degrades to a loud warning instead of a silent no-op:
+#: upstream may have fixed the bug (run
+#: ``tests/test_relops.py::test_join_survives_leading_empty_block`` — the
+#: deterministic regression — to find out) or merely moved the API.
+_HASH_SHUFFLE_PATCH_VERSIONS = ("2.49.",)
+
+
+class HashShufflePatchError(RuntimeError):
+    """The Ray version pins the hash-shuffle empty-block patch but its
+    private attach point is missing — refuse to run joins un-patched."""
+
 
 def _patch_hash_shuffle_empty_block_broadcast() -> None:
     """Work around an order-dependent Ray 2.49 hash-shuffle bug: the
@@ -43,20 +56,51 @@ def _patch_hash_shuffle_empty_block_broadcast() -> None:
     them from the shuffle input driver-side is semantics-preserving and
     lets the first NON-empty block carry the broadcast. (Found by the
     hypothesis layout property suite at tiny scale; at real scale any
-    selective filter ahead of a join can emit a leading empty block.)"""
+    selective filter ahead of a join can emit a leading empty block.
+    Deterministic regression:
+    ``tests/test_relops.py::test_join_survives_leading_empty_block``.)
+
+    VERSION GUARD: the patch rewrites
+    ``ray.data._internal...HashShufflingOperatorBase._do_add_input_inner``
+    — a private API. On the pinned Ray versions
+    (``_HASH_SHUFFLE_PATCH_VERSIONS``) a missing attach point raises
+    :class:`HashShufflePatchError` (something is broken — do not run
+    joins silently un-patched); on any other version it warns loudly and
+    defers to the regression test, since upstream may have fixed the
+    underlying bug."""
     global _HASH_SHUFFLE_PATCHED
     if _HASH_SHUFFLE_PATCHED:
         return
     _HASH_SHUFFLE_PATCHED = True
+    pinned = ray.__version__.startswith(_HASH_SHUFFLE_PATCH_VERSIONS)
     try:
         from ray.data._internal.execution.operators.hash_shuffle import (
             HashShufflingOperatorBase,
         )
         from ray.data._internal.execution.interfaces.ref_bundle import RefBundle
-    except ImportError:  # pragma: no cover - future Ray moved/fixed it
-        return
 
-    orig = HashShufflingOperatorBase._do_add_input_inner
+        orig = HashShufflingOperatorBase._do_add_input_inner
+    except (ImportError, AttributeError) as exc:
+        if pinned:
+            raise HashShufflePatchError(
+                f"Ray {ray.__version__} needs the hash-shuffle empty-block "
+                f"patch but its private attach point is gone ({exc!r}); "
+                "joins would fail nondeterministically on leading empty "
+                "blocks. Re-pin _HASH_SHUFFLE_PATCH_VERSIONS after running "
+                "tests/test_relops.py::test_join_survives_leading_empty_block."
+            ) from exc
+        import warnings
+
+        warnings.warn(
+            f"hash-shuffle empty-block patch NOT applied on Ray "
+            f"{ray.__version__} (private API moved: {exc!r}). If "
+            "tests/test_relops.py::test_join_survives_leading_empty_block "
+            "still passes, upstream fixed the bug and this warning can be "
+            "retired; if it fails, joins are broken on this Ray version.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return
 
     def _do_add_input_inner(self, input_bundle, input_index):
         kept = [
@@ -573,6 +617,45 @@ def exchange_groupby(
     return drop_empty_blocks(ray.data.from_arrow_refs(out_refs), empty)
 
 
+def _sample_split_points(
+    ds: ray.data.Dataset,
+    col: str,
+    num_buckets: int,
+    sample_size: int = 4096,
+    per_batch: int = 16,
+) -> np.ndarray:
+    """Range-partitioner split points from a CROSS-BATCH stride sample:
+    each batch contributes ≤ ``per_batch`` evenly-spaced values, so the
+    driver's ``sample_size × per_batch`` row pull spans ~``sample_size``
+    batches instead of the first one or two — when the order column
+    correlates with physical layout (ids in write order), a plain
+    ``limit(sample_size)`` sample put nearly every row in the LAST
+    bucket and the down-sweep degenerated to one giant sort task.
+    Residual bias: streaming limit still reads batches in scan order, so
+    pathological layouts can still skew BALANCE — never correctness
+    (bucketing is searchsorted; every consumer's result is exact for any
+    split choice)."""
+
+    def _stride(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n <= per_batch:
+            return batch
+        idx = np.linspace(0, n - 1, per_batch).astype(np.int64)
+        return batch.take(pa.array(idx))
+
+    sample = (
+        ds.select_columns([col])
+        .map_batches(_stride, batch_format="pyarrow", zero_copy_batch=True)
+        .limit(sample_size * per_batch)
+        .take_all()
+    )
+    vals = np.sort(np.array([r[col] for r in sample]))
+    if len(vals):
+        qs = np.linspace(0, 1, num_buckets + 1)[1:-1]
+        return np.unique(np.quantile(vals, qs, method="lower"))
+    return vals
+
+
 def global_row_number(
     ds: ray.data.Dataset,
     value_col: str,
@@ -587,8 +670,8 @@ def global_row_number(
     range-partitioned global rank that no single node ever materializes.
     Returns ``(ranked dataset, total row count)``.
 
-    1. SPLITS: a deterministic sample of ``value_col`` (first
-       ``sample_size`` rows in scan order) yields the range
+    1. SPLITS: a deterministic cross-batch stride sample of
+       ``value_col`` (``_sample_split_points``) yields the range
        partitioner's split points. Splits affect BALANCE only, never
        correctness: bucketing is ``searchsorted(splits, value)``, so
        equal values land in one bucket and buckets are contiguous key
@@ -606,13 +689,7 @@ def global_row_number(
     ``skew_join`` (raise ``num_buckets``, pre-salt upstream)."""
     if num_buckets is None:
         num_buckets = 4 * int(ray.cluster_resources().get("CPU", 8))
-    sample = ds.select_columns([value_col]).limit(sample_size).take_all()
-    vals = np.sort(np.array([r[value_col] for r in sample]))
-    if len(vals):
-        qs = np.linspace(0, 1, num_buckets + 1)[1:-1]
-        splits = np.unique(np.quantile(vals, qs, method="lower"))
-    else:
-        splits = vals
+    splits = _sample_split_points(ds, value_col, num_buckets, sample_size)
 
     def _tag(batch: pa.Table) -> pa.Table:
         v = batch.column(value_col).to_numpy(zero_copy_only=False)
@@ -731,13 +808,7 @@ def _select_ranks(
     if num_buckets is None:
         num_buckets = 4 * int(ray.cluster_resources().get("CPU", 8))
     ds = pruned
-    sample = ds.select_columns([value_col]).limit(sample_size).take_all()
-    vals = np.sort(np.array([r[value_col] for r in sample]))
-    if len(vals):
-        qs = np.linspace(0, 1, num_buckets + 1)[1:-1]
-        splits = np.unique(np.quantile(vals, qs, method="lower"))
-    else:
-        splits = vals
+    splits = _sample_split_points(ds, value_col, num_buckets, sample_size)
 
     def _tag(batch: pa.Table) -> pa.Table:
         v = batch.column(value_col).to_numpy(zero_copy_only=False)
@@ -884,13 +955,7 @@ def global_running_max(
     Values must be int64-comparable (ints / timestamps cast upstream)."""
     if num_buckets is None:
         num_buckets = 4 * int(ray.cluster_resources().get("CPU", 8))
-    sample = ds.select_columns([order_col]).limit(sample_size).take_all()
-    vals = np.sort(np.array([r[order_col] for r in sample]))
-    if len(vals):
-        qs = np.linspace(0, 1, num_buckets + 1)[1:-1]
-        splits = np.unique(np.quantile(vals, qs, method="lower"))
-    else:
-        splits = vals
+    splits = _sample_split_points(ds, order_col, num_buckets, sample_size)
 
     def _tag(batch: pa.Table) -> pa.Table:
         v = batch.column(order_col).to_numpy(zero_copy_only=False)

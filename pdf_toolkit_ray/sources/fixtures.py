@@ -750,7 +750,7 @@ def documents_tsv_path_for(sf_dir: str, base_dir: str = "/tmp/graft_fixtures") -
     """Plain-text TSV twin of ``{sf_dir}/documents.parquet`` (one
     ``doc_id<TAB>text`` line per doc) for the line-oriented
     source-parity op: the corpus texts contain no tab/newline/CR (the
-    writer asserts it), so the byte stream is unambiguous for any line
+    writer enforces it with a ValueError), so the byte stream is unambiguous for any line
     reader. Cached by source identity like the NDJSON twin."""
     import hashlib
 
@@ -769,7 +769,14 @@ def documents_tsv_path_for(sf_dir: str, base_dir: str = "/tmp/graft_fixtures") -
         for did, tx in zip(
             tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()
         ):
-            assert "\t" not in tx and "\n" not in tx and "\r" not in tx
+            if "\t" in tx or "\n" in tx or "\r" in tx:
+                # data invariant, not a debug check: under `python -O` a
+                # bare assert would silently emit a corrupt TSV whose
+                # line count no longer matches the corpus
+                raise ValueError(
+                    f"doc {did}: text contains tab/newline/CR — not "
+                    "representable as one TSV line"
+                )
             fh.write(f"{did}\t{tx}\n")
     os.replace(tmp, path)
     return path

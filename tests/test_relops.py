@@ -223,3 +223,55 @@ def test_curate_above_gate_matches_broadcast(ray_session, monkeypatch):
     monkeypatch.setattr(relops, "BROADCAST_GATE_BYTES", 0)
     joined = run()
     pd.testing.assert_frame_equal(broadcast, joined, check_dtype=False)
+
+
+def test_join_survives_leading_empty_block(ray_session):
+    """Deterministic regression for the Ray 2.49 hash-shuffle schema-loss
+    bug: a 0-row block arriving FIRST at a join side must not strip the
+    schema broadcast (un-patched Ray fails with acero's "No match for key
+    field reference"). This is THE test to run when bumping Ray past the
+    pinned versions — if it passes without the monkeypatch, upstream
+    fixed the bug and the patch can be retired."""
+    import ray.data
+
+    from pdf_toolkit_ray import relops
+
+    relops.ensure_join_tuning()
+    schema_t = pa.table({"k": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
+    data_t = pa.table({"k": pa.array([1, 2, 3], pa.int64()), "v": pa.array([10, 20, 30], pa.int64())})
+    left = ray.data.from_arrow([schema_t, data_t])  # leading empty block
+    right = ray.data.from_arrow(
+        pa.table({"k": pa.array([2, 3, 4], pa.int64()), "w": pa.array([5, 6, 7], pa.int64())})
+    )
+    got = (
+        left.join(right, "inner", num_partitions=2, on=("k",))
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert list(got["k"]) == [2, 3]
+    assert list(got["v"]) == [20, 30]
+    assert list(got["w"]) == [5, 6]
+
+
+def test_hash_shuffle_patch_guard(monkeypatch):
+    """Version guard semantics: on a PINNED Ray version a missing private
+    attach point raises HashShufflePatchError (never a silent no-patch);
+    on an unpinned version it degrades to a loud RuntimeWarning."""
+    from ray.data._internal.execution.operators import hash_shuffle
+
+    from pdf_toolkit_ray import relops
+
+    assert relops.ray.__version__.startswith(relops._HASH_SHUFFLE_PATCH_VERSIONS)
+
+    # pinned version, API gone -> loud failure
+    monkeypatch.setattr(relops, "_HASH_SHUFFLE_PATCHED", False)
+    monkeypatch.delattr(hash_shuffle.HashShufflingOperatorBase, "_do_add_input_inner")
+    with pytest.raises(relops.HashShufflePatchError, match="attach point"):
+        relops._patch_hash_shuffle_empty_block_broadcast()
+
+    # unpinned version, API gone -> warning, no raise
+    monkeypatch.setattr(relops, "_HASH_SHUFFLE_PATCHED", False)
+    monkeypatch.setattr(relops, "_HASH_SHUFFLE_PATCH_VERSIONS", ("9.99.",))
+    with pytest.warns(RuntimeWarning, match="NOT applied"):
+        relops._patch_hash_shuffle_empty_block_broadcast()
