@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "train_shard_assign_documents",
     "perplexity_buckets_documents",
     "watermark_late_events",
+    "dedup_minhash_online_documents",
 ]
 
 
@@ -157,6 +158,23 @@ def run_once() -> dict:
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
     }
+    # per-query perf pins (tools/bench_gate.py): flag queries slower than
+    # pin * tol so a regression like r4's join_orders_customer_top
+    # +15% is caught in the bench output itself, not in a later diff
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+        import bench_gate
+
+        if os.path.exists(bench_gate.PINS_PATH):
+            with open(bench_gate.PINS_PATH) as fh:
+                pins = json.load(fh)
+            rows, regressed = bench_gate.compare(result, pins)
+            result["pin_regressions"] = sorted(
+                r["query"] for r in rows if r["verdict"] == "SLOW"
+            )
+            result["pin_ok"] = not regressed
+    except Exception as exc:  # the gate must never sink the bench itself
+        result["pin_error"] = repr(exc)
     ray.shutdown()
     return result
 

@@ -35,6 +35,13 @@ def _build_parser() -> argparse.ArgumentParser:
     ext.add_argument("--turns", default=None, metavar="SPEC",
                      help='strict 1-based turn selection, e.g. "1-3,5" or "all" '
                           "(duplicates/overlaps are errors); pushed down to the read")
+    ext.add_argument("--ingest", choices=["new-files"], default=None,
+                     help="incremental mode: extract only input files not "
+                          "yet recorded in the output's ingest manifest, "
+                          "into a new generation directory")
+    ext.add_argument("--check-conv-overlap", action="store_true",
+                     help="with --ingest: verify no conversation spans "
+                          "ingests (one extra conv_id scan)")
     ext.add_argument("--dry-run", action="store_true",
                      help="plan only: report input size, heavy convs, partition "
                           "slots and resume skips; write nothing")
@@ -150,12 +157,20 @@ def main(argv: list[str] | None = None) -> int:
 
                 turn_filter_expression(args.turns)  # fail fast on bad specs
             ray = _ray_session(args.num_cpus)
-            from .pipelines.extract import run_extract_job
+            from .pipelines.extract import run_extract_ingest, run_extract_job
 
-            summary = run_extract_job(
-                args.input, args.out, cfg,
-                resume=not args.no_resume, turns=args.turns, dry_run=args.dry_run,
-            )
+            if args.ingest == "new-files":
+                if args.dry_run:
+                    raise UserError("--dry-run is not supported with --ingest")
+                summary = run_extract_ingest(
+                    args.input, args.out, cfg, turns=args.turns,
+                    check_conv_overlap=args.check_conv_overlap,
+                )
+            else:
+                summary = run_extract_job(
+                    args.input, args.out, cfg,
+                    resume=not args.no_resume, turns=args.turns, dry_run=args.dry_run,
+                )
             print(json.dumps(summary, indent=1))
             ray.shutdown()
             return 0

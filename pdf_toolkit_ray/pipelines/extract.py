@@ -49,7 +49,9 @@ from ..stages.extract_stage import ExtractBatcher, add_keys_batch, make_done_fil
 from ..stages.finalize import finalize_group, group_metrics
 
 
-def _input_bytes(input_path: str) -> int:
+def _input_bytes(input_path: str | list[str]) -> int:
+    if isinstance(input_path, list):
+        return sum(os.path.getsize(p) for p in input_path)
     if os.path.isfile(input_path):
         return os.path.getsize(input_path)
     total = 0
@@ -58,7 +60,9 @@ def _input_bytes(input_path: str) -> int:
     return total
 
 
-def _parquet_files(input_path: str) -> list[str]:
+def _parquet_files(input_path: str | list[str]) -> list[str]:
+    if isinstance(input_path, list):
+        return sorted(input_path)
     if os.path.isfile(input_path):
         return [input_path]
     return sorted(
@@ -457,6 +461,130 @@ def run_extract_job(
     return summary
 
 
+INGEST_MANIFEST_NAME = "_ingest_manifest.json"
+
+
+def _file_signature(path: str) -> str:
+    st = os.stat(path)
+    return f"{st.st_size}:{int(st.st_mtime)}"
+
+
+def _load_ingest_manifest(out_dir: str) -> dict[str, Any]:
+    path = os.path.join(out_dir, INGEST_MANIFEST_NAME)
+    if not os.path.exists(path):
+        return {"generations": []}
+    import json
+
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def run_extract_ingest(
+    input_path: str,
+    out_dir: str,
+    cfg: ExtractConfig | None = None,
+    *,
+    turns: str | None = None,
+    check_conv_overlap: bool = False,
+) -> dict[str, Any]:
+    """INCREMENTAL "new-files" job mode: extract only input files not yet
+    recorded in ``out/_ingest_manifest.json``, into a fresh generation
+    directory ``out/gen-{g:04d}/`` of new partitions — the reference's
+    skip-if-exists rerun semantics (page_images.py:740-752) lifted to
+    file granularity, which is how a 100-TB corpus actually arrives
+    (daily crawl/log drops into the same prefix).
+
+    Each generation is a full :func:`run_extract_job` over just the new
+    files (atomic partitions, per-partition manifests, resumable
+    mid-generation); the ingest manifest is committed (tmp → rename)
+    only after the generation's job manifest lands, so a crash re-runs
+    the interrupted generation and partition-level resume skips its
+    finished parts. :func:`read_extracted` reads all generations.
+
+    CONTRACT: input files are immutable once ingested (a changed
+    size/mtime raises — silently re-extracting would duplicate rows),
+    and conversations must not SPAN ingests (finalize dedups and builds
+    cross-turn columns within one generation only; file-per-conversation
+    rotation satisfies this). ``check_conv_overlap=True`` verifies the
+    second assumption with a distributed semi-join of the new files'
+    conv_ids against previously extracted output — one extra column scan,
+    so it is opt-in."""
+    cfg = cfg or ExtractConfig()
+    os.makedirs(out_dir, exist_ok=True)
+    ing = _load_ingest_manifest(out_dir)
+    known: dict[str, str] = {}
+    for g in ing["generations"]:
+        known.update(g["files"])
+    files = _parquet_files(input_path)
+    new: list[str] = []
+    for p in files:
+        ap = os.path.abspath(p)
+        sig = _file_signature(p)
+        if ap in known:
+            if known[ap] != sig:
+                raise ValueError(
+                    f"ingested input file changed on disk: {ap} "
+                    f"(recorded {known[ap]}, now {sig}); ingest inputs are "
+                    "append-only — write changed data as NEW files"
+                )
+            continue
+        new.append(p)
+
+    gen = len(ing["generations"])
+    base = {
+        "input": str(input_path),
+        "out_dir": out_dir,
+        "ingest": "new-files",
+        "known_files": len(known),
+        "new_files": len(new),
+        "generation": gen if new else None,
+    }
+    if not new:
+        return {**base, "rows_written": 0, "written_partitions": 0}
+
+    if check_conv_overlap and gen > 0:
+        from ray.data.aggregate import Count as _Count
+
+        prev = (
+            read_extracted(out_dir)
+            .select_columns(["conv_id"])
+            .groupby("conv_id")
+            .aggregate(_Count(alias_name="_n"))
+            .select_columns(["conv_id"])
+        )
+        incoming = ray.data.read_parquet(new, columns=["conv_id"])
+        dup = incoming.join(
+            prev, "inner", num_partitions=8, on=("conv_id",)
+        ).limit(1).take_all()
+        if dup:
+            raise ValueError(
+                f"conversation {dup[0]['conv_id']!r} spans ingests; "
+                "new-files mode finalizes conversations within one "
+                "generation — re-drop the conversation's files together"
+            )
+
+    gen_dir = os.path.join(out_dir, f"gen-{gen:04d}")
+    summary = run_extract_job(new, gen_dir, cfg, resume=True, turns=turns)
+    import json
+
+    ing["generations"].append(
+        {
+            "gen": gen,
+            "dir": os.path.basename(gen_dir),
+            "files": {os.path.abspath(p): _file_signature(p) for p in new},
+            "rows_written": summary["rows_written"],
+            "written_partitions": summary["written_partitions"],
+            "config_hash": summary["config_hash"],
+        }
+    )
+    tmp = os.path.join(out_dir, INGEST_MANIFEST_NAME + f".tmp.{os.getpid()}")
+    with open(tmp, "w") as fh:
+        json.dump(ing, fh, indent=1)
+    os.replace(tmp, os.path.join(out_dir, INGEST_MANIFEST_NAME))
+    return {**base, **{k: summary[k] for k in (
+        "rows_written", "written_partitions", "config_hash", "wall_sec")}}
+
+
 @ray.remote
 def _split_range_task(
     input_path: str, out_dir: str, idx: int, start: int, end: int, range_hash: str
@@ -778,11 +906,19 @@ def run_validate_job(out_dir: str) -> dict[str, Any]:
 
 
 def read_extracted(out_dir: str) -> ray.data.Dataset:
-    """Read a job's committed output back as a Dataset."""
-    paths = [
-        os.path.join(out_dir, name, "data.parquet")
+    """Read a job's committed output back as a Dataset — both a plain
+    batch job (``part-*`` at top level) and an incremental ingest
+    (``gen-*/part-*`` generations, :func:`run_extract_ingest`)."""
+    roots = [out_dir] + [
+        os.path.join(out_dir, name)
         for name in sorted(os.listdir(out_dir))
+        if name.startswith("gen-") and os.path.isdir(os.path.join(out_dir, name))
+    ]
+    paths = [
+        os.path.join(root, name, "data.parquet")
+        for root in roots
+        for name in sorted(os.listdir(root))
         if name.startswith("part-")
-        and manifest_mod.load_manifest(os.path.join(out_dir, name)) is not None
+        and manifest_mod.load_manifest(os.path.join(root, name)) is not None
     ]
     return ray.data.read_parquet(paths)
