@@ -60,8 +60,15 @@ def exchange_slots(cfg: ExtractConfig, heavy: dict[str, int]) -> list[tuple[int,
 
 
 @ray.remote
-def _split_block(block: pa.Table, composite_keys: np.ndarray):
-    """One extraction block → one sub-table per slot (zero-copy slices)."""
+def _split_block(block: pa.Table, composite_keys: np.ndarray, map_hook=None):
+    """One extraction block → one sub-table per slot (zero-copy slices).
+
+    ``map_hook`` is the chaos-testing hook (see :func:`mr_exchange`):
+    called before any work, so a hook that SIGKILLs its own worker
+    simulates a node loss mid-shuffle and exercises Ray's task retry +
+    lineage reconstruction through this exact topology."""
+    if map_hook is not None:
+        map_hook()
     n_slots = len(composite_keys)
     if block.num_rows == 0 or "part_id" not in block.schema.names:
         # Ray Data synthesizes a schema-less empty block when every row was
@@ -98,9 +105,13 @@ def _reduce_slot(finalize_fn, *shards):
 
 
 @ray.remote
-def _split_block_groups(block: pa.Table, composite_keys: np.ndarray, group_bounds: np.ndarray):
+def _split_block_groups(
+    block: pa.Table, composite_keys: np.ndarray, group_bounds: np.ndarray, map_hook=None
+):
     """One extraction block → one sub-table per slot GROUP (coarse level-1
     routing; the per-slot split happens in the level-2 merge task)."""
+    if map_hook is not None:
+        map_hook()
     n_groups = len(group_bounds) - 1
     if block.num_rows == 0 or "part_id" not in block.schema.names:
         empty = block.slice(0, 0)
@@ -152,8 +163,15 @@ def mr_exchange(
     heavy: dict[str, int],
     finalize_fn: Callable[[pa.Table], Any],
     est_blocks: int | None = None,
+    map_hook: Callable[[], None] | None = None,
 ) -> list[ray.ObjectRef]:
     """Run the exchange; returns one ObjectRef per slot (slot order).
+
+    ``map_hook`` (chaos testing): a callable executed at the START of
+    every map-split task — a kill-once hook (SIGKILL own worker on first
+    invocation) injects a mid-shuffle worker loss; Ray's task retry and
+    lineage reconstruction must converge the exchange regardless.
+    ``finalize_fn`` plays the same role for the reduce side.
 
     ``finalize_fn`` runs inside each reduce task: finalize-only
     (returning the finalized Arrow table — consume via
@@ -184,7 +202,7 @@ def mr_exchange(
         splitter = _split_block.options(num_returns=n_slots)
         for bundle in ds.iter_internal_ref_bundles():
             for block_ref in bundle.block_refs:
-                outs = splitter.remote(block_ref, comp_ref)
+                outs = splitter.remote(block_ref, comp_ref, map_hook)
                 if n_slots == 1:
                     outs = [outs]
                 for slot_idx, ref in enumerate(outs):
@@ -225,7 +243,7 @@ def mr_exchange(
     splitter = _split_block_groups.options(num_returns=n_groups)
     for bundle in ds.iter_internal_ref_bundles():
         for block_ref in bundle.block_refs:
-            outs = splitter.remote(block_ref, comp_ref, bounds_ref)
+            outs = splitter.remote(block_ref, comp_ref, bounds_ref, map_hook)
             if n_groups == 1:
                 outs = [outs]
             for g, ref in enumerate(outs):

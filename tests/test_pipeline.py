@@ -474,3 +474,95 @@ def test_incremental_ingest_new_files(ray_session, smoke_table, tmp_path):
     pq.write_table(tbl_a, str(in_dir / "a.parquet"))
     with pytest.raises(ValueError, match="append-only"):
         run_extract_ingest(str(in_dir), out, CFG)
+
+
+def test_fault_injection_mid_shuffle_and_mid_write(
+    ray_session, smoke_parquet, oracle_df, tmp_path
+):
+    """Worker loss DURING the exchange (a map-split task SIGKILLed) and
+    DURING a partition write (a reduce/commit task SIGKILLed): Ray task
+    retry + lineage reconstruction must converge the job, a rerun must
+    be a no-op, and the committed content must equal the clean run's."""
+    from pdf_toolkit_ray.pipelines.extract import (
+        _choose_num_blocks,
+        _extracted,
+        compute_heavy,
+        read_transcripts,
+    )
+    from pdf_toolkit_ray.stages.exchange import mr_exchange
+    from pdf_toolkit_ray.stages.finalize import finalize_group, group_metrics
+    from pdf_toolkit_ray.state import manifest as manifest_mod
+
+    # nested (pickled BY VALUE): test-module top-level functions pickle by
+    # reference and tests/ is not importable inside Ray workers
+    def _kill_once_hook(marker: str):
+        """SIGKILL the calling worker the FIRST time any task invokes the
+        hook (marker created with O_EXCL so exactly one task dies)."""
+
+        def hook():
+            import os as _os
+            import signal as _signal
+
+            try:
+                fd = _os.open(marker, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
+                _os.close(fd)
+            except FileExistsError:
+                return
+            _os.kill(_os.getpid(), _signal.SIGKILL)
+
+        return hook
+
+    heavy = compute_heavy(smoke_parquet, CFG)
+
+    def _run(out_dir: str, map_hook=None, write_kill_marker: str | None = None):
+        ds = _extracted(read_transcripts(smoke_parquet), CFG, heavy, done=set())
+        lineage = {"input": smoke_parquet, "config_hash": CFG.config_hash()}
+
+        def _finalize_commit(tbl):
+            if write_kill_marker is not None:
+                _kill_once_hook(write_kill_marker)()
+            out = finalize_group(tbl, heavy, CFG)
+            if out.num_rows == 0:
+                return None
+            part_id = out.column("part_id")[0].as_py()
+            salt = out.column("salt")[0].as_py()
+            manifest_mod.write_partition(
+                out_dir, part_id, salt, out,
+                lineage=lineage, metrics=group_metrics(out),
+            )
+            return {"part_id": int(part_id), "salt": int(salt)}
+
+        os.makedirs(out_dir, exist_ok=True)
+        import ray as _ray
+
+        refs = mr_exchange(
+            ds, CFG, heavy, _finalize_commit,
+            est_blocks=_choose_num_blocks(smoke_parquet), map_hook=map_hook,
+        )
+        return [r for r in _ray.get(refs) if r]
+
+    # clean reference
+    clean_out = str(tmp_path / "clean")
+    _run(clean_out)
+    clean_df = _sorted(read_extracted(clean_out).to_pandas())
+    assert_matches_oracle(clean_df, oracle_df)
+
+    # A: kill one map-split worker mid-exchange
+    out_a = str(tmp_path / "kill_map")
+    _run(out_a, map_hook=_kill_once_hook(str(tmp_path / "m1")))
+    assert os.path.exists(str(tmp_path / "m1"))  # the kill really fired
+    df_a = _sorted(read_extracted(out_a).to_pandas())
+    assert df_a.equals(clean_df)
+
+    # B: kill one reduce/commit worker mid-partition-write
+    out_b = str(tmp_path / "kill_write")
+    _run(out_b, write_kill_marker=str(tmp_path / "m2"))
+    assert os.path.exists(str(tmp_path / "m2"))
+    df_b = _sorted(read_extracted(out_b).to_pandas())
+    assert df_b.equals(clean_df)
+
+    # rerun over the converged output is a pure no-op (manifest = commit)
+    summary = run_extract_job(smoke_parquet, out_b, CFG)
+    assert summary["written_partitions"] == 0
+    assert len(summary["resumed_partitions"]) > 0
+    assert _sorted(read_extracted(out_b).to_pandas()).equals(clean_df)
