@@ -2207,8 +2207,8 @@ def multimodal_tiff_bmp_digest(sf_dir: str):
             "sum_mean_milli": lambda b: int(
                 sum(
                     round(m * 1000)
-                    for row in b.column("channel_means").to_pylist()
-                    for m in row
+                    for col in ("mean_r", "mean_g", "mean_b")
+                    for m in b.column(col).to_pylist()
                 )
             ),
             "thumb_digest_sum": lambda b: _hex_digest_sum(b.column("thumb_digest")),
@@ -2245,8 +2245,8 @@ def multimodal_png_conformance_digest(sf_dir: str):
             "sum_mean_milli": lambda b: int(
                 sum(
                     round(m * 1000)
-                    for row in b.column("channel_means").to_pylist()
-                    for m in row
+                    for col in ("mean_r", "mean_g", "mean_b")
+                    for m in b.column(col).to_pylist()
                 )
             ),
             "thumb_digest_sum": lambda b: _hex_digest_sum(b.column("thumb_digest")),
@@ -2361,8 +2361,8 @@ def multimodal_image_digest(sf_dir: str):
             "sum_mean_milli": lambda b: int(
                 sum(
                     round(m * 1000)
-                    for row in b.column("channel_means").to_pylist()
-                    for m in row
+                    for col in ("mean_r", "mean_g", "mean_b")
+                    for m in b.column(col).to_pylist()
                 )
             ),
             "thumb_digest_sum": lambda b: _hex_digest_sum(b.column("thumb_digest")),
@@ -2423,6 +2423,186 @@ SELECT CAST(t.a AS BIGINT) AS n_frames, CAST(t.b AS BIGINT) AS sum_frame_idx,
        CAST(t.c AS BIGINT) AS sum_width, CAST(t.d AS BIGINT) AS sum_height,
        CAST(t.e AS BIGINT) AS frame_digest_sum
 FROM (VALUES (78, 314, 1246, 1152, 2727670674655006719)) t(a, b, c, d, e)
+"""
+
+
+# Per-row golden VALUES twins for the three multimodal BASE queries —
+# every row and column pinned (the mp3-probe precedent): media fixtures
+# are deterministic and sf-independent, so the constants hold at every
+# scale; doubles are repr round-trips (bit-identical through DuckDB).
+# A codec / resize / feature change is SUPPOSED to flip these — re-pin
+# after verifying determinism at two cpu counts (see verify skill).
+MULTIMODAL_IMAGE_FEATURES_SQL = """
+SELECT CAST(t.media_id AS BIGINT) AS media_id,
+       CAST(t.width AS INTEGER) AS width,
+       CAST(t.height AS INTEGER) AS height,
+       CAST(t.mean_r AS DOUBLE) AS mean_r,
+       CAST(t.mean_g AS DOUBLE) AS mean_g,
+       CAST(t.mean_b AS DOUBLE) AS mean_b,
+       t.thumb_digest AS thumb_digest
+FROM (VALUES
+  (0, 41, 34, 129.83787661406026e0, 126.12051649928264e0, 126.90172166427547e0, 'f6263176905a285b'),
+  (2, 30, 22, 130.3560606060606e0, 128.42727272727274e0, 129.65757575757576e0, '91c58c5666e1aee0'),
+  (4, 20, 52, 127.13076923076923e0, 128.09519230769232e0, 126.98557692307692e0, '0b0e18fa487aae9b'),
+  (6, 59, 60, 126.85847457627119e0, 125.19180790960452e0, 127.0906779661017e0, 'daf249996aafd74b'),
+  (8, 41, 55, 126.55831485587584e0, 127.84833702882483e0, 126.05809312638581e0, 'd13495944ad397ed'),
+  (10, 18, 31, 125.89784946236558e0, 125.18458781362007e0, 129.92652329749103e0, '2deafa267736cacf'),
+  (12, 63, 63, 129.37893675988914e0, 127.3869992441421e0, 127.19803476946335e0, '705d66448981de57'),
+  (14, 28, 16, 121.86607142857143e0, 128.65625e0, 126.88616071428571e0, '4c9fafd517186b79'),
+  (16, 49, 21, 129.39067055393585e0, 128.30612244897958e0, 128.50631681243925e0, '70b7967353eddac8'),
+  (18, 59, 42, 127.16545601291364e0, 127.44067796610169e0, 130.22679580306698e0, '9088b26a6365fcb1'),
+  (20, 49, 60, 129.27789115646257e0, 129.35816326530613e0, 126.171768707483e0, '0b3161353d73491a'),
+  (22, 52, 16, 126.61658653846153e0, 125.5576923076923e0, 124.9110576923077e0, '0a893eda53f73ee1'),
+  (24, 39, 20, 128.33333333333334e0, 124.01025641025642e0, 129.2e0, 'b6d4272aad04eee9'),
+  (26, 43, 40, 125.99651162790698e0, 128.1953488372093e0, 127.0796511627907e0, 'c624480beb4fd9ab'),
+  (28, 52, 38, 126.13967611336032e0, 126.84362348178138e0, 126.81325910931174e0, 'bcd024e4651b6f19'),
+  (30, 45, 23, 126.71787439613527e0, 129.30434782608697e0, 125.51980676328502e0, '4c2ba53c60687d27'),
+  (32, 25, 16, 127.585e0, 123.655e0, 130.48e0, '51831dc225908f66'),
+  (34, 24, 61, 126.18715846994536e0, 126.82513661202186e0, 126.28415300546447e0, 'bcecb57b3dbcc3a4'),
+  (36, 38, 20, 126.525e0, 129.11315789473684e0, 123.12105263157895e0, '2befca5e63c6d7d7'),
+  (38, 52, 17, 124.01696832579185e0, 128.21719457013575e0, 125.16855203619909e0, '45aa0c0a5f9fa635'),
+  (40, 16, 42, 123.54315476190476e0, 128.0625e0, 127.9047619047619e0, '0a7be8d14cfb91d5'),
+  (42, 36, 31, 128.91039426523298e0, 127.04480286738351e0, 127.40591397849462e0, 'adc888b13e8e1f16'),
+  (44, 37, 37, 122.981738495252e0, 129.4346238130022e0, 130.4200146092038e0, 'bef27e1272d8ffc3'),
+  (46, 33, 63, 124.36171236171236e0, 127.66426166426166e0, 129.0986050986051e0, '6cedb6df8b1c0718'),
+  (48, 25, 55, 124.58254545454545e0, 126.82545454545455e0, 127.74545454545455e0, 'a24a6570e358b7d3'),
+  (50, 41, 24, 125.9430894308943e0, 127.6839430894309e0, 127.05284552845528e0, '50251d63d2617747'),
+  (52, 35, 40, 124.34071428571428e0, 127.90642857142858e0, 128.71428571428572e0, 'fe75183ef61f8ddd'),
+  (54, 56, 49, 131.66909620991254e0, 127.51676384839651e0, 126.97740524781341e0, 'da9b3634aac7ec19'),
+  (56, 59, 41, 130.34683753617196e0, 128.20297643654402e0, 126.7602315006201e0, 'c433f15118c150f1'),
+  (58, 24, 20, 128.11875e0, 126.12083333333334e0, 125.95e0, 'e6a0fc6e6dff249e'),
+  (60, 32, 39, 128.98557692307693e0, 125.45592948717949e0, 128.80208333333334e0, '86a0bb086a43db19'),
+  (62, 59, 40, 128.3343220338983e0, 129.09957627118644e0, 128.12669491525423e0, '4d59167736bcb513')) t(media_id, width, height, mean_r, mean_g, mean_b, thumb_digest)
+"""
+
+MULTIMODAL_AUDIO_FEATURES_SQL = """
+SELECT CAST(t.media_id AS BIGINT) AS media_id,
+       CAST(t.duration_sec AS DOUBLE) AS duration_sec,
+       CAST(t.rms AS DOUBLE) AS rms,
+       CAST(t.peak AS DOUBLE) AS peak
+FROM (VALUES
+  (1, 0.25e0, 0.431462e0, 0.610321e0),
+  (3, 0.25e0, 0.43157e0, 0.610352e0),
+  (5, 0.25e0, 0.43157e0, 0.610352e0),
+  (7, 0.25e0, 0.43157e0, 0.610352e0),
+  (9, 0.25e0, 0.43157e0, 0.610352e0),
+  (11, 0.25e0, 0.431462e0, 0.610321e0),
+  (13, 0.25e0, 0.43157e0, 0.610352e0),
+  (15, 0.25e0, 0.431462e0, 0.610321e0),
+  (17, 0.25e0, 0.43157e0, 0.610352e0),
+  (19, 0.25e0, 0.431574e0, 0.580475e0),
+  (21, 0.25e0, 0.43157e0, 0.610352e0),
+  (23, 0.25e0, 0.431462e0, 0.610352e0),
+  (25, 0.25e0, 0.431462e0, 0.610321e0),
+  (27, 0.25e0, 0.43157e0, 0.610352e0),
+  (29, 0.25e0, 0.43157e0, 0.610352e0),
+  (31, 0.25e0, 0.43157e0, 0.610352e0),
+  (33, 0.25e0, 0.43157e0, 0.610352e0),
+  (35, 0.25e0, 0.431462e0, 0.610321e0),
+  (37, 0.25e0, 0.43157e0, 0.610352e0),
+  (39, 0.25e0, 0.43157e0, 0.610352e0),
+  (41, 0.25e0, 0.431462e0, 0.610321e0),
+  (43, 0.25e0, 0.43157e0, 0.610352e0),
+  (45, 0.25e0, 0.431462e0, 0.610321e0),
+  (47, 0.25e0, 0.431462e0, 0.610321e0),
+  (49, 0.25e0, 0.43157e0, 0.610352e0),
+  (51, 0.25e0, 0.431462e0, 0.610321e0),
+  (53, 0.25e0, 0.431462e0, 0.610321e0),
+  (55, 0.25e0, 0.43157e0, 0.610352e0),
+  (57, 0.25e0, 0.43157e0, 0.610352e0),
+  (59, 0.25e0, 0.431462e0, 0.610321e0),
+  (61, 0.25e0, 0.431462e0, 0.610321e0),
+  (63, 0.25e0, 0.431462e0, 0.610321e0)) t(media_id, duration_sec, rms, peak)
+"""
+
+MULTIMODAL_VIDEO_FEATURES_SQL = """
+SELECT CAST(t.media_id AS BIGINT) AS media_id,
+       CAST(t.frame_idx AS BIGINT) AS frame_idx,
+       CAST(t.width AS INTEGER) AS width,
+       CAST(t.height AS INTEGER) AS height,
+       CAST(t.mean_r AS DOUBLE) AS mean_r,
+       CAST(t.mean_g AS DOUBLE) AS mean_g,
+       CAST(t.mean_b AS DOUBLE) AS mean_b,
+       t.frame_digest AS frame_digest
+FROM (VALUES
+  (0, 0, 22, 14, 131.25974025974025e0, 103.71753246753246e0, 123.40584415584415e0, '0eb00aea551a9af3'),
+  (0, 2, 22, 14, 129.52272727272728e0, 104.95779220779221e0, 123.34415584415585e0, '1d868bf3942fb1b0'),
+  (0, 4, 22, 14, 131.02597402597402e0, 110.98051948051948e0, 119.23376623376623e0, '81ac0f50f05605a4'),
+  (0, 6, 22, 14, 126.90259740259741e0, 109.3961038961039e0, 128.9707792207792e0, '19db017b4233c879'),
+  (0, 8, 22, 14, 125.10714285714286e0, 108.30844155844156e0, 125.3051948051948e0, '18ee5f858912528b'),
+  (0, 10, 22, 14, 131.88636363636363e0, 108.64285714285714e0, 126.98051948051948e0, 'f5da89b077d967c7'),
+  (1, 0, 8, 13, 130.0096153846154e0, 111.11538461538461e0, 108.29807692307692e0, '8688daa574b79804'),
+  (1, 2, 8, 13, 128.56730769230768e0, 115.99038461538461e0, 113.07692307692308e0, '181cda628f88ddb6'),
+  (1, 4, 8, 13, 130.55769230769232e0, 111.51923076923077e0, 113.14423076923077e0, '07e0285afb5b15d0'),
+  (1, 6, 8, 13, 143.1153846153846e0, 98.91346153846153e0, 128.69230769230768e0, 'a1dfb8805499b077'),
+  (2, 0, 8, 20, 128.78125e0, 139.9625e0, 131.225e0, 'b6e18d6e21e06355'),
+  (2, 2, 8, 20, 122.96875e0, 143.75625e0, 141.5e0, 'c4a90ca054aeb855'),
+  (2, 4, 8, 20, 132.85e0, 136.5125e0, 123.55625e0, '93da1ccc8c5f466b'),
+  (2, 6, 8, 20, 117.2375e0, 133.13125e0, 129.11875e0, 'a3298796df03d262'),
+  (2, 8, 8, 20, 134.10625e0, 141.95625e0, 133.7875e0, '1ee05b12ab4800e5'),
+  (2, 10, 8, 20, 134.1875e0, 147.4375e0, 134.91875e0, '5d32fa56d92bfab6'),
+  (3, 0, 16, 8, 116.40625e0, 136.078125e0, 139.2734375e0, 'a48c808e23500527'),
+  (3, 2, 16, 8, 112.0078125e0, 123.375e0, 139.2265625e0, '9b187fd221f3c332'),
+  (3, 4, 16, 8, 121.4375e0, 133.3203125e0, 145.1875e0, '27216c172f95d1be'),
+  (3, 6, 16, 8, 109.5234375e0, 134.5546875e0, 137.4375e0, 'b794f9ed6549f4c4'),
+  (3, 8, 16, 8, 114.96875e0, 141.6953125e0, 150.2890625e0, '8eed228d0d8f6c6d'),
+  (4, 0, 11, 10, 132.6909090909091e0, 140.8181818181818e0, 126.5e0, 'ed0b75c43ac6a180'),
+  (4, 2, 11, 10, 126.61818181818182e0, 138.48181818181817e0, 122.31818181818181e0, '3cc0f44943334152'),
+  (4, 4, 11, 10, 129.6909090909091e0, 143.1818181818182e0, 122.41818181818182e0, 'f77d021e73b4c667'),
+  (4, 6, 11, 10, 124.36363636363636e0, 127.37272727272727e0, 112.03636363636363e0, '157b38aeab7ce2b6'),
+  (5, 0, 22, 17, 112.96791443850267e0, 94.21122994652407e0, 128.20855614973263e0, 'ce638aef887a8cbc'),
+  (5, 2, 22, 17, 122.20320855614973e0, 97.8288770053476e0, 123.83422459893048e0, 'e040237e36ecf877'),
+  (5, 4, 22, 17, 121.33422459893048e0, 96.11497326203208e0, 128.71657754010695e0, 'de9585d49c6232c4'),
+  (5, 6, 22, 17, 120.92780748663101e0, 93.03208556149733e0, 132.62299465240642e0, '2812e9215486e6ed'),
+  (5, 8, 22, 17, 116.0e0, 97.5e0, 129.63903743315507e0, 'fdf97b4d8841cc0a'),
+  (6, 0, 19, 22, 124.34210526315789e0, 138.77511961722487e0, 126.54066985645933e0, '355f31592c5c4385'),
+  (6, 2, 19, 22, 129.5071770334928e0, 136.244019138756e0, 133.34928229665073e0, '82e9f6dfbf42a94a'),
+  (6, 4, 19, 22, 118.08373205741627e0, 137.45933014354068e0, 126.46411483253588e0, 'a024f8b9e3070d61'),
+  (6, 6, 19, 22, 121.43301435406698e0, 132.244019138756e0, 127.74162679425838e0, 'ea86a13bc6c7923f'),
+  (7, 0, 23, 22, 132.54347826086956e0, 130.88339920948616e0, 144.0513833992095e0, '592b506b6efaa6da'),
+  (7, 2, 23, 22, 128.20158102766797e0, 130.38537549407116e0, 155.0592885375494e0, '4adc17f347f8c143'),
+  (7, 4, 23, 22, 130.08498023715416e0, 131.76284584980237e0, 152.6916996047431e0, '5fc2f497dd03e854'),
+  (7, 6, 23, 22, 126.34782608695652e0, 133.85177865612647e0, 149.6304347826087e0, 'c724df181d3d46c2'),
+  (8, 0, 18, 23, 136.2487922705314e0, 158.67874396135267e0, 115.02898550724638e0, '48d69aaa07f41ec5'),
+  (8, 2, 18, 23, 133.731884057971e0, 159.56521739130434e0, 122.48550724637681e0, '58f53059910819d5'),
+  (8, 4, 18, 23, 134.15458937198068e0, 168.56280193236714e0, 115.10628019323671e0, 'd49fbf10de68070d'),
+  (8, 6, 18, 23, 132.42270531400968e0, 167.93961352657004e0, 119.32125603864735e0, '9af118082ea71d9f'),
+  (8, 8, 18, 23, 134.5169082125604e0, 165.01932367149757e0, 116.70772946859903e0, '967fdcb6cab78db8'),
+  (8, 10, 18, 23, 131.82125603864733e0, 165.1497584541063e0, 115.96618357487922e0, '0a60b74c70427022'),
+  (9, 0, 8, 17, 121.50735294117646e0, 121.28676470588235e0, 107.61029411764706e0, 'd984e9a3e6da2488'),
+  (9, 2, 8, 17, 117.33823529411765e0, 123.53676470588235e0, 113.88970588235294e0, 'b147b9c449cb49e5'),
+  (9, 4, 8, 17, 115.58823529411765e0, 124.1029411764706e0, 113.63235294117646e0, '3269240da7dfd42f'),
+  (9, 6, 8, 17, 126.30147058823529e0, 135.50735294117646e0, 100.08088235294117e0, '4d99a855983f6cde'),
+  (10, 0, 14, 8, 135.14285714285714e0, 158.57142857142858e0, 144.26785714285714e0, '87ef4e59e48ae448'),
+  (10, 2, 14, 8, 138.21428571428572e0, 155.27678571428572e0, 129.22321428571428e0, 'de39f82368c5b2ef'),
+  (10, 4, 14, 8, 138.21428571428572e0, 160.64285714285714e0, 142.47321428571428e0, 'e4a72430885c5f30'),
+  (10, 6, 14, 8, 134.21428571428572e0, 161.07142857142858e0, 151.94642857142858e0, '0a5bfe7e2f0c8f36'),
+  (10, 8, 14, 8, 143.27678571428572e0, 165.69642857142858e0, 138.83035714285714e0, '77ce88c5af44b3f6'),
+  (10, 10, 14, 8, 153.125e0, 156.73214285714286e0, 144.41964285714286e0, '259fd5557467672e'),
+  (11, 0, 23, 19, 107.84897025171625e0, 142.95652173913044e0, 110.21281464530892e0, 'fb2732721c9dfc00'),
+  (11, 2, 23, 19, 107.64302059496568e0, 146.17620137299772e0, 106.81006864988558e0, '48f2327ef429c67e'),
+  (11, 4, 23, 19, 119.40732265446225e0, 143.09153318077804e0, 114.92219679633867e0, 'cb15f2e03c5816ca'),
+  (11, 6, 23, 19, 113.50114416475972e0, 149.01144164759725e0, 115.07093821510297e0, '5d030a53b3ee72ce'),
+  (11, 8, 23, 19, 114.52631578947368e0, 151.12814645308924e0, 115.79405034324942e0, '1d1db141ae80b135'),
+  (11, 10, 23, 19, 107.32036613272311e0, 145.16018306636155e0, 112.441647597254e0, '8683534e65c8d2e2'),
+  (12, 0, 16, 12, 129.80729166666666e0, 141.171875e0, 151.30208333333334e0, '996f6da41dafd8be'),
+  (12, 2, 16, 12, 124.45833333333333e0, 128.15104166666666e0, 138.11979166666666e0, '69e4cc3177698f57'),
+  (12, 4, 16, 12, 142.55208333333334e0, 131.56770833333334e0, 141.734375e0, '73c4e9cd945b058c'),
+  (12, 6, 16, 12, 134.01041666666666e0, 133.77604166666666e0, 139.09375e0, '05d102af45ee9c5b'),
+  (13, 0, 19, 9, 118.09941520467837e0, 148.83625730994152e0, 116.19298245614036e0, 'b5b92af0ceb673c8'),
+  (13, 2, 19, 9, 110.06432748538012e0, 164.02923976608187e0, 119.22222222222223e0, 'a4c3d19d2230ceca'),
+  (13, 4, 19, 9, 108.82456140350877e0, 156.58479532163742e0, 119.54970760233918e0, '34ce135d797138d7'),
+  (13, 6, 19, 9, 108.90058479532163e0, 150.77777777777777e0, 115.90058479532163e0, 'bcfdc80371246c72'),
+  (13, 8, 19, 9, 101.6608187134503e0, 160.66081871345028e0, 121.32163742690058e0, '66e106e9b272c1ed'),
+  (14, 0, 14, 11, 131.34415584415584e0, 139.12987012987014e0, 130.7792207792208e0, 'eb47a00744cff222'),
+  (14, 2, 14, 11, 140.94805194805195e0, 139.9090909090909e0, 140.33766233766235e0, '6b4535dcac4594b5'),
+  (14, 4, 14, 11, 140.52597402597402e0, 137.01298701298703e0, 139.61688311688312e0, '1923130b12d294da'),
+  (14, 6, 14, 11, 141.8181818181818e0, 131.58441558441558e0, 132.34415584415584e0, 'df9987f77af26674'),
+  (15, 0, 11, 10, 121.11818181818182e0, 136.27272727272728e0, 118.9090909090909e0, '6e867a6bdf60d94e'),
+  (15, 2, 11, 10, 121.83636363636364e0, 132.42727272727274e0, 115.0909090909091e0, '0fd1cc13ab9fb2c9'),
+  (15, 4, 11, 10, 117.25454545454545e0, 126.21818181818182e0, 105.23636363636363e0, 'a892742fbf008077'),
+  (15, 6, 11, 10, 132.5909090909091e0, 129.72727272727272e0, 112.19090909090909e0, '6c1a375158c53b33'),
+  (15, 8, 11, 10, 125.11818181818182e0, 125.03636363636363e0, 111.7090909090909e0, '16004b8785e6d8a7')) t(media_id, frame_idx, width, height, mean_r, mean_g, mean_b, frame_digest)
 """
 
 
@@ -15264,7 +15444,8 @@ REGISTRY: dict[str, tuple] = {
         embedding_near_dups_lsh_recall,
         EMBEDDING_NEAR_DUPS_LSH_RECALL_SQL,
     ),
-    "multimodal_image_features": (multimodal_image_features, None),
+    "multimodal_image_features": (multimodal_image_features,
+                                  MULTIMODAL_IMAGE_FEATURES_SQL),
     "multimodal_image_digest": (multimodal_image_digest, MULTIMODAL_IMAGE_DIGEST_SQL),
     "multimodal_png_conformance_digest": (
         multimodal_png_conformance_digest,
@@ -15272,8 +15453,10 @@ REGISTRY: dict[str, tuple] = {
     ),
     "multimodal_audio_digest": (multimodal_audio_digest, MULTIMODAL_AUDIO_DIGEST_SQL),
     "multimodal_video_digest": (multimodal_video_digest, MULTIMODAL_VIDEO_DIGEST_SQL),
-    "multimodal_audio_features": (multimodal_audio_features, None),
-    "multimodal_video_features": (multimodal_video_features, None),
+    "multimodal_audio_features": (multimodal_audio_features,
+                                  MULTIMODAL_AUDIO_FEATURES_SQL),
+    "multimodal_video_features": (multimodal_video_features,
+                                  MULTIMODAL_VIDEO_FEATURES_SQL),
     "multimodal_mp4_frames": (multimodal_mp4_frames, None),
     "multimodal_mp4_digest": (multimodal_mp4_digest, MULTIMODAL_MP4_DIGEST_SQL),
     "multimodal_mp3_probe": (multimodal_mp3_probe, MULTIMODAL_MP3_PROBE_SQL),

@@ -860,7 +860,11 @@ class ImageFeatures:
                 "media_id": pa.array(ids, pa.int64()),
                 "width": pa.array(widths, pa.int32()),
                 "height": pa.array(heights, pa.int32()),
-                "channel_means": pa.array(means, pa.list_(pa.float64())),
+                # three scalar columns, not a list: per-row VALUES SQL
+                # twins pin every row, and scalar doubles hash cleanly
+                "mean_r": pa.array([m[0] for m in means], pa.float64()),
+                "mean_g": pa.array([m[1] for m in means], pa.float64()),
+                "mean_b": pa.array([m[2] for m in means], pa.float64()),
                 "thumb_digest": pa.array(digests),
             }
         )
@@ -1006,7 +1010,9 @@ class VideoFrameFeatures:
                 "frame_idx": pa.array(fidx, pa.int64()),
                 "width": pa.array(widths, pa.int32()),
                 "height": pa.array(heights, pa.int32()),
-                "channel_means": pa.array(means, pa.list_(pa.float64())),
+                "mean_r": pa.array([m[0] for m in means], pa.float64()),
+                "mean_g": pa.array([m[1] for m in means], pa.float64()),
+                "mean_b": pa.array([m[2] for m in means], pa.float64()),
                 "frame_digest": pa.array(digests),
             }
         )

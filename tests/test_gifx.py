@@ -165,9 +165,9 @@ def test_video_frame_features_stage_matches_direct(ray_session):
             r = out[(out["media_id"] == mid) & (out["frame_idx"] == 2 * j)]
             assert len(r) == 1
             assert r.iloc[0]["width"] == img.shape[1]
-            assert list(r.iloc[0]["channel_means"]) == [
-                float(img[..., c].mean()) for c in range(3)
-            ]
+            assert [
+                r.iloc[0]["mean_r"], r.iloc[0]["mean_g"], r.iloc[0]["mean_b"]
+            ] == [float(img[..., c].mean()) for c in range(3)]
             rows += 1
     assert rows == len(out)
 
