@@ -25,6 +25,14 @@ import subprocess
 import sys
 import time
 
+# keep the bench tail clean of Ray's harmless per-worker schema-hash-dedup
+# WARNING (tools/ray_data_logging.yaml) — must be set BEFORE ray.init so
+# worker processes inherit it; respect a user-provided config
+os.environ.setdefault(
+    "RAY_DATA_LOGGING_CONFIG",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools", "ray_data_logging.yaml"),
+)
+
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # headline fixture = FIXTURES.md "bench" (~950k turns); --scaling uses the
