@@ -2300,7 +2300,7 @@ FROM (VALUES (32, 7463734, 33005706, 29916000)) t(a, b, c, d)
 
 
 def multimodal_mp4_frames(sf_dir: str):
-    """Rows-only: REAL ISO BMFF (MP4) container demux — box-tree walk +
+    """REAL ISO BMFF (MP4) container demux (full per-row VALUES twin) — box-tree walk +
     full sample-table expansion (stsd/stts/stss/stsc/stsz/stco, see
     functions/mp4x.py) — then keyframe-flagged frame sampling and
     per-frame features in an actor-pool map_batches stage. Frames are
@@ -2312,6 +2312,67 @@ def multimodal_mp4_frames(sf_dir: str):
     from .stages.multimodal import mp4_frame_features, synthesize_mp4_table
 
     return mp4_frame_features(ray.data.from_arrow(synthesize_mp4_table(12)))
+
+
+MULTIMODAL_MP4_FRAMES_SQL = """
+SELECT CAST(t.media_id AS BIGINT) AS media_id,
+       CAST(t.frame_idx AS BIGINT) AS frame_idx,
+       t.is_keyframe AS is_keyframe,
+       CAST(t.dts_ms AS BIGINT) AS dts_ms,
+       CAST(t.width AS INTEGER) AS width,
+       CAST(t.height AS INTEGER) AS height,
+       CAST(t.n_keyframes AS INTEGER) AS n_keyframes,
+       CAST(t.duration_ms AS BIGINT) AS duration_ms,
+       t.frame_digest AS frame_digest
+FROM (VALUES
+  (0, 0, TRUE, 0, 20, 17, 2, 333, 'bc4a7f537f498d8d'),
+  (0, 2, FALSE, 133, 20, 17, 2, 333, 'd0c4919f4bb57086'),
+  (0, 4, FALSE, 267, 20, 17, 2, 333, 'bf147280acd5bd21'),
+  (1, 0, TRUE, 0, 8, 19, 2, 400, '94f7c00257fdb468'),
+  (1, 2, FALSE, 133, 8, 19, 2, 400, '035234120493b62a'),
+  (1, 4, FALSE, 267, 8, 19, 2, 400, '63077bc3c16a8f04'),
+  (2, 0, TRUE, 0, 20, 23, 4, 1000, '7cfaa3a536b9d3f3'),
+  (2, 2, FALSE, 200, 20, 23, 4, 1000, '4350e46926f0aa62'),
+  (2, 4, FALSE, 400, 20, 23, 4, 1000, '5c7f1ccd602a66f2'),
+  (2, 6, TRUE, 600, 20, 23, 4, 1000, '29da1b30c3705607'),
+  (2, 8, FALSE, 800, 20, 23, 4, 1000, '8fe8164f8d73a9a9'),
+  (3, 0, TRUE, 0, 20, 19, 2, 333, 'a5a93274d5b64a48'),
+  (3, 2, FALSE, 133, 20, 19, 2, 333, 'a3c3c2ee7baba222'),
+  (3, 4, FALSE, 267, 20, 19, 2, 333, '2b8371c7af6b05ba'),
+  (4, 0, TRUE, 0, 19, 22, 4, 2000, '5dd9ca704b4e56bf'),
+  (4, 2, FALSE, 400, 19, 22, 4, 2000, '5a1763e0537639ef'),
+  (4, 4, FALSE, 800, 19, 22, 4, 2000, 'ad7e5de563e4645d'),
+  (4, 6, TRUE, 1200, 19, 22, 4, 2000, '4060aa18789796a3'),
+  (4, 8, FALSE, 1600, 19, 22, 4, 2000, 'bde881bc5ce14f56'),
+  (5, 0, TRUE, 0, 23, 17, 3, 800, 'a52f8b52836b7575'),
+  (5, 2, FALSE, 200, 23, 17, 3, 800, 'fa3bfdedc38b0001'),
+  (5, 4, FALSE, 400, 23, 17, 3, 800, '87935d9af477ece7'),
+  (5, 6, TRUE, 600, 23, 17, 3, 800, 'bafd4ed85f8c8cf2'),
+  (6, 0, TRUE, 0, 23, 12, 3, 1400, '3ae116239c6f38b1'),
+  (6, 2, FALSE, 400, 23, 12, 3, 1400, '0222ef952b29bec5'),
+  (6, 4, FALSE, 800, 23, 12, 3, 1400, 'f7f6c40dd6956596'),
+  (6, 6, TRUE, 1200, 23, 12, 3, 1400, '7d5971816656fde5'),
+  (7, 0, TRUE, 0, 23, 12, 2, 1200, '6bb5a046844cf830'),
+  (7, 2, FALSE, 400, 23, 12, 2, 1200, '260521d773cd71f3'),
+  (7, 4, FALSE, 800, 23, 12, 2, 1200, '14b0e6163023e392'),
+  (8, 0, TRUE, 0, 18, 11, 2, 1200, '70b73ca2d20e42be'),
+  (8, 2, FALSE, 400, 18, 11, 2, 1200, '315ea57d3edd056d'),
+  (8, 4, FALSE, 800, 18, 11, 2, 1200, 'e3661b6fae1f6edc'),
+  (9, 0, TRUE, 0, 10, 14, 3, 1400, '15efd2de22155aab'),
+  (9, 2, FALSE, 400, 10, 14, 3, 1400, '60031f7d02e8b490'),
+  (9, 4, FALSE, 800, 10, 14, 3, 1400, '95a862b0d81bea68'),
+  (9, 6, TRUE, 1200, 10, 14, 3, 1400, 'f3338dfc0b6226a8'),
+  (10, 0, TRUE, 0, 10, 15, 3, 600, '33c607160e2c3c5b'),
+  (10, 2, FALSE, 133, 10, 15, 3, 600, '2a0e86f9b0c8d252'),
+  (10, 4, FALSE, 267, 10, 15, 3, 600, 'f87f5b46a4b68421'),
+  (10, 6, TRUE, 400, 10, 15, 3, 600, 'aaf6575424d33ff4'),
+  (10, 8, FALSE, 533, 10, 15, 3, 600, 'b88d4bfa471bc8eb'),
+  (11, 0, TRUE, 0, 9, 8, 4, 2000, 'f3468dc19060ab72'),
+  (11, 2, FALSE, 400, 9, 8, 4, 2000, '0d6c4bf84fb3e2ca'),
+  (11, 4, FALSE, 800, 9, 8, 4, 2000, 'ca29cbc66123da1e'),
+  (11, 6, TRUE, 1200, 9, 8, 4, 2000, 'c47b957e97edaf72'),
+  (11, 8, FALSE, 1600, 9, 8, 4, 2000, '162f83cc00a6ad2b')) t(media_id, frame_idx, is_keyframe, dts_ms, width, height, n_keyframes, duration_ms, frame_digest)
+"""
 
 
 # Driver-HASHABLE companions to the three rows-only multimodal queries.
@@ -15457,7 +15518,8 @@ REGISTRY: dict[str, tuple] = {
                                   MULTIMODAL_AUDIO_FEATURES_SQL),
     "multimodal_video_features": (multimodal_video_features,
                                   MULTIMODAL_VIDEO_FEATURES_SQL),
-    "multimodal_mp4_frames": (multimodal_mp4_frames, None),
+    "multimodal_mp4_frames": (multimodal_mp4_frames,
+                              MULTIMODAL_MP4_FRAMES_SQL),
     "multimodal_mp4_digest": (multimodal_mp4_digest, MULTIMODAL_MP4_DIGEST_SQL),
     "multimodal_mp3_probe": (multimodal_mp3_probe, MULTIMODAL_MP3_PROBE_SQL),
     "multimodal_flac_probe": (multimodal_flac_probe, MULTIMODAL_FLAC_PROBE_SQL),
