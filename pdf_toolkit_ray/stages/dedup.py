@@ -1329,6 +1329,7 @@ class _BandShardActor:
         max_entries: int | None = None,
         spill_dir: str | None = None,
         sub_buckets: int = 8,
+        adopt_dir: str | None = None,
     ) -> None:
         import tempfile
         import uuid
@@ -1338,10 +1339,36 @@ class _BandShardActor:
         self._live = 0
         self._max = int(max_entries) if max_entries else None
         self._subs = max(1, int(sub_buckets))
+        if adopt_dir is not None:
+            # reopen a persisted shard (save_neardup_index → a later Ray
+            # session's load_neardup_index): existing runs are the state
+            import pyarrow.parquet as pq
+
+            self._dir = adopt_dir
+            runs = set()
+            rows = 0
+            if os.path.isdir(adopt_dir):
+                for name in os.listdir(adopt_dir):
+                    if name.startswith("run") and name.endswith(".parquet"):
+                        runs.add(int(name[3:9]))
+                        rows += pq.read_metadata(
+                            os.path.join(adopt_dir, name)
+                        ).num_rows
+            self._runs = (max(runs) + 1) if runs else 0
+            self._spilled_rows = rows
+            return
         base = spill_dir or os.path.join(tempfile.gettempdir(), "pdf_toolkit_ray_spill")
         self._dir = os.path.join(base, uuid.uuid4().hex)
         self._runs = 0
         self._spilled_rows = 0
+
+    def persist(self) -> str:
+        """Flush live entries to a run (even under budget) and return the
+        shard's on-disk directory — the durable form of the shard."""
+        if self._live:
+            self._flush()
+        os.makedirs(self._dir, exist_ok=True)
+        return self._dir
 
     def _sub_of(self, keys: np.ndarray) -> np.ndarray:
         mixed = keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
@@ -1575,3 +1602,45 @@ def destroy_neardup_index(index: NearDupIndex) -> None:
     for s in index.shards:
         ray.kill(s)
     index.shards = []
+
+
+def save_neardup_index(index: NearDupIndex, path: str) -> str:
+    """Make the index durable ACROSS Ray sessions: every shard flushes
+    its live entries to parquet runs and a JSON manifest records the
+    MinHash geometry + shard directories. A later job (new Ray session,
+    new driver) reopens it with :func:`load_neardup_index` — signatures
+    computed in yesterday's ingest are never recomputed. The actors stay
+    alive and usable after saving."""
+    import json
+
+    dirs = ray.get([s.persist.remote() for s in index.shards])
+    os.makedirs(path, exist_ok=True)
+    doc = {
+        "num_perm": index.num_perm,
+        "bands": index.bands,
+        "shard_dirs": dirs,
+    }
+    tmp = os.path.join(path, f"index.json.tmp.{os.getpid()}")
+    with open(tmp, "w") as fh:
+        json.dump(doc, fh, indent=1)
+    os.replace(tmp, os.path.join(path, "index.json"))
+    return path
+
+
+def load_neardup_index(
+    path: str, *, max_entries_per_shard: int | None = None
+) -> NearDupIndex:
+    """Reopen a :func:`save_neardup_index` directory as live shard actors
+    (same shard count and geometry; each actor adopts its persisted runs
+    in place, so probes see every entry any earlier session ingested)."""
+    import json
+
+    with open(os.path.join(path, "index.json")) as fh:
+        doc = json.load(fh)
+    shards = [
+        _BandShardActor.remote(
+            max_entries=max_entries_per_shard, adopt_dir=d
+        )
+        for d in doc["shard_dirs"]
+    ]
+    return NearDupIndex(shards, int(doc["num_perm"]), int(doc["bands"]))

@@ -1061,3 +1061,56 @@ def test_neardup_index_incremental_reclustering(ray_session):
         assert second[10] == 0 and second[0] == 0 and second[1] == 1
     finally:
         dedup_mod.destroy_neardup_index(index)
+
+
+def test_neardup_index_save_load_across_sessions(ray_session, tmp_path):
+    """Durable cross-SESSION index: ingest increment 1, save, destroy the
+    actors (session death), load into fresh actors, ingest increment 2,
+    cluster — identical to the one-shot batch pipeline. Signatures from
+    the first session are never recomputed (its texts are only rescanned
+    for verify payloads at cluster time)."""
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    from pdf_toolkit_ray.stages import dedup as dedup_mod
+
+    tbl = _neardup_corpus(8)
+    ds = ray.data.from_arrow(tbl)
+    batch_pairs = dedup_mod.ngram_jaccard_pairs(ds, "doc_id", "text", threshold=0.8)
+    expected = (
+        dedup_mod.attach_cluster_ids(
+            ds, dedup_mod.connected_components(batch_pairs), "doc_id"
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    mask = pa.array(tbl.column("doc_id").to_numpy(zero_copy_only=False) % 2 == 0)
+    store = str(tmp_path / "ndidx")
+
+    # session 1: ingest evens (spill-budgeted), save, kill actors
+    idx1 = dedup_mod.make_neardup_index(
+        num_shards=2, num_perm=64, bands=32,
+        max_entries_per_shard=16, spill_dir=str(tmp_path / "spill"),
+    )
+    dedup_mod.neardup_ingest(ray.data.from_arrow(tbl.filter(mask)), idx1)
+    dedup_mod.save_neardup_index(idx1, store)
+    for s in idx1.shards:  # simulate session death WITHOUT cleanup
+        ray.kill(s)
+
+    # session 2: reopen, ingest odds, cluster
+    idx2 = dedup_mod.load_neardup_index(store, max_entries_per_shard=16)
+    assert idx2.num_perm == 64 and idx2.bands == 32
+    dedup_mod.neardup_ingest(
+        ray.data.from_arrow(tbl.filter(pc.invert(mask))), idx2
+    )
+    got = (
+        dedup_mod.neardup_clusters(idx2, ds, threshold=0.8, n=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    dedup_mod.destroy_neardup_index(idx2)
+    assert got.equals(expected)
