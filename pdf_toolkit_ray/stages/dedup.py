@@ -116,6 +116,7 @@ class _DigestShardActor:
         max_entries: int | None = None,
         spill_dir: str | None = None,
         sub_buckets: int = 8,
+        adopt_dir: str | None = None,
     ) -> None:
         import tempfile
         import uuid
@@ -123,14 +124,50 @@ class _DigestShardActor:
         self._min: dict[str, int] = {}
         self._max = int(max_entries) if max_entries else None
         self._subs = max(1, int(sub_buckets))
+        if adopt_dir is not None:
+            # reopen a persisted shard (save_digest_index → a later Ray
+            # session's load_digest_index): runs on disk are the state,
+            # and run index stays the temporal order across sessions
+            import pyarrow.parquet as pq
+
+            self._dir = adopt_dir
+            runs = set()
+            rows = 0
+            if os.path.isdir(adopt_dir):
+                for name in os.listdir(adopt_dir):
+                    if name.startswith("run") and name.endswith(".parquet"):
+                        runs.add(int(name[3:9]))
+                        rows += pq.read_metadata(
+                            os.path.join(adopt_dir, name)
+                        ).num_rows
+            self._runs = (max(runs) + 1) if runs else 0
+            self._spilled_rows = rows
+            return
         base = spill_dir or os.path.join(tempfile.gettempdir(), "pdf_toolkit_ray_spill")
         self._dir = os.path.join(base, uuid.uuid4().hex)
         self._runs = 0  # flushed run count (run index = temporal order)
         self._spilled_rows = 0
 
+    def persist(self) -> str:
+        """Flush the live dict to a run (even under budget) and return the
+        shard's on-disk directory — the durable form of the shard."""
+        if self._min:
+            self._flush()
+        os.makedirs(self._dir, exist_ok=True)
+        return self._dir
+
     def _sub_of(self, digest: str) -> int:
-        # cheap stable sub-bucket: first hex byte of the digest string
-        return hash(digest) % self._subs if self._subs > 1 else 0
+        # DETERMINISTIC sub-bucket (crc32, not builtin hash()): a digest
+        # must land in the same sub in EVERY process — builtin str hash
+        # is PYTHONHASHSEED-randomized per process, which kept merges
+        # correct within one actor's lifetime but silently broke the
+        # run-vs-live merge after a save/load into a new process (the
+        # same digest merged in two different subs and both ids survived)
+        if self._subs <= 1:
+            return 0
+        import zlib
+
+        return zlib.crc32(digest.encode("utf-8")) % self._subs
 
     def _flush(self) -> None:
         import pyarrow.parquet as pq
@@ -269,6 +306,39 @@ def make_digest_index(
             max_entries=max_entries_per_shard, spill_dir=spill_dir
         )
         for _ in range(num_shards)
+    ]
+
+
+def save_digest_index(shards: list, path: str) -> str:
+    """Durable form of a :func:`make_digest_index` index across Ray
+    sessions: every shard flushes its live dict to its parquet runs and
+    a manifest records the shard directories IN ORDER (shard routing is
+    ``hash(digest) % len(shards)``, so order and count must survive).
+    Reopen with :func:`load_digest_index`; pair with ``first_wins=True``
+    so yesterday's job still wins over today's re-offers."""
+    import json
+
+    dirs = ray.get([s.persist.remote() for s in shards])
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, f"index.json.tmp.{os.getpid()}")
+    with open(tmp, "w") as fh:
+        json.dump({"shard_dirs": dirs}, fh, indent=1)
+    os.replace(tmp, os.path.join(path, "index.json"))
+    return path
+
+
+def load_digest_index(
+    path: str, *, max_entries_per_shard: int | None = None
+) -> list:
+    """Reopen a :func:`save_digest_index` directory as live shard actors
+    (same count/order; each adopts its persisted runs in place)."""
+    import json
+
+    with open(os.path.join(path, "index.json")) as fh:
+        doc = json.load(fh)
+    return [
+        _DigestShardActor.remote(max_entries=max_entries_per_shard, adopt_dir=d)
+        for d in doc["shard_dirs"]
     ]
 
 

@@ -1114,3 +1114,48 @@ def test_neardup_index_save_load_across_sessions(ray_session, tmp_path):
     )
     dedup_mod.destroy_neardup_index(idx2)
     assert got.equals(expected)
+
+
+def test_digest_index_save_load_across_jobs(ray_session, tmp_path):
+    """Durable digest index: job A's content survives actor death via
+    save/load, and job B's re-offers of it still lose under first_wins
+    (the cross-session extension of test_online_dedup_across_jobs)."""
+    import ray
+    import ray.data
+
+    from pdf_toolkit_ray.stages.dedup import (
+        exact_dedup_online,
+        load_digest_index,
+        make_digest_index,
+        save_digest_index,
+    )
+
+    job_a = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["aa", "bb", "cc"], pa.string()),
+        }
+    )
+    job_b = pa.table(
+        {
+            "doc_id": pa.array([10, 11, 12], pa.int64()),
+            "text": pa.array(["aa", "dd", "cc"], pa.string()),
+        }
+    )
+    store = str(tmp_path / "didx")
+    idx = make_digest_index(
+        3, max_entries_per_shard=2, spill_dir=str(tmp_path / "spill")
+    )
+    kept_a = exact_dedup_online(
+        ray.data.from_arrow(job_a), shards=idx, first_wins=True
+    ).to_pandas()
+    assert sorted(kept_a["doc_id"]) == [0, 1, 2]
+    save_digest_index(idx, store)
+    for s in idx:
+        ray.kill(s)
+
+    idx2 = load_digest_index(store, max_entries_per_shard=2)
+    kept_b = exact_dedup_online(
+        ray.data.from_arrow(job_b), shards=idx2, first_wins=True
+    ).to_pandas()
+    assert sorted(kept_b["doc_id"]) == [11]
