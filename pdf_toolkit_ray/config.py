@@ -25,6 +25,7 @@ from . import UserError
 
 SYMMETRY_STRATEGIES = ("independent", "match_max_width", "mirror_from_gutter")
 OUTER_MARGIN_MODES = ("off", "fixed", "auto")
+HTML_STRATEGIES = ("density", "justext")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -42,6 +43,19 @@ class ExtractConfig:
     min_area_frac: float = 0.25        # fallback-to-full-doc cutoff (page_images.py:352-355)
     pad_nodes: int = 0                 # pad_px analog: neighbor nodes kept around region
     edge_inset_nodes: int = 0          # edge_inset_px analog
+
+    # --- alternate html main-content strategy ---
+    # density: the crop-mask analog above (default, gold-recovery pinned).
+    # justext: jusText-style paragraph CLASSIFICATION (Pomikálek 2011):
+    # context-free good/near-good/short/bad per block from length,
+    # stopword density and link density, then a context pass that
+    # resolves short/near-good against the nearest decided neighbors.
+    html_strategy: str = "density"
+    jt_length_low: int = 70            # chars: below => "short" block
+    jt_length_high: int = 200          # chars: stopword-rich above => good outright
+    jt_stopwords_low: float = 0.30     # stopword density for near-good
+    jt_stopwords_high: float = 0.32    # stopword density for good
+    jt_max_link_density: float = 0.2   # above => bad regardless of the rest
 
     # --- boilerplate-run clamp (outer black bar analog, page_images.py:205-317) ---
     outer_margin_mode: str = "off"     # off|fixed|auto
@@ -92,6 +106,14 @@ class ExtractConfig:
             raise UserError("pad_nodes must be >= 0.")
         if self.edge_inset_nodes < 0:
             raise UserError("edge_inset_nodes must be >= 0.")
+        if self.html_strategy not in HTML_STRATEGIES:
+            raise UserError("html_strategy must be one of: density, justext.")
+        if not (0 < self.jt_length_low <= self.jt_length_high):
+            raise UserError("need 0 < jt_length_low <= jt_length_high.")
+        if not (0 <= self.jt_stopwords_low <= self.jt_stopwords_high <= 1):
+            raise UserError("need 0 <= jt_stopwords_low <= jt_stopwords_high <= 1.")
+        if not (0 <= self.jt_max_link_density <= 1):
+            raise UserError("jt_max_link_density must be in [0, 1].")
         if self.outer_margin_mode not in OUTER_MARGIN_MODES:
             raise UserError("outer_margin_mode must be one of: off, fixed, auto.")
         if self.outer_margin_fixed_nodes < 0:

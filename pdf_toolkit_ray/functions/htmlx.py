@@ -440,8 +440,157 @@ def _fallback(nodes: list[HtmlNode], scores: list[float], note: str) -> ExtractR
     return ExtractResult("\n".join(parts), spans, [note], True)
 
 
+#: fixed English stopword list for the jusText-style classifier — a
+#: deterministic, committed vocabulary (the published algorithm ships
+#: per-language lists; this is the high-frequency English core, which is
+#: what the synthetic corpus exercises)
+JUSTEXT_STOPWORDS = frozenset(
+    """a about above after again all also an and any are as at be because
+    been before being below between both but by could did do does down
+    during each few for from further had has have he her here hers him
+    his how i if in into is it its just me more most my no nor not of
+    off on once only or other our out over own same she so some such
+    than that the their them then there these they this those through
+    to too under until up very was we were what when where which while
+    who why will with you your""".split()
+)
+
+
+def _stopword_density(text: str) -> float:
+    words = text.lower().split()
+    if not words:
+        return 0.0
+    hits = sum(1 for w in words if w.strip(".,;:!?\"'()[]") in JUSTEXT_STOPWORDS)
+    return hits / len(words)
+
+
+def classify_nodes_justext(
+    nodes: list[HtmlNode], cfg: ExtractConfig
+) -> list[str]:
+    """jusText-style block classification (Pomikálek 2011, §3).
+
+    Context-free pass per block:
+
+    * boilerplate-flagged tag (nav/footer/aside/…) or empty → ``bad``;
+    * link density > ``jt_max_link_density`` → ``bad``;
+    * shorter than ``jt_length_low`` chars → ``bad`` if it contains any
+      link text, else ``short`` (undecided);
+    * stopword density ≥ ``jt_stopwords_high`` → ``good`` when longer
+      than ``jt_length_high``, else ``neargood``;
+    * stopword density ≥ ``jt_stopwords_low`` → ``neargood``;
+    * else → ``bad``.
+
+    Context-sensitive pass (simplified from §3.3, documented variant):
+    each ``short``/``neargood`` block resolves against the NEAREST
+    context-free ``good``/``bad`` neighbor on each side (document edges
+    count as ``bad``): ``neargood`` becomes ``good`` with at least one
+    ``good`` neighbor; ``short`` needs a ``good`` neighbor on BOTH
+    sides, or one ``good`` neighbor with only ``neargood`` blocks
+    between it and the other side. Returns the final ``good``/``bad``
+    label per node."""
+    raw: list[str] = []
+    for node in nodes:
+        if node.chars <= 0 or node.flagged:
+            raw.append("bad")
+            continue
+        link_density = min(1.0, node.link_chars / node.chars)
+        if link_density > cfg.jt_max_link_density:
+            raw.append("bad")
+            continue
+        if node.chars < cfg.jt_length_low:
+            raw.append("bad" if node.link_chars > 0 else "short")
+            continue
+        sd = _stopword_density(node.text)
+        if sd >= cfg.jt_stopwords_high:
+            raw.append("good" if node.chars > cfg.jt_length_high else "neargood")
+        elif sd >= cfg.jt_stopwords_low:
+            raw.append("neargood")
+        else:
+            raw.append("bad")
+
+    n = len(raw)
+    # nearest DECIDED (good/bad) neighbor on each side; edges are bad
+    prev_ctx = ["bad"] * n
+    cur = "bad"
+    near_since_prev = [False] * n  # only neargood between the decided prev and here
+    clean = True
+    for i in range(n):
+        prev_ctx[i] = cur
+        near_since_prev[i] = clean
+        if raw[i] in ("good", "bad"):
+            cur = raw[i]
+            clean = True
+        elif raw[i] == "short":
+            clean = False
+    next_ctx = ["bad"] * n
+    near_to_next = [False] * n
+    cur = "bad"
+    clean = True
+    for i in range(n - 1, -1, -1):
+        next_ctx[i] = cur
+        near_to_next[i] = clean
+        if raw[i] in ("good", "bad"):
+            cur = raw[i]
+            clean = True
+        elif raw[i] == "short":
+            clean = False
+
+    final: list[str] = []
+    for i, label in enumerate(raw):
+        if label in ("good", "bad"):
+            final.append(label)
+        elif label == "neargood":
+            final.append(
+                "good" if (prev_ctx[i] == "good" or next_ctx[i] == "good") else "bad"
+            )
+        else:  # short
+            both_good = prev_ctx[i] == "good" and next_ctx[i] == "good"
+            one_good_clean = (
+                (prev_ctx[i] == "good" and near_to_next[i])
+                or (next_ctx[i] == "good" and near_since_prev[i])
+            )
+            final.append("good" if (both_good or one_good_clean) else "bad")
+    return final
+
+
+def extract_html_justext(text: str, cfg: ExtractConfig) -> ExtractResult:
+    """jusText-strategy main-content extraction: keep the blocks the
+    classifier labels ``good``, in document order, with one span per
+    kept block (span score 1.0 — classification, not density). Falls
+    back to the full visible text when nothing classifies good, with
+    the same note/flag contract as the density strategy."""
+    nodes = parse_html(text)
+    if not nodes:
+        return ExtractResult(
+            "", [], ["No visible text found; used full document text."], True
+        )
+    labels = classify_nodes_justext(nodes, cfg)
+    if "good" not in labels:
+        scores = [score_node(n, cfg) for n in nodes]
+        return _fallback(
+            nodes, scores, "No main-content paragraphs found; used full document text."
+        )
+    parts: list[str] = []
+    spans: list[Span] = []
+    offset = 0
+    for node, label in zip(nodes, labels):
+        if label != "good":
+            continue
+        start = 0 if not parts else offset + 1
+        spans.append(Span(start, start + node.chars, node.tag, 1.0))
+        parts.append(node.text)
+        offset = start + node.chars
+    return ExtractResult("\n".join(parts), spans, [], False)
+
+
 def extract_html(text: str, cfg: ExtractConfig) -> ExtractResult:
-    """Extract main content from an HTML payload (find_crop_bbox analog)."""
+    """Extract main content from an HTML payload (find_crop_bbox analog).
+
+    Dispatches on ``cfg.html_strategy``: the default density strategy
+    below mirrors the reference's crop pipeline; ``justext`` routes to
+    :func:`extract_html_justext` (classification, not thresholding)."""
+    if cfg.html_strategy == "justext":
+        return extract_html_justext(text, cfg)
     nodes = parse_html(text)
     scores = [score_node(n, cfg) for n in nodes]
     if not nodes:

@@ -2884,6 +2884,45 @@ FROM (VALUES (334, 715233605082911103, 663, 4, 1224)) t(a, b, c, d, e)
 """
 
 
+def extract_digest_justext(sf_dir: str):
+    """The flagship-pipeline digest under the ALTERNATE html strategy
+    (``html_strategy="justext"`` — jusText-style paragraph
+    classification, functions/htmlx.py): same distributed shape as
+    ``extract_digest_smoke``, different extraction semantics, its own
+    pinned twin. Any change to the classifier's thresholds, stopword
+    list, context pass or fallback contract flips a column."""
+    from .pipelines.extract import extract_dataset
+    from .sources.fixtures import transcripts_path_for
+
+    ds = extract_dataset(
+        transcripts_path_for("smoke"), ExtractConfig(html_strategy="justext")
+    )
+    return _feature_digest(
+        ds,
+        {
+            "n_rows": lambda b: b.num_rows,
+            "row_hash_sum": _extract_row_hash_sum,
+            "sum_spans": lambda b: int(
+                pc.sum(pc.list_value_length(b.column("spans"))).as_py() or 0
+            ),
+            "n_fallback": lambda b: int(
+                pc.sum(pc.cast(b.column("used_fallback"), pa.int64())).as_py() or 0
+            ),
+            "sum_turn_idx": lambda b: int(
+                pc.sum(pc.cast(b.column("turn_idx"), pa.int64())).as_py() or 0
+            ),
+        },
+    )
+
+
+EXTRACT_DIGEST_JUSTEXT_SQL = """
+SELECT CAST(t.a AS BIGINT) AS n_rows, CAST(t.b AS BIGINT) AS row_hash_sum,
+       CAST(t.c AS BIGINT) AS sum_spans, CAST(t.d AS BIGINT) AS n_fallback,
+       CAST(t.e AS BIGINT) AS sum_turn_idx
+FROM (VALUES (334, 721053281009029331, 969, 106, 1224)) t(a, b, c, d, e)
+"""
+
+
 def extract_transcripts(sf_dir: str):
     from .pipelines.extract import extract_dataset
 
@@ -15535,6 +15574,7 @@ REGISTRY: dict[str, tuple] = {
     "extract_transcripts": (extract_transcripts, None),
     "extract_kind_stats": (extract_kind_stats, None),
     "extract_digest_smoke": (extract_digest_smoke, EXTRACT_DIGEST_SMOKE_SQL),
+    "extract_digest_justext": (extract_digest_justext, EXTRACT_DIGEST_JUSTEXT_SQL),
     "bpe_merges_smoke": (bpe_merges_smoke, BPE_MERGES_SMOKE_SQL),
     "bpe_encode_smoke": (bpe_encode_smoke, BPE_ENCODE_SMOKE_SQL),
     "pack_digest_smoke": (pack_digest_smoke, PACK_DIGEST_SMOKE_SQL),

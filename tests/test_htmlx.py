@@ -197,3 +197,84 @@ def test_auto_clamp_trims_leading_boilerplate_region():
         doc, ExtractConfig(pad_nodes=2, outer_margin_mode="auto")
     )
     assert clamped.extracted_text == "real content words here\nmore real content words"
+
+
+class TestJustextStrategy:
+    def _cfg(self, **kw):
+        from pdf_toolkit_ray.config import ExtractConfig
+
+        return ExtractConfig(html_strategy="justext", **kw)
+
+    GOOD_PARA = (
+        "<p>This is a long paragraph about the system and how it works in "
+        "practice because the words here are mostly common and they should "
+        "be seen as the main content of the page by any reader who is "
+        "looking at it with some care and a little patience today.</p>"
+    )
+    NAV = '<div class="nav"><a href="/a">Home</a> <a href="/b">About</a></div>'
+    GIBBERISH = (
+        "<p>zxqv qwrt plmk bngh asdf jklm qwer tyui zxcv bnmq wert yuio "
+        "asdg hjkl zxcb nmqw erty uiop asdh jklz xcvb nmqe rtyu iopa sdfj "
+        "klzx cvbn mqwe rtyu iopsa dfgh jklzx cvbnm qwert yuiop</p>"
+    )
+
+    def test_good_vs_nav_vs_gibberish(self):
+        from pdf_toolkit_ray.functions.htmlx import (
+            classify_nodes_justext,
+            parse_html,
+        )
+
+        cfg = self._cfg()
+        nodes = parse_html(self.NAV + self.GOOD_PARA + self.GIBBERISH)
+        labels = classify_nodes_justext(nodes, cfg)
+        by_text = {n.text[:12]: lab for n, lab in zip(nodes, labels)}
+        assert any(lab == "good" for lab in labels)
+        assert by_text.get("Home About", by_text.get("Home", "bad")) == "bad"
+        assert [lab for n, lab in zip(nodes, labels) if n.text.startswith("zxqv")] == [
+            "bad"
+        ]
+
+    def test_short_heading_promoted_between_good(self):
+        from pdf_toolkit_ray.functions.htmlx import extract_html
+
+        cfg = self._cfg()
+        doc = self.GOOD_PARA + "<h2>Results</h2>" + self.GOOD_PARA
+        out = extract_html(doc, cfg)
+        assert not out.used_fallback
+        assert "Results" in out.extracted_text
+        # heading alone (edges are bad context) stays out
+        alone = extract_html(self.NAV + "<h2>Results</h2>" + self.NAV, cfg)
+        assert alone.used_fallback or "Results" not in alone.extracted_text
+
+    def test_all_bad_falls_back_full_text(self):
+        from pdf_toolkit_ray.functions.htmlx import extract_html
+
+        out = extract_html(self.NAV + self.GIBBERISH, self._cfg())
+        assert out.used_fallback
+        assert "Home" in out.extracted_text  # fallback = full visible text
+        assert out.notes == [
+            "No main-content paragraphs found; used full document text."
+        ]
+
+    def test_spans_cover_kept_blocks_exactly(self):
+        from pdf_toolkit_ray.functions.htmlx import extract_html
+
+        out = extract_html(self.GOOD_PARA + self.NAV + self.GOOD_PARA, self._cfg())
+        assert not out.used_fallback
+        for span in out.spans:
+            assert out.extracted_text[span.start : span.end] != ""
+        joined = "\n".join(out.extracted_text[s.start : s.end] for s in out.spans)
+        assert joined == out.extracted_text
+
+    def test_config_validation(self):
+        import pytest as _pytest
+
+        from pdf_toolkit_ray import UserError
+        from pdf_toolkit_ray.config import ExtractConfig
+
+        with _pytest.raises(UserError, match="html_strategy"):
+            ExtractConfig(html_strategy="nope")
+        with _pytest.raises(UserError, match="jt_length_low"):
+            ExtractConfig(jt_length_low=0)
+        with _pytest.raises(UserError, match="jt_stopwords"):
+            ExtractConfig(jt_stopwords_low=0.5, jt_stopwords_high=0.4)

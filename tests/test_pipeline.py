@@ -566,3 +566,23 @@ def test_fault_injection_mid_shuffle_and_mid_write(
     assert summary["written_partitions"] == 0
     assert len(summary["resumed_partitions"]) > 0
     assert _sorted(read_extracted(out_b).to_pandas()).equals(clean_df)
+
+
+def test_justext_strategy_pipeline_equals_oracle(ray_session, smoke_parquet):
+    """The jusText strategy flows through the same distributed pipeline
+    and must equal the single-process oracle per turn (the default
+    density strategy's parity contract, under the alternate config)."""
+    jt_cfg = ExtractConfig(
+        n_parts=8, salt_threshold=8, salt_width=4, html_strategy="justext"
+    )
+    want = _sorted(extract_table(pq.read_table(smoke_parquet), jt_cfg).to_pandas())
+    got = _sorted(extract_dataset(smoke_parquet, jt_cfg).to_pandas())
+    assert len(got) == len(want)
+    for col in SIMPLE_COLS:
+        assert (got[col] == want[col]).all(), col
+    for col in ("notes", "spans"):
+        assert all(list(a) == list(b) for a, b in zip(got[col], want[col])), col
+    # and it actually behaves differently from the density strategy
+    # somewhere (otherwise the dispatch is dead code)
+    dflt = _sorted(extract_dataset(smoke_parquet, CFG).to_pandas())
+    assert not (dflt["extracted_text"] == got["extracted_text"]).all()
