@@ -508,7 +508,13 @@ def run_extract_ingest(
     rotation satisfies this). ``check_conv_overlap=True`` verifies the
     second assumption with a distributed semi-join of the new files'
     conv_ids against previously extracted output — one extra column scan,
-    so it is opt-in."""
+    so it is opt-in.
+
+    Scale note: the ingest manifest holds one (path, size:mtime) entry
+    per ingested FILE — ~100 B each, so ~100 MB at a million files.
+    The driver reads it whole per ingest (like the partition-manifest
+    scan of a resume); beyond that, shard the corpus into several
+    ingest roots, each with its own output directory."""
     cfg = cfg or ExtractConfig()
     os.makedirs(out_dir, exist_ok=True)
     ing = _load_ingest_manifest(out_dir)
