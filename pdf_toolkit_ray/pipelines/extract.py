@@ -881,20 +881,27 @@ def run_validate_job(out_dir: str) -> dict[str, Any]:
     t_start = time.time()
     if not os.path.isdir(out_dir):
         raise UserError(f"output dir not found: {out_dir}")
-    names = sorted(
-        n for n in os.listdir(out_dir)
-        if n.startswith("part-") and os.path.isdir(os.path.join(out_dir, n))
-    )
-    findings = [
-        f
-        for part in ray.get(
-            [
-                _validate_parts_task.remote(out_dir, chunk)
-                for chunk in _chunked(names, _FOOTER_FILES_PER_TASK)
-            ]
-        )
-        for f in part
+    # generation-aware like read_extracted: an incremental-ingest output
+    # keeps its partitions under gen-*/; auditing the parent must cover
+    # them (and partition names below are gen-qualified in the report)
+    roots = [("", out_dir)] + [
+        (name + "/", os.path.join(out_dir, name))
+        for name in sorted(os.listdir(out_dir))
+        if name.startswith("gen-") and os.path.isdir(os.path.join(out_dir, name))
     ]
+    tasks = []
+    names = []
+    for prefix, root in roots:
+        root_names = sorted(
+            n for n in os.listdir(root)
+            if n.startswith("part-") and os.path.isdir(os.path.join(root, n))
+        )
+        names.extend(prefix + n for n in root_names)
+        tasks.extend(
+            _validate_parts_task.remote(root, chunk)
+            for chunk in _chunked(root_names, _FOOTER_FILES_PER_TASK)
+        )
+    findings = [f for part in ray.get(tasks) for f in part]
     by_status: dict[str, int] = {}
     for f in findings:
         by_status[f["status"]] = by_status.get(f["status"], 0) + 1

@@ -586,3 +586,30 @@ def test_justext_strategy_pipeline_equals_oracle(ray_session, smoke_parquet):
     # somewhere (otherwise the dispatch is dead code)
     dflt = _sorted(extract_dataset(smoke_parquet, CFG).to_pandas())
     assert not (dflt["extracted_text"] == got["extracted_text"]).all()
+
+
+def test_validate_job_generation_aware(ray_session, smoke_table, tmp_path):
+    """validate on an incremental-ingest output audits gen-*/part-*
+    partitions (an empty top level alone must not read as 'no job')."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pdf_toolkit_ray.pipelines.extract import run_extract_ingest, run_validate_job
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    conv = smoke_table.column("conv_id")
+    uniq = sorted(set(conv.to_pylist()))
+    mask = pc.is_in(conv, value_set=pa.array(uniq[: len(uniq) // 2]))
+    pq.write_table(smoke_table.filter(mask), str(in_dir / "a.parquet"))
+    out = str(tmp_path / "inc")
+    run_extract_ingest(str(in_dir), out, CFG)
+    pq.write_table(smoke_table.filter(pc.invert(mask)), str(in_dir / "b.parquet"))
+    run_extract_ingest(str(in_dir), out, CFG)
+
+    report = run_validate_job(out)
+    assert report["ok"]
+    assert report["n_partitions"] > 0
+    from pdf_toolkit_ray.pipelines.extract import read_extracted
+
+    assert report["total_rows"] == read_extracted(out).count()
