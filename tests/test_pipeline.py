@@ -613,3 +613,119 @@ def test_validate_job_generation_aware(ray_session, smoke_table, tmp_path):
     from pdf_toolkit_ray.pipelines.extract import read_extracted
 
     assert report["total_rows"] == read_extracted(out).count()
+
+
+def test_daily_drops_end_to_end(ray_session, smoke_table, tmp_path):
+    """The incremental-corpus story, end to end: three daily transcript
+    drops flow through `run_extract_ingest` (only new files extracted,
+    per-generation partitions), and the extracted turns dedup against a
+    DURABLE digest index that is saved/reloaded between days (actors
+    killed in between, like separate Ray jobs). Day-2 re-logs of day-1
+    turn content lose under first_wins; genuinely new content survives;
+    the final kept set equals a one-shot batch dedup over the full
+    extracted corpus."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray as _ray
+    import ray.data
+
+    from pdf_toolkit_ray.pipelines.extract import read_extracted, run_extract_ingest
+    from pdf_toolkit_ray.stages.dedup import (
+        exact_dedup_groups,
+        exact_dedup_online,
+        load_digest_index,
+        make_digest_index,
+        save_digest_index,
+    )
+
+    conv = smoke_table.column("conv_id")
+    uniq = sorted(set(conv.to_pylist()))
+    thirds = [set(uniq[i::3]) for i in range(3)]
+    in_dir = tmp_path / "drops"
+    in_dir.mkdir()
+    out = str(tmp_path / "corpus")
+    store = str(tmp_path / "didx")
+
+    all_kept: list = []
+    for day, convs in enumerate(thirds):
+        mask = pc.is_in(conv, value_set=pa.array(sorted(convs)))
+        drop = smoke_table.filter(mask)
+        if day == 1:
+            # a real corpus re-logs content: day 1 re-drops five day-0
+            # conversations under NEW conv ids (same turn text) — the
+            # durable index must drop their content, not their ids
+            relog_src = sorted(thirds[0])[:5]
+            rmask = pc.is_in(conv, value_set=pa.array(relog_src))
+            relog = smoke_table.filter(rmask)
+            new_ids = pa.array(
+                ["re_" + c for c in relog.column("conv_id").to_pylist()]
+            )
+            relog = relog.set_column(
+                relog.schema.get_field_index("conv_id"), "conv_id", new_ids
+            )
+            drop = pa.concat_tables([drop, relog])
+        pq.write_table(drop, str(in_dir / f"day{day}.parquet"))
+        s = run_extract_ingest(str(in_dir), out, CFG)
+        assert s["new_files"] == 1 and s["generation"] == day
+
+        # dedup THIS day's extracted turns against the durable index
+        gen_ds = read_extracted(os.path.join(out, f"gen-{day:04d}"))
+        day_base = (day + 1) << 52  # day-major: day-1 ids < day-2 ids < ...
+
+        def turn_ids(b: pa.Table, day_base=day_base) -> pa.Table:
+            import zlib
+
+            ids = [
+                day_base + (zlib.crc32(c.encode()) << 16) + int(t)
+                for c, t in zip(
+                    b.column("conv_id").to_pylist(), b.column("turn_idx").to_pylist()
+                )
+            ]
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "text": b.column("extracted_text"),
+                }
+            )
+
+        turns = gen_ds.map_batches(
+            turn_ids, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+        idx = (
+            make_digest_index(3, max_entries_per_shard=64, spill_dir=str(tmp_path / "sp"))
+            if day == 0
+            else load_digest_index(store, max_entries_per_shard=64)
+        )
+        kept = exact_dedup_online(turns, shards=idx, first_wins=True).to_pandas()
+        all_kept.append(kept)
+        save_digest_index(idx, store)
+        for sh in idx:  # next day = a new "job"
+            _ray.kill(sh)
+
+    kept_all = pd.concat(all_kept, ignore_index=True)
+    # one-shot oracle: batch exact-dedup over the whole extracted corpus
+    # with the SAME day-rebased ids; first_wins == keep-min here because
+    # day ordering and id ordering agree (day-1 ids < day-2 ids < ...)
+    import zlib
+
+    full_rows = []
+    for day in range(3):
+        gen = read_extracted(os.path.join(out, f"gen-{day:04d}")).to_pandas()
+        ids = [
+            ((day + 1) << 52) + (zlib.crc32(c.encode()) << 16) + int(t)
+            for c, t in zip(gen["conv_id"], gen["turn_idx"])
+        ]
+        full_rows.append(pd.DataFrame({"doc_id": ids, "text": gen["extracted_text"]}))
+    full = pd.concat(full_rows, ignore_index=True)
+    assert full["doc_id"].is_unique  # the synthetic turn ids really are ids
+    batch_keep = (
+        exact_dedup_groups(ray.data.from_pandas(full), "doc_id", "text")
+        .to_pandas()["doc_id"]
+        .sort_values()
+        .tolist()
+    )
+    assert sorted(kept_all["doc_id"]) == batch_keep
+    # the corpus really contains cross-day duplicate content (boilerplate
+    # turns), so the dedup did real work
+    assert len(kept_all) < len(full)
