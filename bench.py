@@ -181,6 +181,11 @@ def run_once() -> dict:
                 r["query"] for r in rows if r["verdict"] == "SLOW"
             )
             result["pin_ok"] = not regressed
+            # 'broad_slowdown' = >=1/3 of pins SLOW at once: the shared
+            # host's load-regime signature (everything doubles together),
+            # not a per-query code regression — pins are all-time quiet
+            # minima, so a loaded run inflates every row uniformly
+            result["pin_verdict"] = bench_gate.classify(rows)
     except Exception as exc:  # the gate must never sink the bench itself
         result["pin_error"] = repr(exc)
     ray.shutdown()

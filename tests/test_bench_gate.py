@@ -51,3 +51,22 @@ def test_load_bench_accepts_driver_wrapper(tmp_path):
     p2 = tmp_path / "raw.json"
     p2.write_text(json.dumps(payload))
     assert bench_gate.load_bench(str(p2)) == payload
+
+
+def test_classify_regime_vs_regression():
+    def rows(n_slow, n_total):
+        out = []
+        for i in range(n_total):
+            out.append(
+                {"query": f"q{i}", "pin": 1.0, "now": 2.0 if i < n_slow else 1.0,
+                 "ratio": 2.0 if i < n_slow else 1.0,
+                 "verdict": "SLOW" if i < n_slow else "ok"}
+            )
+        return out
+
+    assert bench_gate.classify(rows(0, 30)) == "ok"
+    assert bench_gate.classify(rows(1, 30)) == "regression"
+    assert bench_gate.classify(rows(12, 30)) == "broad_slowdown"
+    # tiny pin sets: 1 slow of 3 is still isolated (max(2, ...) floor)
+    assert bench_gate.classify(rows(1, 3)) == "regression"
+    assert bench_gate.classify(rows(2, 3)) == "broad_slowdown"

@@ -45,6 +45,26 @@ def load_bench(path: str) -> dict:
     raise SystemExit(f"{path}: no bench JSON payload found")
 
 
+#: when at least this fraction of pinned queries flag SLOW at once, the
+#: signature is a host-load regime (this shared host's wall times double
+#: under co-tenant bursts), not a per-query code regression — a real code
+#: regression almost never slows EVERYTHING uniformly. The gate still
+#: lists every flagged query; it just says which failure mode it sees.
+BROAD_SLOWDOWN_FRAC = 1 / 3
+
+
+def classify(rows: list[dict]) -> str:
+    """'ok' | 'regression' (isolated SLOW rows) | 'broad_slowdown'
+    (host-load signature: ≥ BROAD_SLOWDOWN_FRAC of pins SLOW at once)."""
+    pinned = [r for r in rows if r["pin"] is not None and r["now"] is not None]
+    slow = [r for r in pinned if r["verdict"] == "SLOW"]
+    if not slow:
+        return "ok"
+    if len(slow) >= max(2, int(len(pinned) * BROAD_SLOWDOWN_FRAC)):
+        return "broad_slowdown"
+    return "regression"
+
+
 def compare(bench: dict, pins: dict) -> tuple[list[dict], bool]:
     rows, regressed = [], False
     now_by_q = dict(bench.get("queries", {}))
