@@ -1159,3 +1159,90 @@ def test_digest_index_save_load_across_jobs(ray_session, tmp_path):
         ray.data.from_arrow(job_b), shards=idx2, first_wins=True
     ).to_pandas()
     assert sorted(kept_b["doc_id"]) == [11]
+
+
+from hypothesis import HealthCheck as _HC
+from hypothesis import given as _given
+from hypothesis import settings as _settings
+from hypothesis import strategies as _st
+
+_ND_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[_HC.too_slow, _HC.function_scoped_fixture],
+)
+
+#: small word pool => random docs share shingles by construction, so the
+#: property exercises real candidate pairs, not just empty buckets
+_ND_WORDS = ["ray", "data", "engine", "batch", "arrow", "shard", "index",
+             "merge", "spill", "probe", "band", "text", "turn", "conv"]
+
+
+@_given(
+    seed=_st.integers(0, 2**20),
+    n_docs=_st.integers(2, 18),
+    n_parts=_st.integers(1, 4),
+    budget=_st.integers(4, 40),
+    num_shards=_st.integers(1, 4),
+)
+@_settings(**_ND_SETTINGS)
+def test_neardup_index_random_increments_match_batch(
+    ray_session, seed, n_docs, n_parts, budget, num_shards
+):
+    """PROPERTY: for ANY corpus, ANY partition into ingest increments,
+    ANY spill budget and ANY shard count, clustering through the
+    persisted band index equals the one-shot batch pipeline. (The class
+    of test that caught the digest index's per-process sub-bucketing
+    bug.)"""
+    import ray.data
+
+    from pdf_toolkit_ray.stages import dedup as dedup_mod
+
+    rng = np.random.RandomState(seed)
+    texts = []
+    for i in range(n_docs):
+        base = " ".join(rng.choice(_ND_WORDS, size=rng.randint(4, 16)))
+        texts.append(base)
+        # sprinkle exact and near duplicates of earlier docs
+        if i and rng.rand() < 0.4:
+            j = rng.randint(0, i)
+            t = texts[j]
+            if rng.rand() < 0.5:
+                t = t + " extra"
+            texts.append(t)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+
+    pairs = dedup_mod.ngram_jaccard_pairs(ds, "doc_id", "text", threshold=0.8)
+    expected = (
+        dedup_mod.attach_cluster_ids(
+            ds, dedup_mod.connected_components(pairs), "doc_id"
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    assign = rng.randint(0, n_parts, size=tbl.num_rows)
+    index = dedup_mod.make_neardup_index(
+        num_shards=num_shards, num_perm=64, bands=32, max_entries_per_shard=budget
+    )
+    try:
+        for k in range(n_parts):
+            part = tbl.filter(pa.array(assign == k))
+            if part.num_rows:
+                dedup_mod.neardup_ingest(ray.data.from_arrow(part), index)
+        got = (
+            dedup_mod.neardup_clusters(index, ds, threshold=0.8, n=3)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+    finally:
+        dedup_mod.destroy_neardup_index(index)
+    assert got.equals(expected)
