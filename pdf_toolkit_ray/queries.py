@@ -2884,6 +2884,83 @@ FROM (VALUES (334, 715233605082911103, 663, 4, 1224)) t(a, b, c, d, e)
 """
 
 
+#: (column, decimal scale) profiled by describe_lineitem — money/percent
+#: columns sum on their exact integer grid so the total is order-free
+_DESCRIBE_LINEITEM_COLS = [
+    ("l_orderkey", 1),
+    ("l_quantity", 1),
+    ("l_extendedprice", 100),
+    ("l_discount", 100),
+    ("l_tax", 100),
+]
+
+
+def describe_lineitem(sf_dir: str):
+    """Dataset profiling — the `describe` every engine ships: per column
+    (count, nulls, min, max, exact grid-scaled sum) in ONE combiner pass
+    over all profiled columns at once (one partial row per column per
+    batch; a bounded-cardinality groupby folds them — the shuffle moves
+    #columns × #batches tiny rows, never data). Doubles sum on their
+    exact decimal grid (cents for money), so the totals are
+    order-independent and the SQL twin matches hash-exactly."""
+    cols = _DESCRIBE_LINEITEM_COLS
+    ds = scan(sf_dir, "lineitem", columns=[c for c, _ in cols])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        names, ns, nulls, mins, maxs, sums = [], [], [], [], [], []
+        for c, scale in cols:
+            col = batch.column(c)
+            names.append(c)
+            ns.append(batch.num_rows)
+            nulls.append(col.null_count)
+            mins.append(pc.min(col).as_py())
+            maxs.append(pc.max(col).as_py())
+            sums.append(int(pc.sum(_cents(col, scale)).as_py() or 0))
+        return pa.table(
+            {
+                "col": pa.array(names, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+                "n_null": pa.array(nulls, pa.int64()),
+                "min_v": pa.array([float(v) for v in mins], pa.float64()),
+                "max_v": pa.array([float(v) for v in maxs], pa.float64()),
+                "sum_scaled": pa.array(sums, pa.int64()),
+            }
+        )
+
+    folded = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("col")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("n_null", alias_name="n_null"),
+            Min("min_v", alias_name="min_v"),
+            Max("max_v", alias_name="max_v"),
+            Sum("sum_scaled", alias_name="sum_scaled"),
+        )
+    )
+    scale_map = dict(cols)
+
+    def attach_scale(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "scale",
+            pa.array(
+                [scale_map[c] for c in batch.column("col").to_pylist()], pa.int64()
+            ),
+        )
+
+    return folded.map_batches(attach_scale, batch_format="pyarrow", zero_copy_batch=True)
+
+
+DESCRIBE_LINEITEM_SQL = " UNION ALL ".join(
+    f"""SELECT '{c}' AS col, COUNT(*) AS n,
+        COUNT(*) - COUNT({c}) AS n_null,
+        CAST(MIN({c}) AS DOUBLE) AS min_v, CAST(MAX({c}) AS DOUBLE) AS max_v,
+        CAST(SUM(CAST(round({c} * {sc}) AS BIGINT)) AS BIGINT) AS sum_scaled,
+        CAST({sc} AS BIGINT) AS scale FROM lineitem"""
+    for c, sc in _DESCRIBE_LINEITEM_COLS
+)
+
+
 def extract_digest_justext(sf_dir: str):
     """The flagship-pipeline digest under the ALTERNATE html strategy
     (``html_strategy="justext"`` — jusText-style paragraph
@@ -15575,6 +15652,7 @@ REGISTRY: dict[str, tuple] = {
     "extract_kind_stats": (extract_kind_stats, None),
     "extract_digest_smoke": (extract_digest_smoke, EXTRACT_DIGEST_SMOKE_SQL),
     "extract_digest_justext": (extract_digest_justext, EXTRACT_DIGEST_JUSTEXT_SQL),
+    "describe_lineitem": (describe_lineitem, DESCRIBE_LINEITEM_SQL),
     "bpe_merges_smoke": (bpe_merges_smoke, BPE_MERGES_SMOKE_SQL),
     "bpe_encode_smoke": (bpe_encode_smoke, BPE_ENCODE_SMOKE_SQL),
     "pack_digest_smoke": (pack_digest_smoke, PACK_DIGEST_SMOKE_SQL),
