@@ -729,3 +729,44 @@ def test_daily_drops_end_to_end(ray_session, smoke_table, tmp_path):
     # the corpus really contains cross-day duplicate content (boilerplate
     # turns), so the dedup did real work
     assert len(kept_all) < len(full)
+
+
+def test_ingest_random_file_partitions_match_full(ray_session, smoke_table, tmp_path):
+    """PROPERTY-style sweep: for several random partitions of the corpus
+    into daily drop files (varying file counts and sizes), incremental
+    ingest == full batch recompute on every non-layout column."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pdf_toolkit_ray.pipelines.extract import read_extracted, run_extract_ingest
+
+    conv = smoke_table.column("conv_id")
+    uniq = sorted(set(conv.to_pylist()))
+
+    full_out = str(tmp_path / "full")
+    in_full = tmp_path / "in_full"
+    in_full.mkdir()
+    pq.write_table(smoke_table, str(in_full / "all.parquet"))
+    run_extract_job(str(in_full), full_out, CFG)
+    full_df = _sorted(read_extracted(full_out).to_pandas())
+
+    for seed in (3, 11):
+        rng = np.random.RandomState(seed)
+        n_files = int(rng.randint(2, 5))
+        assign = rng.randint(0, n_files, size=len(uniq))
+        in_dir = tmp_path / f"in_{seed}"
+        in_dir.mkdir()
+        out = str(tmp_path / f"inc_{seed}")
+        for day in range(n_files):
+            convs = [c for c, a in zip(uniq, assign) if a == day]
+            mask = pc.is_in(conv, value_set=pa.array(convs))
+            pq.write_table(smoke_table.filter(mask), str(in_dir / f"d{day}.parquet"))
+            s = run_extract_ingest(str(in_dir), out, CFG)
+            assert s["new_files"] == 1
+        inc_df = _sorted(read_extracted(out).to_pandas())
+        assert len(inc_df) == len(full_df), seed
+        for col in SIMPLE_COLS:
+            if col in ("part_id", "salt"):
+                continue
+            assert (inc_df[col] == full_df[col]).all(), (seed, col)
