@@ -2961,6 +2961,66 @@ DESCRIBE_LINEITEM_SQL = " UNION ALL ".join(
 )
 
 
+def describe_documents(sf_dir: str):
+    """String-table profiling: per text-ish column (count, nulls, min /
+    max / total UTF-8 length, distinct-prefix min/max as a lexical
+    range) — same one-combiner-pass shape as ``describe_lineitem``,
+    lengths summed as exact int64."""
+    cols = ["text", "lang", "source"]
+    ds = scan(sf_dir, "documents", columns=cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        names, ns, nulls, lmin, lmax, lsum, vmin, vmax = ([] for _ in range(8))
+        for c in cols:
+            col = batch.column(c)
+            lens = pc.utf8_length(pc.fill_null(col, ""))
+            names.append(c)
+            ns.append(batch.num_rows)
+            nulls.append(col.null_count)
+            lmin.append(int(pc.min(lens).as_py() or 0))
+            lmax.append(int(pc.max(lens).as_py() or 0))
+            lsum.append(int(pc.sum(pc.cast(lens, pa.int64())).as_py() or 0))
+            vmin.append(pc.min(col).as_py() or "")
+            vmax.append(pc.max(col).as_py() or "")
+        return pa.table(
+            {
+                "col": pa.array(names, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+                "n_null": pa.array(nulls, pa.int64()),
+                "len_min": pa.array(lmin, pa.int64()),
+                "len_max": pa.array(lmax, pa.int64()),
+                "len_sum": pa.array(lsum, pa.int64()),
+                "v_min": pa.array(vmin, pa.string()),
+                "v_max": pa.array(vmax, pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("col")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("n_null", alias_name="n_null"),
+            Min("len_min", alias_name="len_min"),
+            Max("len_max", alias_name="len_max"),
+            Sum("len_sum", alias_name="len_sum"),
+            Min("v_min", alias_name="v_min"),
+            Max("v_max", alias_name="v_max"),
+        )
+    )
+
+
+DESCRIBE_DOCUMENTS_SQL = " UNION ALL ".join(
+    f"""SELECT '{c}' AS col, COUNT(*) AS n, COUNT(*) - COUNT({c}) AS n_null,
+        CAST(MIN(length(COALESCE({c}, ''))) AS BIGINT) AS len_min,
+        CAST(MAX(length(COALESCE({c}, ''))) AS BIGINT) AS len_max,
+        CAST(SUM(length(COALESCE({c}, ''))) AS BIGINT) AS len_sum,
+        COALESCE(MIN({c}), '') AS v_min, COALESCE(MAX({c}), '') AS v_max
+        FROM documents"""
+    for c in ("text", "lang", "source")
+)
+
+
 def extract_digest_justext(sf_dir: str):
     """The flagship-pipeline digest under the ALTERNATE html strategy
     (``html_strategy="justext"`` — jusText-style paragraph
@@ -15653,6 +15713,7 @@ REGISTRY: dict[str, tuple] = {
     "extract_digest_smoke": (extract_digest_smoke, EXTRACT_DIGEST_SMOKE_SQL),
     "extract_digest_justext": (extract_digest_justext, EXTRACT_DIGEST_JUSTEXT_SQL),
     "describe_lineitem": (describe_lineitem, DESCRIBE_LINEITEM_SQL),
+    "describe_documents": (describe_documents, DESCRIBE_DOCUMENTS_SQL),
     "bpe_merges_smoke": (bpe_merges_smoke, BPE_MERGES_SMOKE_SQL),
     "bpe_encode_smoke": (bpe_encode_smoke, BPE_ENCODE_SMOKE_SQL),
     "pack_digest_smoke": (pack_digest_smoke, PACK_DIGEST_SMOKE_SQL),
