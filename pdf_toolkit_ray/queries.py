@@ -2913,7 +2913,7 @@ def describe_lineitem(sf_dir: str):
             names.append(c)
             ns.append(batch.num_rows)
             nulls.append(col.null_count)
-            mins.append(pc.min(col).as_py())
+            mins.append(pc.min(col).as_py())  # None for an all-null batch
             maxs.append(pc.max(col).as_py())
             sums.append(int(pc.sum(_cents(col, scale)).as_py() or 0))
         return pa.table(
@@ -2921,8 +2921,12 @@ def describe_lineitem(sf_dir: str):
                 "col": pa.array(names, pa.string()),
                 "n": pa.array(ns, pa.int64()),
                 "n_null": pa.array(nulls, pa.int64()),
-                "min_v": pa.array([float(v) for v in mins], pa.float64()),
-                "max_v": pa.array([float(v) for v in maxs], pa.float64()),
+                "min_v": pa.array(
+                    [None if v is None else float(v) for v in mins], pa.float64()
+                ),
+                "max_v": pa.array(
+                    [None if v is None else float(v) for v in maxs], pa.float64()
+                ),
                 "sum_scaled": pa.array(sums, pa.int64()),
             }
         )
@@ -2980,8 +2984,10 @@ def describe_documents(sf_dir: str):
             lmin.append(int(pc.min(lens).as_py() or 0))
             lmax.append(int(pc.max(lens).as_py() or 0))
             lsum.append(int(pc.sum(pc.cast(lens, pa.int64())).as_py() or 0))
-            vmin.append(pc.min(col).as_py() or "")
-            vmax.append(pc.max(col).as_py() or "")
+            # an ALL-NULL batch contributes NULL partials (the fold's
+            # Min/Max ignore nulls) — an "" sentinel would win the min
+            vmin.append(pc.min(col).as_py())
+            vmax.append(pc.max(col).as_py())
         return pa.table(
             {
                 "col": pa.array(names, pa.string()),
@@ -2995,7 +3001,7 @@ def describe_documents(sf_dir: str):
             }
         )
 
-    return (
+    folded = (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("col")
         .aggregate(
@@ -3008,6 +3014,24 @@ def describe_documents(sf_dir: str):
             Max("v_max", alias_name="v_max"),
         )
     )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        # a FULLY-null column folds to NULL min/max; the twin reports ''.
+        # (a per-group block can even come out NULL-TYPED — cast first)
+        def coalesce(name: str) -> pa.Array:
+            col = batch.column(name)
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            if pa.types.is_null(col.type):
+                return pa.array([""] * len(col), pa.string())
+            return pc.fill_null(col, pa.scalar("", pa.string()))
+
+        return batch.set_column(
+            batch.schema.get_field_index("v_min"), "v_min", coalesce("v_min")
+        ).set_column(
+            batch.schema.get_field_index("v_max"), "v_max", coalesce("v_max")
+        )
+
+    return folded.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
 DESCRIBE_DOCUMENTS_SQL = " UNION ALL ".join(

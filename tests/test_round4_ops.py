@@ -733,3 +733,69 @@ def test_first_touch_attribution_engineered(ray_session, tmp_path):
         for r in queries.first_touch_attribution_events(str(tmp_path)).to_pylist()
     }
     assert got == {"view": 1, "(none)": 1, "click": 2}
+
+
+def test_describe_partials_handle_nulls(ray_session, tmp_path):
+    """describe over a null-bearing table: nulls counted per column,
+    min/max/sums ignore them (matching SQL COUNT/MIN/MAX semantics)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import pdf_toolkit_ray.queries as q
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(["aa", None, "cccc", ""], pa.string()),
+            "lang": pa.array(["en", "de", None, "en"], pa.string()),
+            "source": pa.array([None, None, "web", "web"], pa.string()),
+            "n_chars": pa.array([2, 0, 4, 0], pa.int64()),
+        }
+    )
+    sf = tmp_path / "sfnull"
+    sf.mkdir()
+    pq.write_table(tbl, str(sf / "documents.parquet"))
+    got = (
+        q.describe_documents(str(sf))
+        .to_pandas()
+        .sort_values("col")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = (
+        con.execute(q.DESCRIBE_DOCUMENTS_SQL).df().sort_values("col").reset_index(drop=True)
+    )
+    for c in want.columns:
+        assert (got[c] == want[c]).all(), c
+    assert got.set_index("col").loc["source", "n_null"] == 2
+
+
+def test_describe_fully_null_column(ray_session, tmp_path):
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import pdf_toolkit_ray.queries as q
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["x", "yy"], pa.string()),
+            "lang": pa.array([None, None], pa.string()),
+            "source": pa.array(["w", "w"], pa.string()),
+            "n_chars": pa.array([1, 2], pa.int64()),
+        }
+    )
+    sf = tmp_path / "sfnull2"
+    sf.mkdir()
+    pq.write_table(tbl, str(sf / "documents.parquet"))
+    got = q.describe_documents(str(sf)).to_pandas().sort_values("col").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')")
+    want = con.execute(q.DESCRIBE_DOCUMENTS_SQL).df().sort_values("col").reset_index(drop=True)
+    for c in want.columns:
+        assert (got[c] == want[c]).all(), c
