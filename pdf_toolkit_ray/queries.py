@@ -3045,6 +3045,86 @@ DESCRIBE_DOCUMENTS_SQL = " UNION ALL ".join(
 )
 
 
+def describe_events(sf_dir: str):
+    """Event-stream profiling, completing the describe family across
+    column kinds: int ids, a TIMESTAMP column (profiled as exact epoch
+    µs), and a money double on its cents grid — same one-combiner-pass
+    shape as ``describe_lineitem``."""
+    specs = [
+        ("event_id", "int", 1),
+        ("user_id", "int", 1),
+        ("ts", "ts_us", 1),
+        ("value", "grid", 100),
+    ]
+    ds = scan(sf_dir, "events", columns=[c for c, _, _ in specs])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        names, ns, nulls, mins, maxs, sums = ([] for _ in range(6))
+        for c, kind, scale in specs:
+            col = batch.column(c)
+            if kind == "ts_us":
+                col = pc.cast(col, pa.int64())
+            names.append(c)
+            ns.append(batch.num_rows)
+            nulls.append(col.null_count)
+            mn, mx = pc.min(col).as_py(), pc.max(col).as_py()
+            mins.append(None if mn is None else int(mn) if kind != "grid" else None)
+            maxs.append(None if mx is None else int(mx) if kind != "grid" else None)
+            if kind == "grid":
+                ints = _cents(col, scale)
+                mins[-1] = pc.min(ints).as_py()
+                maxs[-1] = pc.max(ints).as_py()
+                sums.append(int(pc.sum(ints).as_py() or 0))
+            elif kind == "ts_us":
+                # a timestamp SUM is meaningless and overflows int64 at
+                # ~10^5 rows of epoch-µs — profile min/max only
+                sums.append(0)
+            else:
+                sums.append(int(pc.sum(col).as_py() or 0))
+        return pa.table(
+            {
+                "col": pa.array(names, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+                "n_null": pa.array(nulls, pa.int64()),
+                "min_scaled": pa.array(mins, pa.int64()),
+                "max_scaled": pa.array(maxs, pa.int64()),
+                "sum_scaled": pa.array(sums, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("col")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("n_null", alias_name="n_null"),
+            Min("min_scaled", alias_name="min_scaled"),
+            Max("max_scaled", alias_name="max_scaled"),
+            Sum("sum_scaled", alias_name="sum_scaled"),
+        )
+    )
+
+
+DESCRIBE_EVENTS_SQL = " UNION ALL ".join(
+    [
+        f"""SELECT '{c}' AS col, COUNT(*) AS n, COUNT(*) - COUNT({c}) AS n_null,
+        CAST(MIN({c}) AS BIGINT) AS min_scaled, CAST(MAX({c}) AS BIGINT) AS max_scaled,
+        CAST(SUM({c}) AS BIGINT) AS sum_scaled FROM events"""
+        for c in ("event_id", "user_id")
+    ]
+    + [
+        """SELECT 'ts' AS col, COUNT(*) AS n, COUNT(*) - COUNT(ts) AS n_null,
+        CAST(MIN(epoch_us(ts)) AS BIGINT) AS min_scaled,
+        CAST(MAX(epoch_us(ts)) AS BIGINT) AS max_scaled,
+        CAST(0 AS BIGINT) AS sum_scaled FROM events""",
+        """SELECT 'value' AS col, COUNT(*) AS n, COUNT(*) - COUNT(value) AS n_null,
+        CAST(MIN(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS min_scaled,
+        CAST(MAX(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_scaled,
+        CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_scaled FROM events""",
+    ]
+)
+
+
 def extract_digest_justext(sf_dir: str):
     """The flagship-pipeline digest under the ALTERNATE html strategy
     (``html_strategy="justext"`` — jusText-style paragraph
@@ -15738,6 +15818,7 @@ REGISTRY: dict[str, tuple] = {
     "extract_digest_justext": (extract_digest_justext, EXTRACT_DIGEST_JUSTEXT_SQL),
     "describe_lineitem": (describe_lineitem, DESCRIBE_LINEITEM_SQL),
     "describe_documents": (describe_documents, DESCRIBE_DOCUMENTS_SQL),
+    "describe_events": (describe_events, DESCRIBE_EVENTS_SQL),
     "bpe_merges_smoke": (bpe_merges_smoke, BPE_MERGES_SMOKE_SQL),
     "bpe_encode_smoke": (bpe_encode_smoke, BPE_ENCODE_SMOKE_SQL),
     "pack_digest_smoke": (pack_digest_smoke, PACK_DIGEST_SMOKE_SQL),
